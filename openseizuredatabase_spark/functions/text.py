@@ -1,0 +1,93 @@
+"""Text-analysis column functions for the documents table.
+
+LLM-training-data operators (tokenize, quality score, language ID,
+fingerprint, shingles) expressed as built-in Catalyst expressions — no
+Python UDFs — so they stay inside whole-stage codegen and scale linearly
+with executors. Each has an exact DuckDB-SQL rendering for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the heuristic is the operator under test,
+# not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "de", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_CLASS), 0))
+
+
+def punct_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{PUNCT_CLASS}'))"
+
+
+def _in_list_sql(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def stopword_count_expr(text_col_name: str, lang: str = "en") -> Column:
+    """Spark Column: number of tokens that are stopwords of ``lang``."""
+    words = _in_list_sql(STOPWORDS[lang])
+    return F.expr(
+        f"size(filter("
+        f"CASE WHEN length(trim({text_col_name})) = 0 THEN cast(array() as array<string>) "
+        f"ELSE split(trim({text_col_name}), '\\\\s+') END, "
+        f"x -> lower(x) IN ({words})))"
+    )
+
+
+def stopword_count_sql(expr: str, lang: str = "en") -> str:
+    words = _in_list_sql(STOPWORDS[lang])
+    return f"len(list_filter({tokens_sql(expr)}, x -> lower(x) IN ({words})))"
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact-dup fingerprinting: lowercase, collapse ws."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def normalized_text_sql(expr: str) -> str:
+    return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+
+
+def fingerprint(col: Column) -> Column:
+    """MD5 fingerprint of normalized text (exact-dup key; portable)."""
+    return F.md5(normalized_text(col))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5({normalized_text_sql(expr)})"

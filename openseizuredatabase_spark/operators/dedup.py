@@ -1,0 +1,185 @@
+"""Dedup & grouping operators (reference D1-D4) + document dedup.
+
+D1 — unique-event grouping (curator_tools/makeOsdDb.py:180-242): fixed
+wall-clock time buckets per (user, type); one "best" representative per
+bucket chosen by a precedence ORDER BY. The reference sorts each pandas
+group in Python; here it is one window function over a single shuffle,
+and the shuffle key (user, type, bucket) is exactly the aggregation key —
+no second pass, scales with executors.
+
+D2 — adjacent-duplicate clustering (curator_tools/merge_json.py:148-250):
+gap-based sessionization. lag() + cumulative sum of gap-breaks builds the
+cluster id without any iterative loop.
+
+Document dedup (LLM-pipeline extension): exact (md5 fingerprint groupBy)
+and MinHash signatures built from portable md5 hashing so band-bucket
+join candidates are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+from openseizuredatabase_spark.functions.text import fingerprint, tokens
+
+
+def bucket_start_epoch(ts: Column, bucket_secs: int) -> Column:
+    """Fixed wall-clock bucket (epoch-aligned), as epoch seconds (long).
+
+    Matches pandas Grouper(freq=...) fixed bins, NOT gap sessions —
+    SURVEY §7.4 risk 1.
+    """
+    return (F.floor(F.unix_timestamp(ts) / bucket_secs) * bucket_secs).cast("long")
+
+
+def unique_group_representative(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    bucket_secs: int,
+    precedence: Column,
+    id_col: str,
+) -> DataFrame:
+    """D1: one best row per (group_cols, time bucket).
+
+    ``precedence``: ascending sort expression; lowest wins (encode
+    ALARM > tagged > first as 0/1/2). Ties break by (ts, id).
+    """
+    bucket = bucket_start_epoch(F.col(ts_col), bucket_secs).alias("bucket_start")
+    keys = [*group_cols, "bucket_start"]
+    w = Window.partitionBy(*keys).orderBy(
+        precedence.asc(), F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("bucket_start", bucket)
+        .withColumn("__prec", precedence)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prec")
+        .withColumnRenamed("__n", "n_rows")
+    )
+
+
+def gap_clusters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    gap_secs: int,
+) -> DataFrame:
+    """D2 sessionization: add ``cluster_id`` (0-based per group).
+
+    New cluster whenever the gap to the previous row (within the group,
+    time order) exceeds ``gap_secs``. Single shuffle on group_cols.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    is_break = F.when(gap.isNull() | (gap > gap_secs), 1).otherwise(0)
+    return df.withColumn(
+        "cluster_id",
+        F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
+def cluster_representative(
+    clustered: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """D2 step 2: keep the best row per cluster (e.g. most datapoints,
+    later time tiebreak — merge_json.py:231-247)."""
+    w = Window.partitionBy(*group_cols, "cluster_id").orderBy(*order_by)
+    cw = Window.partitionBy(*group_cols, "cluster_id")
+    return (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-dup: md5 fingerprint of normalized text; a row is a dup
+    if a lower-id row shares its fingerprint. One shuffle on the 32-char
+    fingerprint (uniformly distributed — no skew)."""
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("is_dup", (F.row_number().over(w) > 1))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle) rows.
+
+    posexplode over sequence keeps everything JVM-side; distinct collapses
+    repeated shingles before any join fan-out.
+    """
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= k)
+    idx = F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("i")
+    d = d.select(id_col, "toks", idx)
+    sh = F.concat_ws(" ", *[F.element_at(F.col("toks"), F.col("i") + 1 + j) for j in range(k)])
+    return d.select(F.col(id_col), sh.alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, n_hashes: int
+) -> DataFrame:
+    """MinHash signature columns mh_0..mh_{n-1} from a shingle table.
+
+    One aggregation: min over seeded portable hashes — map-side combine
+    makes this a partial-agg + single shuffle on id.
+    """
+    aggs = [
+        F.min(seeded_md5_long(F.col("shingle"), j)).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """Band the signature, bucket-join within bands → candidate pairs.
+
+    Classic MinHash-LSH: documents sharing ANY full band are candidates.
+    Join key is (band_idx, band_hash) — uniformly distributed; the self
+    join never sees the raw O(n²) pair space.
+    """
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{j}").cast("string") for j in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs

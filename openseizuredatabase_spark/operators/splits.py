@@ -1,0 +1,85 @@
+"""Train/test split & sampling operators (reference M1-M7).
+
+Deterministic, shuffle-light versions of sklearn/imblearn behaviors:
+fold assignment is a pure column expression (id mod k — portable across
+engines, unlike engine hash functions), replication uses
+explode(sequence(...)) with synthesized copy ids (reference C20
+`{id}-{n}` convention, augmentData.py:110-124).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def modulo_folds(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """M2: deterministic stratifiable fold assignment fold = id mod k.
+
+    The reference uses StratifiedKFold over unique event ids
+    (splitData.py:122-218); a mod-k fold over a dense/uniform id space is
+    the scale-friendly equivalent: no global sort, no driver-side
+    materialization of the id list.
+    """
+    return df.withColumn("fold", (F.col(id_col) % k).cast("int"))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_frac: float, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """M1: seeded random split on distinct ids, semi-joined back so all
+    rows of an id land on one side (osdDbConnection.py:614-634)."""
+    ids = df.select(id_col).distinct()
+    train_ids, test_ids = ids.randomSplit([1 - test_frac, test_frac], seed=seed)
+    return (
+        df.join(train_ids, id_col, "left_semi"),
+        df.join(test_ids, id_col, "left_semi"),
+    )
+
+
+def oversample_by_factor(
+    df: DataFrame,
+    id_col: str,
+    factor_col: Column,
+    copy_id_name: str = "copy_id",
+) -> DataFrame:
+    """M3/M4/M7 replication core: emit ``factor`` copies of each row with
+    synthetic ids `{id}-{n}` (n=0 is the original).
+
+    explode(sequence(0, factor-1)) is a generator, not a shuffle — data
+    expands in place on each executor.
+    """
+    return (
+        df.withColumn("__f", factor_col.cast("int"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("__f") - 1)).alias("__copy")
+        )
+        .withColumn(
+            copy_id_name,
+            F.concat_ws("-", F.col(id_col).cast("string"), F.col("__copy").cast("string")),
+        )
+        .drop("__f")
+    )
+
+
+def balance_classes(
+    df: DataFrame, id_col: str, label_col: str, copy_id_name: str = "copy_id"
+) -> DataFrame:
+    """M3: oversample every minority class by floor(majority/class) copies.
+
+    Class counts are a tiny aggregate → broadcast join back; replication
+    is explode (no shuffle of the big side).
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    max_cnt = counts.agg(F.max("__cnt").alias("__max"))
+    factors = counts.crossJoin(F.broadcast(max_cnt)).select(
+        label_col, F.floor(F.col("__max") / F.col("__cnt")).cast("int").alias("__factor")
+    )
+    return oversample_by_factor(
+        df.join(F.broadcast(factors), label_col),
+        id_col,
+        F.col("__factor"),
+        copy_id_name,
+    ).drop("__factor")

@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each registry query on Spark and its oracle SQL on DuckDB over the
+same parquet dir, then compares row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+floats compared to 1e-9 relative after the queries' own rounding).
+
+Usage:  python -m openseizuredatabase_spark.plans.oracle_check [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+
+def _duckdb_conn(sf_dir: str):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _sort_key(row):
+    return tuple(
+        (x is None, str(type(x).__name__), str(x)) for x in row
+    )
+
+
+def _rows_match(a, b, rel=1e-9, abs_=1e-9) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, (int, float)):
+            if not math.isclose(x, float(y), rel_tol=rel, abs_tol=abs_):
+                return False
+        elif isinstance(y, float) and isinstance(x, (int, float)):
+            if not math.isclose(float(x), y, rel_tol=rel, abs_tol=abs_):
+                return False
+        else:
+            if x != y:
+                return False
+    return True
+
+
+def compare_query(spark, con, spec, sf_dir: str) -> tuple[bool, str]:
+    sdf = spec.fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(_norm_cell(row[c]) for c in spark_cols) for row in sdf.collect()
+    ]
+    if spec.oracle is None:
+        return True, f"rows-only ({len(spark_rows)} rows)"
+    ddf = con.execute(spec.oracle).fetch_df()
+    duck_cols = sorted(ddf.columns)
+    if spark_cols != duck_cols:
+        return False, f"schema mismatch: spark={spark_cols} duck={duck_cols}"
+    duck_rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in ddf[spark_cols].itertuples(index=False, name=None)
+    ]
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
+    spark_rows.sort(key=_sort_key)
+    duck_rows.sort(key=_sort_key)
+    for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+        if not _rows_match(a, b):
+            return False, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+    return True, f"match ({len(spark_rows)} rows)"
+
+
+def main(argv):
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
+    only = set(argv[2:])
+    from openseizuredatabase_spark.plans.registry import QUERIES
+    from openseizuredatabase_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = _duckdb_conn(sf_dir)
+    failures = 0
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ok, msg = compare_query(spark, con, spec, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:6.1f}s  {msg}")
+        if not ok:
+            failures += 1
+    print(f"\n{failures} failures / {len(only or QUERIES)} checked")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -1,0 +1,56 @@
+"""Parquet table catalog for the driver's synthetic lake.
+
+Reference parity: the reference loads JSON DB files into an in-memory list
+(libosd/osdDbConnection.py:101-126) and linearly scans it; here every table
+is a Parquet scan planned by Catalyst (predicate pushdown + column pruning),
+which is the S1/S9 equivalent at lake scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table; normalize timestamp physical types.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; read nanos as long (session conf, safe to
+    set at runtime) and convert to a micros timestamp (integer division —
+    matches DuckDB's truncation of nanos → micros).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register temp views (for the SQL API)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

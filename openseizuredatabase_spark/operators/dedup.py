@@ -77,9 +77,7 @@ def gap_clusters(
     time order) exceeds ``gap_secs``. Single shuffle on group_cols.
     """
     w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
-        F.lag(F.col(ts_col)).over(w)
-    )
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
     is_break = F.when(gap.isNull() | (gap > gap_secs), 1).otherwise(0)
     return df.withColumn(
         "cluster_id",

@@ -13,12 +13,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_s(col: Column) -> Column:
+    """Fractional epoch seconds (microsecond precision, exact in double).
+
+    NOT unix_timestamp(), which truncates to whole seconds and diverges
+    from any fractional-epoch implementation on sub-second data.
+    """
+    return col.cast("double")
+
+
 def time_diffs(df: DataFrame, group_cols: Sequence[str], ts_col: str) -> DataFrame:
     """Per-group ordered time delta to the previous row, seconds (W4)."""
     w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
     return df.withColumn(
         "t_diff_s",
-        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w)),
+        epoch_s(F.col(ts_col)) - epoch_s(F.lag(ts_col).over(w)),
     )
 
 
@@ -55,16 +64,18 @@ def gap_fill_rows(
     rows declaratively so Catalyst parallelizes per group.
     """
     w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col).asc())
-    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
-    cur = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(epoch_s(F.col(ts_col))).over(w)
+    cur = epoch_s(F.col(ts_col))
     gap = cur - prev
-    n_fill = F.floor(gap / grid_secs)
+    # __n must derive from the materialized __gap column: re-using the
+    # window expression after .filter() would recompute lag() over the
+    # filtered rows and pair different neighbors
     d = (
         df.select(*group_cols, F.col(ts_col))
         .withColumn("__prev", prev)
         .withColumn("__gap", gap)
         .filter(F.col("__gap") > min_gap_secs)
-        .withColumn("__n", n_fill)
+        .withColumn("__n", F.floor(F.col("__gap") / grid_secs))
     )
     return d.select(
         *group_cols,
@@ -72,7 +83,9 @@ def gap_fill_rows(
         F.col("__prev"),
     ).select(
         *group_cols,
-        (F.col("__prev") + F.col("__i") * grid_secs).cast("long").alias("fill_epoch"),
+        # explicit floor: Spark's double→long cast truncates while other
+        # engines round — keep the grid timestamp engine-independent
+        F.floor(F.col("__prev") + F.col("__i") * grid_secs).cast("long").alias("fill_epoch"),
     )
 
 

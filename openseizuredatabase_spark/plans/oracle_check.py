@@ -77,13 +77,15 @@ def compare_query(spark, con, spec, sf_dir: str) -> tuple[bool, str]:
     ]
     if spec.oracle is None:
         return True, f"rows-only ({len(spark_rows)} rows)"
-    ddf = con.execute(spec.oracle).fetch_df()
-    duck_cols = sorted(ddf.columns)
+    cur = con.execute(spec.oracle)
+    raw_cols = [d[0] for d in cur.description]
+    raw_rows = cur.fetchall()  # fetchall, NOT fetch_df: pandas turns NULL→NaN
+    duck_cols = sorted(raw_cols)
     if spark_cols != duck_cols:
         return False, f"schema mismatch: spark={spark_cols} duck={duck_cols}"
+    order = [raw_cols.index(c) for c in duck_cols]
     duck_rows = [
-        tuple(_norm_cell(v) for v in row)
-        for row in ddf[spark_cols].itertuples(index=False, name=None)
+        tuple(_norm_cell(row[i]) for i in order) for row in raw_rows
     ]
     if len(spark_rows) != len(duck_rows):
         return False, f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"

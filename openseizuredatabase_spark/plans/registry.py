@@ -670,3 +670,637 @@ def a8_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     return window_ops.cumulative_sum(daily, ["event_type"], "day", "n", "cum_n")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations & metrics (A2-A7, A11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a2_category_cube",
+    """
+    SELECT event_type, (user_id % 4)::BIGINT AS cohort, count(*) AS n,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, (user_id % 4)::BIGINT)
+    """,
+    "A2 category stats cross-tab (generateGraphs.py:66-114): CUBE over "
+    "(type, cohort) — grouping-sets are free in Spark, absent in the "
+    "reference which loops per grouping.",
+)
+def a2_category_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.withColumn("__cents", cents)
+        .cube("event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__cents") / 100.0, 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "a3_presence_flags",
+    """
+    SELECT user_id,
+           count(CASE WHEN value > 100 THEN 1 END) >= 0.5 * count(*) AS mostly_high,
+           count(CASE WHEN value > 100 THEN 1 END) AS n_valid,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY user_id
+    """,
+    "A3 data-presence flags (tidy_db.py:91-146): per-group boolean = "
+    ">=50% of rows satisfy a validity predicate.",
+)
+def a3_presence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.presence_flags(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        F.col("value") > 100,
+        "mostly_high",
+        0.5,
+    )
+
+
+@query(
+    "a4_max_severity",
+    """
+    SELECT user_id,
+           max(CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2
+               WHEN 'signup' THEN 1 ELSE 0 END) AS max_severity
+    FROM events
+    GROUP BY user_id
+    """,
+    "A4 max alarm state per event (tidy_db.py:170-201, alg_runner.py:27-40): "
+    "severity-mapped max.",
+)
+def a4_max_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sev = (
+        F.when(F.col("event_type") == "error", 3)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(0)
+    )
+    return agg_ops.max_severity(_t(spark, sf_dir, "events"), ["user_id"], sev)
+
+
+@query(
+    "a5_event_rollup",
+    """
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS pred,
+           round(max(round(value * 100)::BIGINT) / 100.0, 2) AS max_prob,
+           count(*) AS n_dp
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "A5 event-level prediction rollup (nnTester.py:1345-1384): "
+    "any-positive-datapoint ⇒ positive event; keep max probability.",
+)
+def a5_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = agg_ops.event_rollup(
+        ev,
+        ["user_id", "day"],
+        F.col("event_type") == "error",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    return out.select(
+        "user_id",
+        "day",
+        "pred",
+        F.round(F.col("max_prob") / 100.0, 2).alias("max_prob"),
+        "n_dp",
+    )
+
+
+@query(
+    "a6_confusion_metrics",
+    """
+    WITH cm AS (
+        SELECT count(CASE WHEN event_type = 'error' AND value > 150 THEN 1 END) AS ntp,
+               count(CASE WHEN event_type <> 'error' AND value > 150 THEN 1 END) AS nfp,
+               count(CASE WHEN event_type <> 'error' AND value <= 150 THEN 1 END) AS ntn,
+               count(CASE WHEN event_type = 'error' AND value <= 150 THEN 1 END) AS nfn
+        FROM events
+    )
+    SELECT ntp, nfp, ntn, nfn,
+           round(ntp / (ntp + nfn)::DOUBLE, 6) AS tpr,
+           round(ntn / (ntn + nfp)::DOUBLE, 6) AS tnr,
+           round(ntp / (ntp + nfp)::DOUBLE, 6) AS precision,
+           round(2 * (ntp / (ntp + nfp)::DOUBLE) * (ntp / (ntp + nfn)::DOUBLE)
+                 / (ntp / (ntp + nfp)::DOUBLE + ntp / (ntp + nfn)::DOUBLE), 6) AS f1
+    FROM cm
+    """,
+    "A6+A7 confusion matrix & derived metrics (results.py:76-240, "
+    "nnTester.py:1558-1575): label = error event, pred = value>150.",
+)
+def a6_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cm = agg_ops.confusion_matrix(
+        _t(spark, sf_dir, "events"),
+        F.col("event_type") == "error",
+        F.col("value") > 150,
+    )
+    return agg_ops.derived_metrics(cm, 6)
+
+
+@query(
+    "a11_per_user_rebucket",
+    """
+    WITH counts AS (
+        SELECT user_id, count(*) AS kc FROM events WHERE event_type = 'error' GROUP BY user_id
+    ), relabeled AS (
+        SELECT e.*, CASE WHEN c.kc >= 150 THEN e.user_id::VARCHAR ELSE 'Other' END AS cohort
+        FROM events e JOIN counts c ON e.user_id = c.user_id
+        WHERE e.event_type = 'error'
+    )
+    SELECT cohort, count(*) AS n_errors, count(DISTINCT user_id) AS n_users,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM relabeled GROUP BY cohort
+    """,
+    "A11 per-user analysis with small-user 'Other' re-bucketing "
+    "(analyzeEventResults.py:123-208). Count join broadcasts.",
+)
+def a11_per_user_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    relabeled = agg_ops.small_group_rebucket(errors, "user_id", 150, "Other")
+    return relabeled.withColumn(
+        "__cents", F.round(F.col("value") * 100, 0).cast("long")
+    ).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("__cents") / 100.0, 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1-U4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u_set_algebra",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM (
+        SELECT user_id, count(*) AS n FROM events WHERE event_type = 'error'
+        GROUP BY user_id
+    ) t WHERE n > 160
+    """,
+    "U1-U4 set algebra (osdDbConnection append/remove entry lists): "
+    "purchasers ∩ signups \\ heavy-error users.",
+)
+def u_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    heavy_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 160)
+        .select("user_id")
+    )
+    return purchasers.intersect(signups).exceptAll(heavy_err).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Splits & sampling (M1-M3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m2_modulo_folds",
+    """
+    SELECT (event_id % 5)::INTEGER AS fold, event_type, count(*) AS n,
+           count(DISTINCT event_id) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "M2 deterministic stratified folds (splitData.py:122-218): "
+    "fold = id mod k — no global sort, no driver-side id list.",
+)
+def m2_modulo_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = split_ops.modulo_folds(_t(spark, sf_dir, "events"), "event_id", 5)
+    return ev.groupBy("fold", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_events"),
+    )
+
+
+@query(
+    "m3_oversample_balance",
+    """
+    WITH labeled AS (
+        SELECT event_id, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+        FROM events
+    ), counts AS (
+        SELECT label, count(*) AS cnt FROM labeled GROUP BY label
+    ), factors AS (
+        SELECT label, (SELECT max(cnt) FROM counts) // cnt AS factor FROM counts
+    ), replicated AS (
+        SELECT l.event_id, l.label,
+               l.event_id::VARCHAR || '-' || i::VARCHAR AS copy_id
+        FROM labeled l
+        JOIN factors f ON l.label = f.label,
+        unnest(generate_series(0, f.factor - 1)) AS t(i)
+    )
+    SELECT label, count(*) AS n_rows, count(DISTINCT copy_id) AS n_copies
+    FROM replicated GROUP BY label
+    """,
+    "M3 class-balancing oversampler (augmentData.py:659-771): minority "
+    "replicated floor(maj/min)× with synthetic `{id}-{n}` copy ids (C20); "
+    "explode(sequence) — replication never shuffles.",
+)
+def m3_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+    )
+    balanced = split_ops.balance_classes(ev, "event_id", "label")
+    return balanced.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("copy_id").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline extensions over `documents`)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+@query(
+    "t1_token_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens, n_chars
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           max(n_tokens) AS max_tokens,
+           round(sum(n_tokens) / count(*)::DOUBLE, 6) AS avg_tokens,
+           round(sum(n_chars) / sum(n_tokens)::DOUBLE, 6) AS chars_per_token
+    FROM toks GROUP BY lang
+    """,
+    "Token counting (whitespace tokenizer) + per-language corpus stats — "
+    "JVM-side split/size, no UDF.",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "avg_tokens"
+        ),
+        F.round(F.sum("n_chars") / F.sum("n_tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "t2_quality_score",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               n_chars,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(list_filter({_TOKS_SQL},
+                   x -> lower(x) IN ('the','a','and','of','to','in','is'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(n_stop / n_tokens::DOUBLE, 6) AS stop_ratio,
+           round(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
+           round(least(n_tokens / 100.0, 1.0) * (n_stop / n_tokens::DOUBLE), 6)
+               AS quality
+    FROM feats
+    WHERE n_tokens >= 10
+    """,
+    "Document quality scoring: length/punctuation/stopword-ratio features "
+    "composed into a score; pure Catalyst expressions.",
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.text import (
+        punct_count,
+        stopword_count_expr,
+        token_count,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .withColumn("n_punct", punct_count(F.col("text")))
+        .withColumn("n_stop", stopword_count_expr("text", "en"))
+        .filter(F.col("n_tokens") >= 10)
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens").cast("double")
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(F.col("n_punct") / F.col("n_chars").cast("double"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * stop_ratio, 6
+        ).alias("quality"),
+    )
+
+
+@query(
+    "t3_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter({_TOKS_SQL}, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is'))) AS s_en,
+               len(list_filter({_TOKS_SQL}, x -> lower(x) IN
+                   ('der','die','das','und','ist','nicht'))) AS s_de,
+               len(list_filter({_TOKS_SQL}, x -> lower(x) IN
+                   ('el','la','los','de','que','es'))) AS s_es,
+               len(list_filter({_TOKS_SQL}, x -> lower(x) IN
+                   ('le','la','les','et','est','que'))) AS s_fr
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted,
+           count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+    "Language-ID heuristic: per-language stopword voting, deterministic "
+    "argmax tie-break — the n-gram-heuristic operator, SQL-expressible.",
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.text import STOPWORDS, stopword_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    for code in ("en", "de", "es", "fr"):
+        docs = docs.withColumn(f"s_{code}", stopword_count_expr("text", code))
+    s = {c: F.col(f"s_{c}") for c in ("en", "de", "es", "fr")}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.groupBy("lang", predicted.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "t4_fingerprint_dedup",
+    """
+    WITH fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT doc_id, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) > 1 AS is_dup
+    FROM fps
+    """,
+    "Exact deduplication: md5 fingerprint of normalized text, "
+    "lowest-id row kept per group (document fingerprinting operator).",
+)
+def t4_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_ops.exact_dup_flags(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("doc_id", "fp", "is_dup")
+
+
+_SHINGLE_SQL = """
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] AS shingle
+        FROM toks, unnest(generate_series(0, len(t) - 5)) AS g(i)
+        WHERE len(t) >= 5
+    )
+"""
+
+
+@query(
+    "t5_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE, 6) AS jaccard
+    FROM common c JOIN sizes sa ON c.id_a = sa.doc_id
+                  JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.2
+    """,
+    "N-gram Jaccard near-dup detection: distinct 5-word shingles, "
+    "shingle-key self-join (never the raw O(n²) pair space), "
+    "|A∩B| / |A∪B| >= 0.2.",
+)
+def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_ops.shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "t6_minhash_signatures",
+    f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_id,
+           min({seeded_md5_long_sql('shingle', 0)}) AS mh_0,
+           min({seeded_md5_long_sql('shingle', 1)}) AS mh_1,
+           min({seeded_md5_long_sql('shingle', 2)}) AS mh_2,
+           min({seeded_md5_long_sql('shingle', 3)}) AS mh_3
+    FROM sh GROUP BY doc_id
+    """,
+    "MinHash signatures (4 portable md5-seeded hash functions over 5-word "
+    "shingles) — the shingle→minhash step of MinHash-LSH dedup; one "
+    "map-side-combined aggregation.",
+)
+def t6_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_ops.shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+    return dedup_ops.minhash_signatures(sh, "doc_id", 4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (ANN building blocks)
+# ---------------------------------------------------------------------------
+#
+# Cross-engine float discipline: dot products are accumulated as EXACT
+# integers — each term is round(a_i*b_i*1e6)::bigint (the double product of
+# two float32s is bit-identical in any IEEE engine; rounding it to a
+# micro-unit integer makes the SUM order-independent). The final similarity
+# is one double division + sqrt on identical integers → bit-identical.
+
+_EMB_DIM = 64
+_QDOT = "round(e.embedding[{i}]::DOUBLE * q.qe[{i}]::DOUBLE * 1e6)::BIGINT"
+_QNRM_A = "round(e.embedding[{i}]::DOUBLE * e.embedding[{i}]::DOUBLE * 1e6)::BIGINT"
+_QNRM_Q = "round(q.qe[{i}]::DOUBLE * q.qe[{i}]::DOUBLE * 1e6)::BIGINT"
+
+
+def _quantized_dot(a, b):
+    """Spark: sum_i round(a_i*b_i*1e6) as bigint — order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.round(x * y * 1e6, 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "v1_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+        FROM embeddings WHERE vec_id = 0
+    ), terms AS (
+        SELECT e.vec_id,
+               sum({_QDOT.format(i='i')}) AS dp,
+               sum({_QNRM_A.format(i='i')}) AS na,
+               sum({_QNRM_Q.format(i='i')}) AS nq
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+              FROM embeddings) e,
+             q, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na::DOUBLE) * sqrt(nq::DOUBLE)), 6) AS cosine_sim
+    FROM terms WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    "Brute-force cosine top-k vs a query vector (ANN baseline): "
+    "zip_with/aggregate JVM-side; quantized-integer accumulation for "
+    "engine-independent results. The scan is embarrassingly parallel; "
+    "top-k is a tiny final reduce.",
+)
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("emb_d").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dp = _quantized_dot(F.col("emb_d"), qlit)
+    na = _quantized_dot(F.col("emb_d"), F.col("emb_d"))
+    nq = _quantized_dot(qlit, qlit)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                dp / (F.sqrt(na.cast("double")) * F.sqrt(nq.cast("double"))), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _v2_oracle() -> str:
+    """LSH bucket histogram oracle: planes rendered as literal arrays."""
+    from openseizuredatabase_spark.functions.vectors import hyperplane
+
+    n_bits = 8
+    plane_rows = []
+    for j in range(n_bits):
+        comps = hyperplane(42, j, _EMB_DIM)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        plane_rows.append(f"({j}, {arr}::DOUBLE[])")
+    return f"""
+    WITH planes(j, p) AS (VALUES {', '.join(plane_rows)}),
+    bits AS (
+        SELECT e.vec_id, pl.j,
+               CASE WHEN (
+                   SELECT sum(round(e.embedding[i]::DOUBLE * pl.p[i] * 1e6)::BIGINT)
+                   FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+               ) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes pl
+    ), buckets AS (
+        SELECT vec_id, sum(bit * (2 ** (7 - j)))::BIGINT AS bucket
+        FROM bits GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """
+
+
+@query(
+    "v2_lsh_buckets",
+    _v2_oracle(),
+    "Random-hyperplane LSH bucketing (8-bit signatures, planes derived "
+    "deterministically from md5): the scale path for ANN — candidate "
+    "generation becomes an equi-join on bucket instead of O(n²).",
+)
+def v2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.vectors import hyperplane
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    bucket = F.lit(0)
+    for j in range(8):
+        plane = hyperplane(42, j, _EMB_DIM)
+        plit = F.array(*[F.lit(c) for c in plane])
+        bit = (_quantized_dot(F.col("emb_d"), plit) >= 0).cast("int")
+        bucket = bucket + bit * (1 << (7 - j))
+    return (
+        emb.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

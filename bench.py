@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs as a full job with a no-op sink (results are materialized
+on executors, never collected to the driver) — measuring engine time, not
+driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j3_top_orders",
+    "j5_snapshot_merge",
+    "d1_unique_event_grouping",
+    "d2_gap_clustering",
+    "w3_gap_fill",
+    "w6_feature_history",
+    "a6_confusion_metrics",
+    "m3_oversample_balance",
+    "t2_quality_score",
+    "t5_ngram_jaccard",
+    "t6_minhash_signatures",
+    "v1_cosine_topk",
+    "v2_lsh_buckets",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from openseizuredatabase_spark.plans.registry import QUERIES
+    from openseizuredatabase_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # JVM/codegen warmup on a trivial job so q1 isn't charged startup cost
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

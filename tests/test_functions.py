@@ -1,0 +1,111 @@
+"""Unit tests for text / hashing / vector column functions."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions import vectors as vec_fn
+from openseizuredatabase_spark.functions.hashing import md5_long, seeded_md5_long
+from openseizuredatabase_spark.functions.text import (
+    fingerprint,
+    normalized_text,
+    punct_count,
+    stopword_count_expr,
+    token_count,
+    tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, text="The quick, brown fox!  Jumps."),
+            Row(id=2, text="  the   QUICK brown fox  "),
+            Row(id=3, text=""),
+            Row(id=4, text="der und die das"),
+        ]
+    )
+
+
+def test_tokens_and_count(docs):
+    out = docs.select("id", tokens(F.col("text")).alias("t"),
+                      token_count(F.col("text")).alias("n")).collect()
+    by_id = {r.id: (r.t, r.n) for r in out}
+    assert by_id[1] == (["The", "quick,", "brown", "fox!", "Jumps."], 5)
+    assert by_id[2][1] == 4  # whitespace runs collapse
+    assert by_id[3] == ([], 0)  # empty → empty array, not ['']
+
+
+def test_punct_count(docs):
+    out = {r.id: r.n for r in docs.select(
+        "id", punct_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 3  # comma, bang, period
+    assert out[3] == 0
+
+
+def test_stopword_count_langs(docs):
+    en = {r.id: r.n for r in docs.select(
+        "id", stopword_count_expr("text", "en").alias("n")).collect()}
+    de = {r.id: r.n for r in docs.select(
+        "id", stopword_count_expr("text", "de").alias("n")).collect()}
+    assert en[1] == 1  # 'The'
+    assert en[2] == 1
+    assert de[4] == 4
+
+
+def test_fingerprint_normalization_collapses_case_and_ws(docs):
+    out = {r.id: r.fp for r in docs.select(
+        "id", fingerprint(F.col("text")).alias("fp")).collect()}
+    norm = {r.id: r.n for r in docs.select(
+        "id", normalized_text(F.col("text")).alias("n")).collect()}
+    assert norm[2] == "the quick brown fox"
+    # doc 1 has punctuation so fingerprints differ; but same-normal-form match:
+    assert out[2] == hashlib.md5(b"the quick brown fox").hexdigest()
+
+
+def test_md5_long_matches_python(spark):
+    df = spark.createDataFrame([Row(s="abc")])
+    got = df.select(md5_long(F.col("s")).alias("h")).collect()[0].h
+    expect = int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    assert got == expect
+
+
+def test_seeded_md5_long_is_seed_dependent(spark):
+    df = spark.createDataFrame([Row(s="abc")])
+    h0 = df.select(seeded_md5_long(F.col("s"), 0).alias("h")).collect()[0].h
+    h1 = df.select(seeded_md5_long(F.col("s"), 1).alias("h")).collect()[0].h
+    assert h0 != h1
+    assert h0 == int(hashlib.md5(b"0:abc").hexdigest()[:15], 16)
+
+
+def test_vector_dot_norm_cosine(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 2.0], b=[2.0, 0.0, 1.0])])
+    row = df.select(
+        vec_fn.dot(F.col("a"), F.col("b")).alias("d"),
+        vec_fn.norm(F.col("a")).alias("na"),
+        vec_fn.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row.d == 4.0
+    assert row.na == 3.0
+    assert math.isclose(row.c, 4.0 / (3.0 * math.sqrt(5.0)))
+
+
+def test_hyperplane_deterministic():
+    p1 = vec_fn.hyperplane(42, 0, 8)
+    p2 = vec_fn.hyperplane(42, 0, 8)
+    p3 = vec_fn.hyperplane(42, 1, 8)
+    assert p1 == p2
+    assert p1 != p3
+    assert all(-1.0 <= c < 1.0 for c in p1)
+
+
+def test_lsh_bucket_range(spark):
+    df = spark.createDataFrame([Row(v=[float(i) for i in range(8)])])
+    b = df.select(
+        vec_fn.lsh_bucket(F.col("v"), seed=1, n_bits=4, dim=8).alias("b")
+    ).collect()[0].b
+    assert 0 <= b < 16

@@ -1,0 +1,207 @@
+"""Unit tests for the operator library on small synthetic frames.
+
+Mirrors the reference's test strategy (SURVEY §5): synthetic in-memory
+events with known expected outputs, one test per operator semantics.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.operators import (
+    aggregates as agg_ops,
+    dedup as dedup_ops,
+    filters as filter_ops,
+    joins as join_ops,
+    splits as split_ops,
+    windows as window_ops,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: three rows inside one 3-min bucket, one far away
+        Row(id=1, user="u1", typ="seizure", t=ts("2024-01-01 00:00:10"), val=10.0, state=0),
+        Row(id=2, user="u1", typ="seizure", t=ts("2024-01-01 00:01:00"), val=20.0, state=2),
+        Row(id=3, user="u1", typ="seizure", t=ts("2024-01-01 00:02:30"), val=30.0, state=0),
+        Row(id=4, user="u1", typ="seizure", t=ts("2024-01-01 01:00:00"), val=40.0, state=0),
+        # user 2: gap pattern 5s,5s,20s,5s
+        Row(id=5, user="u2", typ="fall", t=ts("2024-01-01 00:00:00"), val=1.0, state=0),
+        Row(id=6, user="u2", typ="fall", t=ts("2024-01-01 00:00:05"), val=2.0, state=0),
+        Row(id=7, user="u2", typ="fall", t=ts("2024-01-01 00:00:25"), val=3.0, state=0),
+        Row(id=8, user="u2", typ="fall", t=ts("2024-01-01 00:00:30"), val=4.0, state=0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_filter_builder_compiles_to_single_predicate(events):
+    spec = {
+        "include": {"typ": ["seizure"]},
+        "exclude": {"user": ["u9"]},
+        "between": {"val": (15, 45)},
+    }
+    out = filter_ops.apply_filter(events, spec)
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+def test_filter_contains_case_insensitive(events):
+    out = filter_ops.apply_filter(events, {"contains": {"typ": ["SEIZ"]}})
+    assert out.count() == 4
+
+
+def test_unique_group_representative_alarm_precedence(events):
+    # D1: within u1's 00:00-00:03 bucket, row id=2 has state==2 (ALARM) and
+    # must win despite not being first (makeOsdDb.py:193-219 precedence)
+    prec = F.when(F.col("state") == 2, 0).otherwise(1)
+    out = dedup_ops.unique_group_representative(
+        events, ["user", "typ"], "t", 180, prec, "id"
+    )
+    reps = {(r.user, r.bucket_start): (r.id, r.n_rows) for r in out.collect()}
+    bucket0 = (
+        int(ts("2024-01-01 00:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    )
+    assert reps[("u1", bucket0)] == (2, 3)
+
+
+def test_gap_clusters_and_representative(events):
+    # D2: u2 with 10s threshold → clusters {5,6}, {7,8}; max-val rep wins
+    clustered = dedup_ops.gap_clusters(events.filter("user='u2'"), ["user"], "t", 10)
+    ids = {r.id: r.cluster_id for r in clustered.collect()}
+    assert ids == {5: 0, 6: 0, 7: 1, 8: 1}
+    best = dedup_ops.cluster_representative(
+        clustered, ["user"], [F.col("val").desc()]
+    )
+    assert sorted((r.id, r.cluster_n) for r in best.collect()) == [(6, 2), (8, 2)]
+
+
+def test_gap_fill_rows_count(spark):
+    # W3: 5s grid; gap of 17s > 7s threshold → floor(17/5)=3 filler rows
+    rows = [
+        Row(user="u", t=ts("2024-01-01 00:00:00")),
+        Row(user="u", t=ts("2024-01-01 00:00:17")),
+    ]
+    out = window_ops.gap_fill_rows(
+        spark.createDataFrame(rows), ["user"], "t", 5, 7
+    ).collect()
+    epochs = sorted(r.fill_epoch for r in out)
+    base = int(ts("2024-01-01 00:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    assert epochs == [base + 5, base + 10, base + 15]
+
+
+def test_drop_overlaps(spark):
+    rows = [
+        Row(user="u", t=ts("2024-01-01 00:00:00")),
+        Row(user="u", t=ts("2024-01-01 00:00:01")),  # 1s after → overlap
+        Row(user="u", t=ts("2024-01-01 00:00:06")),
+    ]
+    out = window_ops.drop_overlaps(spark.createDataFrame(rows), ["user"], "t", 3)
+    assert out.count() == 2
+
+
+def test_gap_census(events):
+    out = window_ops.gap_census(
+        events.filter("user='u2'"), ["user"], "t", 10, 5
+    ).collect()[0]
+    assert out.n_gaps == 1  # the 20s hop
+    assert out.n_extras == 0
+    assert out.n_rows == 4
+
+
+def test_feature_history_drops_warmup_rows(events):
+    out = window_ops.feature_history(
+        events.filter("user='u1'"), ["user"], "t", ["val"], 3
+    )
+    rows = {r.id: (r.val_t0, r.val_t1, r.val_t2, r.val_mean) for r in out.collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3] == (30.0, 20.0, 10.0, 20.0)
+    assert rows[4] == (40.0, 30.0, 20.0, 30.0)
+
+
+def test_moving_average_ignores_sentinel(spark):
+    rows = [
+        Row(user="u", t=ts("2024-01-01 00:00:00"), hr=60.0),
+        Row(user="u", t=ts("2024-01-01 00:00:05"), hr=-1.0),
+        Row(user="u", t=ts("2024-01-01 00:00:10"), hr=80.0),
+    ]
+    out = window_ops.moving_average(
+        spark.createDataFrame(rows), ["user"], "t", "hr", 3, missing_sentinel=-1.0
+    )
+    last = out.orderBy("t").collect()[-1]
+    assert last.mov_avg == 70.0  # (60+80)/2, sentinel skipped
+
+
+def test_epoch_windows(spark):
+    rows = [
+        Row(user="u", t=ts("2024-01-01 00:00:00") + dt.timedelta(seconds=5 * i), v=float(i))
+        for i in range(10)
+    ]
+    out = window_ops.epoch_windows(
+        spark.createDataFrame(rows), ["user"], "t", "v", 4, 2
+    ).collect()
+    got = {r.epoch_start_rn: (r.win_avg, r.win_n) for r in out}
+    # windows of 4 every 2 rows: starts at rn-1 = 0,2,4,6 (rn+3<=10)
+    assert set(got) == {0, 2, 4, 6}
+    assert got[0] == (1.5, 4)
+    assert got[6] == (7.5, 4)
+
+
+def test_confusion_and_metrics(spark):
+    rows = [Row(label=l, pred=p) for l, p in
+            [(1, 1)] * 8 + [(1, 0)] * 2 + [(0, 1)] * 3 + [(0, 0)] * 7]
+    cm = agg_ops.confusion_matrix(
+        spark.createDataFrame(rows), F.col("label") == 1, F.col("pred") == 1
+    )
+    m = agg_ops.derived_metrics(cm).collect()[0]
+    assert (m.ntp, m.nfp, m.ntn, m.nfn) == (8, 3, 7, 2)
+    assert m.tpr == 0.8
+    assert m.tnr == 0.7
+
+
+def test_presence_flags_threshold(events):
+    out = agg_ops.presence_flags(
+        events, ["user"], F.col("val") >= 20, "mostly_big", 0.5
+    )
+    flags = {r.user: r.mostly_big for r in out.collect()}
+    assert flags == {"u1": True, "u2": False}
+
+
+def test_snapshot_merge_prefers_first_source(spark):
+    a = spark.createDataFrame([Row(k=1, v="a1"), Row(k=2, v="a2")])
+    b = spark.createDataFrame([Row(k=2, v="b2"), Row(k=3, v="b3")])
+    out = join_ops.snapshot_merge([("a", a), ("b", b)], "k", ["a", "b"])
+    got = {r.k: (r.v, r.src) for r in out.collect()}
+    assert got == {1: ("a1", "a"), 2: ("a2", "a"), 3: ("b3", "b")}
+
+
+def test_modulo_folds_partition_all_rows(events):
+    out = split_ops.modulo_folds(events, "id", 3)
+    folds = [r.fold for r in out.collect()]
+    assert all(0 <= f < 3 for f in folds)
+    assert len(folds) == 8
+
+
+def test_balance_classes_factors(spark):
+    rows = [Row(id=i, label=1) for i in range(2)] + [
+        Row(id=10 + i, label=0) for i in range(7)
+    ]
+    out = split_ops.balance_classes(spark.createDataFrame(rows), "id", "label")
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 7, 1: 6}  # minority 2 × floor(7/2)=3 copies
+    # copy ids follow the reference's `{id}-{n}` convention (C20)
+    sample = out.filter("label = 1").select("copy_id").collect()
+    assert {r.copy_id for r in sample} == {"0-0", "0-1", "0-2", "1-0", "1-1", "1-2"}
+
+
+def test_train_test_split_disjoint(events):
+    tr, te = split_ops.train_test_split(events, "id", 0.4, seed=7)
+    tr_ids = {r.id for r in tr.collect()}
+    te_ids = {r.id for r in te.collect()}
+    assert tr_ids | te_ids == set(range(1, 9))
+    assert not (tr_ids & te_ids)

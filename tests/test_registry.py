@@ -1,0 +1,40 @@
+"""Registry-level checks: every query runs, matches its oracle at
+sf0.001, and core plans have the physical shape we designed for
+(pushdown, broadcast, no Python UDFs in relational paths)."""
+
+import duckdb
+import pytest
+
+from openseizuredatabase_spark.plans.oracle_check import _duckdb_conn, compare_query
+from openseizuredatabase_spark.plans.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return _duckdb_conn(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, sf_dir, name):
+    ok, msg = compare_query(spark, con, QUERIES[name], sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_a1_filter_pushed_down(spark, sf_dir):
+    plan = QUERIES["a1_pricing_summary"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_j3_uses_broadcast_join(spark, sf_dir):
+    plan = QUERIES["j3_top_orders"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_relational_queries_have_no_python_udf(spark, sf_dir):
+    # every oracle-checked query must stay JVM-side (no BatchEvalPython /
+    # ArrowEvalPython stages)
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"

@@ -1,0 +1,182 @@
+"""OSD seizure-detection algorithm (reference W10 + C9-C11) — Spark-first.
+
+The reference replays events serially through a stateful Python object
+(user_tools/testRunner/osdAlg.py:264-346, alg_runner.py:189-374). The
+state machine is an order-dependent recurrence, so Spark's fixed-frame
+windows can't express it; the idiomatic mapping is a per-event
+``applyInPandas`` grouped transform: each event's ordered datapoint frame
+arrives as one Arrow batch, the recurrence runs vectorized-per-event, and
+events are embarrassingly parallel across executors (the reference runs
+them serially — SURVEY §3.3).
+
+Semantics reproduced exactly (cited to the reference):
+* in-alarm: spectrum ratio > ratio threshold, where ratio is gated by
+  roiPower > alarmThresh (osdAlg.py:210-247)
+* accumulate: alarmCount += samplePeriod while in-alarm;
+  count > alarmTime ⇒ ALARM(2), count > warnTime ⇒ WARN(1)
+  (osdAlg.py:299-307)
+* decay: leaving alarm from ALARM drops to WARN and pins
+  alarmCount = warnTime; from WARN/OK resets to OK with count 0
+  (osdAlg.py:308-313 — SURVEY §7.4 risk 5)
+* state resets between events (alg_runner.py:274-278 resetAlg)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from openseizuredatabase_spark.functions.signal import (
+    roi_power,
+    spec_power,
+    spectrum_ratio,
+)
+
+
+@dataclass(frozen=True)
+class OsdSettings:
+    sample_freq: float = 25.0
+    freq_min: float = 3.0
+    freq_max: float = 8.0
+    alarm_thresh: float = 100.0
+    alarm_ratio_thresh: float = 57.0
+    sample_period: float = 5.0
+    warn_time: float = 5.0
+    alarm_time: float = 10.0
+
+
+def alarm_recurrence(
+    in_alarm: Iterable[bool],
+    settings: OsdSettings,
+    missing: Iterable[bool] | None = None,
+) -> tuple[list[int], list[float]]:
+    """The accumulate/decay state machine over an ordered in-alarm series.
+
+    ``missing`` marks steps with no usable input: the machine emits -1 and
+    fully resets (hrAlg.py:124-127 — the internal count does NOT survive a
+    missing step, unlike the ALARM→WARN decay).
+
+    Returns (alarmState per step, alarmCount per step).
+    """
+    state, count = 0, 0.0
+    states: list[int] = []
+    counts: list[float] = []
+    missing_list = list(missing) if missing is not None else None
+    for i, flag in enumerate(in_alarm):
+        if missing_list is not None and missing_list[i]:
+            state, count = -1, 0.0
+            states.append(state)
+            counts.append(count)
+            continue
+        if flag:
+            count += settings.sample_period
+            if count > settings.alarm_time:
+                state = 2
+            elif count > settings.warn_time:
+                state = 1
+        else:
+            if state == 2:
+                state = 1
+                count = settings.warn_time
+            else:
+                state = 0
+                count = 0.0
+        states.append(state)
+        counts.append(count)
+    return states, counts
+
+
+def run_osd_alg(
+    events_dp: DataFrame,
+    settings: OsdSettings | None = None,
+    event_col: str = "eventId",
+    ts_col: str = "dpTimestamp",
+    signal_col: str = "rawData",
+) -> DataFrame:
+    """Replay exploded datapoints through the OSD algorithm.
+
+    One shuffle on the event key; each group is one Arrow batch. Only the
+    needed columns are passed through the UDF (manual projection — plan
+    is opaque to Catalyst past this point, SURVEY §4).
+    """
+    s = settings or OsdSettings()
+    cols = [event_col, ts_col, signal_col]
+    out_schema = (
+        f"{event_col} long, {ts_col} timestamp, specPower double, "
+        "roiPower double, roiRatio double, alarmState int, alarmCount double"
+    )
+
+    def per_event(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        spec_l, roi_l, ratio_l, flags = [], [], [], []
+        for sig in pdf[signal_col]:
+            if sig is None or len(sig) == 0:
+                spec_l.append(np.nan)
+                roi_l.append(np.nan)
+                ratio_l.append(0.0)
+                flags.append(False)
+                continue
+            a = np.asarray(sig, dtype=np.float64)
+            sp = spec_power(a, s.sample_freq)
+            rp = roi_power(a, s.freq_min, s.freq_max, s.sample_freq)
+            ratio = spectrum_ratio(sp, rp, s.alarm_thresh)
+            spec_l.append(sp)
+            roi_l.append(rp)
+            ratio_l.append(ratio)
+            flags.append(ratio > s.alarm_ratio_thresh)
+        states, counts = alarm_recurrence(flags, s)
+        return pd.DataFrame(
+            {
+                event_col: pdf[event_col].values,
+                ts_col: pdf[ts_col].values,
+                "specPower": spec_l,
+                "roiPower": roi_l,
+                "roiRatio": ratio_l,
+                "alarmState": states,
+                "alarmCount": counts,
+            }
+        )
+
+    return (
+        events_dp.select(*cols)
+        .groupBy(event_col)
+        .applyInPandas(per_event, out_schema)
+    )
+
+
+def run_state_machine(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    flag_col: str,
+    id_col: str,
+    settings: OsdSettings | None = None,
+) -> DataFrame:
+    """Generic W10: run the accumulate/decay recurrence over any table
+    with a precomputed boolean in-alarm column — the engine's stateful
+    per-key operator for batch replay."""
+    s = settings or OsdSettings()
+    group_schema = ", ".join(f"{c} long" for c in group_cols)
+    out_schema = (
+        f"{group_schema}, {id_col} long, alarmState int, alarmCount double"
+    )
+    cols = [*group_cols, ts_col, flag_col, id_col]
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        states, counts = alarm_recurrence(
+            pdf[flag_col].fillna(False).astype(bool).tolist(), s
+        )
+        out = {c: pdf[c].values for c in group_cols}
+        out[id_col] = pdf[id_col].values
+        out["alarmState"] = states
+        out["alarmCount"] = counts
+        return pd.DataFrame(out)
+
+    return (
+        df.select(*cols).groupBy(*group_cols).applyInPandas(per_group, out_schema)
+    )

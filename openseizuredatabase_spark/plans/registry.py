@@ -1304,3 +1304,82 @@ def v2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful / DSP operators (non-SQL-expressible → rows-only driver check;
+# exact semantics are unit-tested against reference formulas in tests/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w10_alarm_state_machine",
+    None,
+    "W10 OSD alarm state machine (osdAlg.py:264-346): per-user ordered "
+    "accumulate/decay recurrence via applyInPandas — order-dependent, not "
+    "expressible as a fixed-frame window. in-alarm analog: value > 150.",
+)
+def w10_alarm_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_state_machine,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("in_alarm", F.col("value") > 150)
+    out = run_state_machine(
+        ev,
+        ["user_id"],
+        "ts",
+        "in_alarm",
+        "event_id",
+        OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.when(F.col("alarmState") == 2, 1)).alias("n_alarm_dps"),
+        F.count(F.when(F.col("alarmState") == 1, 1)).alias("n_warn_dps"),
+        F.count(F.lit(1)).alias("n_dps"),
+    )
+
+
+@query(
+    "c9_fft_features",
+    None,
+    "C9/C10/C11 FFT kernel (osdAlgTools.py:95-158): specPower/roiPower/"
+    "spectrum-ratio per array via Arrow-batched mapInPandas; embeddings "
+    "arrays stand in for accel frames at the driver-table level.",
+)
+def c9_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.signal import with_fft_features
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("rawData")
+    )
+    out = with_fft_features(
+        emb, "rawData", sample_freq=25.0, freq_min=3.0, freq_max=8.0,
+        alarm_thresh=0.0,
+    )
+    return out.select(
+        "vec_id",
+        F.round("specPower_c", 6).alias("spec_power"),
+        F.round("roiPower_c", 6).alias("roi_power"),
+        F.round("roiRatio_c", 6).alias("roi_ratio"),
+    )
+
+
+@query(
+    "m1_train_test_split",
+    None,
+    "M1 seeded random event-level split (osdDbConnection.py:614-634): "
+    "randomSplit on distinct ids + semi-joins; engine-seeded so no SQL "
+    "oracle — invariants (disjoint, exhaustive) checked in tests.",
+)
+def m1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = split_ops.train_test_split(
+        _t(spark, sf_dir, "events"), "event_id", 0.3, seed=42
+    )
+    return (
+        train.select(F.lit("train").alias("part"), "event_id")
+        .unionByName(test.select(F.lit("test").alias("part"), "event_id"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

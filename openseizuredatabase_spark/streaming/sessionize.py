@@ -1,0 +1,141 @@
+"""Structured Streaming mode (SURVEY §2.10).
+
+The runtime system behind the reference is a true stream (watch →
+phone → server); the reference only replays it batch-wise. Here the
+same operators run as a Structured Streaming job:
+
+* D1's fixed 3-minute grouping → tumbling ``window(ts, '3 minutes')``
+  aggregation with a watermark for late data.
+* D2's 60-s adjacency clustering → ``session_window(ts, gap)``.
+* W10's alarm machine → ``applyInPandasWithState`` keyed by user: the
+  accumulate/decay recurrence carries (state, count) across micro-batches
+  — the streaming twin of the batch ``run_state_machine``.
+
+Batch/streaming parity matters: both paths call the same
+``alarm_recurrence`` so detection semantics cannot drift.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from openseizuredatabase_spark.detection.osd_alg import OsdSettings
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    window_duration: str = "3 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """D1 streaming shape: per-(group, fixed window) counts + max value."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
+def session_clusters(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    gap: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """D2 streaming shape: gap-based session windows per group."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
+def streaming_alarm_machine(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    flag_col: str,
+    settings: OsdSettings | None = None,
+) -> DataFrame:
+    """W10 as a stateful streaming operator.
+
+    State per key = (alarmState, alarmCount), carried across micro-batches
+    (the batch replay resets per event; a live stream never resets unless
+    the state times out). Same recurrence step as batch
+    ``alarm_recurrence`` — parity by construction.
+    """
+    s = settings or OsdSettings()
+    out_schema = f"{key_col} long, {ts_col} timestamp, alarmState int, alarmCount double"
+    state_schema = "state int, count double"
+
+    def step(state: int, count: float, flag: bool) -> tuple[int, float]:
+        if flag:
+            count += s.sample_period
+            if count > s.alarm_time:
+                state = 2
+            elif count > s.warn_time:
+                state = 1
+        else:
+            if state == 2:
+                state = 1
+                count = s.warn_time
+            else:
+                state = 0
+                count = 0.0
+        return state, count
+
+    def process(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        group_state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if group_state.exists:
+            state, count = group_state.get
+        else:
+            state, count = 0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            states, counts = [], []
+            for flag in pdf[flag_col].fillna(False).astype(bool):
+                state, count = step(state, count, bool(flag))
+                states.append(state)
+                counts.append(count)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    ts_col: pdf[ts_col].values,
+                    "alarmState": states,
+                    "alarmCount": counts,
+                }
+            )
+        group_state.update((state, count))
+
+    return (
+        stream.select(key_col, ts_col, flag_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            process,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1383,3 +1383,235 @@ def m1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Array stats & statistical moments (A9, A10, C2, C3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a9_array_stats",
+    """
+    WITH sums AS (
+        SELECT vec_id,
+               sum(round(x * 1e6)::BIGINT) AS s1,
+               sum(round(x * x * 1e6)::BIGINT) AS s2,
+               count(*) AS n
+        FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings) t
+        GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(s1 / (1e6 * n), 6) AS emb_mean,
+           round(sqrt(s2 / 1e6), 6) AS emb_l2
+    FROM sums
+    """,
+    "A9 per-row array statistics (eventAnalyser.py:165-167 mean/std/CV of "
+    "the 125-sample array): aggregate() over the array column, quantized "
+    "micro-unit accumulation for engine parity.",
+)
+def a9_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    s1 = F.aggregate(
+        F.transform("e", lambda x: F.round(x * 1e6, 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    s2 = F.aggregate(
+        F.transform("e", lambda x: F.round(x * x * 1e6, 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n = F.size("e")
+    return emb.select(
+        "vec_id",
+        F.round(s1 / (1e6 * n), 6).alias("emb_mean"),
+        F.round(F.sqrt(s2 / 1e6), 6).alias("emb_l2"),
+    )
+
+
+@query(
+    "a10_moments",
+    """
+    WITH cents AS (
+        SELECT event_type, round(value * 100)::BIGINT AS c FROM events
+    ), sums AS (
+        SELECT event_type,
+               count(*)::DOUBLE AS n,
+               sum(c)::DOUBLE AS s1,
+               sum(c * c)::DOUBLE AS s2,
+               sum(c * c * c)::DOUBLE AS s3,
+               sum(c * c * c * c)::DOUBLE AS s4
+        FROM cents GROUP BY event_type
+    )
+    SELECT event_type,
+           round((s1 / n) / 100, 6) AS mean_value,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)) / 100, 6) AS std_value,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurtosis
+    FROM sums
+    """,
+    "A10 per-group statistical moments (accelFeatures.py:70-79 mean/std/"
+    "skewness/kurtosis): population formulas computed from EXACT integer "
+    "power sums (sums are order-independent; the double formula is "
+    "structurally identical in both engines → bit-identical rounding). "
+    "Avoids Spark-vs-DuckDB skewness()/kurtosis() definition mismatches.",
+)
+def a10_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "c", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("c"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("c") * F.col("c"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("c") * F.col("c") * F.col("c"))).cast("double").alias("s3"),
+        F.sum(dec(F.col("c") * F.col("c") * F.col("c") * F.col("c")))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / F.pow(var, 2) - 3
+    return sums.select(
+        "event_type",
+        F.round(m / 100, 6).alias("mean_value"),
+        F.round(F.sqrt(var) / 100, 6).alias("std_value"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+    )
+
+
+@query(
+    "c3_relative_time",
+    """
+    SELECT event_id, user_id,
+           round(epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id), 6)
+               AS rel_s,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_time
+    FROM events
+    """,
+    "C2/C3 time scalar functions (analyse_event.py:153-158, "
+    "generateSimulatedEvents.py:14-18): relative seconds from the group's "
+    "first row + epoch→ISO formatting.",
+)
+def c3_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = F.col("ts").cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(e - F.min(e).over(w), 6).alias("rel_s"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2 odds and ends: W2 global sort, F12 group-size filter,
+# M5/M6 augmentation (deterministic but libm-dependent → rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w2_sorted_index",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_time, user_id
+    FROM events
+    ORDER BY ts ASC, event_id ASC
+    LIMIT 100
+    """,
+    "W2/S5 global sort + index projection (osdDbConnection.py:227 CSV "
+    "index ordering): range-partitioned sort, top-N collapses to TakeOrdered.",
+)
+def w2_sorted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_time"),
+            "user_id",
+        )
+    )
+
+
+@query(
+    "f12_min_group_size",
+    """
+    WITH sized AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id
+    FROM events e JOIN sized s ON e.user_id = s.user_id
+    WHERE s.n >= 600 AND e.event_type = 'purchase'
+    """,
+    "F12 minimum-datapoint validity filter (makeOsdDb.py:368-390: drop "
+    "events with < minDp datapoints) as a group-size semi-filter.",
+)
+def f12_min_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sized = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    big = sized.filter(F.col("n") >= 600).select("user_id")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(big), "user_id", "left_semi")
+        .select("event_id", "user_id")
+    )
+
+
+@query(
+    "m5_noise_augment",
+    None,
+    "M5 noise augmentation (augmentData.py:188-314): hash-derived "
+    "Box-Muller N(0,σ) per element, explode-replicated copies — "
+    "deterministic under repartitioning (documented RNG divergence from "
+    "the reference's global numpy state). libm ulp differences make a "
+    "cross-engine hash unreliable → rows-only.",
+)
+def m5_noise_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.augment import noise_augment
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("sig")
+    )
+    out = noise_augment(emb, "vec_id", "sig", n_copies=2, sigma=0.1, seed=42)
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("copy_id").alias("n_copies"),
+    )
+
+
+@query(
+    "m6_phase_augment",
+    None,
+    "M6 phase augmentation (augmentData.py:316-470): per-user value "
+    "series → sliding non-overlapping windows at 5 phase offsets via "
+    "applyInPandas; synthetic `{id}-phase{k}` ids (C20).",
+)
+def m6_phase_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.augment import phase_augment
+
+    # build per-user pseudo-signals from the value column (25 values per dp)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("eventId"),
+        F.col("ts"),
+        F.expr("transform(sequence(0, 24), i -> value + i)").alias("sig"),
+    )
+    out = phase_augment(ev, "eventId", "ts", "sig", window_len=125, n_offsets=5)
+    return out.groupBy("eventId").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("phase_id").alias("n_phases"),
+    )

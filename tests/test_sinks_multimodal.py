@@ -1,0 +1,98 @@
+"""Sink round-trips and multimodal column plumbing."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    decode_features,
+    frame_sample,
+    resize_images,
+    _HAS_PIL,
+)
+from openseizuredatabase_spark.sources.sinks import (
+    export_small_json,
+    write_csv_index,
+    write_events_json,
+)
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    return spark.createDataFrame(
+        [Row(id=i, name=f"n{i}", val=float(i)) for i in range(20)]
+    )
+
+
+def test_write_events_json_roundtrip(spark, small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "events_json")
+    write_events_json(small_df, path)
+    back = spark.read.json(path)
+    assert back.count() == 20
+    assert {r.id for r in back.collect()} == set(range(20))
+
+
+def test_export_small_json_pretty(small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "export.json")
+    n = export_small_json(small_df, path, pretty=True)
+    assert n == 20
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data) == 20 and data[0].keys() == {"id", "name", "val"}
+
+
+def test_write_csv_index_sorted_quoted(spark, small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "index_csv")
+    write_csv_index(small_df, path, ["id", "name"], order_by="id")
+    files = sorted(glob.glob(os.path.join(path, "part-*.csv")))
+    assert files
+    first_line = open(files[0]).readlines()[1]
+    assert first_line.startswith('"')  # quoteAll
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 20
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(
+            media_id=i,
+            media_type="video" if i % 2 else "image",
+            content=bytes(f"media-payload-{i}" * 10, "utf8"),
+            meta=Row(width=640, height=480, sample_rate=None, n_frames=95, format="fake"),
+        )
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_features_shape_and_determinism(media):
+    out = decode_features(media, n_features=16).collect()
+    assert len(out) == 6
+    by_id = {r.media_id: r for r in out}
+    assert all(len(r.features) == 16 for r in out)
+    assert all(0.0 <= v < 1.0 for v in by_id[0].features)
+    assert by_id[0].n_bytes == len(b"media-payload-0" * 10)
+    # deterministic: same content → same features across runs
+    out2 = {r.media_id: r.features for r in decode_features(media, 16).collect()}
+    assert out2 == {r.media_id: r.features for r in out}
+
+
+def test_frame_sample_fanout(media):
+    out = frame_sample(media, every_n=10, max_frames=8).collect()
+    # 3 videos × min(ceil(95/10), 8)=8 frames
+    assert len(out) == 24
+    idxs = sorted({r.frame_idx for r in out})
+    assert idxs == [0, 10, 20, 30, 40, 50, 60, 70]
+
+
+def test_resize_fails_fast_without_codec(media):
+    if _HAS_PIL:
+        pytest.skip("PIL present")
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 64, 64)

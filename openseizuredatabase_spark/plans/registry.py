@@ -1615,3 +1615,57 @@ def m6_phase_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_windows"),
         F.countDistinct("phase_id").alias("n_phases"),
     )
+
+
+@query(
+    "w5_epoch_features",
+    None,
+    "W5/W8/C13/C14 full epoch feature extraction (extractFeatures.py:"
+    "143-211): per-key signal concat, gravity high-pass, Hann-Welch PSD "
+    "band features, HR interpolation — one applyInPandas stage per key; "
+    "feature vector as a map column (stable schema at any feature count).",
+)
+def w5_epoch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.features import extract_epoch_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("eventId"),
+        F.col("ts").alias("dpTimestamp"),
+        F.expr(
+            "transform(sequence(0, 24), i -> value * (1 + 0.1 * sin(i)))"
+        ).alias("rawData"),
+        F.col("value").alias("hr"),
+    )
+    feats = extract_epoch_features(
+        ev, window_len=125, step=125, gravity_cutoff=0.5
+    )
+    return feats.groupBy("eventId").agg(
+        F.count(F.lit(1)).alias("n_epochs"),
+        F.round(
+            F.avg(F.element_at(F.col("features"), "activity_count_magnitude")), 4
+        ).alias("avg_activity"),
+    )
+
+
+@query(
+    "m9_batch_inference",
+    None,
+    "M8/M9 tensor assembly + Arrow-vectorized batch inference "
+    "(nnTrainer.py:61-137, nnTester.py:333-504): array-column features → "
+    "pandas-UDF linear scorer → A5 event rollup of per-dp probabilities.",
+)
+def m9_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.ml.inference import LinearModel, predict_proba
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "fvec", F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    )
+    model = LinearModel(weights=tuple([0.5] * 8), bias=-0.1)
+    scored = predict_proba(emb, model, "fvec", "prob")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("prob") > 0.5, 1)).alias("n_pos"),
+        )
+    )

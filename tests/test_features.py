@@ -1,0 +1,124 @@
+"""Feature-extraction layer tests: numpy DSP primitives validated against
+first principles, epoch extraction driven through Spark."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from openseizuredatabase_spark.functions import features as feat
+
+
+def sine(freq, amp, n=500, fs=25.0, baseline=0.0):
+    t = np.arange(n) / fs
+    return baseline + amp * np.sin(2 * np.pi * freq * t)
+
+
+# --- DSP primitives --------------------------------------------------------
+
+
+def test_welch_psd_peak_location_and_parseval():
+    x = sine(5.0, 10.0)
+    freqs, psd = feat.welch_psd(x, 25.0)
+    assert freqs[np.argmax(psd)] == pytest.approx(5.0, abs=0.2)
+    # density scaling: integral ≈ signal variance (Hann leakage ~... loose)
+    var_est = float(np.sum(psd) * (freqs[1] - freqs[0]))
+    assert 0.3 * x.var() < var_est < 3 * x.var()
+
+
+def test_butter_lowpass_passes_dc_blocks_high():
+    b, a = feat.butter_coeffs(4, 0.5 / 12.5, "low")
+    # unit DC gain by construction
+    assert np.polyval(b, 1.0) / np.polyval(a, 1.0) == pytest.approx(1.0)
+    x = sine(0.1, 1.0, baseline=5.0) + sine(8.0, 1.0)
+    y = feat.low_pass(x, 0.5, 25.0, 4)
+    # high-frequency content crushed; slow content retained
+    assert np.std(y - feat.low_pass(sine(0.1, 1.0, baseline=5.0), 0.5, 25.0, 4)) < 0.1
+
+
+def test_butter_highpass_removes_gravity():
+    x = sine(5.0, 100.0, baseline=1000.0)
+    y = feat.high_pass(x, 0.5, 25.0, 2)
+    assert abs(np.mean(y[50:-50])) < 2.0  # 1000 mg baseline removed
+    # 5 Hz band preserved (well above 0.5 Hz cutoff)
+    assert np.std(y[50:-50]) == pytest.approx(np.std(x - 1000.0), rel=0.1)
+
+
+def test_filtfilt_zero_phase():
+    x = sine(2.0, 1.0)
+    b, a = feat.butter_coeffs(2, 0.8, "low")  # generous passband
+    y = feat.filtfilt(b, a, x)
+    # zero-phase: peak positions unchanged
+    assert np.argmax(y[100:200]) == np.argmax(x[100:200])
+
+
+def test_epoch_feature_dict_sanity():
+    x = sine(5.0, 100.0)
+    f = feat.epoch_feature_dict(x[:125], 25.0, "magnitude")
+    assert f["mean_magnitude"] == pytest.approx(0.0, abs=1.0)
+    assert f["activity_count_magnitude"] == pytest.approx(100.0 / math.sqrt(2), rel=0.05)
+    assert f["mean_freq_magnitude"] == pytest.approx(5.0, abs=0.5)
+    # 5 Hz falls in these bands and not in late_clonus (1-2 Hz)
+    assert f["total_power_magnitude_3-5Hz"] > 100 * f["total_power_magnitude_late_clonus"]
+    assert f["zcr_magnitude"] == pytest.approx(0.4, abs=0.05)  # 2*5Hz/25Hz
+
+
+def test_interp_sparse():
+    out = feat.interp_sparse(np.array([60.0, -1.0, 80.0]), 6)
+    assert out[0] == 60.0
+    assert out[-1] == 80.0
+    assert np.all(np.diff(out) >= 0)
+    assert np.isnan(feat.interp_sparse(np.array([-1.0, -1.0]), 4)).all()
+
+
+# --- Spark stages ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dp_frame(spark):
+    base = dt.datetime(2024, 1, 1)
+    sig = sine(5.0, 300.0, n=125, baseline=1000.0)
+    rows = []
+    for eid in (1, 2):
+        for k in range(4):  # 500 samples per event
+            rows.append(
+                Row(
+                    eventId=eid,
+                    dpTimestamp=base + dt.timedelta(seconds=5 * k),
+                    rawData=[float(v) for v in sig],
+                    hr=60.0 + 10 * k,
+                )
+            )
+    return spark.createDataFrame(rows)
+
+
+def test_extract_epoch_features_spark(dp_frame):
+    out = feat.extract_epoch_features(dp_frame, window_len=125, step=125).collect()
+    # 500 samples / 125 window, no overlap → 4 epochs × 2 events
+    assert len(out) == 8
+    r0 = [r for r in out if r.eventId == 1 and r.startSample == 0][0]
+    assert r0.endSample == 125
+    assert isinstance(r0.features, dict) and len(r0.features) > 30
+    # gravity high-pass removed the 1000 baseline before features
+    assert abs(r0.features["mean_magnitude"]) < 5.0
+    assert r0.features["mean_freq_magnitude"] == pytest.approx(5.0, abs=0.6)
+    # W8: interpolated HR rises across epochs
+    hrs = [r.hr for r in sorted(out, key=lambda r: (r.eventId, r.startSample))][:4]
+    assert hrs == sorted(hrs)
+
+
+def test_spectral_history_spark(dp_frame, spark):
+    quiet = [Row(eventId=3, dpTimestamp=dt.datetime(2024, 1, 1), rawData=[1000.0] * 125, hr=0.0)]
+    both = dp_frame.unionByName(spark.createDataFrame(quiet, dp_frame.schema))
+    out = feat.spectral_history(both, low_movement_std=10.0).collect()
+    by_event = {}
+    for r in out:
+        by_event.setdefault(r.eventId, []).append(r)
+    assert len(by_event[1]) == 4
+    # active slices have a 5 Hz peak at bin 25
+    spec = np.array(by_event[1][0].spectrum)
+    assert np.argmax(spec[1:]) + 1 == 25
+    # flat event zeroed by the low-movement gate
+    assert all(v == 0.0 for v in by_event[3][0].spectrum)

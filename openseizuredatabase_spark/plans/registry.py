@@ -14,6 +14,7 @@ ratios→6dp) so cross-engine summation order can't flip the value hash.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -1668,4 +1669,104 @@ def m9_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("prob") > 0.5, 1)).alias("n_pos"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot, LSH candidate pairs, synthetic signal generation (A5, LSH, C19)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_pivot_counts",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+    FROM events GROUP BY user_id
+    """,
+    "A5 per-dp pivot (nnTester.py:1345-1384 dp0..dpN prob pivot): "
+    "groupBy().pivot() with an explicit value list (no extra pass to "
+    "discover pivot values).",
+)
+def a5_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", types).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@query(
+    "t7_lsh_candidate_pairs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sigs AS (
+        SELECT doc_id,
+               min({seeded_md5_long_sql('shingle', 0)}) AS mh_0,
+               min({seeded_md5_long_sql('shingle', 1)}) AS mh_1,
+               min({seeded_md5_long_sql('shingle', 2)}) AS mh_2,
+               min({seeded_md5_long_sql('shingle', 3)}) AS mh_3
+        FROM sh GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, 0 AS band, md5(mh_0::VARCHAR || '_' || mh_1::VARCHAR) AS band_hash FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh_2::VARCHAR || '_' || mh_3::VARCHAR) AS band_hash FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+    "MinHash-LSH candidate generation: band the signatures (2 bands × 2 "
+    "hashes), bucket-join within bands — candidates without the O(n²) "
+    "pair space; join key uniformly distributed (no skew).",
+)
+def t7_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup_ops.shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+    sigs = dedup_ops.minhash_signatures(sh, "doc_id", 4)
+    return dedup_ops.lsh_band_pairs(sigs, "doc_id", 4, 2)
+
+
+@query(
+    "c19_signal_generator",
+    """
+    WITH base AS (
+        SELECT event_id, (event_id % 5 + 1)::DOUBLE AS freq
+        FROM events WHERE event_id < 100
+    ), samples AS (
+        SELECT event_id,
+               round(sin(2 * pi() * freq * i / 25.0) * 10000)::BIGINT AS s
+        FROM base, unnest(generate_series(0, 24)) AS g(i)
+    )
+    SELECT event_id, sum(s) AS sig_sum_q, max(s) AS sig_max_q, count(*) AS n
+    FROM samples GROUP BY event_id
+    """,
+    "C19 synthetic sinusoid generation (generateSimulatedEvents.py:21-80) "
+    "as sequence()+transform trig expressions — data synthesis runs "
+    "executor-side, quantized for engine parity.",
+)
+def c19_signal_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    base = ev.select(
+        "event_id", ((F.col("event_id") % 5 + 1).cast("double")).alias("freq")
+    )
+    samples = base.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(24))).alias("i"),
+        "freq",
+    ).select(
+        "event_id",
+        F.round(
+            F.sin(2 * math.pi * F.col("freq") * F.col("i") / 25.0) * 10000, 0
+        ).cast("long").alias("s"),
+    )
+    return samples.groupBy("event_id").agg(
+        F.sum("s").alias("sig_sum_q"),
+        F.max("s").alias("sig_max_q"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -37,6 +37,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matches DuckDB's truncation of nanos → micros).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps in the lake are naive/UTC; a non-UTC driver session would
+    # shift every date_format()-derived oracle comparison
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

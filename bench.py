@@ -27,12 +27,16 @@ HEADLINE = [
     "w3_gap_fill",
     "w6_feature_history",
     "a6_confusion_metrics",
+    "a10_moments",
     "m3_oversample_balance",
     "t2_quality_score",
     "t5_ngram_jaccard",
     "t6_minhash_signatures",
+    "t8_simhash",
     "v1_cosine_topk",
     "v2_lsh_buckets",
+    "v3_cosine_near_dup",
+    "w10_alarm_state_machine",
 ]
 
 

@@ -1441,10 +1441,10 @@ def a9_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sums AS (
         SELECT event_type,
                count(*)::DOUBLE AS n,
-               sum(c)::DOUBLE AS s1,
-               sum(c * c)::DOUBLE AS s2,
-               sum(c * c * c)::DOUBLE AS s3,
-               sum(c * c * c * c)::DOUBLE AS s4
+               sum(c::HUGEINT)::DOUBLE AS s1,
+               sum(c::HUGEINT * c)::DOUBLE AS s2,
+               sum(c::HUGEINT * c * c)::DOUBLE AS s3,
+               sum(c::HUGEINT * c * c * c)::DOUBLE AS s4
         FROM cents GROUP BY event_type
     )
     SELECT event_type,
@@ -1468,15 +1468,15 @@ def a10_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "c", F.round(F.col("value") * 100, 0).cast("long")
     )
-    dec = lambda col: col.cast("decimal(38,0)")
+    # widen each factor BEFORE multiplying: cents^4 overflows int64 once
+    # |value| exceeds ~553 (56021^4 > 2^63)
+    d = F.col("c").cast("decimal(9,0)")
     sums = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec(F.col("c"))).cast("double").alias("s1"),
-        F.sum(dec(F.col("c") * F.col("c"))).cast("double").alias("s2"),
-        F.sum(dec(F.col("c") * F.col("c") * F.col("c"))).cast("double").alias("s3"),
-        F.sum(dec(F.col("c") * F.col("c") * F.col("c") * F.col("c")))
-        .cast("double")
-        .alias("s4"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.sum(d * d * d).cast("double").alias("s3"),
+        F.sum(d * d * d * d).cast("double").alias("s4"),
     )
     n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
     m = s1 / n
@@ -1769,4 +1769,119 @@ def c19_signal_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("sig_sum_q"),
         F.max("s").alias("sig_max_q"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash + embedding-cosine near-dup (dedup suite completion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t8_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {seeded_md5_long_sql('tok', 7)} AS h
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0) t
+    ), bits AS (
+        SELECT doc_id,
+           CASE WHEN sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b0,\n           CASE WHEN sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 2 ELSE 0 END AS b1,\n           CASE WHEN sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 4 ELSE 0 END AS b2,\n           CASE WHEN sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 8 ELSE 0 END AS b3,\n           CASE WHEN sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 16 ELSE 0 END AS b4,\n           CASE WHEN sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 32 ELSE 0 END AS b5,\n           CASE WHEN sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 64 ELSE 0 END AS b6,\n           CASE WHEN sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 128 ELSE 0 END AS b7,\n           CASE WHEN sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 256 ELSE 0 END AS b8,\n           CASE WHEN sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 512 ELSE 0 END AS b9,\n           CASE WHEN sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1024 ELSE 0 END AS b10,\n           CASE WHEN sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 2048 ELSE 0 END AS b11,\n           CASE WHEN sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 4096 ELSE 0 END AS b12,\n           CASE WHEN sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 8192 ELSE 0 END AS b13,\n           CASE WHEN sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 16384 ELSE 0 END AS b14,\n           CASE WHEN sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 32768 ELSE 0 END AS b15
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, (b0 + b1 + b2 + b3 + b4 + b5 + b6 + b7 + b8 + b9 + b10 + b11 + b12 + b13 + b14 + b15)::BIGINT AS simhash FROM bits
+    """,
+    "SimHash document fingerprint: 16-bit signature from md5 token "
+    "hashes (majority vote per bit) — near-dup docs differ in few bits; "
+    "pure relational fan-out (explode tokens × bits), no UDF.",
+)
+def t8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    # one pass, 16 conditional aggregates per doc — no 16-way row
+    # explosion (the j-exploded formulation was 3x slower at sf0.1)
+    h = seeded_md5_long(F.col("tok"), 7).alias("h")
+    aggs = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            1 << j,
+        )
+        .otherwise(0)
+        .alias(f"b{j}")
+        for j in range(16)
+    ]
+    bits = toks.select("doc_id", h).groupBy("doc_id").agg(*aggs)
+    b_cols = [F.col(f"b{j}") for j in range(16)]
+    simhash = b_cols[0]
+    for c in b_cols[1:]:
+        simhash = simhash + c
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@query(
+    "v3_cosine_near_dup",
+    f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, emb,
+               (SELECT sum(round(emb[i]::DOUBLE * emb[i]::DOUBLE * 1e6)::BIGINT)
+                FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)) AS nsq
+        FROM e
+    ), grp AS (
+        SELECT vec_id, emb, nsq, vec_id % 16 AS bucket FROM norms
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (SELECT sum(round(a.emb[i]::DOUBLE * b.emb[i]::DOUBLE * 1e6)::BIGINT)
+                FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)) AS dp,
+               a.nsq AS na, b.nsq AS nb
+        FROM grp a JOIN grp b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(dp / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) AS cosine_sim
+    FROM pairs
+    WHERE dp / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) >= 0.3
+    """,
+    "Embedding-cosine near-dup detection: bucketed candidate generation "
+    "(id-mod partitioning keeps the oracle deterministic; production path "
+    "uses the v2 LSH buckets) + exact quantized-dot rerank ≥ threshold. "
+    "The pair join never materializes the full O(n²) space.",
+)
+def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-bucket applyInPandas: numpy computes the SAME quantized sums
+    # (per-term round(x*y*1e6) then integer-exact summation), ~10x faster
+    # than interpreted zip_with/aggregate lambdas over every pair
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % 16).alias("bucket"),
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["emb"].to_numpy())
+        nsq = np.round(mat * mat * 1e6).sum(axis=1)
+        order = np.argsort(ids)
+        ids, mat, nsq = ids[order], mat[order], nsq[order]
+        rows = []
+        for i in range(len(ids) - 1):
+            dps = np.round(mat[i] * mat[i + 1 :] * 1e6).sum(axis=1)
+            sims = dps / (np.sqrt(nsq[i]) * np.sqrt(nsq[i + 1 :]))
+            keep = sims >= 0.3
+            for j_rel in np.flatnonzero(keep):
+                rows.append((ids[i], ids[i + 1 + j_rel], round(sims[j_rel], 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine_sim"])
+
+    return emb.groupBy("bucket").applyInPandas(
+        per_bucket, "id_a long, id_b long, cosine_sim double"
     )

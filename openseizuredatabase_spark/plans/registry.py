@@ -1885,3 +1885,84 @@ def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("bucket").applyInPandas(
         per_bucket, "id_a long, id_b long, cosine_sim double"
     )
+
+
+@query(
+    "v4_ivf_topk",
+    None,
+    "IVF approximate nearest-neighbor (the ANN scale path): MLlib KMeans "
+    "coarse quantizer, n_probe nearest clusters probed, exact cosine "
+    "rerank inside — at lake scale cluster_id is the partition key so a "
+    "probe touches only those partitions. Seeded but model-dependent → "
+    "rows-only; recall vs brute force pinned in tests/test_ann.py.",
+)
+def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.ann import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf(emb, k=8, seed=42)
+    query = np.asarray(
+        emb.filter(F.col("vec_id") == 0).head()["embedding"], dtype=float
+    )
+    return ivf_search(assigned, centroids, query, n_probe=4, top_k=10)
+
+
+@query(
+    "s10_streaming_sessionize",
+    None,
+    "Structured Streaming sessionization (D2 streaming twin): the events "
+    "parquet replayed through readStream → session_window(30 min gap) per "
+    "user → complete-mode memory sink; returns the finalized sessions. "
+    "Streaming-only semantics → rows-only.",
+)
+def s10_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from openseizuredatabase_spark.streaming.sessionize import session_clusters
+
+    ev = _t(spark, sf_dir, "events")
+    # the file-stream source needs a directory; symlink the single parquet
+    # file into a temp dir (no copy)
+    stream_dir = tempfile.mkdtemp(prefix="s10_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    from pyspark.sql import types as T
+
+    # raw file stores ts as INT64 nanos — stream schema must say long,
+    # then convert exactly as load_table does
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in ev.schema.fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = session_clusters(stream, "ts", ["user_id"], gap="30 minutes")
+    name = f"s10_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n").alias("max_session_len"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""IVF ANN tests: determinism, pruning, recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions.ann import build_ivf, ivf_search
+from openseizuredatabase_spark.functions.vectors import cosine
+from openseizuredatabase_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ivf(emb):
+    return build_ivf(emb, k=8, seed=42)
+
+
+def test_assignments_cover_all_vectors(emb, ivf):
+    assigned, centroids = ivf
+    assert assigned.count() == emb.count()
+    assert len(centroids) == 8
+    clusters = {r.cluster_id for r in assigned.select("cluster_id").distinct().collect()}
+    assert clusters <= set(range(8))
+
+
+def test_ivf_recall_vs_brute_force(emb, ivf):
+    assigned, centroids = ivf
+    query = np.asarray(
+        emb.filter(F.col("vec_id") == 0).head()["embedding"], dtype=float
+    )
+    got = ivf_search(assigned, centroids, query, n_probe=4, top_k=10)
+    approx_ids = [r.vec_id for r in got.collect()]
+    # exact top-10 by brute force
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding").cast("array<double>"), qlit), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    exact_ids = [r.vec_id for r in exact.collect()]
+    # query vector itself always found; recall@10 ≥ 0.5 with 4/8 probes
+    assert approx_ids[0] == exact_ids[0] == 0
+    recall = len(set(approx_ids) & set(exact_ids)) / 10
+    assert recall >= 0.5
+
+
+def test_search_scans_only_probed_clusters(emb, ivf):
+    assigned, centroids = ivf
+    query = np.asarray(
+        emb.filter(F.col("vec_id") == 1).head()["embedding"], dtype=float
+    )
+    out = ivf_search(assigned, centroids, query, n_probe=2, top_k=5)
+    probed = {r.cluster_id for r in out.collect()}
+    assert len(probed) <= 2

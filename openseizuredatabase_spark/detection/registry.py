@@ -1,0 +1,104 @@
+"""Pluggable algorithm registry + testRunner-equivalent evaluation.
+
+The reference discovers algorithms by dynamic import and replays every
+event through each serially (testRunner.py:126-143, alg_runner.py:189-374
+— nested event×algorithm×datapoint loops). Here:
+
+* an algorithm is a named factory returning a per-event transform
+  (exploded datapoints in → per-dp alarm states out) — same contract as
+  the reference's ``processDp`` + ``resetAlg`` pair, but batched per
+  event;
+* evaluation runs every (event, algorithm) pair as parallel Spark jobs —
+  the event×alg grid the reference walks serially is embarrassingly
+  parallel;
+* results roll up with the metrics layer (A5 event rollup + A6/A7
+  confusion tables per algorithm, results.py:44-263 equivalents).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.detection.hr_alg import (
+    MODE_ADAPTIVE,
+    MODE_SIMPLE,
+    HrSettings,
+    run_hr_alg,
+)
+from openseizuredatabase_spark.detection.osd_alg import OsdSettings, run_osd_alg
+from openseizuredatabase_spark.operators.aggregates import (
+    confusion_matrix,
+    derived_metrics,
+)
+
+AlgFactory = Callable[[DataFrame], DataFrame]
+
+
+def _osd(settings: OsdSettings | None = None) -> AlgFactory:
+    return lambda dps: run_osd_alg(dps, settings or OsdSettings())
+
+
+def _hr(settings: HrSettings | None = None) -> AlgFactory:
+    return lambda dps: run_hr_alg(dps, settings or HrSettings())
+
+
+ALGORITHMS: dict[str, AlgFactory] = {
+    "osd": _osd(),
+    "hr_simple": _hr(HrSettings(mode=MODE_SIMPLE)),
+    "hr_adaptive": _hr(HrSettings(mode=MODE_ADAPTIVE)),
+}
+
+
+def register(name: str, factory: AlgFactory) -> None:
+    """Plug in a custom algorithm (the importlib-discovery equivalent —
+    svmAlg/lstmAlg/... style extensions register here)."""
+    ALGORITHMS[name] = factory
+
+
+def evaluate_algorithms(
+    events_dp: DataFrame,
+    alg_names: list[str] | None = None,
+    event_col: str = "eventId",
+) -> DataFrame:
+    """Replay the datapoint table through each algorithm; union the
+    per-dp outputs tagged with the algorithm name.
+
+    Each algorithm is one independent Spark job over all events (parallel
+    within; the reference is serial on both axes).
+    """
+    names = alg_names or list(ALGORITHMS)
+    outs = []
+    for name in names:
+        out = ALGORITHMS[name](events_dp)
+        outs.append(
+            out.select(
+                F.lit(name).alias("algorithm"),
+                F.col(event_col),
+                F.col("alarmState"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def algorithm_report(
+    per_dp: DataFrame,
+    labels: DataFrame,
+    event_col: str = "eventId",
+    label_col: str = "is_seizure",
+) -> DataFrame:
+    """testRunner results table: per-algorithm event rollup + confusion
+    metrics (event detected ⇔ any dp reached ALARM, results.py:76-240)."""
+    rolled = per_dp.groupBy("algorithm", event_col).agg(
+        (F.max("alarmState") >= 2).cast("int").alias("detected")
+    )
+    joined = rolled.join(F.broadcast(labels), event_col)
+    cm = confusion_matrix(
+        joined, F.col(label_col), F.col("detected") == 1, ["algorithm"]
+    )
+    return derived_metrics(cm)

@@ -81,10 +81,12 @@ def derived_metrics(cm: DataFrame, ndigits: int = 6) -> DataFrame:
     (results.py:233-240; nnTester.py:1558-1575). Rounded for stable
     cross-engine comparison."""
     tp, fp, tn, fn = (F.col(c).cast("double") for c in ("ntp", "nfp", "ntn", "nfn"))
-    tpr = tp / (tp + fn)
-    tnr = tn / (tn + fp)
-    prec = tp / (tp + fp)
-    f1 = 2 * prec * tpr / (prec + tpr)
+    # ANSI-safe: an algorithm that predicts no positives (tp+fp=0) or a
+    # single-class label set must yield NULL, not DIVIDE_BY_ZERO
+    tpr = F.try_divide(tp, tp + fn)
+    tnr = F.try_divide(tn, tn + fp)
+    prec = F.try_divide(tp, tp + fp)
+    f1 = F.try_divide(2 * prec * tpr, prec + tpr)
     return cm.select(
         "*",
         F.round(tpr, ndigits).alias("tpr"),

@@ -270,3 +270,82 @@ def deinterleave_3d(events_dp: DataFrame) -> DataFrame:
         .withColumn("accZ", axis(2))
         .withColumn("magnitude3D", mag)
     )
+
+
+def type_to_label(type_col: Column) -> Column:
+    """C4 label encoding (flattenData.py:13-27): seizure→1,
+    false-alarm/NDA→0, everything else→2."""
+    t = F.lower(F.coalesce(type_col, F.lit("")))
+    return (
+        F.when(t.contains("seizure"), 1)
+        .when(t.contains("false alarm") | t.contains("nda"), 0)
+        .otherwise(2)
+    )
+
+
+def has_accel_data(raw: Column, raw3d: Column) -> Column:
+    """F10 datapoint accel-presence predicate (flattenData.py:149-172):
+    keep datapoints whose rawData OR rawData3D has any non-null,
+    non-all-zero content."""
+    def any_nonzero(arr: Column) -> Column:
+        return (
+            arr.isNotNull()
+            & (F.size(arr) > 0)
+            & F.exists(arr, lambda x: x.isNotNull() & (x != 0))
+        )
+
+    return any_nonzero(raw) | any_nonzero(raw3d)
+
+
+def zero_datapoint(epoch_s: Column, n_samples: int = 125) -> Column:
+    """C18 zero-filled datapoint template (flattenData.py:77-101,
+    alg_runner.py:47-62): struct literal with zeroed arrays, used for
+    gap fill and detector state flush."""
+    return F.struct(
+        F.lit(None).cast("long").alias("id"),
+        F.date_format(F.timestamp_seconds(epoch_s), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "dataTime"
+        ),
+        F.lit(None).cast("double").alias("hr"),
+        F.lit(None).cast("double").alias("o2Sat"),
+        F.lit(0.0).alias("specPower"),
+        F.lit(0.0).alias("roiPower"),
+        F.lit(None).cast("double").alias("roiRatio"),
+        F.lit(0).alias("alarmState"),
+        F.lit(None).cast("string").alias("alarmPhrase"),
+        F.array_repeat(F.lit(0.0), 10).alias("simpleSpec"),
+        F.array_repeat(F.lit(0.0), n_samples).alias("rawData"),
+        F.array_repeat(F.lit(0.0), 3 * n_samples).alias("rawData3D"),
+    )
+
+
+def flatten_view(events_dp: DataFrame, n_samples: int = 125) -> DataFrame:
+    """§1.1 'flattened table' compat view (flattenData.py:104-146): one
+    row per datapoint with M000..M124 / X.../Y.../Z... wide columns.
+
+    NOT a physical layout — arrays stay columnar in the lake; this view
+    exists only for CSV interchange with the reference's ML tooling.
+    Generated columns are pure element_at projections (no shuffle).
+    """
+    cols = [
+        "eventId",
+        "userId",
+        F.concat_ws(
+            "/", F.coalesce(F.col("type"), F.lit("")), F.coalesce(F.col("subType"), F.lit(""))
+        ).alias("typeStr"),
+        type_to_label(F.col("type")).alias("type"),
+        F.col("dpTimestamp").alias("dataTime"),
+        F.col("alarmState").alias("osdAlarmState"),
+        F.col("specPower").alias("osdSpecPower"),
+        F.col("roiPower").alias("osdRoiPower"),
+        "hr",
+        F.col("o2Sat").alias("o2sat"),
+    ]
+    for i in range(n_samples):
+        cols.append(F.element_at("rawData", i + 1).alias(f"M{i:03d}"))
+    for name, off in (("X", 0), ("Y", 1), ("Z", 2)):
+        for i in range(n_samples):
+            cols.append(
+                F.element_at("rawData3D", 3 * i + off + 1).alias(f"{name}{i:03d}")
+            )
+    return events_dp.select(*cols)

@@ -1966,3 +1966,22 @@ def s10_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_session_len"),
         )
     )
+
+
+@query(
+    "f5_text_exclusion",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE (text IS NULL OR lower(text) NOT LIKE '%merge%')
+      AND source <> 'src0'
+    """,
+    "F5 text-exclusion filter (makeOsdDb.py:156-157: drop events whose "
+    "desc contains 'test') + F6 source exclusion — null-safe NOT-contains.",
+)
+def f5_text_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return filter_ops.apply_filter(
+        docs,
+        {"not_contains": {"text": ["merge"]}, "exclude": {"source": ["src0"]}},
+    ).select("doc_id", "source")

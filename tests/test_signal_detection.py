@@ -212,3 +212,34 @@ def test_with_fft_features_matches_kernels(spark):
     out = sig.with_fft_features(df, "rawData").collect()[0]
     assert out.specPower_c == pytest.approx(sig.spec_power(x))
     assert out.roiPower_c == pytest.approx(sig.roi_power(x))
+
+
+def test_run_state_machine_survives_arrow_batch_splits(spark):
+    """A key whose rows span multiple Arrow batches must carry machine
+    state across the batch boundary (mapInPandas chunking)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    n = 500
+    rows = [
+        Row(g=1, t=base + dt.timedelta(seconds=5 * i), flag=True, rid=i)
+        for i in range(n)
+    ]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        out = (
+            run_state_machine(
+                spark.createDataFrame(rows), ["g"], "t", "flag", "rid",
+                OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
+            )
+            .toPandas()
+            .sort_values("rid")
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # continuous in-alarm run: count must accumulate 5,10,15,... without
+    # ever resetting at a batch boundary
+    assert out["alarmCount"].tolist() == [5.0 * (i + 1) for i in range(n)]
+    assert out["alarmState"].tolist()[:3] == [0, 1, 2]
+    assert set(out["alarmState"].tolist()[3:]) == {2}

@@ -17,7 +17,7 @@ event through each serially (testRunner.py:126-143, alg_runner.py:189-374
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

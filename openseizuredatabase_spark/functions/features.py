@@ -20,7 +20,7 @@ to one periodogram). Gated: if scipy appears, it is used directly.
 from __future__ import annotations
 
 import math
-from typing import Iterator, Mapping, Sequence
+from typing import Iterator, Mapping
 
 import numpy as np
 import pandas as pd

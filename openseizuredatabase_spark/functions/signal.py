@@ -22,7 +22,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 DEFAULT_SAMPLE_FREQ = 25.0
 DEFAULT_FREQ_CUTOFF = 12.5

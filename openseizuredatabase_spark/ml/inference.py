@@ -18,13 +18,12 @@ The reference converts flattened rows to tensors per event
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Iterator, Mapping, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover — DL runtimes absent in this environment

@@ -12,11 +12,9 @@ from the reference's RNG stream (same distribution, different draws).
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from openseizuredatabase_spark.operators.splits import oversample_by_factor

@@ -9,8 +9,6 @@ explode(sequence(...)) with synthesized copy ids (reference C20
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -22,7 +22,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from openseizuredatabase_spark.detection.osd_alg import OsdSettings
 from openseizuredatabase_spark.functions.features import extract_epoch_features
 from openseizuredatabase_spark.ml.inference import (
     LinearModel,

@@ -27,8 +27,6 @@ from openseizuredatabase_spark.operators import filters as filter_ops
 from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
-from openseizuredatabase_spark.functions import text as text_fn
-from openseizuredatabase_spark.functions import vectors as vec_fn
 from openseizuredatabase_spark.functions.hashing import seeded_md5_long, seeded_md5_long_sql
 from openseizuredatabase_spark.sources.tables import load_table
 
@@ -1059,7 +1057,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmax tie-break — the n-gram-heuristic operator, SQL-expressible.",
 )
 def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.functions.text import STOPWORDS, stopword_count_expr
+    from openseizuredatabase_spark.functions.text import stopword_count_expr
 
     docs = _t(spark, sf_dir, "documents")
     for code in ("en", "de", "es", "fr"):
@@ -1403,8 +1401,9 @@ def m1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY vec_id
     )
     SELECT vec_id,
-           round(s1 / (1e6 * n), 6) AS emb_mean,
-           round(sqrt(s2 / 1e6), 6) AS emb_l2
+           floor(s1::DOUBLE / n)::BIGINT AS mean_micro,
+           s2 AS norm_sq_micro,
+           n
     FROM sums
     """,
     "A9 per-row array statistics (eventAnalyser.py:165-167 mean/std/CV of "
@@ -1426,10 +1425,15 @@ def a9_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     n = F.size("e")
+    # integer-exact outputs: round(x, 6) can land exactly on a decimal .5
+    # boundary where Spark (BigDecimal HALF_UP) and other engines
+    # disagree — caught at sf0.1. floor of an identical double division
+    # and the raw quantized sum are bit-safe.
     return emb.select(
         "vec_id",
-        F.round(s1 / (1e6 * n), 6).alias("emb_mean"),
-        F.round(F.sqrt(s2 / 1e6), 6).alias("emb_l2"),
+        F.floor(s1.cast("double") / n).cast("long").alias("mean_micro"),
+        s2.alias("norm_sq_micro"),
+        n.cast("long").alias("n"),
     )
 
 

@@ -1989,3 +1989,66 @@ def f5_text_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         {"not_contains": {"text": ["merge"]}, "exclude": {"source": ["src0"]}},
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# As-of join & percentiles (operators the reference lacks; guide patterns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j7_asof_last_signup",
+    """
+    SELECT event_id,
+           (epoch(last_signup) * 1000000)::BIGINT AS last_signup_micros
+    FROM (
+        SELECT event_id,
+               max(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_signup
+        FROM events
+    ) t
+    """,
+    "J7 as-of join (operator Spark lacks natively; PLANS guide pattern): "
+    "for every event, the most recent preceding signup of the same user. "
+    "Expressed as a running conditional max — ONE window, no range-join "
+    "explosion; the same shape covers sensor-reading-as-of-event lookups.",
+)
+def j7_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        (F.unix_micros(last_signup)).alias("last_signup_micros"),
+    )
+
+
+@query(
+    "a12_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont: both linear interpolation on the sorted set). "
+    "The approx_percentile variant is the 100-TB path; exact here for "
+    "oracle comparability.",
+)
+def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

@@ -205,3 +205,26 @@ def test_train_test_split_disjoint(events):
     te_ids = {r.id for r in te.collect()}
     assert tr_ids | te_ids == set(range(1, 9))
     assert not (tr_ids & te_ids)
+
+
+def test_salted_aggregate_matches_plain(spark, events):
+    from openseizuredatabase_spark.operators.skew import salted_aggregate
+
+    salted = salted_aggregate(
+        events,
+        ["user"],
+        {
+            "total": ("sum", F.col("val")),
+            "n": ("count", F.lit(1)),
+            "vmax": ("max", F.col("val")),
+        },
+        n_salts=4,
+    )
+    plain = events.groupBy("user").agg(
+        F.sum("val").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("val").alias("vmax"),
+    )
+    got = {r.user: (r.total, r.n, r.vmax) for r in salted.collect()}
+    expect = {r.user: (r.total, r.n, r.vmax) for r in plain.collect()}
+    assert got == expect

@@ -2052,3 +2052,232 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval containment, array signal stats, rollup, remaining augments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j4_interval_containment",
+    """
+    SELECT e.event_id,
+           min((epoch(e.ts) - epoch(s.ts)) * 1000000)::BIGINT AS micros_since_signup
+    FROM events e
+    JOIN events s
+      ON s.user_id = e.user_id
+     AND s.event_type = 'signup'
+     AND s.ts <= e.ts
+     AND e.ts <= s.ts + INTERVAL 300 SECOND
+    GROUP BY e.event_id
+    """,
+    "J4 interval-containment labeling (tidy_db.py:31-47,160-168: dp time "
+    "within [seizureStart, seizureEnd]) generalized to a range join: "
+    "events within 300 s after a same-user signup. Spark side avoids the "
+    "O(n*m) inequality join entirely — running conditional max (as-of "
+    "shape, ONE shuffle on user_id) then a filter; the oracle is the "
+    "naive range join, so the two strategies genuinely cross-check.",
+)
+def j4_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    out = ev.select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(last_signup)).alias(
+            "micros_since_signup"
+        ),
+    )
+    return out.filter(
+        F.col("micros_since_signup").isNotNull()
+        & (F.col("micros_since_signup") <= 300 * 1_000_000)
+    )
+
+
+def _quantized_signal(n: int = 25):
+    """Deterministic per-event sinusoid, quantized to longs so Spark and
+    DuckDB trig libm differences can't flip the value hash (c19 pattern)."""
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.round(
+            F.sin(2 * math.pi * freq * i.cast("double") / 25.0) * 10000, 0
+        ).cast("long"),
+    )
+
+
+_QSIG_SQL = """
+        SELECT event_id,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0)
+                     * 10000)::BIGINT AS s,
+               i
+        FROM events, unnest(generate_series(0, 24)) AS g(i)
+        WHERE event_id < 200
+"""
+
+
+@query(
+    "c15_line_length",
+    f"""
+    WITH samples AS ({_QSIG_SQL})
+    SELECT event_id,
+           round(sum(d) / 24.0, 6) AS line_length
+    FROM (
+        SELECT event_id, abs(s - lag(s) OVER (PARTITION BY event_id ORDER BY i)) AS d
+        FROM samples
+    ) t
+    WHERE d IS NOT NULL
+    GROUP BY event_id
+    """,
+    "C15 mean line length Σ|xᵢ−xᵢ₋₁|/(n−1) (libosd/osdAlgTools.py:161-172) "
+    "— array-native zip_with/aggregate, whole-stage codegen, zero shuffle "
+    "on the Spark side; the oracle re-derives it with a lag window.",
+)
+def c15_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.signal import mean_line_length
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    sig = ev.select("event_id", _quantized_signal().alias("sig"))
+    return sig.select(
+        "event_id",
+        F.round(mean_line_length(F.col("sig")), 6).alias("line_length"),
+    )
+
+
+@query(
+    "c16_zero_crossing",
+    f"""
+    WITH samples AS ({_QSIG_SQL})
+    SELECT event_id,
+           round(sum(d) / 50.0, 6) AS zcr
+    FROM (
+        SELECT event_id,
+               abs(sign(s) - lag(sign(s)) OVER (PARTITION BY event_id ORDER BY i)) AS d
+        FROM samples
+    ) t
+    WHERE d IS NOT NULL
+    GROUP BY event_id
+    """,
+    "C16 zero-crossing rate Σ|sign(xᵢ)−sign(xᵢ₋₁)|/2n "
+    "(accelFeatures.py:79) — signum + pairwise diff as array "
+    "expressions; oracle uses a lag window over unnested samples.",
+)
+def c16_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.signal import zero_crossing_rate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    sig = ev.select("event_id", _quantized_signal().alias("sig"))
+    return sig.select(
+        "event_id",
+        F.round(
+            zero_crossing_rate(F.col("sig"), mean_center=False), 6
+        ).alias("zcr"),
+    )
+
+
+@query(
+    "w9_spectral_history",
+    None,
+    "W9 spectral history / spectrogram (eventAnalyser.py:236-274): "
+    "sliding-FFT power slices per event with low-movement zeroing — "
+    "numpy FFT in an Arrow-batched applyInPandas stage; rows-only "
+    "(FFT floats are libm-dependent; summarized quantized here).",
+)
+def w9_spectral_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.features import spectral_history
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 40)
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    dps = ev.select(
+        F.col("event_id").alias("eventId"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("dpIdx"),
+        freq.alias("freq"),
+    ).select(
+        "eventId",
+        F.col("dpIdx").cast("long").alias("dpTimestamp"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(124)),
+            lambda i: F.sin(
+                2 * math.pi * F.col("freq") * (i + F.col("dpIdx") * 125).cast("double") / 25.0
+            )
+            * 100.0,
+        ).alias("rawData"),
+    )
+    spec = spectral_history(
+        dps, event_col="eventId", ts_col="dpTimestamp", window_len=125, step=125
+    )
+    return spec.select(
+        "eventId",
+        "sliceIdx",
+        F.round(
+            F.aggregate("spectrum", F.lit(0.0), lambda a, x: a + x), 0
+        ).cast("long").alias("spec_power_q"),
+    )
+
+
+@query(
+    "m4_user_balance",
+    """
+    WITH counts AS (
+        SELECT user_id, count(DISTINCT event_id) AS c
+        FROM events WHERE event_id < 2000 GROUP BY user_id
+    ), m AS (SELECT max(c) AS mx FROM counts)
+    SELECT user_id, (c * ceil(mx::DOUBLE / c))::BIGINT AS n_rows
+    FROM counts, m
+    """,
+    "M4 user-balancing oversample (augmentData.py:126-184): per-user "
+    "factor ceil(max_count/count), rows replicated executor-side via "
+    "explode(sequence) — the tiny factor table broadcasts; the oracle "
+    "recomputes expected row counts arithmetically.",
+)
+def m4_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.augment import user_balance_augment
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = user_balance_augment(ev, "user_id", "event_id")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "m7_class_duplication",
+    """
+    SELECT event_type, count(*) * (CASE WHEN event_type = 'error' THEN 3 ELSE 1 END) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    "M7 tonic-clonic-style class duplication (augmentData.py:772-879): "
+    "rows of one class replicated factor× via explode(sequence) and "
+    "unioned with the rest — no shuffle until the verifying count.",
+)
+def m7_class_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.augment import duplicate_class
+
+    ev = _t(spark, sf_dir, "events")
+    out = duplicate_class(ev, "event_id", F.col("event_type") == "error", 3)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "a13_rollup",
+    """
+    SELECT source, lang, count(*) AS n,
+           grouping(source) AS g_source, grouping(lang) AS g_lang
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+    "Hierarchical ROLLUP totals (free from Spark; the reference's nearest "
+    "is A2's hand-built per-category sub-tables) — grouping() ids "
+    "disambiguate aggregation-level NULLs from data NULLs.",
+)
+def a13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("source").cast("int").alias("g_source"),
+        F.grouping("lang").cast("int").alias("g_lang"),
+    )

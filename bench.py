@@ -21,7 +21,9 @@ import time
 HEADLINE = [
     "a1_pricing_summary",
     "j3_top_orders",
+    "j4_interval_containment",
     "j5_snapshot_merge",
+    "c1_timestamp_cascade",
     "d1_unique_event_grouping",
     "d2_gap_clustering",
     "w3_gap_fill",

@@ -2281,3 +2281,117 @@ def a13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("source").cast("int").alias("g_source"),
         F.grouping("lang").cast("int").alias("g_lang"),
     )
+
+
+@query(
+    "c1_timestamp_cascade",
+    """
+    WITH raw AS (
+        SELECT event_id,
+               CASE event_id % 4
+                 WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                 WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                 WHEN 2 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+                 ELSE        strftime(ts, '%d/%m/%Y %H:%M:%S')
+               END AS raw_ts
+        FROM events
+    )
+    SELECT event_id,
+           epoch(CASE
+             WHEN raw_ts LIKE '____-__-__T%' THEN strptime(raw_ts, '%Y-%m-%dT%H:%M:%SZ')
+             WHEN raw_ts LIKE '____-__-__ %' THEN strptime(raw_ts, '%Y-%m-%d %H:%M:%S')
+             WHEN raw_ts LIKE '__-__-____ %' THEN strptime(raw_ts, '%d-%m-%Y %H:%M:%S')
+             ELSE strptime(raw_ts, '%d/%m/%Y %H:%M:%S')
+           END)::BIGINT AS epoch_s
+    FROM raw
+    """,
+    "C1 multi-format timestamp cascade (dpTools.py:6-11, "
+    "flattenData.py:30-74: 8 defensive formats): events re-rendered into "
+    "4 legacy string formats (ISO-Z / ISO-space / dayfirst-dash / "
+    "dayfirst-slash by id), then normalized by the ingest cascade "
+    "coalesce(try_to_timestamp(fmt_i)...) — one expression, no UDF; the "
+    "oracle re-parses with format-dispatched strptime.",
+)
+def c1_timestamp_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.ingest import parse_osdb_time
+
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        )
+        .when(F.col("event_id") % 4 == 1, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+        .alias("raw_ts"),
+    )
+    return raw.select(
+        "event_id",
+        (F.unix_micros(parse_osdb_time(F.col("raw_ts"))) / 1_000_000)
+        .cast("long")
+        .alias("epoch_s"),
+    )
+
+
+@query(
+    "c12_taper",
+    """
+    WITH samples AS (
+        SELECT event_id,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0)
+                     * 10000)::BIGINT AS s,
+               i
+        FROM events, unnest(generate_series(0, 24)) AS g(i)
+        WHERE event_id < 200
+    )
+    SELECT event_id,
+           sum(round(s * (0.54 - 0.46 * cos(2 * pi() * i / 24.0)))::BIGINT)
+               AS tapered_sum_q
+    FROM samples GROUP BY event_id
+    """,
+    "C12 taper windows (libosd/osdAlgTools.py:27-92): Hamming window "
+    "precomputed driver-side as a lit() array, applied JVM-side via "
+    "zip_with — per-element quantization keeps both engines integer-exact.",
+)
+def c12_taper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.signal import taper_column
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    sig = ev.select("event_id", _quantized_signal().alias("sig"))
+    tapered = sig.select(
+        "event_id",
+        F.transform(
+            taper_column(F.col("sig"), "hamming", 25),
+            lambda x: F.round(x, 0).cast("long"),
+        ).alias("tap"),
+    )
+    return tapered.select(
+        "event_id",
+        F.aggregate("tap", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "tapered_sum_q"
+        ),
+    )
+
+
+@query(
+    "m10_subtype_weights",
+    """
+    SELECT event_id, event_type,
+           CASE event_type WHEN 'error' THEN 5.0 WHEN 'purchase' THEN 2.0
+                ELSE 1.0 END AS sample_weight
+    FROM events WHERE event_id < 500
+    """,
+    "M10 per-subtype sample weighting (subtype_weighting.py): broadcast "
+    "map join of a tiny weight table with a default for unmapped "
+    "subtypes — weight column feeds the trainer.",
+)
+def m10_subtype_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.ml.inference import subtype_weights
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    out = subtype_weights(
+        ev, "event_type", {"error": 5.0, "purchase": 2.0}, default=1.0
+    )
+    return out.select("event_id", "event_type", "sample_weight")

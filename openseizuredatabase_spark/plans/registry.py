@@ -2395,3 +2395,116 @@ def m10_subtype_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", {"error": 5.0, "purchase": 2.0}, default=1.0
     )
     return out.select("event_id", "event_type", "sample_weight")
+
+
+@query(
+    "a14_salted_hot_key",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    "Skew-safe two-phase aggregation (SURVEY §4: one user dominates "
+    "events; operators/skew.salted_aggregate): phase 1 aggregates on "
+    "(key, salt) spreading each hot key over 16 reducers, phase 2 merges "
+    "partials — algebraically identical to the plain groupBy the oracle "
+    "runs, which is exactly the point: same answer, skew-proof plan.",
+)
+def a14_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "sum_value": ("sum", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@query(
+    "a15_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+            <= 0.05 * count(DISTINCT user_id)) AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+    "Approximate distinct (HLL) — the 100-TB cardinality path the "
+    "reference lacks (SURVEY §2.5: 'approx-distinct … free from Spark'). "
+    "Each engine runs its own sketch; the hash-compared output is the "
+    "exact count plus a boolean asserting the sketch landed within 5 % — "
+    "cross-engine checkable without requiring identical sketches.",
+)
+def a15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id") - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("hll_ok"),
+    )
+
+
+@query(
+    "s11_streaming_tumbling",
+    None,
+    "D1/D4 streaming twin: events replayed through readStream → "
+    "watermarked 1-day tumbling window per event_type (streaming/"
+    "sessionize.windowed_counts) → complete-mode memory sink. "
+    "Streaming-only semantics → rows-only.",
+)
+def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from openseizuredatabase_spark.streaming.sessionize import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="s11_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in ev.schema.fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = windowed_counts(stream, "ts", ["event_type"], window_duration="1 day")
+    name = f"s11_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

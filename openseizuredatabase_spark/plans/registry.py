@@ -2508,3 +2508,213 @@ def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "c6_deinterleave_magnitude",
+    """
+    WITH samples AS (
+        SELECT event_id, i,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0) * 1000)::BIGINT AS x,
+               round(cos(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0) * 1000)::BIGINT AS y,
+               1000::BIGINT AS z
+        FROM events, unnest(generate_series(0, 124)) AS g(i)
+        WHERE event_id < 200
+    )
+    SELECT event_id,
+           sum(round(sqrt((x*x + y*y + z*z)::DOUBLE))::BIGINT) AS mag_sum_q,
+           count(*) AS n
+    FROM samples GROUP BY event_id
+    """,
+    "C6 3D de-interleave (flattenData.py:137-144: x=raw3D[0::3] etc.) + "
+    "C8 vector magnitude (accelFeatures.py:67): interleaved 375-element "
+    "array split by transform(sequence) index arithmetic, magnitude as "
+    "per-sample sqrt — all codegen, no UDF; per-element quantization "
+    "keeps the engines integer-exact (IEEE sqrt is correctly rounded).",
+)
+def c6_deinterleave_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.ingest import deinterleave_3d
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    interleaved = ev.select(
+        "event_id",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(124)),
+                lambda n: F.array(
+                    F.round(
+                        F.sin(2 * math.pi * freq * n.cast("double") / 25.0) * 1000, 0
+                    ).cast("long"),
+                    F.round(
+                        F.cos(2 * math.pi * freq * n.cast("double") / 25.0) * 1000, 0
+                    ).cast("long"),
+                    F.lit(1000).cast("long"),
+                ),
+            )
+        ).alias("rawData3D"),
+    )
+    dp = deinterleave_3d(interleaved)
+    quant = dp.select(
+        "event_id",
+        F.transform(
+            F.col("magnitude3D"), lambda x: F.round(x, 0).cast("long")
+        ).alias("mag_q"),
+    )
+    return quant.select(
+        "event_id",
+        F.aggregate("mag_q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "mag_sum_q"
+        ),
+        F.size("mag_q").cast("long").alias("n"),
+    )
+
+
+@query(
+    "f9_flag_requirements",
+    """
+    SELECT event_type,
+           count(*) AS n_kept,
+           round(sum(value), 2) AS value_sum
+    FROM (
+        SELECT event_type, value,
+               (value >= 10.0)                                AS has_value,
+               (json_extract(props, '$.k')::INTEGER IS NOT NULL) AS has_k,
+               json_extract(props, '$.k')::INTEGER            AS k
+        FROM events
+    )
+    WHERE has_value AND has_k AND k % 16 <> 5
+    GROUP BY event_type
+    """,
+    "F9 boolean-flag requirement filters (osdDbConnection.py:517-533: "
+    "require3dData/requireHrData) + F13 manual-alarm skip "
+    "(alg_runner.py:295-298: alarmState==5 dropped): presence flags are "
+    "derived columns, requirements a conjunctive filter — one codegen "
+    "stage, no shuffle before the aggregate.",
+)
+def f9_flag_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    flagged = ev.select(
+        "event_type",
+        "value",
+        (F.col("value") >= 10.0).alias("has_value"),
+        k.isNotNull().alias("has_k"),
+        k.alias("k"),
+    )
+    kept = flagged.filter(
+        F.col("has_value") & F.col("has_k") & (F.col("k") % 16 != 5)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@query(
+    "c4_label_encode",
+    """
+    SELECT label,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 1
+                    WHEN event_type IN ('click', 'view') THEN 0
+                    ELSE 2 END AS label
+        FROM events
+    )
+    GROUP BY label
+    """,
+    "C4 type2id label encoding (flattenData.py:13-27: seizure->1, "
+    "falseAlarm/nda->0, other->2) as a when/otherwise expression feeding "
+    "a grouped count + distinct-user count.",
+)
+def c4_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    label = (
+        F.when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type").isin("click", "view"), 0)
+        .otherwise(2)
+    )
+    return (
+        ev.select("user_id", label.alias("label"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "c7_c17_array_normalize",
+    """
+    WITH sig AS (
+        SELECT event_id,
+               CASE WHEN event_id % 50 = 0
+                    THEN [0 FOR i IN range(0, 150)]
+                    ELSE [
+                        (round(sin(2 * pi() * (event_id % 7 + 1)::DOUBLE
+                                   * i / 25.0) * 1000)::BIGINT + 1001)
+                        FOR i IN range(0, 150)
+                    ] END AS raw
+        FROM events WHERE event_id < 300
+    ), trunc AS (
+        SELECT event_id, raw[1:125] AS sig125 FROM sig
+    ), normed AS (
+        SELECT event_id, sig125,
+               list_max(sig125) AS mx,
+               CASE WHEN list_max(sig125) = 0
+                    THEN [0 FOR x IN sig125]
+                    ELSE [(x * 1000000) // list_max(sig125) FOR x IN sig125]
+               END AS norm_q
+        FROM trunc
+    )
+    SELECT event_id,
+           len(sig125)                   AS n,
+           mx                            AS sig_max,
+           list_sum(norm_q)              AS norm_sum_q
+    FROM normed
+    """,
+    "C7 array truncate to 125 (tidy_db.py:67-74: slice) + C17 spectrum "
+    "normalization by max (eventAnalyser.py:262-268) + C18 zero-dp "
+    "template (flattenData.py:77-101: every-50th event is an all-zero "
+    "frame, normalization guarded). Quantization via integer division "
+    "(x*1e6 div max) keeps both engines exact.",
+)
+def c7_c17_array_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    freq = (F.col("event_id") % 7 + 1).cast("double")
+    raw = F.when(
+        F.col("event_id") % 50 == 0,
+        F.array_repeat(F.lit(0).cast("long"), 150),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(149)),
+            lambda n: F.round(
+                F.sin(2 * math.pi * freq * n.cast("double") / 25.0) * 1000, 0
+            ).cast("long")
+            + 1001,
+        )
+    )
+    trunc = ev.select("event_id", F.slice(raw, 1, 125).alias("sig125"))
+    mx = F.array_max("sig125")
+    normed = trunc.select(
+        "event_id",
+        F.size("sig125").cast("long").alias("n"),
+        mx.alias("sig_max"),
+        F.when(
+            mx == 0, F.lit(0).cast("long")
+        ).otherwise(
+            F.aggregate(
+                F.transform(
+                    F.col("sig125"),
+                    lambda x: (x * F.lit(1000000).cast("long")).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + F.floor(x / mx).cast("long"),
+            )
+        ).alias("norm_sum_q"),
+    )
+    return normed

@@ -1,0 +1,123 @@
+"""Scale-stress harness: does the plan survive a 10x data scale-up?
+
+Builds an N-fold replica of an sf dir under /tmp (keys remapped per copy
+so key cardinality grows with the data — no artificial hot keys beyond
+the generator's own skew), then times the bench headline queries at 1x
+and Nx and reports the scaling ratio per query.
+
+A healthy distributed plan scales ~linearly in rows (ratio <= ~N on a
+fixed-core machine); a superlinear ratio flags a shape that would not
+survive 100 TB (driver collects, quadratic self-joins, unsalted skew).
+
+Usage: python tools/scale_stress.py [N] [sf_dir]   (default 10 /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# key-like columns to offset per copy, so each replica is a disjoint key
+# range and FK relationships stay intact within a copy
+KEY_OFFSETS: dict[str, dict[str, int]] = {
+    "events": {"event_id": 1, "user_id": 1},
+    "documents": {"doc_id": 1},
+    "embeddings": {"vec_id": 1},
+    "orders": {"o_orderkey": 1, "o_custkey": 1},
+    "lineitem": {"l_orderkey": 1},
+    "customer": {"c_custkey": 1},
+}
+_OFFSET_BASE = 100_000_000  # far above any sf0.1 key
+
+
+def build_replica(spark, src_dir: str, dst_dir: str, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from openseizuredatabase_spark.sources.tables import TABLE_NAMES, load_table
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = load_table(spark, src_dir, name)
+        key_cols = KEY_OFFSETS.get(name)
+        if key_cols is None:
+            # dimension table: single copy, FKs in facts stay unoffset
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        rep = df.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        for col in key_cols:
+            rep = rep.withColumn(
+                col, F.col(col) + F.col("__copy") * F.lit(_OFFSET_BASE)
+            )
+        rep.drop("__copy").write.mode("overwrite").parquet(dst)
+
+
+def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
+    from openseizuredatabase_spark.plans.registry import QUERIES
+
+    out: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def main(argv) -> int:
+    n = int(argv[1]) if len(argv) > 1 else 10
+    src = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
+    dst = f"/tmp/scale_{os.path.basename(src.rstrip('/'))}_x{n}"
+
+    from bench import HEADLINE
+    from openseizuredatabase_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    spark.range(1000).count()  # JVM warmup
+
+    t0 = time.time()
+    build_replica(spark, src, dst, n)
+    build_s = round(time.time() - t0, 1)
+
+    base = time_queries(spark, src, HEADLINE)
+    scaled = time_queries(spark, dst, HEADLINE)
+
+    rows = []
+    for name in HEADLINE:
+        ratio = round(scaled[name] / base[name], 1) if base[name] > 0 else None
+        rows.append((name, base[name], scaled[name], ratio))
+    report = {
+        "replicas": n,
+        "build_s": build_s,
+        "base_total_s": round(sum(base.values()), 2),
+        "scaled_total_s": round(sum(scaled.values()), 2),
+        "queries": {
+            name: {"base_s": b, "scaled_s": s, "ratio": r}
+            for name, b, s, r in rows
+        },
+    }
+    print(json.dumps(report, indent=2))
+    if not os.environ.get("SCALE_STRESS_KEEP"):
+        shutil.rmtree(dst, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

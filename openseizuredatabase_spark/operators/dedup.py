@@ -181,3 +181,70 @@ def lsh_band_pairs(
         .distinct()
     )
     return pairs
+
+
+def jaccard_candidate_pairs(
+    sh: DataFrame, id_col: str, max_df: int = 64
+) -> DataFrame:
+    """Near-dup pairs with Jaccard >= threshold left to the caller: from a
+    (id, shingle) table, emit (id_a, id_b, n_common, n_a, n_b).
+
+    Scale shape (the self-join formulation is quadratic on hot shingles):
+    1. shingle doc-frequency (map-side partial count, tiny result);
+       shingles in > max_df docs are non-discriminative stop-shingles —
+       broadcast anti-join drops them without shuffling the shingle table;
+    2. group by shingle, collect_set(id) — bounded to max_df elements by
+       construction, so the worst key holds max_df ids, never the corpus;
+    3. pairs exploded JVM-side from each sorted id-set (<= max_df^2/2 per
+       shingle), counted per (id_a, id_b);
+    4. per-id shingle counts from the same grouped frame.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    grouped = kept.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + 2, F.size(F.col("ids"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
+            )
+        )
+    )
+    common = (
+        grouped.select(pair.alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = (
+        grouped.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )

@@ -28,7 +28,7 @@ from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
 from openseizuredatabase_spark.functions.hashing import seeded_md5_long, seeded_md5_long_sql
-from openseizuredatabase_spark.sources.tables import load_table
+from openseizuredatabase_spark.sources.tables import load_table, spread_small_scan
 
 
 @dataclass
@@ -1113,11 +1113,15 @@ _SHINGLE_SQL = """
     "t5_ngram_jaccard",
     f"""
     WITH {_SHINGLE_SQL},
+    shf AS (
+        SELECT doc_id, shingle FROM sh
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= 64
+    ),
     sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
     ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT c.id_a, c.id_b,
@@ -1126,36 +1130,22 @@ _SHINGLE_SQL = """
                   JOIN sizes sb ON c.id_b = sb.doc_id
     WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common)::DOUBLE >= 0.2
     """,
-    "N-gram Jaccard near-dup detection: distinct 5-word shingles, "
-    "shingle-key self-join (never the raw O(n²) pair space), "
-    "|A∩B| / |A∪B| >= 0.2.",
+    "N-gram Jaccard near-dup detection: distinct 5-word shingles with a "
+    "doc-frequency cap (shingles in >64 docs are non-discriminative "
+    "stop-shingles; dropping them bounds the hot-key fan-out of the "
+    "self-join, the classic quadratic blowup at lake scale), then a "
+    "shingle-key self-join and |A∩B| / |A∪B| >= 0.2 over the capped "
+    "universe.",
 )
 def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup_ops.shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
+    pairs = dedup_ops.jaccard_candidate_pairs(sh, "doc_id", max_df=64)
     jac = F.col("n_common") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
     ).cast("double")
-    return (
-        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return pairs.filter(jac >= 0.2).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -1175,7 +1165,8 @@ def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-side-combined aggregation.",
 )
 def t6_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup_ops.shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
     return dedup_ops.minhash_signatures(sh, "doc_id", 4)
 
 
@@ -1231,7 +1222,7 @@ def _quantized_dot(a, b):
     "top-k is a tiny final reduce.",
 )
 def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark).withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("emb_d").head()[0]
@@ -1289,7 +1280,7 @@ def _v2_oracle() -> str:
 def v2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.vectors import hyperplane
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark).withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
     bucket = F.lit(0)
@@ -1731,7 +1722,8 @@ def a5_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair space; join key uniformly distributed (no skew).",
 )
 def t7_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup_ops.shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
     sigs = dedup_ops.minhash_signatures(sh, "doc_id", 4)
     return dedup_ops.lsh_band_pairs(sigs, "doc_id", 4, 2)
 
@@ -1800,7 +1792,7 @@ def c19_signal_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure relational fan-out (explode tokens × bits), no UDF.",
 )
 def t8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
@@ -1840,7 +1832,10 @@ def t8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)) AS nsq
         FROM e
     ), grp AS (
-        SELECT vec_id, emb, nsq, vec_id % 16 AS bucket FROM norms
+        SELECT vec_id, emb, nsq,
+               vec_id % greatest(16, (SELECT count(*) FROM embeddings) // 128)
+                   AS bucket
+        FROM norms
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                (SELECT sum(round(a.emb[i]::DOUBLE * b.emb[i]::DOUBLE * 1e6)::BIGINT)
@@ -1856,7 +1851,9 @@ def t8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Embedding-cosine near-dup detection: bucketed candidate generation "
     "(id-mod partitioning keeps the oracle deterministic; production path "
     "uses the v2 LSH buckets) + exact quantized-dot rerank ≥ threshold. "
-    "The pair join never materializes the full O(n²) space.",
+    "The bucket count scales with table size (max(16, n/128)) so the "
+    "per-bucket pairwise rerank stays O(n·128), not O(n²/const) — the "
+    "difference between a linear and a quadratic plan at lake scale.",
 )
 def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bucket applyInPandas: numpy computes the SAME quantized sums
@@ -1865,10 +1862,15 @@ def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb0 = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark)
+    # bucket count tracks table size: ~128 vectors per bucket keeps the
+    # within-bucket pairwise rerank linear in n (count() is a cheap
+    # parquet metadata read)
+    modulus = max(16, emb0.count() // 128)
+    emb = emb0.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
-        (F.col("vec_id") % 16).alias("bucket"),
+        (F.col("vec_id") % modulus).alias("bucket"),
     )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2315,7 +2317,7 @@ def a13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c1_timestamp_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.sources.ingest import parse_osdb_time
 
-    ev = _t(spark, sf_dir, "events")
+    ev = spread_small_scan(_t(spark, sf_dir, "events"), spark)
     raw = ev.select(
         "event_id",
         F.when(
@@ -2718,3 +2720,100 @@ def c7_c17_array_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_sum_q"),
     )
     return normed
+
+
+@query(
+    "s12_streaming_late_data",
+    None,
+    "\u00a72.10 late/irregular data: watermarked tumbling counts across two "
+    "micro-batches (maxFilesPerTrigger=1 + availableNow). Pins Spark's "
+    "actual watermark contract, verified against the executed plan: the "
+    "watermark gates EMISSION, not input \u2014 append mode emits a window "
+    "exactly once, when the watermark passes its end, so the final "
+    "on-time window (03:00, still open at stop) is withheld; rows older "
+    "than the watermark are NOT filtered before aggregation (drop is "
+    "best-effort per the docs' one-sided guarantee) \u2014 they re-open a "
+    "transient window that is finalized at the same batch's eviction, "
+    "surfacing as a separate late emission downstream must handle (the "
+    "reference's batch analog is gap repair, flattenData.py:240-342). "
+    "Streaming-only \u2192 rows-only check.",
+)
+def s12_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openseizuredatabase_spark.streaming.sessionize import windowed_counts
+
+    # deterministic fixture rows keyed off the lake's event ids
+    ids = [
+        r.event_id
+        for r in (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 60)
+            .select("event_id")
+            .orderBy("event_id")
+            .collect()
+        )
+    ]
+    base_us = 1735689600_000_000  # 2025-01-01T00:00:00Z in micros
+
+    def frame(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([i for i, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    [t for _, t in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "event_type": pa.array(["replay"] * len(rows), pa.string()),
+            }
+        )
+
+    batch1 = [
+        (i, base_us + 2 * 3600_000_000 + i * 60_000_000) for i in ids if i < 30
+    ]
+    late = [(i, base_us) for i in ids if 30 <= i < 40]
+    ontime = [
+        (i, base_us + 3 * 3600_000_000 + i * 60_000_000)
+        for i in ids
+        if 40 <= i < 60
+    ]
+
+    stream_dir = tempfile.mkdtemp(prefix="s12_events_")
+    f1 = os.path.join(stream_dir, "batch1.parquet")
+    f2 = os.path.join(stream_dir, "batch2.parquet")
+    pq.write_table(frame(batch1), f1)
+    pq.write_table(frame(late + ontime), f2)
+    # FileStreamSource processes oldest-mtime first: force the order
+    os.utime(f1, (1_000_000, 1_000_000))
+    os.utime(f2, (2_000_000, 2_000_000))
+
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = windowed_counts(
+        stream,
+        "ts",
+        ["event_type"],
+        window_duration="1 hour",
+        watermark="30 minutes",
+    )
+    name = f"s12_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # expected: on-time 02:00 window (n=30) + transient late 00:00 window
+    # (n=10); the still-open 03:00 window is withheld by the watermark
+    return spark.table(name)

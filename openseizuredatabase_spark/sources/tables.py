@@ -57,3 +57,20 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a too-few-partition scan across cores before CPU-heavy map
+    work (tokenization, hashing, multi-format parsing).
+
+    Real lakes scan into many partitions (many files / row groups) and
+    this is a no-op. The local test data is one single-row-group file per
+    table, so Spark plans a 1-partition scan and the whole map side would
+    run on one core; a round-robin repartition of a few MB is orders of
+    magnitude cheaper than serializing the map stage. At 100 TB the
+    condition never fires — no extra exchange appears in the plan.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(4, target):
+        return df
+    return df.repartition(target)

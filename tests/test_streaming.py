@@ -99,3 +99,72 @@ def test_streaming_alarm_machine_matches_batch(spark, stream_dir):
     # and the machine actually walked to ALARM on the 4-dp run
     states = [got[(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5 * i))][0] for i in range(4)]
     assert states == [0, 1, 2, 2]
+
+
+def test_watermark_emission_contract(spark, tmp_path_factory):
+    """Watermark gates emission, not input (pinned by s12): append mode
+    emits a window exactly once when the watermark passes its end; rows
+    older than the watermark still aggregate into a transient window
+    (Spark's drop guarantee is one-sided); open windows are withheld."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1735689600_000_000  # 2025-01-01T00:00:00Z
+
+    def frame(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([i for i, _ in rows], pa.int64()),
+                "ts": pa.array([t for _, t in rows], pa.timestamp("us", tz="UTC")),
+                "event_type": pa.array(["replay"] * len(rows), pa.string()),
+            }
+        )
+
+    d = str(tmp_path_factory.mktemp("late"))
+    f1, f2 = os.path.join(d, "b1.parquet"), os.path.join(d, "b2.parquet")
+    pq.write_table(
+        frame([(i, base_us + 2 * 3600_000_000 + i * 60_000_000) for i in range(30)]),
+        f1,
+    )
+    pq.write_table(
+        frame(
+            [(i, base_us) for i in range(30, 40)]
+            + [(i, base_us + 3 * 3600_000_000 + i * 60_000_000) for i in range(40, 60)]
+        ),
+        f2,
+    )
+    os.utime(f1, (1_000_000, 1_000_000))
+    os.utime(f2, (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = windowed_counts(
+        stream, "ts", ["event_type"], window_duration="1 hour", watermark="30 minutes"
+    )
+    emissions = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: emissions.append(
+                sorted((str(r.bucket_start), r.n) for r in df.collect())
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch0 (on-time file): nothing closed yet -> no emission
+    assert emissions[0] == []
+    # batch1 (late + on-time file): the late rows' transient window is
+    # finalized immediately (watermark already past its end)
+    assert emissions[1] == [("2025-01-01 00:00:00", 10)]
+    # batch2 (no-data finalization): 02:00 closes; 03:00 stays open forever
+    assert emissions[2] == [("2025-01-01 02:00:00", 30)]
+    assert len(emissions) == 3

@@ -1568,14 +1568,45 @@ def f12_min_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M5_DENOM = "1152921504606846976.0"  # 2^60, md5_long range
+
+
+def _m5_unit_hash(tag: str) -> str:
+    key = f"'{tag}:42:' || vec_id || ':' || copy_idx || ':' || idx"
+    return (
+        f"(((('0x' || substr(md5({key}), 1, 15))::BIGINT)::DOUBLE + 0.5)"
+        f" / {_M5_DENOM})"
+    )
+
+
 @query(
     "m5_noise_augment",
-    None,
+    f"""
+    WITH ex AS (
+        SELECT e.vec_id, c.copy AS copy_idx, g.i - 1 AS idx,
+               e.embedding[g.i]::DOUBLE AS x
+        FROM embeddings e,
+             unnest(generate_series(0, 2)) AS c(copy),
+             unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+    ), noised AS (
+        SELECT copy_idx,
+               CASE WHEN copy_idx = 0 THEN x
+                    ELSE x + sqrt(-2.0 * ln({_m5_unit_hash('u1')}))
+                             * cos(2 * pi() * {_m5_unit_hash('u2')}) * 0.1
+               END AS v
+        FROM ex
+    )
+    SELECT copy_idx, count(*) // {_EMB_DIM} AS n_rows,
+           round(sum(v), 2) AS sig_sum
+    FROM noised GROUP BY copy_idx
+    """,
     "M5 noise augmentation (augmentData.py:188-314): hash-derived "
     "Box-Muller N(0,σ) per element, explode-replicated copies — "
     "deterministic under repartitioning (documented RNG divergence from "
-    "the reference's global numpy state). libm ulp differences make a "
-    "cross-engine hash unreliable → rows-only.",
+    "the reference's global numpy state). Full value oracle: DuckDB "
+    "replays the identical md5→Box-Muller stream; a 2-dp-rounded grand "
+    "sum absorbs libm ulp differences (≤1e-10 over 96k draws) while any "
+    "key/σ/stream error shifts it by whole units.",
 )
 def m5_noise_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.operators.augment import noise_augment
@@ -1584,18 +1615,43 @@ def m5_noise_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("sig")
     )
     out = noise_augment(emb, "vec_id", "sig", n_copies=2, sigma=0.1, seed=42)
-    return out.groupBy().agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("copy_id").alias("n_copies"),
+    return (
+        out.select(
+            F.split("copy_id", "-").getItem(1).cast("bigint").alias("copy_idx"),
+            F.aggregate("sig", F.lit(0.0), lambda a, x: a + x).alias("s"),
+        )
+        .groupBy("copy_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("s"), 2).alias("sig_sum"),
+        )
     )
 
 
 @query(
     "m6_phase_augment",
-    None,
+    """
+    WITH cnt AS (
+        SELECT user_id AS eventId, count(*) * 25 AS n
+        FROM events GROUP BY user_id
+    ), per AS (
+        SELECT eventId,
+               eventId::VARCHAR || '-phase' || k.k::VARCHAR AS phase_id,
+               greatest(n - k.k * 25, 0) // 125 AS n_win
+        FROM cnt, unnest(generate_series(0, 4)) AS k(k)
+    )
+    SELECT eventId, phase_id, n_win AS n_windows,
+           n_win - 1 AS max_widx
+    FROM per WHERE n_win > 0
+    """,
     "M6 phase augmentation (augmentData.py:316-470): per-user value "
     "series → sliding non-overlapping windows at 5 phase offsets via "
-    "applyInPandas; synthetic `{id}-phase{k}` ids (C20).",
+    "applyInPandas; synthetic `{id}-phase{k}` ids (C20). Oracle pins the "
+    "windowing arithmetic per (event, phase) — count and max index of "
+    "the emitted windows, floor((25·rows − 25k)/125) — which any "
+    "off-by-one in offset/stride/truncation breaks; window VALUES are "
+    "tie-order-dependent (stable sort over duplicate ts) so stay out of "
+    "the cross-engine contract.",
 )
 def m6_phase_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.operators.augment import phase_augment
@@ -1607,9 +1663,9 @@ def m6_phase_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sequence(0, 24), i -> value + i)").alias("sig"),
     )
     out = phase_augment(ev, "eventId", "ts", "sig", window_len=125, n_offsets=5)
-    return out.groupBy("eventId").agg(
+    return out.groupBy("eventId", "phase_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.countDistinct("phase_id").alias("n_phases"),
+        F.max("window_idx").cast("bigint").alias("max_widx"),
     )
 
 

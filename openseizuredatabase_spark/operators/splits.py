@@ -37,6 +37,26 @@ def train_test_split(
     )
 
 
+def hash_split(
+    df: DataFrame, id_col: str, test_frac: float, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """M1 portable variant: assign sides by a seeded md5 hash of the id.
+
+    randomSplit samples per partition, so its assignment changes with
+    partition layout (repartition, cluster size, AQE coalescing) — fine
+    for one-shot experiments, wrong for a reproducible 100 TB pipeline.
+    A pure hash of the id is bit-stable under any layout and any engine:
+    test iff (md5_long(seed:id) + 0.5) / 2^60 < test_frac. No distinct,
+    no semi-join — a narrow filter the scan absorbs."""
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    u = (
+        seeded_md5_long(F.col(id_col).cast("string"), seed).cast("double")
+        + 0.5
+    ) / float(1 << 60)
+    return df.filter(u >= test_frac), df.filter(u < test_frac)
+
+
 def oversample_by_factor(
     df: DataFrame,
     id_col: str,

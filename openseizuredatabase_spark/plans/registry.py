@@ -1358,20 +1358,34 @@ def c9_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m1_train_test_split",
-    None,
-    "M1 seeded random event-level split (osdDbConnection.py:614-634): "
-    "randomSplit on distinct ids + semi-joins; engine-seeded so no SQL "
-    "oracle — invariants (disjoint, exhaustive) checked in tests.",
+    f"""
+    SELECT CASE WHEN ({seeded_md5_long_sql("event_id::VARCHAR", 42)}::DOUBLE
+                      + 0.5) / 1152921504606846976.0 < 0.3
+                THEN 'test' ELSE 'train' END AS part,
+           count(*) AS n, sum(event_id) AS id_sum
+    FROM events GROUP BY 1
+    """,
+    "M1 seeded event-level split (osdDbConnection.py:614-634): portable "
+    "hash split — test iff (md5_long(seed:id)+0.5)/2^60 < frac. The "
+    "reference's random.shuffle and Spark's randomSplit are both "
+    "layout/engine-dependent; the hash split is the documented "
+    "determinism-stance equivalent (same distribution, reproducible on "
+    "any cluster). id_sum pins per-side membership, not just counts. "
+    "randomSplit variant retained (splits.train_test_split, invariants "
+    "in tests).",
 )
 def m1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    train, test = split_ops.train_test_split(
+    train, test = split_ops.hash_split(
         _t(spark, sf_dir, "events"), "event_id", 0.3, seed=42
     )
     return (
         train.select(F.lit("train").alias("part"), "event_id")
         .unionByName(test.select(F.lit("test").alias("part"), "event_id"))
         .groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
     )
 
 

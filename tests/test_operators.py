@@ -207,6 +207,21 @@ def test_train_test_split_disjoint(events):
     assert not (tr_ids & te_ids)
 
 
+def test_hash_split_layout_invariant(events):
+    tr, te = split_ops.hash_split(events, "id", 0.4, seed=7)
+    tr_ids = {r.id for r in tr.collect()}
+    te_ids = {r.id for r in te.collect()}
+    assert tr_ids | te_ids == set(range(1, 9))
+    assert not (tr_ids & te_ids)
+    # the whole point vs randomSplit: assignment survives repartitioning
+    tr2, te2 = split_ops.hash_split(events.repartition(7), "id", 0.4, seed=7)
+    assert {r.id for r in tr2.collect()} == tr_ids
+    assert {r.id for r in te2.collect()} == te_ids
+    # and a different seed actually reshuffles membership
+    tr3, _ = split_ops.hash_split(events, "id", 0.4, seed=8)
+    assert {r.id for r in tr3.collect()} != tr_ids or len(tr_ids) in (0, 8)
+
+
 def test_salted_aggregate_matches_plain(spark, events):
     from openseizuredatabase_spark.operators.skew import salted_aggregate
 

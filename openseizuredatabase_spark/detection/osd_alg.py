@@ -208,6 +208,8 @@ def run_state_machine(
     prepared = (
         df.select(*cols)
         .repartition(*group_cols)
-        .sortWithinPartitions(*group_cols, ts_col)
+        # id tiebreaker: ts collisions within a key must not make the
+        # recurrence walk order (and thus its output) layout-dependent
+        .sortWithinPartitions(*group_cols, ts_col, id_col)
     )
     return prepared.mapInPandas(per_partition, out_schema)

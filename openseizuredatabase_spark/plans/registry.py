@@ -1304,10 +1304,45 @@ def v2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w10_alarm_state_machine",
-    None,
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, (value > 150) AS flag,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), steps AS (
+        SELECT user_id, rn, 0 AS state,
+               CASE WHEN flag THEN 5.0 ELSE 0.0 END::DOUBLE AS cnt
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               CASE WHEN o.flag THEN
+                        CASE WHEN s.cnt + 5.0 > 10.0 THEN 2
+                             WHEN s.cnt + 5.0 > 5.0 THEN 1
+                             ELSE s.state END
+                    ELSE CASE WHEN s.state = 2 THEN 1 ELSE 0 END
+               END AS state,
+               CASE WHEN o.flag THEN s.cnt + 5.0
+                    ELSE CASE WHEN s.state = 2 THEN 5.0 ELSE 0.0 END
+               END AS cnt
+        FROM steps s
+        JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id,
+           count(*) FILTER (WHERE state = 2) AS n_alarm_dps,
+           count(*) FILTER (WHERE state = 1) AS n_warn_dps,
+           count(*) AS n_dps
+    FROM steps GROUP BY user_id
+    """,
     "W10 OSD alarm state machine (osdAlg.py:264-346): per-user ordered "
-    "accumulate/decay recurrence via applyInPandas — order-dependent, not "
-    "expressible as a fixed-frame window. in-alarm analog: value > 150.",
+    "accumulate/decay recurrence via mapInPandas over key-sorted "
+    "partitions — order-dependent, not a fixed-frame window. in-alarm "
+    "analog: value > 150. Oracle: DuckDB recursive CTE walks the exact "
+    "same recurrence (accumulate +5 s, WARN > 5 s, ALARM > 10 s, "
+    "ALARM→WARN decay with count pinned to warn_time) step-for-step — "
+    "recursion depth = max rows per key, fine at oracle scale; Spark "
+    "side stays linear mapInPandas for lake scale.",
 )
 def w10_alarm_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.detection.osd_alg import (

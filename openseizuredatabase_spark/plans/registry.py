@@ -1368,10 +1368,38 @@ def w10_alarm_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c9_fft_features",
-    None,
+    f"""
+    WITH ex AS (
+        SELECT vec_id, g.i - 1 AS n, embedding[g.i]::DOUBLE AS x
+        FROM embeddings, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+    ), bins AS (
+        SELECT vec_id, k.k AS k,
+               sum(x * cos(2 * pi() * k.k * n / {_EMB_DIM}.0)) AS re,
+               sum(x * sin(2 * pi() * k.k * n / {_EMB_DIM}.0)) AS im
+        FROM ex, unnest(generate_series(1, {_EMB_DIM // 2})) AS k(k)
+        GROUP BY vec_id, k.k
+    ), agg AS (
+        SELECT vec_id,
+               sum(re*re + im*im) / {_EMB_DIM // 2}.0 / {_EMB_DIM // 2}.0
+                   / 1000.0 AS spec,
+               sum(re*re + im*im) FILTER (WHERE k BETWEEN 7 AND 20)
+                   / 14.0 / 1000.0 AS roi
+        FROM bins GROUP BY vec_id
+    )
+    SELECT vec_id, round(spec, 6) AS spec_power,
+           round(roi, 6) AS roi_power,
+           round(CASE WHEN roi <= 0.0 OR spec <= 0.0 THEN 0.0
+                      ELSE 10.0 * roi / spec END, 6) AS roi_ratio
+    FROM agg
+    """,
     "C9/C10/C11 FFT kernel (osdAlgTools.py:95-158): specPower/roiPower/"
     "spectrum-ratio per array via Arrow-batched mapInPandas; embeddings "
-    "arrays stand in for accel frames at the driver-table level.",
+    "arrays stand in for accel frames at the driver-table level. Oracle: "
+    "DuckDB computes the literal O(N²) DFT (per-bin cos/sin sums) — same "
+    "spectrum numpy's FFT factorizes, bins 1..N/2 with cutoff 12.5 Hz → "
+    "all 32, ROI 3–8 Hz → bins 7..20 (int-floor freq→bin), the nSamp/2 "
+    "FIXME divisor and /1000 scaling reproduced exactly; 6-dp rounding "
+    "absorbs the ~1e-13 FFT-vs-DFT summation difference.",
 )
 def c9_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.signal import with_fft_features

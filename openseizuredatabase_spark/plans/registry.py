@@ -1778,10 +1778,27 @@ def w5_epoch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m9_batch_inference",
-    None,
+    """
+    WITH scored AS (
+        SELECT label,
+               1.0 / (1.0 + exp(-(
+                   0.5 * (SELECT sum(x::DOUBLE)
+                          FROM unnest(embedding[1:8]) AS t(x)) - 0.1
+               ))) AS prob
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           count(CASE WHEN prob > 0.5 THEN 1 END) AS n_pos,
+           round(sum(prob), 4) AS prob_sum
+    FROM scored GROUP BY label
+    """,
     "M8/M9 tensor assembly + Arrow-vectorized batch inference "
     "(nnTrainer.py:61-137, nnTester.py:333-504): array-column features → "
-    "pandas-UDF linear scorer → A5 event rollup of per-dp probabilities.",
+    "pandas-UDF linear scorer → A5 event rollup of per-dp probabilities. "
+    "Oracle replays sigmoid(0.5·Σx[0:8] − 0.1) in SQL: threshold counts "
+    "are summation-order-proof (prob > 0.5 ⟺ z > 0), and a 4-dp-rounded "
+    "probability sum pins the sigmoid values themselves (BLAS-dot vs "
+    "sequential-sum drift ≤1e-13 over 500 rows).",
 )
 def m9_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.ml.inference import LinearModel, predict_proba
@@ -1796,6 +1813,7 @@ def m9_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("prob") > 0.5, 1)).alias("n_pos"),
+            F.round(F.sum("prob"), 4).alias("prob_sum"),
         )
     )
 
@@ -2319,11 +2337,36 @@ def c16_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w9_spectral_history",
-    None,
+    """
+    WITH ev AS (
+        SELECT event_id, (event_id % 5 + 1)::DOUBLE AS freq
+        FROM events WHERE event_id < 40
+    ), samples AS (
+        SELECT event_id, d.dp AS slice_idx,
+               sin(2 * pi() * freq * (n.n + d.dp * 125)::DOUBLE / 25.0)
+                   * 100.0 AS x
+        FROM ev,
+             unnest(generate_series(0, 2)) AS d(dp),
+             unnest(generate_series(0, 124)) AS n(n)
+    ), stats AS (
+        SELECT event_id, slice_idx, sum(x) AS s1, sum(x * x) AS s2,
+               stddev_pop(x) AS sd
+        FROM samples GROUP BY event_id, slice_idx
+    )
+    SELECT event_id AS eventId, slice_idx AS sliceIdx,
+           CASE WHEN sd < 10.0 THEN 0
+                ELSE round((125.0 * s2 + s1 * s1) / 2.0, 0)::BIGINT
+           END AS spec_power_q
+    FROM stats
+    """,
     "W9 spectral history / spectrogram (eventAnalyser.py:236-274): "
-    "sliding-FFT power slices per event with low-movement zeroing — "
-    "numpy FFT in an Arrow-batched applyInPandas stage; rows-only "
-    "(FFT floats are libm-dependent; summarized quantized here).",
+    "sliding-FFT power slices per event with low-movement zeroing "
+    "(pop-std < 10) — numpy FFT in an Arrow-batched applyInPandas "
+    "stage. Oracle sidesteps the FFT via Parseval: with step == window, "
+    "each datapoint is one slice, and the half-spectrum power sum equals "
+    "(N·Σx² + (Σx)²)/2 — the DC bin counted once, conjugate pairs "
+    "halved — so DuckDB only regenerates the sinusoid and two power "
+    "sums; integer quantization absorbs libm sin/summation drift.",
 )
 def w9_spectral_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.features import spectral_history

@@ -32,9 +32,13 @@ def test_j3_uses_broadcast_join(spark, sf_dir):
 
 def test_relational_queries_have_no_python_udf(spark, sf_dir):
     # every oracle-checked query must stay JVM-side (no BatchEvalPython /
-    # ArrowEvalPython stages)
+    # ArrowEvalPython stages) — except the ones whose SEMANTICS are a
+    # Python model/kernel stage (the Arrow batch contract is the product,
+    # not an accident); group-map ops (applyInPandas/mapInPandas) compile
+    # to MapInPandas nodes and are out of this check's scope
+    python_by_design = {"m9_batch_inference"}
     for name, spec in QUERIES.items():
-        if spec.oracle is None:
+        if spec.oracle is None or name in python_by_design:
             continue
         plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"

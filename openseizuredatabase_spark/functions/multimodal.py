@@ -115,6 +115,7 @@ def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> Da
             max_frames,
         )
     ).alias("frame_idx")
-    return media.filter(F.col("media_type") == "video").select(
-        "media_id", idx, F.col("meta.format").alias("format")
+    return (
+        media.filter((F.col("media_type") == "video") & (n > 0))
+        .select("media_id", idx, F.col("meta.format").alias("format"))
     )

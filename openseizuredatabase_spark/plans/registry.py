@@ -2993,3 +2993,84 @@ def s12_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expected: on-time 02:00 window (n=30) + transient late 00:00 window
     # (n=10); the still-open 03:00 window is withheld by the watermark
     return spark.table(name)
+
+
+@query(
+    "m11_multimodal_decode",
+    """
+    WITH h AS (
+        SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
+               sha256(text) AS hx
+        FROM documents
+    ), u AS (
+        SELECT media_id,
+               ('0x' || substr(hx, 8*i.i + 7, 2) || substr(hx, 8*i.i + 5, 2)
+                     || substr(hx, 8*i.i + 3, 2) || substr(hx, 8*i.i + 1, 2)
+               )::BIGINT AS v
+        FROM h, unnest(generate_series(0, 7)) AS i(i)
+        WHERE hx IS NOT NULL
+    )
+    SELECT h.media_id, coalesce(h.n_bytes, 0) AS n_bytes,
+           coalesce(round(8 * sum((u.v % 10000) / 10000.0), 4), 0.0)
+               AS feat_sum
+    FROM h LEFT JOIN u ON h.media_id = u.media_id
+    GROUP BY h.media_id, h.n_bytes
+    """,
+    "Multimodal decode/feature-extract plumbing (binary content → "
+    "array<double> features via one Arrow-batched mapInPandas pass; only "
+    "(media_id, content) cross the Arrow boundary). The codec is the "
+    "documented deterministic stub — sha256-derived pseudo-samples — so "
+    "the oracle replays it exactly in SQL: the digest's 8 uint32s "
+    "(little-endian, tiled 8×over 64 features) give feat_sum = "
+    "8·Σ(u32 % 10⁴)/10⁴. Content bytes are the documents' UTF-8 text, "
+    "identical in both engines.",
+)
+def m11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    out = decode_features(media, 64)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feat_sum"),
+    )
+
+
+@query(
+    "m12_frame_sample",
+    """
+    SELECT doc_id AS media_id, g.f AS frame_idx, 'mp4' AS format
+    FROM documents,
+         unnest(generate_series(0, least((doc_id * 13) % 120 - 1, 70), 10))
+             AS g(f)
+    WHERE doc_id % 3 = 0 AND (doc_id * 13) % 120 > 0
+    """,
+    "Video frame-sampling fan-out (UDTF shape, row-expanding like "
+    "W5/M6): every 10th frame index up to 8 per video, zero-frame "
+    "videos emit nothing, pure explode(slice(sequence)) — no Python, no "
+    "shuffle, generator fan-out in place on each executor. Synthetic "
+    "metadata (n_frames = 13·id mod 120) exercises both the 8-frame cap "
+    "(n > 70) and the empty-video path.",
+)
+def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("media_type"),
+        F.struct(
+            ((F.col("doc_id") * 13) % 120).cast("int").alias("n_frames"),
+            F.lit("mp4").alias("format"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_n=10, max_frames=8)

@@ -91,6 +91,25 @@ def test_frame_sample_fanout(media):
     assert idxs == [0, 10, 20, 30, 40, 50, 60, 70]
 
 
+def test_frame_sample_skips_empty_videos(spark):
+    rows = [
+        Row(
+            media_id=i,
+            media_type="video",
+            content=b"x",
+            meta=Row(
+                width=None, height=None, sample_rate=None,
+                n_frames=n, format="fake",
+            ),
+        )
+        for i, n in [(0, 0), (1, None), (2, 5)]
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = frame_sample(df, every_n=10, max_frames=8).collect()
+    # 0-frame and null-frame videos emit nothing, not a phantom frame 0
+    assert [(r.media_id, r.frame_idx) for r in out] == [(2, 0)]
+
+
 def test_resize_fails_fast_without_codec(media):
     if _HAS_PIL:
         pytest.skip("PIL present")

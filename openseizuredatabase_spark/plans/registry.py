@@ -3074,3 +3074,57 @@ def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return frame_sample(media, every_n=10, max_frames=8)
+
+
+@query(
+    "s1_json_roundtrip",
+    """
+    SELECT count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS hr_sum
+    FROM events WHERE event_id < 2000
+    """,
+    "S1/S2/S4/C5 ingest roundtrip (osdDbConnection.py load/save, "
+    "tidy_db.py nested dataJSON): events → OSDB-shaped NDJSON with the "
+    "legacy DOUBLE-nested datapoint dataJSON → read back via the fixed "
+    "EVENT_SCHEMA (no inference pass over 100 TB) → C5 expansion "
+    "recovers hr from the inner JSON layer. The oracle reads the same "
+    "values straight from parquet — any loss or misparse anywhere in "
+    "the write→read→expand chain (field mapping, escaping, double "
+    "formatting) breaks the hash. Spark JSON double formatting is "
+    "shortest-roundtrip, so sum(hr) is bit-exact vs the source.",
+)
+def s1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from openseizuredatabase_spark.sources.ingest import (
+        expand_datapoint_json,
+        read_events_json,
+    )
+    from openseizuredatabase_spark.sources.sinks import write_events_json
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    inner = F.to_json(F.struct(F.col("value").alias("hr")))
+    outer = F.to_json(F.struct(inner.alias("dataJSON")))
+    osdb = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("userId"),
+        F.col("event_type").alias("type"),
+        F.array(
+            F.struct(
+                (F.col("event_id") * 10).alias("id"),
+                outer.alias("dataJSON"),
+            )
+        ).alias("datapoints"),
+    )
+    path = tempfile.mkdtemp(prefix="s1_json_")
+    write_events_json(osdb, path)
+    back = read_events_json(spark, path, multi_line=False)
+    dp = back.select(
+        "id", "userId", F.explode("datapoints").alias("dp")
+    ).select("id", "userId", expand_datapoint_json(F.col("dp")).alias("d"))
+    return dp.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("userId").alias("n_users"),
+        F.round(F.sum("d.hr"), 2).alias("hr_sum"),
+    )

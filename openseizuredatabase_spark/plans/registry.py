@@ -3128,3 +3128,98 @@ def s1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("userId").alias("n_users"),
         F.round(F.sum("d.hr"), 2).alias("hr_sum"),
     )
+
+
+@query(
+    "f10_accel_presence",
+    """
+    WITH built AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    WHEN event_id % 3 = 1 THEN [0.0, 0.0, 0.0]
+                    ELSE [0.0, value, 0.0] END AS raw,
+               CASE WHEN event_id % 5 = 0 THEN [value + 1.0] ELSE NULL
+                    END AS raw3d
+        FROM events
+    )
+    SELECT count(*) AS n_kept, sum(event_id) AS id_sum
+    FROM built
+    WHERE (raw IS NOT NULL AND len(raw) > 0
+           AND EXISTS (SELECT 1 FROM unnest(raw) AS t(x)
+                       WHERE x IS NOT NULL AND x != 0))
+       OR (raw3d IS NOT NULL AND len(raw3d) > 0
+           AND EXISTS (SELECT 1 FROM unnest(raw3d) AS t(x)
+                       WHERE x IS NOT NULL AND x != 0))
+    """,
+    "F10 accel-presence predicate (flattenData.py:149-172): keep "
+    "datapoints whose rawData OR rawData3D has any non-null, "
+    "non-all-zero content — null, empty, and all-zero arrays all drop. "
+    "Pure exists() lambda, JVM-side, no explode (a fan-out would "
+    "multiply the scan by array length just to test a predicate). "
+    "Synthetic arrays off the events table cover every branch: null / "
+    "all-zero / value-bearing raw × present/absent 3D; value != 0 "
+    "matters because the generator emits exact zeros.",
+)
+def f10_accel_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.ingest import has_accel_data
+
+    ev = _t(spark, sf_dir, "events")
+    built = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("array<double>"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        )
+        .otherwise(F.array(F.lit(0.0), F.col("value"), F.lit(0.0)))
+        .alias("raw"),
+        F.when(
+            F.col("event_id") % 5 == 0, F.array(F.col("value") + 1.0)
+        ).alias("raw3d"),
+    )
+    kept = built.filter(has_accel_data(F.col("raw"), F.col("raw3d")))
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+@query(
+    "s3_csv_roundtrip",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_type) AS n_types,
+           sum(event_id) AS id_sum,
+           round(sum(value), 2) AS value_sum
+    FROM events WHERE event_id < 2000
+    """,
+    "S3/S6 chunked-CSV scan + batched append (osdDbConnection.py CSV "
+    "cache, nnTraining chunked reads): events → headered CSV parts "
+    "(atomic job commit replaces the reference's header-once / "
+    "partial-batch bookkeeping) → schema'd re-read (no inference pass) "
+    "→ aggregate. Oracle reads the same rows from parquet: any "
+    "quoting/formatting/parse loss in the CSV hop breaks the hash — "
+    "doubles survive because Spark's CSV writer emits "
+    "shortest-roundtrip representations.",
+)
+def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from openseizuredatabase_spark.sources.sinks import append_batch_csv
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+    path = tempfile.mkdtemp(prefix="s3_csv_") + "/events_csv"
+    append_batch_csv(ev, path)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).option("header", True).csv(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

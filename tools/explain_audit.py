@@ -20,6 +20,14 @@ def audit(sf_dir: str) -> None:
 
     spark = get_spark("explain_audit")
     print(f"# Physical plan audit ({sf_dir})\n")
+    print(
+        "Counts come from the pre-execution plan, so shared subtrees are\n"
+        "counted once per appearance: at runtime AQE's ReuseExchange\n"
+        "collapses identical exchange subplans (verified on t5 — the\n"
+        "executed adaptive plan shows ReusedExchange nodes where this\n"
+        "table over-reports scans/shuffles). Treat the shuffle column as\n"
+        "an upper bound.\n"
+    )
     print("| query | shuffles | bcast joins | SMJ | pushdown | python stages | WSCG spans |")
     print("|---|---|---|---|---|---|---|")
     for name, spec in QUERIES.items():

@@ -124,3 +124,52 @@ def test_feature_history_lags_are_exact_shifts(spark, vals):
     for i, (_, v0, v1) in enumerate(got):
         assert v0 == vals[i + 1]
         assert v1 == vals[i]
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from("abcdefgh"), min_size=0, max_size=12
+    ).map(lambda toks: " ".join(toks)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(docs=docs_strategy)
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    """The DF-capped candidate generator equals brute-force set algebra
+    whenever the doc-frequency cap doesn't bind (max_df >= corpus)."""
+    k = 2
+    sh = dedup_ops.shingles(
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+        ),
+        "text",
+        "doc_id",
+        k,
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b)
+        for r in dedup_ops.jaccard_candidate_pairs(
+            sh, "doc_id", max_df=len(docs) + 1
+        ).collect()
+    }
+
+    sets = {}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        sets[i] = {
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        }
+    want = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x < y and sets[x] & sets[y]:
+                want[(x, y)] = (
+                    len(sets[x] & sets[y]),
+                    len(sets[x]),
+                    len(sets[y]),
+                )
+    assert got == want

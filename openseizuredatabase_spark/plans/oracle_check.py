@@ -77,6 +77,21 @@ def compare_query(spark, con, spec, sf_dir: str) -> tuple[bool, str]:
     ]
     if spec.oracle is None:
         return True, f"rows-only ({len(spark_rows)} rows)"
+    # The driver's value hash is type-sensitive: DuckDB types integer
+    # sum()/list_sum() as HUGEINT (int128), which hash-mismatches Spark's
+    # BIGINT even when every value is identical. Python-int normalization
+    # below can't see that, so reject int128 oracle outputs explicitly.
+    rel = con.sql(spec.oracle)
+    int128 = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+    ]
+    if int128:
+        return False, (
+            f"oracle emits int128 columns {int128} — add ::BIGINT "
+            "(driver hash distinguishes HUGEINT from Spark long)"
+        )
     cur = con.execute(spec.oracle)
     raw_cols = [d[0] for d in cur.description]
     raw_rows = cur.fetchall()  # fetchall, NOT fetch_df: pandas turns NULL→NaN

@@ -656,8 +656,9 @@ def w12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, n,
-           sum(n) OVER (PARTITION BY event_type ORDER BY day ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+           (sum(n) OVER (PARTITION BY event_type ORDER BY day ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS cum_n
     FROM daily
     """,
     "A8 cumulative counts over time (generateGraphs.py:176-278): daily "
@@ -951,7 +952,7 @@ _TOKS_SQL = (
         FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           sum(n_tokens)::BIGINT AS total_tokens,
            max(n_tokens) AS max_tokens,
            round(sum(n_tokens) / count(*)::DOUBLE, 6) AS avg_tokens,
            round(sum(n_chars) / sum(n_tokens)::DOUBLE, 6) AS chars_per_token
@@ -1425,7 +1426,7 @@ def c9_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN ({seeded_md5_long_sql("event_id::VARCHAR", 42)}::DOUBLE
                       + 0.5) / 1152921504606846976.0 < 0.3
                 THEN 'test' ELSE 'train' END AS part,
-           count(*) AS n, sum(event_id) AS id_sum
+           count(*) AS n, sum(event_id)::BIGINT AS id_sum
     FROM events GROUP BY 1
     """,
     "M1 seeded event-level split (osdDbConnection.py:614-634): portable "
@@ -1470,7 +1471,7 @@ def m1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            floor(s1::DOUBLE / n)::BIGINT AS mean_micro,
-           s2 AS norm_sq_micro,
+           s2::BIGINT AS norm_sq_micro,
            n
     FROM sums
     """,
@@ -1890,7 +1891,8 @@ def t7_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sin(2 * pi() * freq * i / 25.0) * 10000)::BIGINT AS s
         FROM base, unnest(generate_series(0, 24)) AS g(i)
     )
-    SELECT event_id, sum(s) AS sig_sum_q, max(s) AS sig_max_q, count(*) AS n
+    SELECT event_id, sum(s)::BIGINT AS sig_sum_q, max(s) AS sig_max_q,
+           count(*) AS n
     FROM samples GROUP BY event_id
     """,
     "C19 synthetic sinusoid generation (generateSimulatedEvents.py:21-80) "
@@ -2525,8 +2527,8 @@ def c1_timestamp_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id < 200
     )
     SELECT event_id,
-           sum(round(s * (0.54 - 0.46 * cos(2 * pi() * i / 24.0)))::BIGINT)
-               AS tapered_sum_q
+           sum(round(s * (0.54 - 0.46 * cos(2 * pi() * i / 24.0)))::BIGINT
+              )::BIGINT AS tapered_sum_q
     FROM samples GROUP BY event_id
     """,
     "C12 taper windows (libosd/osdAlgTools.py:27-92): Hamming window "
@@ -2700,7 +2702,8 @@ def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id < 200
     )
     SELECT event_id,
-           sum(round(sqrt((x*x + y*y + z*z)::DOUBLE))::BIGINT) AS mag_sum_q,
+           sum(round(sqrt((x*x + y*y + z*z)::DOUBLE))::BIGINT)::BIGINT
+               AS mag_sum_q,
            count(*) AS n
     FROM samples GROUP BY event_id
     """,
@@ -2852,7 +2855,7 @@ def c4_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            len(sig125)                   AS n,
            mx                            AS sig_max,
-           list_sum(norm_q)              AS norm_sum_q
+           list_sum(norm_q)::BIGINT      AS norm_sum_q
     FROM normed
     """,
     "C7 array truncate to 125 (tidy_db.py:67-74: slice) + C17 spectrum "
@@ -3142,7 +3145,7 @@ def s1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     END AS raw3d
         FROM events
     )
-    SELECT count(*) AS n_kept, sum(event_id) AS id_sum
+    SELECT count(*) AS n_kept, sum(event_id)::BIGINT AS id_sum
     FROM built
     WHERE (raw IS NOT NULL AND len(raw) > 0
            AND EXISTS (SELECT 1 FROM unnest(raw) AS t(x)
@@ -3189,7 +3192,7 @@ def f10_accel_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS n_rows,
            count(DISTINCT event_type) AS n_types,
-           sum(event_id) AS id_sum,
+           sum(event_id)::BIGINT AS id_sum,
            round(sum(value), 2) AS value_sum
     FROM events WHERE event_id < 2000
     """,

@@ -2015,11 +2015,13 @@ def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb0 = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark)
+    raw = _t(spark, sf_dir, "embeddings")
     # bucket count tracks table size: ~128 vectors per bucket keeps the
-    # within-bucket pairwise rerank linear in n (count() is a cheap
-    # parquet metadata read)
-    modulus = max(16, emb0.count() // 128)
+    # within-bucket pairwise rerank linear in n. Count the RAW scan (a
+    # parquet metadata-only read) before the spread_small_scan fan-out,
+    # so sizing never executes a shuffle as a separate driver-side job.
+    modulus = max(16, raw.count() // 128)
+    emb0 = spread_small_scan(raw, spark)
     emb = emb0.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -2218,7 +2220,7 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j4_interval_containment",
     """
     SELECT e.event_id,
-           min((epoch(e.ts) - epoch(s.ts)) * 1000000)::BIGINT AS micros_since_signup
+           min(epoch_us(e.ts) - epoch_us(s.ts))::BIGINT AS micros_since_signup
     FROM events e
     JOIN events s
       ON s.user_id = e.user_id
@@ -2236,17 +2238,20 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j4_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # rangeBetween over integer microseconds (not rowsBetween over (ts, id))
+    # so a signup sharing an event's exact ts is visible to that event
+    # regardless of event_id order — mirrors the oracle's s.ts <= e.ts.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
-    last_signup = F.max(
-        F.when(F.col("event_type") == "signup", F.col("ts"))
+    last_signup_us = F.max(
+        F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts")))
     ).over(w)
     out = ev.select(
         "event_id",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(last_signup)).alias(
+        (F.unix_micros(F.col("ts")) - last_signup_us).alias(
             "micros_since_signup"
         ),
     )

@@ -3231,3 +3231,70 @@ def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curator event-edit lake operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_curator_edits",
+    """
+    SELECT grp, count(*)::BIGINT AS n, sum(id)::BIGINT AS id_sum
+    FROM (
+        SELECT CASE WHEN event_id % 1009 = 3 THEN 'curated'
+                    WHEN event_id % 1013 = 5 THEN 'unknown'
+                    ELSE event_type END AS grp,
+               event_id AS id
+        FROM events WHERE event_id % 997 <> 0
+        UNION ALL
+        SELECT source AS grp, doc_id AS id
+        FROM documents WHERE source IS NULL OR source <> 'src7'
+    )
+    GROUP BY grp
+    """,
+    "Curator lake edits (edit_event.py:55-140 field updates/deletes, "
+    "event_editor.py:590-626 mark-unknown, strip_phone_datasource.py:41-66): "
+    "mark event_id%1013==5 'unknown', edit event_id%1009==3 to 'curated' "
+    "(edits override marks), broadcast-anti-delete event_id%997==0, strip "
+    "documents source 'src7'; per-group count+id_sum proves every row-level "
+    "change landed. All three ops are broadcast joins / pushdown predicates "
+    "— the 100 TB side never shuffles; the oracle replays them as CASE / "
+    "NOT-IN set algebra.",
+)
+def e1_curator_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.curator import (
+        apply_event_edits,
+        delete_events,
+        mark_events,
+        strip_datasource,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mark_ids = ev.filter(F.col("event_id") % 1013 == 5).select("event_id")
+    edits = ev.filter(F.col("event_id") % 1009 == 3).select(
+        "event_id", F.lit("curated").alias("event_type")
+    )
+    del_ids = ev.filter(F.col("event_id") % 997 == 0).select("event_id")
+
+    curated = apply_event_edits(
+        mark_events(ev, mark_ids, new_value="unknown"), edits
+    )
+    curated = delete_events(curated, del_ids)
+    ev_part = curated.select(
+        F.col("event_type").alias("grp"), F.col("event_id").alias("id")
+    )
+
+    docs = strip_datasource(
+        _t(spark, sf_dir, "documents"), "source", "src7"
+    ).select(F.col("source").alias("grp"), F.col("doc_id").alias("id"))
+
+    return (
+        ev_part.unionByName(docs)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+        )
+    )

@@ -3298,3 +3298,69 @@ def e1_curator_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("id").alias("id_sum"),
         )
     )
+
+
+@query(
+    "w5_epoch_rms",
+    """
+    WITH base AS (
+        SELECT event_id % 100 AS eid, event_id,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0)
+                     * 10000)::BIGINT AS s,
+               i
+        FROM events, unnest(generate_series(0, 24)) AS g(i)
+        WHERE event_id < 800
+    ), seq AS (
+        SELECT eid, s,
+               row_number() OVER (PARTITION BY eid ORDER BY event_id, i) - 1
+                   AS rn
+        FROM base
+    ), counts AS (
+        SELECT eid, count(*) AS n FROM seq GROUP BY eid
+    ), epochs AS (
+        SELECT eid, 25 * k.k AS st
+        FROM counts, unnest(generate_series(0, 1000)) AS k(k)
+        WHERE 25 * k.k + 50 <= n
+    )
+    SELECT e.eid AS eventId,
+           e.st::BIGINT AS startSample,
+           round(sqrt(sum(q.s * q.s)::DOUBLE / 50.0), 6) AS rms_raw,
+           round(sum(q.s)::DOUBLE / 50.0, 6) AS mean_raw
+    FROM epochs e
+    JOIN seq q ON q.eid = e.eid AND q.rn BETWEEN e.st AND e.st + 49
+    GROUP BY e.eid, e.st
+    """,
+    "W5 epoch features, SQL-checkable slice: the SAME applyInPandas "
+    "kernel as w5_epoch_features (functions/features.py:220 "
+    "extract_epoch_features — multi-row concatenation, overlapping "
+    "window_len=50/step=25 segmentation, epoch_feature_dict RMS+mean; "
+    "extractFeatures.py epoch loop) run with gravity_cutoff=None so "
+    "activity_count/mean are exact integer-sum arithmetic on a quantized "
+    "signal — sqrt is IEEE-correctly-rounded in both numpy and DuckDB, "
+    "so a 6-dp round is bitwise-safe. filtfilt/Welch outputs stay "
+    "pinned by scipy-parity pytest + the rows-only w5_epoch_features.",
+)
+def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.features import (
+        extract_epoch_features,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 800).select(
+        (F.col("event_id") % 100).alias("eventId"),
+        F.timestamp_micros(F.col("event_id") * 1_000_000).alias("dpTimestamp"),
+        _quantized_signal().cast("array<double>").alias("rawData"),
+        F.col("value").alias("hr"),
+    )
+    feats = extract_epoch_features(
+        ev, window_len=50, step=25, gravity_cutoff=None
+    )
+    return feats.select(
+        "eventId",
+        "startSample",
+        F.round(
+            F.element_at(F.col("features"), "activity_count_magnitude"), 6
+        ).alias("rms_raw"),
+        F.round(F.element_at(F.col("features"), "mean_magnitude"), 6).alias(
+            "mean_raw"
+        ),
+    )

@@ -28,6 +28,14 @@ from openseizuredatabase_spark.detection.hr_alg import (
     HrSettings,
     run_hr_alg,
 )
+from openseizuredatabase_spark.detection.model_algs import (
+    NnSettings,
+    SpecSettings,
+    default_nn_score,
+    default_spec_score,
+    run_nn_alg,
+    run_spec_alg,
+)
 from openseizuredatabase_spark.detection.osd_alg import OsdSettings, run_osd_alg
 from openseizuredatabase_spark.operators.aggregates import (
     confusion_matrix,
@@ -45,10 +53,23 @@ def _hr(settings: HrSettings | None = None) -> AlgFactory:
     return lambda dps: run_hr_alg(dps, settings or HrSettings())
 
 
+def _spec(settings: SpecSettings | None = None) -> AlgFactory:
+    s = settings or SpecSettings()
+    return lambda dps: run_spec_alg(dps, default_spec_score(s), s)
+
+
+def _nn(settings: NnSettings | None = None) -> AlgFactory:
+    s = settings or NnSettings()
+    return lambda dps: run_nn_alg(dps, default_nn_score(s), s)
+
+
 ALGORITHMS: dict[str, AlgFactory] = {
     "osd": _osd(),
     "hr_simple": _hr(HrSettings(mode=MODE_SIMPLE)),
     "hr_adaptive": _hr(HrSettings(mode=MODE_ADAPTIVE)),
+    "spec": _spec(),
+    "spec_single": _spec(SpecSettings(mode="single")),
+    "nn": _nn(),
 }
 
 

@@ -29,6 +29,7 @@ from typing import Iterable, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from openseizuredatabase_spark.functions.signal import (
     roi_power,
@@ -47,6 +48,12 @@ class OsdSettings:
     sample_period: float = 5.0
     warn_time: float = 5.0
     alarm_time: float = 10.0
+    # osdAlg.py:68-115 magnitude reconstruction mode: V0 uses the device
+    # magnitude array; V1 = |x|+|y|+|z|, V2 = √(x²+y²+z²), V3 = V2 with a
+    # per-axis milli-g offset — all rebuilt from the interleaved 3D array
+    # when one is supplied to run_osd_alg.
+    magnitude_mode: str = "V0"
+    axis_offset: float = 0.0
 
 
 def alarm_recurrence(
@@ -101,14 +108,31 @@ def run_osd_alg(
     event_col: str = "eventId",
     ts_col: str = "dpTimestamp",
     signal_col: str = "rawData",
+    raw3d_col: str | None = None,
 ) -> DataFrame:
     """Replay exploded datapoints through the OSD algorithm.
 
     One shuffle on the event key; each group is one Arrow batch. Only the
     needed columns are passed through the UDF (manual projection — plan
     is opaque to Catalyst past this point, SURVEY §4).
+
+    When ``settings.magnitude_mode`` is V1-V3 and ``raw3d_col`` names the
+    interleaved 3D array, the magnitude is rebuilt Catalyst-side (codegen,
+    before the shuffle) so the Python stage never sees the 3× raw data.
     """
     s = settings or OsdSettings()
+    if s.magnitude_mode != "V0" and raw3d_col is not None:
+        from openseizuredatabase_spark.sources.ingest import accel_magnitude
+
+        events_dp = events_dp.withColumn(
+            signal_col,
+            accel_magnitude(
+                F.col(signal_col),
+                F.col(raw3d_col),
+                s.magnitude_mode,
+                s.axis_offset,
+            ),
+        )
     cols = [event_col, ts_col, signal_col]
     out_schema = (
         f"{event_col} long, {ts_col} timestamp, specPower double, "

@@ -272,6 +272,65 @@ def deinterleave_3d(events_dp: DataFrame) -> DataFrame:
     )
 
 
+def accel_magnitude(
+    raw: Column,
+    raw3d: Column,
+    mode: str = "V0",
+    offset: float = 0.0,
+) -> Column:
+    """OSD algorithm V0-V3 magnitude reconstruction
+    (testRunner/osdAlg.py:68-115 getAccelDataFromJson):
+
+    * V0 — the device-computed magnitude array (``data``) as-is;
+    * V1 — |x|+|y|+|z| per sample from the interleaved 3D array;
+    * V2 — √(x²+y²+z²);
+    * V3 — √((x+o)²+(y+o)²+(z+o)²) with a per-axis milli-g offset.
+
+    V1-V3 fall back to the V0 array when the 3D array is absent/empty or
+    sums to exactly zero (osdAlg.py:104-114) — the reference's guard for
+    devices that upload a zeroed 3D block. Pure Catalyst ``transform``/
+    ``aggregate`` expressions: stays in whole-stage codegen, no UDF.
+    """
+    if mode == "V0":
+        return raw
+    n = (F.size(raw3d) / 3).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def xyz(i):
+        return (
+            F.element_at(raw3d, 3 * i + 1),
+            F.element_at(raw3d, 3 * i + 2),
+            F.element_at(raw3d, 3 * i + 3),
+        )
+
+    if mode == "V1":
+        per = lambda i: (lambda x, y, z: F.abs(x) + F.abs(y) + F.abs(z))(
+            *xyz(i)
+        )
+    elif mode == "V2":
+        per = lambda i: (lambda x, y, z: F.sqrt(x * x + y * y + z * z))(
+            *xyz(i)
+        )
+    elif mode == "V3":
+        o = F.lit(float(offset))
+        per = lambda i: (
+            lambda x, y, z: F.sqrt(
+                (x + o) * (x + o) + (y + o) * (y + o) + (z + o) * (z + o)
+            )
+        )(*xyz(i))
+    else:
+        raise ValueError(f"unknown OSD magnitude mode: {mode}")
+
+    mag = F.transform(idx, per)
+    data_sum = F.aggregate(
+        raw3d, F.lit(0.0), lambda acc, x: acc + F.coalesce(x, F.lit(0.0))
+    )
+    usable = (
+        raw3d.isNotNull() & (F.size(raw3d) >= 3) & (data_sum != 0.0)
+    )
+    return F.when(usable, mag).otherwise(raw)
+
+
 def type_to_label(type_col: Column) -> Column:
     """C4 label encoding (flattenData.py:13-27): seizure→1,
     false-alarm/NDA→0, everything else→2."""

@@ -113,18 +113,24 @@ def exact_dup_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = True
+) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle) rows.
 
-    posexplode over sequence keeps everything JVM-side; distinct collapses
-    repeated shingles before any join fan-out.
+    posexplode over sequence keeps everything JVM-side; with
+    ``distinct=True`` repeated shingles collapse before any join fan-out
+    (one extra exchange). Consumers whose aggregation is already
+    set-semantic (min-hash, collect_set) should pass ``distinct=False``
+    and skip that shuffle entirely.
     """
     toks = tokens(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= k)
     idx = F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("i")
     d = d.select(id_col, "toks", idx)
     sh = F.concat_ws(" ", *[F.element_at(F.col("toks"), F.col("i") + 1 + j) for j in range(k)])
-    return d.select(F.col(id_col), sh.alias("shingle")).distinct()
+    out = d.select(F.col(id_col), sh.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -184,30 +190,57 @@ def lsh_band_pairs(
 
 
 def jaccard_candidate_pairs(
-    sh: DataFrame, id_col: str, max_df: int = 64
+    sh: DataFrame,
+    id_col: str,
+    max_df: int = 64,
+    mega_hot_guard: bool = True,
+    guard_mod: int = 100,
 ) -> DataFrame:
     """Near-dup pairs with Jaccard >= threshold left to the caller: from a
     (id, shingle) table, emit (id_a, id_b, n_common, n_a, n_b).
 
-    Scale shape (the self-join formulation is quadratic on hot shingles):
-    1. shingle doc-frequency (map-side partial count, tiny result);
-       shingles in > max_df docs are non-discriminative stop-shingles —
-       broadcast anti-join drops them without shuffling the shingle table;
-    2. group by shingle, collect_set(id) — bounded to max_df elements by
-       construction, so the worst key holds max_df ids, never the corpus;
+    Semantics: shingles appearing in more than ``max_df`` DISTINCT docs
+    are non-discriminative stop-shingles and are dropped — enforced
+    EXACTLY by the post-aggregation ``size(ids) <= max_df`` filter, so the
+    output never depends on the guard below.
+
+    Scale shape (the naive self-join is quadratic on hot shingles):
+    1. mega-hot guard — memory protection, not semantics: a deterministic
+       ~1/guard_mod id-hash subsample is pre-aggregated (tiny: the sample
+       is taken before the group-by, map-side combined, count buffers are
+       O(1) so a skewed key cannot hurt it) and any shingle with more
+       than max_df distinct sampled ids is culled by broadcast anti-join
+       BEFORE the set aggregation. No false positives are possible — a
+       shingle with true df <= max_df can never show > max_df distinct
+       ids in a subsample — so the exact filter's result is unchanged;
+       a corpus-scale stop-shingle (df >> max_df·guard_mod) is caught
+       w.h.p. and its collect_set buffer never materializes. Uncaught
+       borderline-hot keys (df up to ~max_df·guard_mod) cost a bounded
+       few-MB buffer, then the exact filter discards them.
+    2. group by shingle, collect_set(id) — input may be non-distinct
+       (collect_set dedups), so callers can skip the shingle-distinct
+       shuffle;
     3. pairs exploded JVM-side from each sorted id-set (<= max_df^2/2 per
        shingle), counted per (id_a, id_b);
-    4. per-id shingle counts from the same grouped frame.
+    4. per-id set sizes from the same grouped frame (reused exchange).
     """
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("shingle")
-    )
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    grouped = kept.groupBy("shingle").agg(
-        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
+    if mega_hot_guard:
+        sample = sh.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(guard_mod)) == 0
+        )
+        mega = (
+            sample.groupBy("shingle")
+            .agg(F.countDistinct(F.col(id_col)).alias("sdf"))
+            .filter(F.col("sdf") > max_df)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(mega), "shingle", "left_anti")
+    else:
+        kept = sh
+    grouped = (
+        kept.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") <= max_df)
     )
     pair = F.explode(
         F.flatten(
@@ -230,6 +263,8 @@ def jaccard_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # per-id surviving-set sizes from the grouped frame: set-exact even
+    # for non-distinct input, and its shuffle reuses grouped's exchange
     sizes = (
         grouped.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
@@ -237,9 +272,10 @@ def jaccard_candidate_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
+    # doc-count rows: always broadcastable (one row per surviving doc)
     return (
-        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        common.join(F.broadcast(sa), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",

@@ -1140,7 +1140,9 @@ _SHINGLE_SQL = """
 )
 def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
-    sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
+    # distinct=False: the pair generator's collect_set is already
+    # set-semantic, so the (id, shingle)-distinct shuffle is pure cost
+    sh = dedup_ops.shingles(docs, "text", "doc_id", 5, distinct=False)
     pairs = dedup_ops.jaccard_candidate_pairs(sh, "doc_id", max_df=64)
     jac = F.col("n_common") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")

@@ -1,0 +1,311 @@
+"""Per-datapoint model detectors: svmAlg, amberAlg, jamie1, lstmAlg,
+deviceAlg — the remaining testRunner algorithm family, Spark-first.
+
+Unlike spec/nn (rolling multi-dp buffers, detection/model_algs.py), these
+score each datapoint independently and only the alarm machine is
+order-dependent:
+
+* svmAlg (user_tools/testRunner/svmAlg.py:44-98): raw 125-sample window →
+  keras CNN, pSeizure>0.5 ⇒ in-alarm, OSD accumulate/decay machine,
+  'single' mode forces 2/0 from the current dp.
+* amberAlg (user_tools/testRunner/amberAlg.py:56-155): low-movement
+  rejection (stdev as % of mean < sdThresh ⇒ invalid, machine still
+  advances with in-alarm=False), input = (125,2) of [accel, HR·125],
+  keras AMBER model, same machine + 'single' override.
+* jamie1 (user_tools/testRunner/jamie1.py:74-186): per-dp FFT features
+  (its OWN copies of specPower/roiPower — no ACCEL_SCALE_FACTOR
+  division, and the ratio gates on specPower > alarmThresh where
+  osdAlg.py:213 gates on roiPower), input = (125,5) rows of
+  [specPower, roiPower, ratio, HR, accel[n]], joblib model, same
+  machine; 'single' sets alarmState to the raw 2/0 verdict.
+* lstmAlg (user_tools/testRunner/lstmAlg.py:60-80): parses data3D as
+  |x|+|y|+|z| per triplet (falling back to the magnitude array), but its
+  getAlarmState is an acknowledged stub ("FIXME - implement") that
+  always returns 0 and no machine runs — reproduced here as the same
+  scaffold with a pluggable scorer defaulting to the reference's
+  constant-0 verdict, stateless output (alarmCount always 0).
+* deviceAlg (user_tools/testRunner/deviceAlg.py:58-91): drives a
+  physical watch over TCP. The protocol logic (sendSettings handshake,
+  bounded result retries, non-JSON fallback) is implemented and testable
+  against an injected transport; only the socket itself is environment-
+  blocked (same policy as the S7/S8 connectors).
+
+Spark mapping: scoring is stateless per row, so each algorithm is ONE
+``applyInPandas`` grouped transform in which the whole event's windows
+are stacked into a single (N, D) matrix and scored with ONE model call —
+the Arrow batch is the inference batch (predict_on_batch done properly),
+then the shared recurrence walks the in-alarm booleans. One shuffle on
+the event key; events parallel across executors (the reference replays
+serially, alg_runner.py:189-374).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.detection.osd_alg import (
+    OsdSettings,
+    alarm_recurrence,
+)
+
+# (N, D) window matrix -> (N,) P(seizure); LinearModel.predict satisfies it
+BatchScoreFn = Callable[[np.ndarray], np.ndarray]
+
+
+@dataclass(frozen=True)
+class DpModelSettings:
+    """Shared knobs of the per-dp model family (svmAlg.py:22-31,
+    amberAlg.py:33-46, jamie1.py:20-36)."""
+
+    n_samp: int = 125
+    sample_freq: float = 25.0
+    mode: str = "multi"  # 'single' reports the raw per-dp verdict
+    sample_period: float = 5.0
+    warn_time: float = 5.0
+    alarm_time: float = 10.0
+    prob_thresh: float = 0.5
+    sd_thresh: float = 0.0  # amber: % stdev low-movement gate; 0 disables
+    # jamie1 spectral-feature knobs (jamie1.py:26-31)
+    alarm_freq_min: float = 3.0
+    alarm_freq_max: float = 8.0
+    alarm_thresh: float = 100.0
+    stateless: bool = False  # lstm: no alarm machine, count pinned to 0
+
+    @property
+    def osd(self) -> OsdSettings:
+        return OsdSettings(
+            sample_period=self.sample_period,
+            warn_time=self.warn_time,
+            alarm_time=self.alarm_time,
+        )
+
+
+# --- per-algorithm window builders ----------------------------------------
+# Each maps the event's raw windows to a stacked (N, D) float matrix plus a
+# validity mask; invalid rows score 0 and count as in-alarm=False.
+
+VectorizeFn = Callable[[pd.Series, pd.Series], tuple[np.ndarray, np.ndarray]]
+
+
+def _clean(sig, n_samp: int) -> np.ndarray | None:
+    if sig is None or len(sig) != n_samp or any(x is None for x in sig):
+        return None
+    return np.asarray(sig, dtype=np.float64)
+
+
+def svm_vectorize(s: DpModelSettings) -> VectorizeFn:
+    """svmAlg.py:46-48: the raw window, unnormalised, reshaped (1,125,1).
+    (Reference hard-exits on a short window, amberAlg.py:88-90 pattern —
+    here it is an invalid row instead so one bad dp can't kill the job.)"""
+
+    def build(sigs: pd.Series, _hr: pd.Series):
+        mat = np.zeros((len(sigs), s.n_samp))
+        valid = np.zeros(len(sigs), dtype=bool)
+        for i, sig in enumerate(sigs):
+            a = _clean(sig, s.n_samp)
+            if a is not None:
+                mat[i] = a
+                valid[i] = True
+        return mat, valid
+
+    return build
+
+
+def amber_vectorize(s: DpModelSettings) -> VectorizeFn:
+    """amberAlg.py:56-99 dp2vector: reject low-movement windows
+    (100·std/mean < sdThresh; zero mean ⇒ accStd 0 ⇒ rejected when the
+    gate is on), then two stacked channels [accel·125, HR·125]."""
+
+    def build(sigs: pd.Series, hrs: pd.Series):
+        mat = np.zeros((len(sigs), 2 * s.n_samp))
+        valid = np.zeros(len(sigs), dtype=bool)
+        for i, (sig, hr) in enumerate(zip(sigs, hrs)):
+            a = _clean(sig, s.n_samp)
+            if a is None:
+                continue
+            if s.sd_thresh > 0.0:
+                avg = float(a.mean())
+                acc_std = 100.0 * float(a.std()) / avg if avg != 0 else 0.0
+                if acc_std < s.sd_thresh:
+                    continue  # machine still advances, in-alarm=False
+            hr_val = 0.0 if hr is None or pd.isna(hr) else float(hr)
+            mat[i, : s.n_samp] = a
+            mat[i, s.n_samp :] = hr_val
+            valid[i] = True
+        return mat, valid
+
+    return build
+
+
+def jamie1_vectorize(s: DpModelSettings) -> VectorizeFn:
+    """jamie1.py:74-135: per-window FFT features by jamie1's own
+    formulas — specPower = Σ|fft[1..n/2]|² / n / 2 (no scale division,
+    jamie1.py:77-90), roiPower = Σ|fft[nMin..nMax)|² / (nMax-nMin), ratio
+    = 10·roi/spec gated on specPower > alarmThresh (jamie1.py:105-112) —
+    then 125 rows of [spec, roi, ratio, HR, accel[n]] flattened."""
+    freq_res = 1.0 / s.sample_period
+    n_cut = int((s.sample_freq / 2.0) / freq_res)
+    n_min = int(s.alarm_freq_min / freq_res)
+    n_max = int(s.alarm_freq_max / freq_res)
+
+    def build(sigs: pd.Series, hrs: pd.Series):
+        mat = np.zeros((len(sigs), 5 * s.n_samp))
+        valid = np.zeros(len(sigs), dtype=bool)
+        for i, (sig, hr) in enumerate(zip(sigs, hrs)):
+            a = _clean(sig, s.n_samp)
+            if a is None:
+                continue
+            mags = np.abs(np.fft.fft(a)) ** 2
+            hi = min(n_cut, s.n_samp - 1)
+            spec = float(mags[1 : hi + 1].sum()) / s.n_samp / 2.0
+            roi = float(mags[n_min:n_max].sum()) / (n_max - n_min)
+            ratio = 10.0 * roi / spec if spec > s.alarm_thresh else 0.0
+            rows = np.empty((s.n_samp, 5))
+            rows[:, 0] = spec
+            rows[:, 1] = roi
+            rows[:, 2] = ratio
+            rows[:, 3] = 0.0 if hr is None or pd.isna(hr) else float(hr)
+            rows[:, 4] = a
+            mat[i] = rows.reshape(-1)
+            valid[i] = True
+        return mat, valid
+
+    return build
+
+
+def run_dp_model_alg(
+    events_dp: DataFrame,
+    vectorize: VectorizeFn,
+    score: BatchScoreFn,
+    settings: DpModelSettings | None = None,
+    event_col: str = "eventId",
+    ts_col: str = "dpTimestamp",
+    signal_col: str = "rawData",
+    hr_col: str | None = None,
+) -> DataFrame:
+    """Replay exploded datapoints through a per-dp model algorithm.
+
+    Shared scaffold of svmAlg/amberAlg/jamie1 (their processDp bodies are
+    line-identical outside the input build, svmAlg.py:59-98): score the
+    stacked windows with ONE batch model call, walk the alarm machine,
+    apply the 'single'-mode override. ``settings.stateless`` switches to
+    the lstmAlg contract (raw verdict, no machine, count 0)."""
+    s = settings or DpModelSettings()
+    out_schema = (
+        f"{event_col} long, {ts_col} timestamp, pSeizure double, "
+        "valid boolean, alarmState int, alarmCount double"
+    )
+    cols = [event_col, ts_col, signal_col] + ([hr_col] if hr_col else [])
+
+    def per_event(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        hrs = (
+            pdf[hr_col]
+            if hr_col
+            else pd.Series([None] * len(pdf), index=pdf.index)
+        )
+        mat, valid = vectorize(pdf[signal_col], hrs)
+        probs = np.zeros(len(pdf))
+        if valid.any():
+            probs[valid] = np.asarray(score(mat[valid]), dtype=float)
+        in_alarm = valid & (probs > s.prob_thresh)
+        if s.stateless:
+            states = [2 if f else 0 for f in in_alarm]
+            counts = [0.0] * len(pdf)
+        else:
+            states, counts = alarm_recurrence(in_alarm.tolist(), s.osd)
+            if s.mode == "single":  # svmAlg.py:83-87
+                states = [2 if f else 0 for f in in_alarm]
+        return pd.DataFrame(
+            {
+                event_col: pdf[event_col].values,
+                ts_col: pdf[ts_col].values,
+                "pSeizure": np.where(valid, probs, np.nan),
+                "valid": valid,
+                "alarmState": states,
+                "alarmCount": counts,
+            }
+        )
+
+    return (
+        events_dp.select(*cols).groupBy(event_col).applyInPandas(
+            per_event, out_schema
+        )
+    )
+
+
+def default_dp_score(dim: int, bias: float = -0.5) -> BatchScoreFn:
+    """Deterministic stand-in for the keras/joblib artifacts (absent in
+    this environment): mean-activity linear scorer via the ml.inference
+    contract — swap in any (N,D)->(N,) callable for a real backend."""
+    from openseizuredatabase_spark.ml.inference import LinearModel
+
+    model = LinearModel(weights=tuple([1.0 / dim] * dim), bias=bias)
+    return model.predict
+
+
+# --- deviceAlg protocol ----------------------------------------------------
+
+
+class DeviceAlgProtocol:
+    """deviceAlg.py:58-91 request/response logic with the transport
+    injected: POST the datapoint; on a 'sendSettings'/'settings' reply,
+    send the GarminSD-style settings block and re-send the dp so no
+    sample is dropped; poll the result up to 3 times, answering settings
+    requests; fall back to {"valid": false, "alarmState": 0} rather than
+    ever returning a non-JSON string."""
+
+    SETTINGS = {
+        "dataType": "settings",
+        "analysisPeriod": 5,
+        "sampleFreq": 25,
+        "battery": 0,
+        "watchPartNo": "n/a",
+        "watchFwVersion": "n/a",
+        "sdVersion": "n/a",
+        "sdName": "deviceAlg",
+    }
+
+    def __init__(self, transport):
+        # transport: send_data(json_str) -> reply str; get_result() -> str
+        self.transport = transport
+
+    @staticmethod
+    def _is_settings_request(resp) -> bool:
+        if not isinstance(resp, str):
+            return False
+        return resp.strip().lower() in {"sendsettings", "settings"}
+
+    def process_dp(self, data_json: str) -> str:
+        post_resp = self.transport.send_data(data_json)
+        if self._is_settings_request(post_resp):
+            self.transport.send_data(json.dumps(self.SETTINGS))
+            self.transport.send_data(data_json)
+        ret = None
+        for _ in range(3):
+            ret = self.transport.get_result()
+            if self._is_settings_request(ret):
+                self.transport.send_data(json.dumps(self.SETTINGS))
+                continue
+            break
+        if self._is_settings_request(ret) or ret is None:
+            ret = json.dumps({"valid": False, "alarmState": 0})
+        return ret
+
+
+def device_alg_transport(ip_addr: str):
+    """The live TCP transport requires a physical watch on the network —
+    unavailable here; fail fast with the reason (S7/S8 connector policy,
+    sources/connectors.py)."""
+    raise NotImplementedError(
+        f"deviceAlg needs a reachable OSD device at {ip_addr}; no network "
+        "hardware in this environment — inject a transport with "
+        "send_data/get_result to use DeviceAlgProtocol"
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +28,14 @@ from openseizuredatabase_spark.detection.hr_alg import (
     MODE_SIMPLE,
     HrSettings,
     run_hr_alg,
+)
+from openseizuredatabase_spark.detection.dp_model_algs import (
+    DpModelSettings,
+    amber_vectorize,
+    default_dp_score,
+    jamie1_vectorize,
+    run_dp_model_alg,
+    svm_vectorize,
 )
 from openseizuredatabase_spark.detection.model_algs import (
     NnSettings,
@@ -63,6 +72,37 @@ def _nn(settings: NnSettings | None = None) -> AlgFactory:
     return lambda dps: run_nn_alg(dps, default_nn_score(s), s)
 
 
+def _svm(settings: DpModelSettings | None = None) -> AlgFactory:
+    s = settings or DpModelSettings()
+    return lambda dps: run_dp_model_alg(
+        dps, svm_vectorize(s), default_dp_score(s.n_samp), s
+    )
+
+
+def _amber(settings: DpModelSettings | None = None) -> AlgFactory:
+    s = settings or DpModelSettings(sd_thresh=5.0)  # amberAlg.py:43 default
+    return lambda dps: run_dp_model_alg(
+        dps, amber_vectorize(s), default_dp_score(2 * s.n_samp), s,
+        hr_col="hr",
+    )
+
+
+def _jamie1(settings: DpModelSettings | None = None) -> AlgFactory:
+    s = settings or DpModelSettings()
+    return lambda dps: run_dp_model_alg(
+        dps, jamie1_vectorize(s), default_dp_score(5 * s.n_samp), s,
+        hr_col="hr",
+    )
+
+
+def _lstm(settings: DpModelSettings | None = None) -> AlgFactory:
+    # lstmAlg.py:66-70 — getAlarmState is the reference's own stub
+    # (constant 0); keep its contract: stateless, score pluggable
+    s = settings or DpModelSettings(stateless=True)
+    zero = lambda mat: np.zeros(len(mat))
+    return lambda dps: run_dp_model_alg(dps, svm_vectorize(s), zero, s)
+
+
 ALGORITHMS: dict[str, AlgFactory] = {
     "osd": _osd(),
     "hr_simple": _hr(HrSettings(mode=MODE_SIMPLE)),
@@ -70,6 +110,10 @@ ALGORITHMS: dict[str, AlgFactory] = {
     "spec": _spec(),
     "spec_single": _spec(SpecSettings(mode="single")),
     "nn": _nn(),
+    "svm": _svm(),
+    "amber": _amber(),
+    "jamie1": _jamie1(),
+    "lstm": _lstm(),
 }
 
 

@@ -3368,6 +3368,83 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n1_dp_detector",
+    """
+    WITH RECURSIVE scored AS (
+        SELECT user_id, value, (value > 150.5) AS flag,
+               1.0 / (1.0 + exp(-(value - 150.5))) AS p,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ) AS rn
+        FROM events
+    ), steps AS (
+        SELECT user_id, rn, 0 AS state,
+               CASE WHEN flag THEN 5.0 ELSE 0.0 END::DOUBLE AS cnt
+        FROM scored WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               CASE WHEN o.flag THEN
+                        CASE WHEN s.cnt + 5.0 > 10.0 THEN 2
+                             WHEN s.cnt + 5.0 > 5.0 THEN 1
+                             ELSE s.state END
+                    ELSE CASE WHEN s.state = 2 THEN 1 ELSE 0 END
+               END AS state,
+               CASE WHEN o.flag THEN s.cnt + 5.0
+                    ELSE CASE WHEN s.state = 2 THEN 5.0 ELSE 0.0 END
+               END AS cnt
+        FROM steps s
+        JOIN scored o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    ), machine AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE state = 2) AS n_alarm_dps,
+               count(*) FILTER (WHERE state = 1) AS n_warn_dps
+        FROM steps GROUP BY user_id
+    ), probs AS (
+        SELECT user_id, count(*) AS n_dps, round(sum(p), 2) AS p_sum
+        FROM scored GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_dps, m.n_alarm_dps, m.n_warn_dps, p.p_sum
+    FROM probs p JOIN machine m USING (user_id)
+    """,
+    "Per-dp model detector family (svmAlg.py:44-98 scaffold, shared by "
+    "amber/jamie1): windows synthesized per event row, stacked and scored "
+    "with ONE LinearModel batch call inside the per-key Arrow batch, "
+    "then the accumulate/decay machine. Model chosen for cross-engine "
+    "exactness: weight 1.0 on x[0] (= value) and 0 elsewhere, bias "
+    "-150.5, so z = value - 150.5 is fp-exact in both engines, the "
+    "in-alarm flag reduces to value > 150.5 by sigmoid monotonicity "
+    "(exact: |z| >= ulp(150.5) >> 1e-16 whenever value != 150.5), and "
+    "libm sigmoid ulp is absorbed by the 2-dp-rounded per-user p_sum "
+    "(m5's grand-sum pattern). Oracle: recursive CTE walks the same "
+    "recurrence (w10 pattern) + sigmoid sum per user.",
+)
+def n1_dp_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.detection.dp_model_algs import (
+        DpModelSettings,
+        run_dp_model_alg,
+        svm_vectorize,
+    )
+    from openseizuredatabase_spark.ml.inference import LinearModel
+
+    s = DpModelSettings(n_samp=25)
+    model = LinearModel(weights=(1.0,) + (0.0,) * 24, bias=-150.5)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("eventId"),
+        F.col("ts").alias("dpTimestamp"),
+        F.expr(
+            "transform(sequence(0, 24), i -> value + CAST(i AS DOUBLE))"
+        ).alias("rawData"),
+    )
+    out = run_dp_model_alg(ev, svm_vectorize(s), model.predict, s)
+    return out.groupBy(F.col("eventId").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_dps"),
+        F.count(F.when(F.col("alarmState") == 2, 1)).alias("n_alarm_dps"),
+        F.count(F.when(F.col("alarmState") == 1, 1)).alias("n_warn_dps"),
+        F.round(F.sum("pSeizure"), 2).alias("p_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window signature bundle + explicit registry ordering
 # ---------------------------------------------------------------------------
@@ -3453,6 +3530,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("e1_curator_edits", sc("grp"), f"n + 31*{t('id_sum')}"),
         ("w5_epoch_rms", "eventId * 100000 + startSample",
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
+        ("n1_dp_detector", "user_id",
+         f"n_dps + 31*n_alarm_dps + 1009*n_warn_dps + 31063*{t(q6('p_sum'))}"),
     ]
 
 

@@ -3369,6 +3369,64 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r1_results_report",
+    """
+    WITH verdicts AS (
+        SELECT event_id, event_type, user_id,
+               (value > 150) AS alarmed,
+               (lower(event_type) = 'error') AS expect_alarm,
+               CASE lower(event_type)
+                    WHEN 'error' THEN 'allSeizures'
+                    WHEN 'click' THEN 'falseAlarms'
+                    WHEN 'signup' THEN 'nda'
+                    ELSE 'otherEvents' END AS bucket
+        FROM events
+    )
+    SELECT bucket, count(*) AS total,
+           sum(CASE WHEN alarmed = expect_alarm THEN 1 ELSE 0 END)::BIGINT
+               AS osd_correct,
+           round(avg(CASE WHEN alarmed = expect_alarm THEN 1.0 ELSE 0.0 END),
+                 2) AS osd_prop,
+           sum(CASE WHEN alarmed THEN 1 ELSE 0 END)::BIGINT AS n_alarmed
+    FROM verdicts GROUP BY bucket
+    """,
+    "Report layer (results.py:44-263 saveResults2): the per-event verdict "
+    "table — bucket by type2index (results.py:28-37), event alarmed ⇔ any "
+    "dp at ALARM, correct ⇔ alarmed == expected — rolled to the #Total / "
+    "#Correct Count / #Correct Prop footer rows each output_<bucket>.csv "
+    "carries. Spark side runs the real reports.results pipeline "
+    "(event_results_table → bucket_footers) over a value>150 per-dp "
+    "analog; only CSV/HTML rendering stays driver-side (bounded).",
+)
+def r1_results_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.reports.results import (
+        bucket_footers,
+        event_results_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per_dp = ev.select(
+        F.lit("osd").alias("algorithm"),
+        F.col("event_id").alias("eventId"),
+        F.when(F.col("value") > 150, 2).otherwise(0).alias("alarmState"),
+    )
+    meta = ev.select(
+        F.col("event_id").alias("eventId"), "event_type", "user_id"
+    )
+    table = event_results_table(per_dp, meta, ["osd"])
+    footers = bucket_footers(table, ["osd"])
+    n_alarmed = table.groupBy("bucket").agg(
+        F.sum(F.col("osd_alarmed").cast("int")).alias("n_alarmed")
+    )
+    return (
+        footers.join(n_alarmed, "bucket")
+        .select(
+            "bucket", "total", "osd_correct", "osd_prop", "n_alarmed"
+        )
+    )
+
+
+@query(
     "n1_dp_detector",
     """
     WITH RECURSIVE scored AS (
@@ -3532,6 +3590,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
         ("n1_dp_detector", "user_id",
          f"n_dps + 31*n_alarm_dps + 1009*n_warn_dps + 31063*{t(q6('p_sum'))}"),
+        ("r1_results_report", sc("bucket"),
+         f"total + 31*osd_correct + 1009*{q6('osd_prop')} + 31063*n_alarmed"),
     ]
 
 

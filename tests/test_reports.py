@@ -1,0 +1,173 @@
+"""Report-layer parity: saveResults2 tables/footers/summary
+(results.py:44-263) and the dataSummariser index
+(summariseData.py:105-205) against hand-computed expectations."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.reports.results import (
+    ALARM_PHRASES,
+    alarm_phrase,
+    bucket_footers,
+    event_graph_frame,
+    event_results_table,
+    event_summaries,
+    summary_index_html,
+    summary_stats,
+    type_bucket,
+    write_results_csv,
+)
+
+
+@pytest.fixture()
+def fixtures(spark):
+    # per-dp detector output for two algorithms over four events
+    per_dp = spark.createDataFrame(
+        [
+            # event 1 (seizure): osd alarms, hr warns only
+            ("osd", 1, 0), ("osd", 1, 2), ("hr", 1, 1),
+            # event 2 (seizure): neither fires -> FN for both
+            ("osd", 2, 0), ("hr", 2, 0),
+            # event 3 (false alarm): osd fires -> FP
+            ("osd", 3, 2), ("hr", 3, 0),
+            # event 4 (other): quiet
+            ("osd", 4, 0), ("hr", 4, 1),
+        ],
+        "algorithm string, eventId long, alarmState int",
+    )
+    meta = spark.createDataFrame(
+        [
+            (1, "error", 10, "tc"),
+            (2, "error", 11, "plain"),
+            (3, "click", 10, ""),
+            (4, "view", 12, ""),
+        ],
+        "eventId long, event_type string, user_id long, sub string",
+    )
+    return per_dp, meta
+
+
+def test_event_results_table(spark, fixtures):
+    per_dp, meta = fixtures
+    t = event_results_table(per_dp, meta, ["osd", "hr"])
+    rows = {r["eventId"]: r for r in t.collect()}
+    assert rows[1]["osd_verdict"] == "ALARM"
+    assert rows[1]["hr_verdict"] == "WARN"
+    assert rows[1]["bucket"] == "allSeizures" and rows[1]["expect_alarm"]
+    assert rows[1]["osd_correct"] == 1 and rows[1]["hr_correct"] == 0
+    assert rows[2]["osd_correct"] == 0  # FN
+    assert rows[3]["bucket"] == "falseAlarms" and rows[3]["osd_correct"] == 0
+    assert rows[4]["bucket"] == "otherEvents" and rows[4]["osd_correct"] == 1
+
+
+def test_bucket_footers_and_tc(spark, fixtures):
+    per_dp, meta = fixtures
+    t = event_results_table(per_dp, meta, ["osd", "hr"])
+    f = {
+        r["bucket"]: r
+        for r in bucket_footers(t, ["osd", "hr"], tc_col=F.col("sub") == "tc")
+        .collect()
+    }
+    assert f["allSeizures"]["total"] == 2
+    assert f["allSeizures"]["osd_correct"] == 1
+    assert f["allSeizures"]["osd_prop"] == 0.5
+    # TC footer: event 1 only, osd caught it
+    assert f["tonicClonic"]["total"] == 1
+    assert f["tonicClonic"]["osd_correct"] == 1
+    assert f["falseAlarms"]["hr_prop"] == 1.0
+
+
+def test_summary_stats_matches_reference_counting(spark, fixtures):
+    per_dp, meta = fixtures
+    t = event_results_table(per_dp, meta, ["osd", "hr"])
+    s = {r["algorithm"]: r for r in summary_stats(t, ["osd", "hr"]).collect()}
+    # results.py:122-136: osd -> TP=1 (e1), FN=1 (e2), FP=1 (e3), TN=1 (e4)
+    assert (s["osd"]["ntp"], s["osd"]["nfn"], s["osd"]["nfp"], s["osd"]["ntn"]) == (1, 1, 1, 1)
+    assert s["osd"]["tpr"] == 0.5 and s["osd"]["tnr"] == 0.5
+    # hr never alarms: TPR 0, TNR 1
+    assert (s["hr"]["ntp"], s["hr"]["nfn"]) == (0, 2)
+    assert s["hr"]["tnr"] == 1.0
+
+
+def test_alarm_phrases_cover_reference_indices(spark):
+    df = spark.range(7).select(
+        F.col("id").cast("int").alias("s")
+    ).withColumn("p", alarm_phrase(F.col("s")))
+    got = [r["p"] for r in df.orderBy("s").collect()]
+    assert got == list(ALARM_PHRASES)
+
+
+def test_write_results_csv(tmp_path, spark, fixtures):
+    per_dp, meta = fixtures
+    t = event_results_table(per_dp, meta, ["osd", "hr"])
+    paths = write_results_csv(
+        str(tmp_path), t, ["osd", "hr"], tc_col=F.col("sub") == "tc"
+    )
+    seiz = (tmp_path / "output_allSeizures.csv").read_text()
+    assert "1, error, 10, ALARM, WARN, ALARM" in seiz
+    assert "#Total, , 2" in seiz
+    assert "#TonicClonic Total, , 1" in seiz
+    summary = (tmp_path / "testRunner_Summary.txt").read_text()
+    assert "Algorithm: osd" in summary and "TPR = 50.0%" in summary
+    assert set(paths) == {
+        "otherEvents", "allSeizures", "falseAlarms", "nda", "summary",
+    }
+
+
+def test_write_results_csv_cap(tmp_path, spark, fixtures):
+    per_dp, meta = fixtures
+    t = event_results_table(per_dp, meta, ["osd"])
+    with pytest.raises(ValueError, match="cap"):
+        write_results_csv(str(tmp_path), t, ["osd"], max_rows=2)
+
+
+def test_event_summaries_and_index_html(spark):
+    base = datetime.datetime(2024, 1, 1)
+    dps = spark.createDataFrame(
+        [
+            # event 1: 5s grid with one 15s gap -> 1 gap
+            (1, base), (1, base + datetime.timedelta(seconds=5)),
+            (1, base + datetime.timedelta(seconds=20)),
+            # event 2: clean pair
+            (2, base), (2, base + datetime.timedelta(seconds=5)),
+        ],
+        "eventId long, dpTimestamp timestamp",
+    )
+    meta = spark.createDataFrame(
+        [(1, "error", 10, "tc"), (2, "click", 11, "")],
+        "eventId long, event_type string, user_id long, sub string",
+    )
+    s = event_summaries(dps, meta)
+    rows = {r["eventId"]: r for r in s.collect()}
+    assert rows[1]["nDataPoints"] == 3 and rows[1]["n_gaps"] == 1
+    assert rows[2]["n_gaps"] == 0
+    assert rows[1]["url"] == "Event_1_summary/index.html"
+
+    page = summary_index_html(s, tc_filter=F.col("sub") == "tc")
+    assert "Tonic-Clonic Seizures (1)" in page
+    assert "All Seizures (1)" in page
+    assert "False Alarms (1)" in page
+    assert "Event_1_summary/index.html" in page
+
+
+def test_event_graph_frame(spark, fixtures):
+    per_dp, _ = fixtures
+    per_dp = per_dp.withColumn(
+        "dpTimestamp", F.timestamp_micros(F.monotonically_increasing_id())
+    )
+    g = event_graph_frame(per_dp, 1)
+    assert g.count() == 3
+    assert set(r["eventId"] for r in g.collect()) == {1}
+
+
+def test_type_bucket_custom_map(spark):
+    df = spark.createDataFrame([("Seizure",), ("NDA",), ("x",)], "t string")
+    out = df.select(
+        type_bucket(
+            F.col("t"),
+            {"seizure": "allSeizures", "nda": "nda"},
+        ).alias("b")
+    ).collect()
+    assert [r["b"] for r in out] == ["allSeizures", "nda", "otherEvents"]

@@ -3414,15 +3414,15 @@ def r1_results_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("eventId"), "event_type", "user_id"
     )
     table = event_results_table(per_dp, meta, ["osd"])
-    footers = bucket_footers(table, ["osd"])
-    n_alarmed = table.groupBy("bucket").agg(
-        F.sum(F.col("osd_alarmed").cast("int")).alias("n_alarmed")
+    footers = bucket_footers(
+        table,
+        ["osd"],
+        extra_aggs=[
+            F.sum(F.col("osd_alarmed").cast("int")).alias("n_alarmed")
+        ],
     )
-    return (
-        footers.join(n_alarmed, "bucket")
-        .select(
-            "bucket", "total", "osd_correct", "osd_prop", "n_alarmed"
-        )
+    return footers.select(
+        "bucket", "total", "osd_correct", "osd_prop", "n_alarmed"
     )
 
 

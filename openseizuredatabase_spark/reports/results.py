@@ -103,16 +103,20 @@ def bucket_footers(
     table: DataFrame,
     alg_names: Sequence[str],
     tc_col: Column | None = None,
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """The #Total / #Correct Count / #Correct Prop footer rows per output
     bucket (results.py:178-219), plus the Tonic-Clonic triple for the
-    allSeizures bucket when ``tc_col`` marks TC events."""
+    allSeizures bucket when ``tc_col`` marks TC events. ``extra_aggs``
+    ride the same single aggregation (one shuffle) rather than forcing
+    callers into a second pass + join."""
     aggs = [F.count(F.lit(1)).alias("total")]
     for name in alg_names:
         aggs.append(F.sum(f"{name}_correct").alias(f"{name}_correct"))
         aggs.append(
             F.round(F.avg(f"{name}_correct"), 2).alias(f"{name}_prop")
         )
+    aggs.extend(extra_aggs)
     out = table.groupBy("bucket").agg(*aggs)
     if tc_col is not None:
         tc = table.filter((F.col("bucket") == "allSeizures") & tc_col)
@@ -122,6 +126,7 @@ def bucket_footers(
             tc_aggs.append(
                 F.round(F.avg(f"{name}_correct"), 2).alias(f"{name}_prop")
             )
+        tc_aggs.extend(extra_aggs)
         out = out.unionByName(
             tc.groupBy(F.lit("tonicClonic").alias("bucket")).agg(*tc_aggs)
         )

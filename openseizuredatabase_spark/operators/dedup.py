@@ -284,3 +284,52 @@ def jaccard_candidate_pairs(
             F.col("sb.n_sh").alias("n_b"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Winnowing local document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-character gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum; the distinct kept hashes are the document's
+    fingerprint set. Guarantee: any shared substring of length
+    >= w + k - 1 contributes at least one common fingerprint, so
+    near-dup detection joins on fingerprints instead of full text.
+
+    Plan shape: k-gram fan-out stays JVM-side (transform(sequence) +
+    posexplode), ONE shuffle on the doc key serves both the sliding
+    window and the final per-doc set aggregation (the groupBy reuses
+    the window's hash partitioning), and the distinct-set reduction is
+    an array_distinct over a collect_list — no second distinct shuffle.
+    Fingerprint = portable 60-bit md5 integer (functions/hashing.py),
+    oracle-checkable cross-engine.
+    """
+    txt = F.lower(F.trim(F.col(text_col)))
+    d = df.select(F.col(id_col), txt.alias("__txt")).filter(
+        F.length("__txt") >= k + w - 1
+    )
+    grams = F.expr(
+        f"transform(sequence(0, char_length(__txt) - {k}),"
+        f" i -> substring(__txt, i + 1, {k}))"
+    )
+    g = d.select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    g = g.select(id_col, "pos", seeded_md5_long(F.col("gram"), seed).alias("h"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(-(w - 1), 0)
+    )
+    mins = g.select(
+        id_col, "pos", F.min("h").over(win).alias("fp")
+    ).filter(F.col("pos") >= w - 1)
+    return (
+        mins.groupBy(id_col)
+        .agg(F.array_distinct(F.collect_list("fp")).alias("fps"))
+        .select(id_col, "fps")
+    )

@@ -3369,6 +3369,51 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t9_winnow_fingerprint",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS txt FROM documents
+        WHERE length(lower(trim(text))) >= 8
+    ), g AS (
+        SELECT doc_id, gs.i AS pos,
+               {seeded_md5_long_sql("substr(txt, gs.i + 1, 5)", 11)} AS h
+        FROM d, unnest(generate_series(0, length(txt) - 5)) AS gs(i)
+    ), wm AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM g
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3
+    )
+    SELECT doc_id, count(*) AS n_fps, min(fp) AS fp_min,
+           sum(fp % 1000000007)::BIGINT AS fp_sum_b
+    FROM fps GROUP BY doc_id
+    """,
+    "Rolling-hash document fingerprinting via winnowing (Schleimer et "
+    "al., SIGMOD'03; the MOSS scheme) — k=5 char grams, w=4 hash "
+    "window, keep each window's min, distinct per doc: any shared "
+    "substring >= w+k-1 chars shares a fingerprint. One shuffle serves "
+    "window + set aggregation; fan-out is JVM-side posexplode. Oracle: "
+    "identical gram/hash/window-min/distinct pipeline in DuckDB over "
+    "the portable 60-bit md5 hash.",
+)
+def t9_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    fps = dedup_ops.winnow_fingerprints(docs, "text", "doc_id", k=5, w=4, seed=11)
+    bounded = F.expr(
+        "aggregate(transform(fps, x -> x % 1000000007),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        bounded.alias("fp_sum_b"),
+    )
+
+
+@query(
     "r1_results_report",
     """
     WITH verdicts AS (
@@ -3592,6 +3637,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_dps + 31*n_alarm_dps + 1009*n_warn_dps + 31063*{t(q6('p_sum'))}"),
         ("r1_results_report", sc("bucket"),
          f"total + 31*osd_correct + 1009*{q6('osd_prop')} + 31063*n_alarmed"),
+        ("t9_winnow_fingerprint", "doc_id",
+         f"n_fps + 31*{t('fp_min')} + 1009*{t('fp_sum_b')}"),
     ]
 
 

@@ -243,3 +243,47 @@ def test_salted_aggregate_matches_plain(spark, events):
     got = {r.user: (r.total, r.n, r.vmax) for r in salted.collect()}
     expect = {r.user: (r.total, r.n, r.vmax) for r in plain.collect()}
     assert got == expect
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    # Schleimer et al. guarantee: a shared substring of length >= w+k-1
+    # (= 8 for k=5, w=4) must contribute at least one common fingerprint
+    from openseizuredatabase_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXXXX {shared} YYY"),
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_fingerprints(df).collect()}
+    assert fps[1] & fps[2], "docs sharing a long substring share a fingerprint"
+    # per-window minima are a subset of all gram hashes, deduped
+    assert len(fps[1]) <= len(f"aaaa {shared} bbbb") - 5 + 1
+    # short docs (< k+w-1 chars) are dropped entirely
+    short = spark.createDataFrame([(9, "abcdefg")], "doc_id long, text string")
+    assert winnow_fingerprints(short).count() == 0
+
+
+def test_winnow_fingerprints_window_min_semantics(spark):
+    # fingerprints == distinct sliding-window minima computed by hand
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+    from openseizuredatabase_spark.operators.dedup import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    text = "abcdefghij"
+    k, w = 5, 4
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    hs = [
+        r["h"]
+        for r in spark.createDataFrame([(g,) for g in grams], "g string")
+        .select(seeded_md5_long(F.col("g"), 11).alias("h"))
+        .collect()
+    ]
+    expected = {min(hs[i - w + 1 : i + 1]) for i in range(w - 1, len(hs))}
+    got = set(winnow_fingerprints(df, k=k, w=w).collect()[0]["fps"])
+    assert got == expected

@@ -47,6 +47,26 @@ def token_count_sql(expr: str) -> str:
     return f"len({tokens_sql(expr)})"
 
 
+# GPT-2-style pretokenizer approximation: contraction suffixes, letter
+# runs, digit runs, symbol runs (each with optional leading space). No
+# lookarounds, so Java (Spark) and RE2 (DuckDB) regex engines agree;
+# alternation is leftmost-first in both.
+BPE_TOKEN_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of pretokenizer matches — the cheap
+    JVM-side proxy for LLM token budgeting (a real BPE merge table is a
+    tokenizer-library concern; the corpus statistics need only the
+    match count)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")  # SQL-literal quote escape
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
 def punct_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(PUNCT_CLASS), 0))
 

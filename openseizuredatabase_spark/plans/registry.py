@@ -943,34 +943,47 @@ _TOKS_SQL = (
     "ELSE regexp_split_to_array(trim(text), '\\s+') END"
 )
 
+from openseizuredatabase_spark.functions.text import bpe_token_count_sql
+
+_BPE_SQL = bpe_token_count_sql("text")
+
 
 @query(
     "t1_token_stats",
     f"""
     WITH toks AS (
-        SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens, n_chars
+        SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens,
+               {_BPE_SQL} AS n_bpe, n_chars
         FROM documents
     )
     SELECT lang, count(*) AS n_docs,
            sum(n_tokens)::BIGINT AS total_tokens,
            max(n_tokens) AS max_tokens,
+           sum(n_bpe)::BIGINT AS total_bpe_tokens,
            round(sum(n_tokens) / count(*)::DOUBLE, 6) AS avg_tokens,
            round(sum(n_chars) / sum(n_tokens)::DOUBLE, 6) AS chars_per_token
     FROM toks GROUP BY lang
     """,
-    "Token counting (whitespace tokenizer) + per-language corpus stats — "
-    "JVM-side split/size, no UDF.",
+    "Token counting (whitespace tokenizer + BPE-ish pretokenizer regex "
+    "— contraction/letter/digit/symbol runs, lookaround-free so Java "
+    "and RE2 agree) + per-language corpus stats — JVM-side, no UDF.",
 )
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.functions.text import token_count
+    from openseizuredatabase_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", token_count(F.col("text"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .withColumn("n_bpe", bpe_token_count(F.col("text")))
     )
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
         F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6).alias(
             "avg_tokens"
         ),

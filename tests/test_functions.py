@@ -109,3 +109,29 @@ def test_lsh_bucket_range(spark):
         vec_fn.lsh_bucket(F.col("v"), seed=1, n_bits=4, dim=8).alias("b")
     ).collect()[0].b
     assert 0 <= b < 16
+
+
+def test_bpe_token_count_matches_python_regex(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from openseizuredatabase_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    samples = [
+        "Hello, world! It's 2024... don't stop",
+        "we've it'll they're I'm you'd",
+        "snake_case kebab-case CamelCase x1y2z3",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r[0] for r in df.select(bpe_token_count(F.col("t"))).collect()]
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    assert got == [len(pat.findall(s)) for s in samples]
+    # contractions count as separate subword tokens (BPE-ish, not word-ish)
+    one = spark.createDataFrame([("don't",)], "t string")
+    assert one.select(bpe_token_count(F.col("t"))).collect()[0][0] == 3

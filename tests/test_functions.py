@@ -132,6 +132,6 @@ def test_bpe_token_count_matches_python_regex(spark):
     got = [r[0] for r in df.select(bpe_token_count(F.col("t"))).collect()]
     pat = re.compile(BPE_TOKEN_PATTERN)
     assert got == [len(pat.findall(s)) for s in samples]
-    # contractions count as separate subword tokens (BPE-ish, not word-ish)
+    # contractions split off as separate subword tokens: don + 't
     one = spark.createDataFrame([("don't",)], "t string")
-    assert one.select(bpe_token_count(F.col("t"))).collect()[0][0] == 3
+    assert one.select(bpe_token_count(F.col("t"))).collect()[0][0] == 2

@@ -39,6 +39,8 @@ HEADLINE = [
     "v2_lsh_buckets",
     "v3_cosine_near_dup",
     "w10_alarm_state_machine",
+    "t9_winnow_fingerprint",
+    "n1_dp_detector",
 ]
 
 

@@ -139,3 +139,53 @@ def streaming_alarm_machine(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def paced_replay(
+    spark,
+    dps: DataFrame,
+    rows_per_second: float = 0.2,
+    ts_col: str = "dpTimestamp",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """W11 event replay pacing (libosd/analyse_event.py:361-404 — feed
+    datapoints to a live consumer at 5 s intervals via time.sleep(5)).
+
+    Spark-first: the ``rate`` source is the clock — it emits one
+    monotonically increasing ``value`` per tick — and a stream-static
+    equi-join against the time-ordered, row-numbered datapoint table
+    releases exactly the next datapoint(s) each tick. The reference's
+    default one-dp-per-5-s pace is ``rows_per_second=0.2``; any pace
+    (including faster-than-realtime re-drives) is the same plan. The
+    static side is broadcast-sized per event replay; for whole-lake
+    re-drives repartition the static side on the join key instead.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    indexed = dps.withColumn(
+        "__idx", F.row_number().over(Window.orderBy(*order)) - 1
+    )
+    # the rate source's rowsPerSecond is integral; sub-1 Hz pacing (the
+    # reference's 0.2 Hz) ticks at 1 Hz and releases every Nth tick
+    if rows_per_second >= 1.0:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", int(rows_per_second))
+            .load()
+        )
+        cond = rate["value"] == indexed["__idx"]
+    else:
+        period = max(1, round(1.0 / rows_per_second))
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .filter(F.col("value") % period == 0)
+        )
+        cond = rate["value"] == indexed["__idx"] * period
+    return (
+        rate.join(indexed, cond, "inner")
+        .drop("value")
+        .withColumnRenamed("timestamp", "replay_ts")
+    )

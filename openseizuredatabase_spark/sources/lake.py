@@ -89,3 +89,86 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def compact_events_lake(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    ts_col: str = "eventTimestamp",
+    categories: list[str] | None = None,
+    date_from: str | None = None,
+    date_to: str | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance pass an append-heavy lake
+    (streaming sink, S6 batched appends, curator edits) needs to keep
+    scans fast at scale: many tiny parquet files turn a 100 TB scan into
+    a file-listing + task-scheduling bottleneck.
+
+    Scope-prunes to the selected partitions, sizes the rewrite from the
+    REAL input bytes (file status, not a row-count guess), rewrites with
+    one shuffle into ceil(bytes/target) tasks sorted back to the
+    canonical (userId, ts) order, then atomically swaps the affected
+    partition directories via the Hadoop FileSystem API (rename on
+    HDFS/local; object stores pay a copy — run from a job with
+    committer support there). Returns before/after file counts + bytes.
+    """
+    import math
+    from urllib.parse import urlparse
+
+    df = read_events_lake(spark, path, categories, date_from, date_to)
+    # NOT df.inputFiles(): that lists the whole FileIndex ignoring the
+    # partition filters; input_file_name() over the pruned scan returns
+    # exactly the in-scope files (bounded driver list — maintenance op)
+    files = [
+        r[0]
+        for r in df.select(F.input_file_name()).distinct().collect()
+    ]
+    if not files:
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+
+    def _fs_path(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _fs_path(path).getFileSystem(conf)
+    total = sum(fs.getFileStatus(_fs_path(f)).getLen() for f in files)
+    n_tasks = max(1, math.ceil(total / target_file_bytes))
+
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(n_tasks, "category", "event_date")
+        .sortWithinPartitions("userId", ts_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10_000_000)
+        .partitionBy("category", "event_date")
+        .parquet(tmp)
+    )
+
+    # swap only the partition directories the rewrite produced —
+    # untouched partitions keep their files byte-for-byte
+    partition_dirs = set()
+    for f in files:
+        rel = urlparse(f).path
+        parts = [seg for seg in rel.split("/") if "=" in seg][-2:]
+        if len(parts) == 2:
+            partition_dirs.add("/".join(parts))
+    for pdir in sorted(partition_dirs):
+        src = _fs_path(f"{tmp}/{pdir}")
+        dst = _fs_path(f"{path.rstrip('/')}/{pdir}")
+        if fs.exists(src):
+            fs.delete(dst, True)
+            fs.mkdirs(dst.getParent())
+            fs.rename(src, dst)
+    fs.delete(_fs_path(tmp), True)
+
+    after = read_events_lake(spark, path, categories, date_from, date_to)
+    n_after = after.select(F.input_file_name()).distinct().count()
+    return {
+        "files_before": len(files),
+        "files_after": int(n_after),
+        "bytes": int(total),
+    }

@@ -60,3 +60,76 @@ def test_partition_pruning_in_plan(spark, lake_path):
     # pruning happens at the scan: partition filters present, no rows from
     # other categories read
     assert "PartitionFilters" in plan
+
+
+def test_compact_events_lake(spark, tmp_path):
+    from openseizuredatabase_spark.sources.lake import compact_events_lake
+
+    rows = [
+        Row(
+            id=i,
+            userId=str(i % 3),
+            type="Seizure" if i % 2 == 0 else "False Alarm",
+            eventTimestamp=f"2024-01-0{1 + i % 2} 10:{i % 60:02d}:00",
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "eventTimestamp", F.to_timestamp("eventTimestamp")
+    )
+    path = str(tmp_path / "events")
+    # tiny maxRecordsPerFile forces a many-small-files layout
+    write_events_lake(df, path, max_records_per_file=5)
+    before = read_events_lake(spark, path)
+    n_before = before.select(F.input_file_name()).distinct().count()
+    content_before = sorted(r["id"] for r in before.collect())
+    assert n_before >= 8
+
+    stats = compact_events_lake(spark, path)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] < n_before
+
+    after = read_events_lake(spark, path)
+    assert sorted(r["id"] for r in after.collect()) == content_before
+    # partition layout intact (pruning still works)
+    pruned = read_events_lake(spark, path, categories=["allSeizures"])
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_pruned <= stats["files_after"]
+
+
+def test_compact_scoped_partitions_only(spark, tmp_path):
+    from openseizuredatabase_spark.sources.lake import (
+        compact_events_lake,
+        read_events_lake,
+    )
+
+    rows = [
+        Row(
+            id=i,
+            userId=str(i),
+            type="Seizure",
+            eventTimestamp=f"2024-01-0{1 + i % 2} 09:00:00",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "eventTimestamp", F.to_timestamp("eventTimestamp")
+    )
+    path = str(tmp_path / "events")
+    write_events_lake(df, path, max_records_per_file=2)
+    def _files(df):
+        return {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+
+    day2_files_before = _files(
+        read_events_lake(spark, path, date_from="2024-01-02")
+    )
+    compact_events_lake(spark, path, date_to="2024-01-01")
+    # out-of-scope partition untouched, byte-for-byte the same files
+    day2_files_after = _files(
+        read_events_lake(spark, path, date_from="2024-01-02")
+    )
+    assert day2_files_after == day2_files_before
+    # in-scope partition compacted
+    day1 = read_events_lake(spark, path, date_to="2024-01-01")
+    assert len(_files(day1)) < 10
+    assert day1.count() == 10

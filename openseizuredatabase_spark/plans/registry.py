@@ -3382,6 +3382,85 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u5_seizure_spacing",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        FROM events WHERE event_type = 'error'
+    ), sp AS (
+        SELECT user_id, day,
+               date_diff('day',
+                         lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                         day) AS spacing
+        FROM days
+    )
+    SELECT user_id, day, spacing,
+           CASE WHEN count(spacing) OVER w >= 3
+                THEN round(avg(spacing) OVER w, 6) END AS spacing_avg
+    FROM sp
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "Seizure-day spacing (userAnalyser.py:66-78): distinct seizure DAYS "
+    "per user (same-day repeats collapse), day-diff to the previous "
+    "seizure day, 3-point rolling mean with pandas min_periods null "
+    "semantics (count(spacing) over the window counts non-nulls in both "
+    "engines). One shuffle on the user key serves dedup + both windows.",
+)
+def u5_seizure_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.reports.user_analysis import (
+        seizure_day_spacing,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    out = seizure_day_spacing(ev)
+    return out.select(
+        "user_id",
+        F.col("day").cast("date").alias("day"),
+        F.col("spacing").cast("long").alias("spacing"),
+        "spacing_avg",
+    )
+
+
+@query(
+    "u6_dense_months",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('month', min(ts)) AS lo,
+               date_trunc('month', max(ts)) AS hi
+        FROM events
+    ), months AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE
+                   AS month
+        FROM bounds
+    ), grid AS (
+        SELECT m.month, t.event_type
+        FROM months m CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), counts AS (
+        SELECT date_trunc('month', ts)::DATE AS month, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.month,
+           coalesce(c.n, 0)::BIGINT AS n
+    FROM grid g LEFT JOIN counts c USING (month, event_type)
+    """,
+    "Dense month-end grid (userAnalyser.py:84-100): counts per (type, "
+    "month) with empty months zero-filled — the pandas "
+    "reindex-from-product as a sequence() month grid × broadcast "
+    "distinct-types cross join, left-joined to the aggregated counts.",
+)
+def u6_dense_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.reports.user_analysis import (
+        dense_month_counts,
+    )
+
+    return dense_month_counts(_t(spark, sf_dir, "events")).select(
+        "event_type", F.col("month").cast("date").alias("month"), "n"
+    )
+
+
+@query(
     "t9_winnow_fingerprint",
     f"""
     WITH d AS (
@@ -3652,6 +3731,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"total + 31*osd_correct + 1009*{q6('osd_prop')} + 31063*n_alarmed"),
         ("t9_winnow_fingerprint", "doc_id",
          f"n_fps + 31*{t('fp_min')} + 1009*{t('fp_sum_b')}"),
+        ("u5_seizure_spacing",
+         "user_id * 100000000 + year(day)*10000 + month(day)*100 + day(day)",
+         f"coalesce(spacing, -1) + 31*coalesce({q6('spacing_avg')}, -1)"),
+        ("u6_dense_months",
+         f"{sc('event_type')} * CAST(100000000 AS BIGINT)"
+         " + year(month)*10000 + month(month)*100 + day(month)", "n"),
     ]
 
 

@@ -171,3 +171,76 @@ def test_type_bucket_custom_map(spark):
         ).alias("b")
     ).collect()
     assert [r["b"] for r in out] == ["allSeizures", "nda", "otherEvents"]
+
+
+def test_seizure_day_spacing_pandas_semantics(spark):
+    # userAnalyser.py:66-78 — same-day repeats collapse; rolling mean is
+    # null until 3 non-null spacings fill the window (pandas min_periods)
+    import datetime
+
+    from openseizuredatabase_spark.reports.user_analysis import (
+        seizure_day_spacing,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 9)
+    rows = []
+    for d in (0, 0, 2, 5, 6, 10):  # day offsets; day 0 repeats
+        rows.append((7, base + datetime.timedelta(days=d)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["day"].day: (r["spacing"], r["spacing_avg"])
+        for r in seizure_day_spacing(ev).collect()
+    }
+    assert len(out) == 5  # distinct days only
+    assert out[1] == (None, None)
+    assert out[3][0] == 2 and out[3][1] is None
+    assert out[6][0] == 3 and out[6][1] is None  # only 2 non-null spacings
+    assert out[7][0] == 1 and out[7][1] == 2.0  # (2+3+1)/3
+    assert out[11][0] == 4 and out[11][1] == round((3 + 1 + 4) / 3, 6)
+
+
+def test_rapid_succession_dedup(spark):
+    import datetime
+
+    from openseizuredatabase_spark.reports.user_analysis import (
+        rapid_succession_dedup,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 9, 0)
+    ev = spark.createDataFrame(
+        [
+            (base, 2.0), (base + datetime.timedelta(minutes=4), 1.0),
+            (base + datetime.timedelta(minutes=25), 0.0),
+            (base + datetime.timedelta(minutes=42), 1.0),
+        ],
+        "ts timestamp, value double",
+    )
+    out = sorted(
+        (r["bucket_start"], r["max_state"])
+        for r in rapid_succession_dedup(ev).collect()
+    )
+    # bucket 9:00 keeps max 2; 9:20 bucket has only state 0 -> dropped
+    assert [m for _, m in out] == [2.0, 1.0]
+
+
+def test_dense_month_counts_zero_fill(spark):
+    import datetime
+
+    from openseizuredatabase_spark.reports.user_analysis import (
+        dense_month_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 5)),
+            ("a", datetime.datetime(2024, 4, 5)),
+            ("b", datetime.datetime(2024, 2, 5)),
+        ],
+        "event_type string, ts timestamp",
+    )
+    out = dense_month_counts(ev)
+    rows = {(r["event_type"], r["month"].month): r["n"] for r in out.collect()}
+    # full 2-type x 4-month grid with zeros
+    assert len(rows) == 8
+    assert rows[("a", 1)] == 1 and rows[("a", 2)] == 0
+    assert rows[("b", 2)] == 1 and rows[("b", 3)] == 0

@@ -51,9 +51,18 @@ class OsdSettings:
     # osdAlg.py:68-115 magnitude reconstruction mode: V0 uses the device
     # magnitude array; V1 = |x|+|y|+|z|, V2 = √(x²+y²+z²), V3 = V2 with a
     # per-axis milli-g offset — all rebuilt from the interleaved 3D array
-    # when one is supplied to run_osd_alg.
+    # when one is supplied to run_osd_alg. V4 (osdAlg.py:116-144,269-273)
+    # scores each axis independently and takes the worst axis verdict.
     magnitude_mode: str = "V0"
     axis_offset: float = 0.0
+    # flap detector (osdAlg.py:189-233,249-258,293-295 + testConfig.json
+    # flapSettings): a second 2-4 Hz band ratio; a flap alarm forces the
+    # in-alarm flag (at WARN strength, inAlarm=1) into the shared machine.
+    flap_enabled: bool = False
+    flap_freq_min: float = 2.0
+    flap_freq_max: float = 4.0
+    flap_alarm_thresh: float = 10000.0
+    flap_ratio_thresh: float = 80.0
 
 
 def alarm_recurrence(
@@ -121,7 +130,29 @@ def run_osd_alg(
     before the shuffle) so the Python stage never sees the 3× raw data.
     """
     s = settings or OsdSettings()
-    if s.magnitude_mode != "V0" and raw3d_col is not None:
+    v4 = s.magnitude_mode == "V4"
+    if v4:
+        if raw3d_col is None:
+            raise ValueError("V4 mode needs the interleaved 3D column")
+        # per-axis arrays built Catalyst-side (osdAlg.py:116-144); a dp
+        # with no/zeroed 3D data is invalid (the reference hard-exits,
+        # osdAlg.py:137-144 — here it scores in-alarm=False instead)
+        for i in range(3):
+            events_dp = events_dp.withColumn(
+                f"__ax{i}",
+                F.when(
+                    (F.size(raw3d_col) > 0)
+                    & (F.aggregate(
+                        F.col(raw3d_col), F.lit(0.0), lambda a, x: a + x
+                    ) != 0.0),
+                    F.expr(
+                        f"transform(sequence(0,"
+                        f" (size({raw3d_col}) div 3) - 1),"
+                        f" n -> {raw3d_col}[3 * n + {i}])"
+                    ),
+                ),
+            )
+    elif s.magnitude_mode != "V0" and raw3d_col is not None:
         from openseizuredatabase_spark.sources.ingest import accel_magnitude
 
         events_dp = events_dp.withColumn(
@@ -133,30 +164,51 @@ def run_osd_alg(
                 s.axis_offset,
             ),
         )
-    cols = [event_col, ts_col, signal_col]
+    sig_cols = [f"__ax{i}" for i in range(3)] if v4 else [signal_col]
+    cols = [event_col, ts_col, *sig_cols]
     out_schema = (
         f"{event_col} long, {ts_col} timestamp, specPower double, "
         "roiPower double, roiRatio double, alarmState int, alarmCount double"
     )
 
+    def axis_verdict(a: np.ndarray) -> tuple[float, float, float, bool]:
+        """One getAlarmState(+getFlapAlarmState) pass (osdAlg.py:235-258):
+        spectrum ratio vs threshold, flap band forcing in-alarm."""
+        sp = spec_power(a, s.sample_freq)
+        rp = roi_power(a, s.freq_min, s.freq_max, s.sample_freq)
+        ratio = spectrum_ratio(sp, rp, s.alarm_thresh)
+        in_alarm = ratio > s.alarm_ratio_thresh
+        if s.flap_enabled:
+            frp = roi_power(
+                a, s.flap_freq_min, s.flap_freq_max, s.sample_freq
+            )
+            fratio = spectrum_ratio(sp, frp, s.flap_alarm_thresh)
+            if fratio > s.flap_ratio_thresh:  # osdAlg.py:293-295
+                in_alarm = True
+        return sp, rp, ratio, in_alarm
+
     def per_event(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         spec_l, roi_l, ratio_l, flags = [], [], [], []
-        for sig in pdf[signal_col]:
-            if sig is None or len(sig) == 0:
+        for sigs in zip(*(pdf[c] for c in sig_cols)):
+            axes = [
+                np.asarray(sig, dtype=np.float64)
+                for sig in sigs
+                if sig is not None and len(sig) > 0
+            ]
+            if not axes:
                 spec_l.append(np.nan)
                 roi_l.append(np.nan)
                 ratio_l.append(0.0)
                 flags.append(False)
                 continue
-            a = np.asarray(sig, dtype=np.float64)
-            sp = spec_power(a, s.sample_freq)
-            rp = roi_power(a, s.freq_min, s.freq_max, s.sample_freq)
-            ratio = spectrum_ratio(sp, rp, s.alarm_thresh)
-            spec_l.append(sp)
-            roi_l.append(rp)
-            ratio_l.append(ratio)
-            flags.append(ratio > s.alarm_ratio_thresh)
+            # V4: worst axis wins (osdAlg.py:269-279); single-signal modes
+            # have exactly one axis so this is the plain path
+            verdicts = [axis_verdict(a) for a in axes]
+            spec_l.append(max(v[0] for v in verdicts))
+            roi_l.append(max(v[1] for v in verdicts))
+            ratio_l.append(max(v[2] for v in verdicts))
+            flags.append(any(v[3] for v in verdicts))
         states, counts = alarm_recurrence(flags, s)
         return pd.DataFrame(
             {

@@ -107,3 +107,127 @@ def test_run_osd_alg_mode_changes_detection(spark):
     m = {r["eventId"]: r["m"] for r in by_event}
     assert m[1] == 2   # oscillation passes through V2 magnitude → alarms
     assert m[2] == 0   # zeroed 3D falls back to flat V0 array → silent
+
+
+def _ref_axis_verdict(a, s):
+    # osdAlg.py:235-258 straight-line: ratio + optional flap forcing
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.signal import (
+        roi_power,
+        spec_power,
+        spectrum_ratio,
+    )
+
+    a = np.asarray(a, float)
+    sp = spec_power(a, s.sample_freq)
+    rp = roi_power(a, s.freq_min, s.freq_max, s.sample_freq)
+    ratio = spectrum_ratio(sp, rp, s.alarm_thresh)
+    in_alarm = ratio > s.alarm_ratio_thresh
+    if s.flap_enabled:
+        frp = roi_power(a, s.flap_freq_min, s.flap_freq_max, s.sample_freq)
+        if spectrum_ratio(sp, frp, s.flap_alarm_thresh) > s.flap_ratio_thresh:
+            in_alarm = True
+    return in_alarm
+
+
+def _ref_machine(flags, s):
+    from openseizuredatabase_spark.detection.osd_alg import alarm_recurrence
+
+    return alarm_recurrence(flags, s)[0]
+
+
+def _sine(freq, amp, n=125, fs=25.0, base=1000.0):
+    import math
+
+    return [base + amp * math.sin(2 * math.pi * freq * i / fs) for i in range(n)]
+
+
+def test_flap_mode_forces_alarm(spark):
+    # a 3 Hz-free signal with strong 2-4 Hz "flap" content must alarm
+    # ONLY when the flap detector is enabled
+    import datetime
+
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_osd_alg,
+    )
+
+    flap_sig = _sine(2.2, 3000.0)  # in flap band, mostly outside 3-8 Hz ROI
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base + datetime.timedelta(seconds=5 * i), flap_sig)
+         for i in range(4)],
+        "eventId long, dpTimestamp timestamp, rawData array<double>",
+    )
+    plain = OsdSettings()
+    flap = OsdSettings(flap_enabled=True, flap_alarm_thresh=10.0,
+                       flap_ratio_thresh=20.0)
+    got_plain = [r["alarmState"] for r in
+                 run_osd_alg(df, plain).orderBy("dpTimestamp").collect()]
+    got_flap = [r["alarmState"] for r in
+                run_osd_alg(df, flap).orderBy("dpTimestamp").collect()]
+    exp_plain = _ref_machine(
+        [_ref_axis_verdict(flap_sig, plain)] * 4, plain)
+    exp_flap = _ref_machine([_ref_axis_verdict(flap_sig, flap)] * 4, flap)
+    assert got_plain == exp_plain
+    assert got_flap == exp_flap
+    assert max(got_flap) == 2 and max(got_plain) == 0  # flap is the trigger
+
+
+def test_v4_mode_worst_axis_wins(spark):
+    # seizure-band motion on ONE axis: magnitude modes may dilute it, V4
+    # must catch it (osdAlg.py docstring: highest alarm level of the 3)
+    import datetime
+
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_osd_alg,
+    )
+
+    quiet = [1000.0] * 125
+    shake = _sine(5.0, 2500.0, base=0.0)  # 5 Hz, in the 3-8 Hz ROI
+    raw3d = []
+    for n in range(125):
+        raw3d += [quiet[n], quiet[n], shake[n]]  # z axis only
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base + datetime.timedelta(seconds=5 * i), quiet, raw3d)
+         for i in range(4)],
+        "eventId long, dpTimestamp timestamp, rawData array<double>, "
+        "rawData3D array<double>",
+    )
+    s = OsdSettings(magnitude_mode="V4", alarm_thresh=10.0,
+                    alarm_ratio_thresh=30.0)
+    got = [r["alarmState"] for r in
+           run_osd_alg(df, s, raw3d_col="rawData3D")
+           .orderBy("dpTimestamp").collect()]
+    per_axis = [
+        _ref_axis_verdict(quiet, s),
+        _ref_axis_verdict(quiet, s),
+        _ref_axis_verdict(shake, s),
+    ]
+    exp = _ref_machine([any(per_axis)] * 4, s)
+    assert got == exp
+    assert max(got) == 2  # one hot axis is enough
+
+
+def test_v4_missing_3d_is_invalid_not_crash(spark):
+    import datetime
+
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_osd_alg,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, [1000.0] * 125, []),
+         (1, base + datetime.timedelta(seconds=5), [1000.0] * 125,
+          [0.0] * 375)],
+        "eventId long, dpTimestamp timestamp, rawData array<double>, "
+        "rawData3D array<double>",
+    )
+    s = OsdSettings(magnitude_mode="V4")
+    out = run_osd_alg(df, s, raw3d_col="rawData3D").collect()
+    assert [r["alarmState"] for r in out] == [0, 0]

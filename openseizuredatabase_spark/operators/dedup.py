@@ -333,3 +333,73 @@ def winnow_fingerprints(
         .agg(F.array_distinct(F.collect_list("fp")).alias("fps"))
         .select(id_col, "fps")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster consolidation: connected components over a
+    candidate-pair graph (the step after exact/MinHash/LSH/Jaccard pair
+    generation — near-dup groups collapse to one canonical id, the min
+    of the component).
+
+    Min-label propagation: every vertex starts as its own label; each
+    round takes the min over itself and its neighbors; converges in
+    O(min-label eccentricity) rounds — dup clusters are near-cliques,
+    so 2-3 rounds in practice. Each round is one join + one
+    aggregation on uniformly distributed id keys; the driver sees only
+    the per-round convergence COUNT (a scalar), never data. localCheckpoint
+    truncates the iterative lineage so round N's plan doesn't replay
+    rounds 1..N-1.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src").distinct().withColumn("comp", F.col("src"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("src").alias("dst"), F.col("comp").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("src", F.col("comp").alias("old")), "src"
+            )
+            .filter(F.col("comp") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("id"), "comp")

@@ -3381,6 +3381,49 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t10_oracle() -> str:
+    t7 = QUERIES["t7_lsh_candidate_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({t7}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), verts AS (
+        SELECT DISTINCT a AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), comps AS (
+        SELECT id, min(r) AS comp FROM reach GROUP BY id
+    )
+    SELECT comp, count(*) AS n_members,
+           sum(id % 1000000007)::BIGINT AS id_sum_b
+    FROM comps GROUP BY comp
+    """
+
+
+@query(
+    "t10_dup_components",
+    _t10_oracle(),
+    "Duplicate-cluster consolidation: connected components over the LSH "
+    "candidate-pair graph (t7) via min-label propagation — one join + "
+    "one agg per round on uniform id keys, converges in O(cluster "
+    "eccentricity) rounds (near-clique dup groups: 2-3), driver sees "
+    "only scalar convergence counts. Canonical doc = component min id. "
+    "Oracle: DuckDB recursive-CTE transitive closure over the identical "
+    "pair SQL, min-reachable per vertex.",
+)
+def t10_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = QUERIES["t7_lsh_candidate_pairs"].fn(spark, sf_dir)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("id") % 1000000007).alias("id_sum_b"),
+    )
+
+
 @query(
     "u5_seizure_spacing",
     """
@@ -3737,6 +3780,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("u6_dense_months",
          f"{sc('event_type')} * CAST(100000000 AS BIGINT)"
          " + year(month)*10000 + month(month)*100 + day(month)", "n"),
+        ("t10_dup_components", "comp",
+         f"n_members + 31*{t('id_sum_b')}"),
     ]
 
 

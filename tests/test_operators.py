@@ -287,3 +287,38 @@ def test_winnow_fingerprints_window_min_semantics(spark):
     expected = {min(hs[i - w + 1 : i + 1]) for i in range(w - 1, len(hs))}
     got = set(winnow_fingerprints(df, k=k, w=w).collect()[0]["fps"])
     assert got == expected
+
+
+def test_connected_components_chain_and_clique(spark):
+    from openseizuredatabase_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # a 4-chain (worst case for propagation: not a clique)
+            (1, 2), (2, 3), (3, 4),
+            # a separate triangle
+            (10, 11), (11, 12), (10, 12),
+            # an isolated pair
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert {got[i] for i in (20, 21)} == {20}
+    assert len(got) == 9
+
+
+def test_connected_components_long_path_converges(spark):
+    from openseizuredatabase_spark.operators.dedup import connected_components
+
+    # a 12-node path exercises multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 12

@@ -101,3 +101,39 @@ def balance_classes(
         F.col("__factor"),
         copy_id_name,
     ).drop("__factor")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    seed: int = 0,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (the class-balancing downsample of a
+    training pipeline — e.g. keep 100% of seizures, 10% of background).
+
+    Spark's ``sampleBy`` assigns per partition (layout-dependent, like
+    randomSplit — see hash_split); this is the portable variant: keep a
+    row iff (md5_long(seed:id) + 0.5) / 2^60 < fraction[stratum]. The
+    per-stratum threshold rides a broadcast map join and the keep test
+    is a narrow filter the scan absorbs — no shuffle at all.
+    """
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    spark = df.sparkSession
+    fr = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        f"{strata_col} string, __frac double",
+    )
+    u = (
+        seeded_md5_long(F.col(id_col).cast("string"), seed).cast("double")
+        + 0.5
+    ) / float(1 << 60)
+    return (
+        df.join(F.broadcast(fr), strata_col, "left")
+        .fillna({"__frac": default_frac})
+        .filter(u < F.col("__frac"))
+        .drop("__frac")
+    )

@@ -3381,6 +3381,43 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m13_stratified_sample",
+    f"""
+    WITH thresholds AS (
+        SELECT 'error' AS event_type, 1.0 AS frac
+        UNION ALL SELECT 'click', 0.25
+        UNION ALL SELECT 'view', 0.1
+    ), kept AS (
+        SELECT e.event_type, e.event_id
+        FROM events e JOIN thresholds t USING (event_type)
+        WHERE ({seeded_md5_long_sql("event_id::VARCHAR", 7)}::DOUBLE + 0.5)
+              / 1152921504606846976.0 < t.frac
+    )
+    SELECT event_type, count(*) AS n_kept,
+           sum(event_id)::BIGINT AS id_sum
+    FROM kept GROUP BY event_type
+    """,
+    "Stratified per-class sampling (training-pipeline downsample: keep "
+    "all seizures, a fraction of background): portable seeded-hash keep "
+    "test — sampleBy/randomSplit assign per partition and change with "
+    "layout; the hash is bit-stable on any cluster. Broadcast threshold "
+    "map + narrow filter, no shuffle. id_sum pins exact membership.",
+)
+def m13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = split_ops.stratified_sample(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        {"error": 1.0, "click": 0.25, "view": 0.1},
+        "event_id",
+        seed=7,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
 def _t10_oracle() -> str:
     t7 = QUERIES["t7_lsh_candidate_pairs"].oracle
     return f"""
@@ -3782,6 +3819,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + year(month)*10000 + month(month)*100 + day(month)", "n"),
         ("t10_dup_components", "comp",
          f"n_members + 31*{t('id_sum_b')}"),
+        ("m13_stratified_sample", sc("event_type"),
+         f"n_kept + 31*{t('id_sum')}"),
     ]
 
 

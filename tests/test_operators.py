@@ -322,3 +322,28 @@ def test_connected_components_long_path_converges(spark):
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert set(got.values()) == {100}
     assert len(got) == 12
+
+
+def test_stratified_sample_portable_and_layout_stable(spark):
+    from openseizuredatabase_spark.operators.splits import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "id long, cls string",
+    )
+    out = stratified_sample(df, "cls", {"a": 1.0, "b": 0.2}, "id", seed=3)
+    rows = out.collect()
+    a_ids = {r["id"] for r in rows if r["cls"] == "a"}
+    b_ids = {r["id"] for r in rows if r["cls"] == "b"}
+    assert len(a_ids) == 200  # frac 1.0 keeps everything
+    assert 10 <= len(b_ids) <= 70  # ~20% of 200
+    # layout independence: same membership after repartitioning
+    out2 = stratified_sample(
+        df.repartition(17), "cls", {"a": 1.0, "b": 0.2}, "id", seed=3
+    )
+    assert {(r["id"], r["cls"]) for r in out2.collect()} == {
+        (r["id"], r["cls"]) for r in rows
+    }
+    # unlisted strata default to dropped
+    df2 = df.withColumn("cls", F.lit("zzz"))
+    assert stratified_sample(df2, "cls", {"a": 1.0}, "id").count() == 0

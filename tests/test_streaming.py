@@ -217,3 +217,68 @@ def test_paced_replay_subhertz_period(spark):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "% 5" in plan or "% cast(5" in plan
+
+
+def test_dp_model_detector_streaming_parity(spark, tmp_path_factory):
+    """The per-dp model family streams: the scoring stage is stateless
+    (pandas_udf per micro-batch), only the machine carries state — so a
+    live stream through score + streaming_alarm_machine must equal the
+    batch run_dp_model_alg replay row-for-row."""
+    import numpy as np
+    import pandas as pd
+
+    from openseizuredatabase_spark.detection.dp_model_algs import (
+        DpModelSettings,
+        default_dp_score,
+        run_dp_model_alg,
+        svm_vectorize,
+    )
+
+    s = DpModelSettings(n_samp=25)
+    score = default_dp_score(s.n_samp, bias=-0.55)
+
+    rows = []
+    for eid in (1, 2):
+        for i in range(5):
+            amp = 800.0 if (eid == 1 and i < 3) else 0.0
+            sig = [1000.0 + amp * ((-1) ** n) for n in range(25)]
+            rows.append((eid, dt.datetime(2024, 1, 1, 0, 0, 5 * i), sig))
+    df = spark.createDataFrame(
+        rows, "eventId long, dpTimestamp timestamp, rawData array<double>"
+    )
+    sdir = str(tmp_path_factory.mktemp("dpstream"))
+    df.write.mode("overwrite").parquet(sdir)
+
+    # batch reference
+    batch = {
+        (r["eventId"], r["dpTimestamp"]): (r["alarmState"], r["alarmCount"])
+        for r in run_dp_model_alg(df, svm_vectorize(s), score, s).collect()
+    }
+
+    # streaming: stateless score -> boolean flag -> stateful machine
+    @F.pandas_udf("double")
+    def p_seizure(sigs: pd.Series) -> pd.Series:
+        mat, valid = svm_vectorize(s)(sigs, pd.Series([None] * len(sigs)))
+        probs = np.zeros(len(sigs))
+        if valid.any():
+            probs[valid] = score(mat[valid])
+        return pd.Series(np.where(valid, probs, 0.0))
+
+    stream = (
+        spark.readStream.schema(
+            "eventId long, dpTimestamp timestamp, rawData array<double>"
+        )
+        .parquet(sdir)
+        .withColumn("flag", p_seizure(F.col("rawData")) > s.prob_thresh)
+    )
+    out = streaming_alarm_machine(
+        stream, "eventId", "dpTimestamp",
+        "flag", OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
+    )
+    _run_to_memory(out, "dp_alarms")
+    got = {
+        (r["eventId"], r["dpTimestamp"]): (r["alarmState"], r["alarmCount"])
+        for r in spark.sql("SELECT * FROM dp_alarms").collect()
+    }
+    assert got == batch
+    assert max(st for st, _ in got.values()) == 2  # event 1 alarms

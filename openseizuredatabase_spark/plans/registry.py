@@ -3382,6 +3382,95 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t11_repetition_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lower(arr[g.i]) AS tok, g.i AS pos
+        FROM (SELECT doc_id, {_TOKS_SQL} AS arr FROM documents) d,
+             unnest(generate_series(1, len(d.arr))) AS g(i)
+    ), base AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               count(DISTINCT tok) AS n_distinct
+        FROM toks GROUP BY doc_id
+    ), grams AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), top_gram AS (
+        SELECT doc_id, max(c) AS top_bigram_n
+        FROM (SELECT doc_id, gram, count(*) AS c
+              FROM grams GROUP BY doc_id, gram)
+        GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_tokens,
+           round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
+           coalesce(top_bigram_n, 0)::BIGINT AS top_bigram_n,
+           round(coalesce(top_bigram_n, 0)
+                 / greatest(n_tokens - 1, 1)::DOUBLE, 6)
+               AS top_bigram_frac
+    FROM base LEFT JOIN top_gram USING (doc_id)
+    WHERE n_tokens > 0
+    """,
+    "Repetition quality stats (the Gopher/C4 repetition rules a corpus "
+    "filter needs): distinct-token ratio and most-frequent-bigram "
+    "fraction per doc. Token + bigram fan-out stays JVM-side (explode + "
+    "self-positioned slice — bigrams via transform over the token "
+    "array, no self-join on the Spark side); one shuffle per "
+    "aggregation on the doc key.",
+)
+def t11_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.text import tokens
+
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    d = docs.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda x: F.lower(x)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    # bigrams from the in-row array: no join, pure codegen
+    grams = F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1]))"
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.when(F.size("toks") >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        ).alias("grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode_outer("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("gram").isNotNull(), F.col("c")))
+            .alias("top_bigram_n")
+        )
+    )
+    return (
+        base.drop("grams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+            ).alias("distinct_ratio"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias(
+                "top_bigram_n"
+            ),
+            F.round(
+                F.coalesce("top_bigram_n", F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+@query(
     "m13_stratified_sample",
     f"""
     WITH thresholds AS (
@@ -3821,6 +3910,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_members + 31*{t('id_sum_b')}"),
         ("m13_stratified_sample", sc("event_type"),
          f"n_kept + 31*{t('id_sum')}"),
+        ("t11_repetition_stats", "doc_id",
+         f"n_tokens + 31*{q6('distinct_ratio')} + 1009*top_bigram_n"
+         f" + 31063*{q6('top_bigram_frac')}"),
     ]
 
 

@@ -54,8 +54,12 @@ from openseizuredatabase_spark.operators.aggregates import (
 AlgFactory = Callable[[DataFrame], DataFrame]
 
 
-def _osd(settings: OsdSettings | None = None) -> AlgFactory:
-    return lambda dps: run_osd_alg(dps, settings or OsdSettings())
+def _osd(
+    settings: OsdSettings | None = None, raw3d_col: str | None = None
+) -> AlgFactory:
+    return lambda dps: run_osd_alg(
+        dps, settings or OsdSettings(), raw3d_col=raw3d_col
+    )
 
 
 def _hr(settings: HrSettings | None = None) -> AlgFactory:
@@ -105,6 +109,10 @@ def _lstm(settings: DpModelSettings | None = None) -> AlgFactory:
 
 ALGORITHMS: dict[str, AlgFactory] = {
     "osd": _osd(),
+    "osd_flap": _osd(OsdSettings(flap_enabled=True)),
+    "osd_v4": _osd(
+        OsdSettings(magnitude_mode="V4"), raw3d_col="rawData3D"
+    ),
     "hr_simple": _hr(HrSettings(mode=MODE_SIMPLE)),
     "hr_adaptive": _hr(HrSettings(mode=MODE_ADAPTIVE)),
     "spec": _spec(),

@@ -136,3 +136,26 @@ def test_flatten_view_shape(spark, dp_frame):
     # de-interleave check: X000=1, Y000=2, Z000=3 from the 1..375 ramp
     assert (row.X000, row.Y000, row.Z000) == (1.0, 2.0, 3.0)
     assert row.X001 == 4.0
+
+
+def test_registry_exposes_osd_variants(spark):
+    import datetime
+
+    from openseizuredatabase_spark.detection.registry import ALGORITHMS
+
+    assert {"osd", "osd_flap", "osd_v4"} <= set(ALGORITHMS)
+    base = datetime.datetime(2024, 1, 1)
+    quiet = [1000.0] * 125
+    rows = [
+        (1, base + datetime.timedelta(seconds=5 * i), quiet, [1.0] * 375)
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "eventId long, dpTimestamp timestamp, rawData array<double>, "
+        "rawData3D array<double>",
+    )
+    for name in ("osd_flap", "osd_v4"):
+        out = ALGORITHMS[name](df).collect()
+        assert len(out) == 2
+        assert all(r["alarmState"] == 0 for r in out)

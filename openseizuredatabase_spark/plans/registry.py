@@ -1156,6 +1156,16 @@ def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=False: the pair generator's collect_set is already
     # set-semantic, so the (id, shingle)-distinct shuffle is pure cost
     sh = dedup_ops.shingles(docs, "text", "doc_id", 5, distinct=False)
+    # shuffle on a 128-bit hash pair instead of the 5-word strings: the
+    # shingle key never reaches the output (the oracle recomputes pairs
+    # from text), so only collision-freedom matters — 2×xxhash64 makes
+    # that ~2^-128·n² ≈ 1e-26; ~15% off the end-to-end time at sf0.1
+    sh = sh.select(
+        "doc_id",
+        F.struct(
+            F.xxhash64("shingle"), F.xxhash64("shingle", F.lit(1))
+        ).alias("shingle"),
+    )
     pairs = dedup_ops.jaccard_candidate_pairs(sh, "doc_id", max_df=64)
     jac = F.col("n_common") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")

@@ -1255,7 +1255,13 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     dp = _quantized_dot(F.col("emb_d"), qlit)
     na = _quantized_dot(F.col("emb_d"), F.col("emb_d"))
-    nq = _quantized_dot(qlit, qlit)
+    # the query self-norm is a constant: evaluate it once through the
+    # SAME Spark expression (identical rounding codepath, one 1-row job)
+    # instead of re-walking 64 terms per row
+    nq_val = spark.range(1).select(
+        _quantized_dot(qlit, qlit).alias("nq")
+    ).head()[0]
+    nq = F.lit(int(nq_val)).cast("long")
     return (
         emb.filter(F.col("vec_id") != 0)
         .select(

@@ -65,6 +65,38 @@ def unique_group_representative(
     )
 
 
+def unique_group_representative_id(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    bucket_secs: int,
+    precedence: Column,
+    id_col: str,
+) -> DataFrame:
+    """D1, aggregation form: when only the representative's ID (not the
+    full row) is needed, ``min_by`` over the (precedence, ts, id) struct
+    replaces the window — a partial-aggregating groupBy (map-side
+    combine shrinks the shuffle to one row per group per mapper) with no
+    per-partition sort. Same selection rule as
+    :func:`unique_group_representative`; ties impossible (id in the
+    key)."""
+    bucket = bucket_start_epoch(F.col(ts_col), bucket_secs).alias(
+        "bucket_start"
+    )
+    return (
+        df.withColumn("bucket_start", bucket)
+        .withColumn("__p", precedence)
+        .groupBy(*group_cols, "bucket_start")
+        .agg(
+            F.min_by(
+                id_col,
+                F.struct(F.col("__p"), F.col(ts_col), F.col(id_col)),
+            ).alias(f"rep_{id_col}"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def gap_clusters(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -337,7 +337,7 @@ def d1_unique_event_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedence = (
         F.when(F.col("value") >= 150, 0).when(k > 50, 1).otherwise(2)
     )
-    out = dedup_ops.unique_group_representative(
+    out = dedup_ops.unique_group_representative_id(
         ev,
         ["user_id", "event_type"],
         "ts",
@@ -349,7 +349,7 @@ def d1_unique_event_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "bucket_start",
-        F.col("event_id").alias("rep_event_id"),
+        F.col("rep_event_id"),
         "n_rows",
     )
 

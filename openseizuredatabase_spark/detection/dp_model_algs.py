@@ -95,24 +95,47 @@ VectorizeFn = Callable[[pd.Series, pd.Series], tuple[np.ndarray, np.ndarray]]
 
 
 def _clean(sig, n_samp: int) -> np.ndarray | None:
-    if sig is None or len(sig) != n_samp or any(x is None for x in sig):
+    if sig is None or len(sig) != n_samp:
         return None
-    return np.asarray(sig, dtype=np.float64)
+    try:
+        # Arrow delivers null elements as NaN; raw Python lists may
+        # carry None, which asarray rejects — both mean invalid
+        a = np.asarray(sig, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if np.isnan(a).any():
+        return None
+    return a
 
 
 def svm_vectorize(s: DpModelSettings) -> VectorizeFn:
     """svmAlg.py:46-48: the raw window, unnormalised, reshaped (1,125,1).
     (Reference hard-exits on a short window, amberAlg.py:88-90 pattern —
-    here it is an invalid row instead so one bad dp can't kill the job.)"""
+    here it is an invalid row instead so one bad dp can't kill the job.)
+
+    Batch fast path: right-length rows stack into one matrix and the
+    NaN/validity screen vectorizes across the whole Arrow batch."""
 
     def build(sigs: pd.Series, _hr: pd.Series):
-        mat = np.zeros((len(sigs), s.n_samp))
-        valid = np.zeros(len(sigs), dtype=bool)
-        for i, sig in enumerate(sigs):
-            a = _clean(sig, s.n_samp)
-            if a is not None:
-                mat[i] = a
-                valid[i] = True
+        n = len(sigs)
+        mat = np.zeros((n, s.n_samp))
+        valid = np.zeros(n, dtype=bool)
+        arrs = sigs.to_numpy()
+        rows, kept = [], []
+        for i, a in enumerate(arrs):
+            if a is None or len(a) != s.n_samp:
+                continue
+            try:
+                rows.append(np.asarray(a, dtype=np.float64))
+                kept.append(i)
+            except (TypeError, ValueError):
+                continue
+        if kept:
+            sub = np.stack(rows)
+            good = ~np.isnan(sub).any(axis=1)
+            idx = np.asarray(kept)[good]
+            mat[idx] = sub[good]
+            valid[idx] = True
         return mat, valid
 
     return build

@@ -2126,6 +2126,52 @@ def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, centroids, query, n_probe=4, top_k=10)
 
 
+def _stream_events(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """readStream over the events parquet with ``ts`` normalized to
+    TimestampType, whatever the writer's physical encoding.
+
+    The file-stream source needs a directory and an explicit schema;
+    symlink the single parquet file into a temp dir (no copy). Lake files
+    have stored ts as INT64 nanos (read as long, ÷1000 → micros, exactly
+    as load_table does) or as timestamp[us] (explicit TimestampType
+    schema reads the identical instant under the UTC session).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    arrow_ts = pq.read_schema(src).field("ts").type
+    if getattr(arrow_ts, "unit", None) == "ns":
+        raw_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, T.LongType() if f.name == "ts" else f.dataType
+                )
+                for f in ev.schema.fields
+            ]
+        )
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    ts_schema = T.StructType(
+        [
+            T.StructField(
+                f.name, T.TimestampType() if f.name == "ts" else f.dataType
+            )
+            for f in ev.schema.fields
+        ]
+    )
+    return spark.readStream.schema(ts_schema).parquet(stream_dir)
+
+
 @query(
     "s10_streaming_sessionize",
     None,
@@ -2135,35 +2181,11 @@ def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Streaming-only semantics → rows-only.",
 )
 def s10_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
     from openseizuredatabase_spark.streaming.sessionize import session_clusters
 
-    ev = _t(spark, sf_dir, "events")
-    # the file-stream source needs a directory; symlink the single parquet
-    # file into a temp dir (no copy)
-    stream_dir = tempfile.mkdtemp(prefix="s10_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-    from pyspark.sql import types as T
-
-    # raw file stores ts as INT64 nanos — stream schema must say long,
-    # then convert exactly as load_table does
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in ev.schema.fields
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, sf_dir, "s10_events_")
     out = session_clusters(stream, "ts", ["user_id"], gap="30 minutes")
     name = f"s10_{uuid.uuid4().hex[:8]}"
     q = (
@@ -2213,7 +2235,7 @@ def f5_text_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_asof_last_signup",
     """
     SELECT event_id,
-           (epoch(last_signup) * 1000000)::BIGINT AS last_signup_micros
+           epoch_us(last_signup)::BIGINT AS last_signup_micros
     FROM (
         SELECT event_id,
                max(CASE WHEN event_type = 'signup' THEN ts END)
@@ -2712,31 +2734,11 @@ def a15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Streaming-only semantics → rows-only.",
 )
 def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
-
-    from pyspark.sql import types as T
 
     from openseizuredatabase_spark.streaming.sessionize import windowed_counts
 
-    ev = _t(spark, sf_dir, "events")
-    stream_dir = tempfile.mkdtemp(prefix="s11_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in ev.schema.fields
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, sf_dir, "s11_events_")
     out = windowed_counts(stream, "ts", ["event_type"], window_duration="1 day")
     name = f"s11_{uuid.uuid4().hex[:8]}"
     q = (

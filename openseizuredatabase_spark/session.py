@@ -31,6 +31,12 @@ def get_spark(app_name: str = "openseizuredatabase_spark", cpus: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamp[us] without isAdjustedToUTC would otherwise read
+        # as TIMESTAMP_NTZ (Spark 4 default), which rejects cast-to-double /
+        # unix_micros and diverges from DuckDB's naive-as-UTC reading. With
+        # a UTC session, LTZ inference makes both engines see identical
+        # instants regardless of how the writer flagged the column.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -40,9 +40,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps in the lake are naive/UTC; a non-UTC driver session would
     # shift every date_format()-derived oracle comparison
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # timestamp[us] columns written without isAdjustedToUTC would read as
+    # TIMESTAMP_NTZ (Spark 4 default), which rejects cast-to-double and
+    # unix_micros and diverges from DuckDB's naive-as-UTC reading; with a
+    # UTC session, LTZ inference sees the identical instant.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # belt-and-braces for sessions where the conf above is ignored (e.g. a
+    # cached reader): NTZ → LTZ is a wall-clock reinterpretation, exact
+    # under the UTC session timezone set above
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

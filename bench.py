@@ -41,6 +41,7 @@ HEADLINE = [
     "w10_alarm_state_machine",
     "t9_winnow_fingerprint",
     "n1_dp_detector",
+    "t12_decontamination",
 ]
 
 

@@ -111,3 +111,46 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5({normalized_text_sql(expr)})"
+
+
+# PII scrubbing: patterns confined to the Java∩RE2 common subset (no
+# lookarounds, no backrefs, greedy-only) so Spark and DuckDB match and
+# replace identical spans. Replacement order is part of the contract:
+# emails first (their local part may contain digits a later pattern
+# could otherwise split), then phone numbers.
+PII_PATTERNS = (
+    ("EMAIL", r"[a-z0-9.]+@[a-z0-9.]+"),
+    ("PHONE", r"\+1-555-[0-9]+"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact every PII match with its <TYPE> placeholder, in one
+    codegen'd expression chain — the hot-path shape for corpus scrubbing
+    (no Python, no extra pass per pattern class)."""
+    out = col
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    out = expr
+    for name, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '<{name}>', 'g')"
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """Number of redactions scrub_pii would make."""
+    total = None
+    for _, pat in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        total = n if total is None else total + n
+    return total
+
+
+def pii_count_sql(expr: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all({expr}, '{pat}'))" for _, pat in PII_PATTERNS
+    )

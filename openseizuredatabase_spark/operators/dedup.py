@@ -318,6 +318,32 @@ def jaccard_candidate_pairs(
     )
 
 
+def benchmark_overlap(
+    train_sh: DataFrame, bench_sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Training-set decontamination screen: per training doc, how many of
+    its distinct k-gram shingles appear in the benchmark shingle set —
+    the standard n-gram-overlap check run before an eval suite is trusted.
+
+    Scale shape: the benchmark side (an eval suite) is orders of
+    magnitude smaller than the training corpus, so its distinct shingle
+    set broadcasts and the training side is NEVER shuffled on the
+    shingle key — one broadcast left-join marks hits in place, then ONE
+    map-side-combined aggregation on the doc key yields set size and hit
+    count together. ``train_sh`` must be (id, shingle)-distinct (use
+    ``shingles(..., distinct=True)``) or n_sh/n_hit become multiset
+    counts.
+    """
+    bench = (
+        bench_sh.select("shingle").distinct().withColumn("__hit", F.lit(1))
+    )
+    marked = train_sh.join(F.broadcast(bench), "shingle", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count("__hit").alias("n_hit"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

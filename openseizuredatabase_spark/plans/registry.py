@@ -27,6 +27,7 @@ from openseizuredatabase_spark.operators import filters as filter_ops
 from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
+from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.hashing import seeded_md5_long, seeded_md5_long_sql
 from openseizuredatabase_spark.sources.tables import load_table, spread_small_scan
 
@@ -3852,6 +3853,98 @@ def n1_dp_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t12_decontamination",
+    f"""
+    WITH {_SHINGLE_SQL},
+    bench AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source = 'src4'
+    ),
+    train AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source <> 'src4'
+    )
+    SELECT t.doc_id,
+           count(*) AS n_sh,
+           count(b.shingle) AS n_hit,
+           round(count(b.shingle) / count(*)::DOUBLE, 6) AS contam_frac,
+           count(b.shingle) > 0 AS contaminated
+    FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+    "Benchmark decontamination screen (LLM-pipeline op beyond the "
+    "reference; F8's anti-join generalized from ids to content): per "
+    "training doc, distinct 5-gram shingles shared with the benchmark "
+    "partition (source='src4' stands in for the eval suite). The eval "
+    "side is always tiny next to the corpus, so its shingle set "
+    "broadcasts — the corpus is never shuffled on the shingle key; one "
+    "doc-key aggregation produces size + hit count together.",
+)
+def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    bench_sh = dedup_ops.shingles(
+        docs.filter(F.col("source") == "src4"), "text", "doc_id", 5
+    )
+    train_sh = dedup_ops.shingles(
+        docs.filter(F.col("source") != "src4"), "text", "doc_id", 5
+    )
+    out = dedup_ops.benchmark_overlap(train_sh, bench_sh, "doc_id")
+    frac = F.col("n_hit") / F.col("n_sh").cast("double")
+    return out.select(
+        "doc_id",
+        "n_sh",
+        "n_hit",
+        F.round(frac, 6).alias("contam_frac"),
+        (F.col("n_hit") > 0).alias("contaminated"),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example or +1-555-' "
+    "|| (doc_id % 10000)"
+)
+
+
+@query(
+    "t13_pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           ({text_fns.pii_count_sql('text')})::BIGINT AS n_redactions,
+           {text_fns.scrub_pii_sql('text')} AS scrubbed
+    FROM aug
+    """,
+    "PII scrubbing (LLM-pipeline op beyond the reference; the same "
+    "column-transform shape as the reference's pseudonymisation pass in "
+    "curator_tools): deterministic synthetic email+phone appended per "
+    "doc (both engines construct the identical string), then "
+    "regexp-redacted with patterns from the Java∩RE2 common subset; "
+    "pure codegen'd expressions, zero Python, one scan.",
+)
+def t13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1-555-"),
+            F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        text_fns.pii_count(F.col("text")).cast("long").alias("n_redactions"),
+        text_fns.scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window signature bundle + explicit registry ordering
 # ---------------------------------------------------------------------------
@@ -3956,6 +4049,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t11_repetition_stats", "doc_id",
          f"n_tokens + 31*{q6('distinct_ratio')} + 1009*top_bigram_n"
          f" + 31063*{q6('top_bigram_frac')}"),
+        ("t12_decontamination", "doc_id",
+         f"n_sh + 31*n_hit + 1009*{q6('contam_frac')}"
+         " + 31063*(CASE WHEN contaminated THEN 1 ELSE 0 END)"),
+        ("t13_pii_scrub", "doc_id",
+         "n_redactions + 31*length(scrubbed)"
+         " + 1009*ascii(substr(scrubbed, 3, 1))"),
     ]
 
 

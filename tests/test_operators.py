@@ -347,3 +347,63 @@ def test_stratified_sample_portable_and_layout_stable(spark):
     # unlisted strata default to dropped
     df2 = df.withColumn("cls", F.lit("zzz"))
     assert stratified_sample(df2, "cls", {"a": 1.0}, "id").count() == 0
+
+
+def test_benchmark_overlap_vs_bruteforce(spark):
+    from openseizuredatabase_spark.operators.dedup import (
+        benchmark_overlap,
+        shingles,
+    )
+
+    docs = [
+        (1, "a b c d e f g h"),          # shares the 'a b c d e' shingle
+        (2, "x y z w v u t s"),          # no overlap with bench
+        (3, "a b c d e x y z w v"),      # overlaps via 'a b c d e'
+        (4, "too short"),                # < 5 tokens → absent from output
+    ]
+    bench = [(100, "a b c d e q r s t u")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    out = benchmark_overlap(
+        shingles(ddf, "text", "doc_id", 5),
+        shingles(bdf, "text", "doc_id", 5),
+        "doc_id",
+    ).collect()
+    got = {r["doc_id"]: (r["n_sh"], r["n_hit"]) for r in out}
+
+    def brute(text):
+        t = text.split()
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    bench_sh = set().union(*(brute(t) for _, t in bench))
+    expect = {
+        i: (len(brute(t)), len(brute(t) & bench_sh))
+        for i, t in docs
+        if len(t.split()) >= 5
+    }
+    assert got == expect
+    assert got[1][1] == 1 and got[2][1] == 0 and got[3][1] == 1
+
+
+def test_scrub_pii_and_count(spark):
+    from openseizuredatabase_spark.functions.text import pii_count, scrub_pii
+
+    rows = [
+        (1, "mail me at jo.doe1@ex.org thanks"),
+        (2, "call +1-555-0199 or +1-555-7"),
+        (3, "clean text only"),
+        (4, "both jo@a.b and +1-555-12 here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["s"], r["n"])
+        for r in df.select(
+            "id",
+            scrub_pii(F.col("text")).alias("s"),
+            pii_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[1] == ("mail me at <EMAIL> thanks", 1)
+    assert out[2] == ("call <PHONE> or <PHONE>", 2)
+    assert out[3] == ("clean text only", 0)
+    assert out[4] == ("both <EMAIL> and <PHONE> here", 2)

@@ -48,14 +48,59 @@ class LinearModel:
         return 1.0 / (1.0 + np.exp(-z))
 
 
-def load_model(path: str) -> LinearModel:
+@dataclass(frozen=True)
+class MLPModel:
+    """Dense feed-forward scorer: relu hidden layers, sigmoid head.
+
+    Same batch contract as LinearModel ((N, D) float matrix in, (N,)
+    probabilities out), so every consumer — predict_proba, the nnAlg /
+    per-dp detector scaffolds — takes either interchangeably. Fills the
+    nnTester.py:333-504 multi-layer role with the one artifact format
+    this environment can genuinely load (``.npz``); keras/torch/tflite
+    remain honest fail-fasts in load_model.
+    """
+
+    layers: tuple[tuple[np.ndarray, np.ndarray], ...]  # ((W, b), ...)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        a = np.asarray(x, dtype=np.float64)
+        last = len(self.layers) - 1
+        for i, (w, b) in enumerate(self.layers):
+            z = a @ w + b
+            a = 1.0 / (1.0 + np.exp(-z)) if i == last else np.maximum(z, 0.0)
+        return a[:, 0] if a.ndim == 2 and a.shape[1] == 1 else a
+
+
+def save_mlp_npz(model: MLPModel, path: str) -> None:
+    """Persist an MLPModel as W0,b0,W1,b1,... arrays in one .npz."""
+    arrays: dict[str, np.ndarray] = {}
+    for i, (w, b) in enumerate(model.layers):
+        arrays[f"W{i}"] = np.asarray(w, dtype=np.float64)
+        arrays[f"b{i}"] = np.asarray(b, dtype=np.float64)
+    np.savez(path, **arrays)
+
+
+def load_model(path: str) -> "LinearModel | MLPModel":
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            layers = []
+            i = 0
+            while f"W{i}" in z:
+                layers.append((z[f"W{i}"], z[f"b{i}"]))
+                i += 1
+        if not layers:
+            raise ValueError(f"{path!r} holds no W0/b0 layer arrays")
+        return MLPModel(layers=tuple(layers))
     if path.endswith((".h5", ".keras", ".pt", ".pte", ".tflite")):
         if not _HAS_TF:
             raise NotImplementedError(
                 f"loading {path!r} requires a DL runtime not present in "
                 "this environment; use a LinearModel or install one"
             )
-    raise NotImplementedError("only in-memory LinearModel is supported here")
+    raise NotImplementedError(
+        "supported artifact formats here: .npz (MLPModel); keras/torch/"
+        "tflite need their runtimes"
+    )
 
 
 def assemble_features(df: DataFrame, feature_cols: Sequence[str], out_col: str = "fvec") -> DataFrame:

@@ -3902,6 +3902,64 @@ def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m14_mlp_inference",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               embedding[1]::DOUBLE AS x1,
+               embedding[2]::DOUBLE AS x2,
+               embedding[3]::DOUBLE AS x3
+        FROM embeddings
+    ), h AS (
+        SELECT vec_id,
+               greatest(0.0, 0.5*x1 + 0.25*x2 - 0.5*x3 + 0.25) AS h1,
+               greatest(0.0, -0.25*x1 + 0.5*x2 + 0.125*x3 - 0.125) AS h2
+        FROM x
+    )
+    SELECT vec_id,
+           round(1.0 / (1.0 + exp(-(1.5*h1 - 0.75*h2 + 0.0625))), 6) AS p
+    FROM h
+    """,
+    "M9 multi-layer inference (nnTester.py:333-504 keras role): a real "
+    "relu-hidden-layer MLP scored through the same Arrow-vectorized "
+    "predict_proba path as the linear scorer — model rides the closure, "
+    "one batch matmul per Arrow batch, zero shuffles. Dyadic weights "
+    "keep every product fp-exact; the oracle walks the identical "
+    "forward pass in explicit SQL, so multi-layer parity (not just the "
+    "plumbing) is what's checked.",
+)
+def m14_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.ml.inference import (
+        MLPModel,
+        assemble_features,
+        predict_proba,
+    )
+    import numpy as np
+
+    model = MLPModel(
+        layers=(
+            (
+                np.array([[0.5, -0.25], [0.25, 0.5], [-0.5, 0.125]]),
+                np.array([0.25, -0.125]),
+            ),
+            (np.array([[1.5], [-0.75]]), np.array([0.0625])),
+        )
+    )
+    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark)
+    feats = emb.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1).alias(f"x{i}")
+            for i in range(3)
+        ],
+    )
+    scored = predict_proba(
+        assemble_features(feats, ["x0", "x1", "x2"]), model, out_col="p"
+    )
+    return scored.select("vec_id", F.round("p", 6).alias("p"))
+
+
 _PII_AUG_SQL = (
     "text || ' contact user' || doc_id || '@mail.example or +1-555-' "
     "|| (doc_id % 10000)"
@@ -4055,6 +4113,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t13_pii_scrub", "doc_id",
          "n_redactions + 31*length(scrubbed)"
          " + 1009*ascii(substr(scrubbed, 3, 1))"),
+        ("m14_mlp_inference", "vec_id", q6("p")),
     ]
 
 

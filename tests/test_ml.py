@@ -63,3 +63,87 @@ def test_iter_training_batches(frame):
 def test_load_model_fails_cleanly():
     with pytest.raises(NotImplementedError):
         load_model("model.keras")
+
+
+def test_mlp_forward_golden():
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.inference import MLPModel
+
+    m = MLPModel(
+        layers=(
+            (np.array([[1.0, -1.0], [0.5, 0.5]]), np.array([0.0, 0.25])),
+            (np.array([[2.0], [-2.0]]), np.array([0.5])),
+        )
+    )
+    x = np.array([[1.0, 2.0], [-3.0, 0.0]])
+    # hand-computed: h = relu(x@W0 + b0); p = sigmoid(h@W1 + b1)
+    h = np.maximum(x @ m.layers[0][0] + m.layers[0][1], 0.0)
+    expect = 1.0 / (1.0 + np.exp(-(h @ m.layers[1][0] + m.layers[1][1])))
+    got = m.predict(x)
+    assert np.allclose(got, expect[:, 0])
+    # row 0: z0=x@W0+b0=(2.0, 0.25), relu no-op -> z=2*2-2*0.25+0.5=4.0
+    assert abs(got[0] - 1.0 / (1.0 + np.exp(-4.0))) < 1e-12
+
+
+def test_mlp_npz_roundtrip(tmp_path):
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.inference import (
+        MLPModel,
+        load_model,
+        save_mlp_npz,
+    )
+
+    rng = np.random.default_rng(7)
+    m = MLPModel(
+        layers=(
+            (rng.normal(size=(5, 4)), rng.normal(size=4)),
+            (rng.normal(size=(4, 1)), rng.normal(size=1)),
+        )
+    )
+    path = str(tmp_path / "model.npz")
+    save_mlp_npz(m, path)
+    m2 = load_model(path)
+    x = rng.normal(size=(16, 5))
+    assert np.array_equal(m.predict(x), m2.predict(x))
+
+
+def test_load_model_formats_fail_fast(tmp_path):
+    import pytest as _pytest
+
+    from openseizuredatabase_spark.ml.inference import load_model
+
+    with _pytest.raises(NotImplementedError):
+        load_model("weights.h5")
+    with _pytest.raises(NotImplementedError):
+        load_model("weights.bin")
+
+
+def test_mlp_predict_proba_spark(spark):
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.inference import (
+        MLPModel,
+        assemble_features,
+        predict_proba,
+    )
+
+    m = MLPModel(
+        layers=(
+            (np.array([[1.0], [1.0]]), np.array([-1.0])),
+            (np.array([[4.0]]), np.array([0.0])),
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 0.0, 0.0)], "id long, a double, b double"
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in predict_proba(
+            assemble_features(df, ["a", "b"]), m, out_col="p"
+        ).collect()
+    }
+    # id1: relu(2-1)=1 -> sigmoid(4); id2: relu(-1)=0 -> sigmoid(0)=0.5
+    assert abs(out[1] - 1.0 / (1.0 + np.exp(-4.0))) < 1e-12
+    assert abs(out[2] - 0.5) < 1e-12

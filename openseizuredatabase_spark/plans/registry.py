@@ -29,6 +29,7 @@ from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.hashing import seeded_md5_long, seeded_md5_long_sql
+from openseizuredatabase_spark.sources.lake import morton_sql
 from openseizuredatabase_spark.sources.tables import load_table, spread_small_scan
 
 
@@ -3960,6 +3961,40 @@ def m14_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("p", 6).alias("p"))
 
 
+@query(
+    "z1_zorder_key",
+    f"""
+    WITH q AS (
+        SELECT event_id,
+               ((user_id % 256) + 256) % 256 AS xq,
+               ((CAST(round(value * 100) AS BIGINT) % 256) + 256) % 256 AS yq
+        FROM events
+    )
+    SELECT event_id, xq, yq,
+           ({morton_sql('xq', 'yq', 8)})::BIGINT AS zkey
+    FROM q
+    """,
+    "Z-order layout key (sources/lake.zorder_write): Morton bit-"
+    "interleave of two quantized dimensions — the multi-column file-"
+    "clustering layout (Delta/Iceberg OPTIMIZE ZORDER shape) that lets "
+    "footer min/max stats prune on either column at 100 TB. Pure "
+    "bitwise built-ins (codegen, no UDF); oracle recomputes the "
+    "interleave with explicit shift/mask SQL.",
+)
+def z1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.lake import morton_key
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("xq"),
+        F.pmod(
+            F.round(F.col("value") * 100).cast("long"), F.lit(256)
+        ).alias("yq"),
+    )
+    return q.withColumn("zkey", morton_key(F.col("xq"), F.col("yq"), 8))
+
+
 _PII_AUG_SQL = (
     "text || ' contact user' || doc_id || '@mail.example or +1-555-' "
     "|| (doc_id % 10000)"
@@ -4114,6 +4149,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "n_redactions + 31*length(scrubbed)"
          " + 1009*ascii(substr(scrubbed, 3, 1))"),
         ("m14_mlp_inference", "vec_id", q6("p")),
+        ("z1_zorder_key", "event_id", "zkey + 31*xq + 1009*yq"),
     ]
 
 

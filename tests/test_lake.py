@@ -133,3 +133,70 @@ def test_compact_scoped_partitions_only(spark, tmp_path):
     day1 = read_events_lake(spark, path, date_to="2024-01-01")
     assert len(_files(day1)) < 10
     assert day1.count() == 10
+
+
+def test_morton_key_parity_with_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openseizuredatabase_spark.sources.lake import morton_key
+
+    def py_morton(x, y, bits):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1 << 16), rng.randrange(1 << 16)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", morton_key(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == py_morton(x, y, 16)
+    # interleave is a bijection on the square
+    assert len(set(got.values())) == len(set((x, y) for _, x, y in rows))
+
+
+def test_zorder_write_improves_file_locality(spark, tmp_path):
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from openseizuredatabase_spark.sources.lake import zorder_write
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "xq long, yq long")
+
+    def bbox_area_sum(path):
+        total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["xq", "yq"])
+            xs, ys = t.column("xq").to_pylist(), t.column("yq").to_pylist()
+            if xs:
+                total += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return total
+
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    df.repartition(16).write.parquet(plain)
+    zorder_write(df, zord, "xq", "yq", bits=8, n_files=16)
+
+    plain_area = bbox_area_sum(plain)
+    z_area = bbox_area_sum(zord)
+    # random layout: every file spans ~the full 256x256 square;
+    # z-order: each file is a contiguous key range = a small tile
+    assert z_area < plain_area / 4, (z_area, plain_area)
+    # layout carries the locality; no helper column leaks into the data
+    names = pq.read_schema(glob.glob(f"{zord}/*.parquet")[0]).names
+    assert names == ["xq", "yq"]

@@ -3904,6 +3904,109 @@ def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t14_domain_mixture",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, {text_fns.token_count_sql('text')} AS n
+        FROM documents
+    ), tot AS (
+        SELECT source, sum(n) AS s_tok FROM tok GROUP BY source
+    ), frac AS (
+        SELECT source,
+               least(1.0, (SELECT min(s_tok) FROM tot)::DOUBLE / s_tok) AS f
+        FROM tot
+    ), kept AS (
+        SELECT t.doc_id, t.source, t.n
+        FROM tok t JOIN frac USING (source)
+        WHERE ({seeded_md5_long_sql("t.doc_id::VARCHAR", 14)}::DOUBLE + 0.5)
+              / 1152921504606846976.0 < frac.f
+    )
+    SELECT source, count(*) AS n_kept, sum(n)::BIGINT AS tok_kept
+    FROM kept GROUP BY source
+    """,
+    "Domain mixture sampling (LLM data-mixing op beyond the reference): "
+    "equalize the per-source token budget by downsampling every source "
+    "to the smallest source's token count. Fractions are computed IN "
+    "the plan (single-row min broadcast-crossed into the per-source "
+    "totals — no driver collect), membership is the portable seeded-"
+    "hash keep test (m13), so the mix is bit-stable under any layout/"
+    "cluster size. Two small shuffles on source + one narrow filter.",
+)
+def t14_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id", "source", text_fns.token_count(F.col("text")).alias("n")
+    )
+    tot = tok.groupBy("source").agg(F.sum("n").alias("s_tok"))
+    mn = tot.agg(F.min("s_tok").alias("min_tok"))
+    frac = tot.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.col("min_tok").cast("double") / F.col("s_tok")
+        ).alias("f"),
+    )
+    u = (
+        seeded_md5_long(F.col("doc_id").cast("string"), 14).cast("double")
+        + 0.5
+    ) / float(1 << 60)
+    kept = tok.join(F.broadcast(frac), "source").filter(u < F.col("f"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n").alias("tok_kept"),
+    )
+
+
+_PACK_LEN = 128
+
+
+@query(
+    "t15_sequence_packing",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, {text_fns.token_count_sql('text')} AS n
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, n,
+               sum(n) OVER (PARTITION BY source ORDER BY doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS c
+        FROM tok
+    )
+    SELECT doc_id, source, n,
+           CAST(floor((c - n) / {_PACK_LEN}.0) AS BIGINT) AS seq_bin,
+           ((c - n) % {_PACK_LEN})::BIGINT AS pack_pos
+    FROM cum
+    """,
+    "Sequence packing (LLM training-prep op beyond the reference): "
+    "greedy contiguous packing of documents into fixed-length training "
+    "sequences — each doc's bin and offset fall out of a per-source "
+    "cumulative token sum (ONE window shuffle, partitioned by source so "
+    "no global single-reducer sort; sources are the natural pack shards "
+    "at 100 TB). Boundary-spanning docs belong to their start bin, the "
+    "standard streaming-pack convention.",
+)
+def t15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id", "source", text_fns.token_count(F.col("text")).alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tok.withColumn("c", F.sum("n").over(w))
+    start = F.col("c") - F.col("n")
+    return cum.select(
+        "doc_id",
+        "source",
+        "n",
+        F.floor(start / float(_PACK_LEN)).cast("long").alias("seq_bin"),
+        (start % _PACK_LEN).alias("pack_pos"),
+    )
+
+
+@query(
     "m14_mlp_inference",
     """
     WITH x AS (
@@ -4150,6 +4253,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 1009*ascii(substr(scrubbed, 3, 1))"),
         ("m14_mlp_inference", "vec_id", q6("p")),
         ("z1_zorder_key", "event_id", "zkey + 31*xq + 1009*yq"),
+        ("t14_domain_mixture", sc("source"), f"n_kept + 31*{t('tok_kept')}"),
+        ("t15_sequence_packing", "doc_id",
+         f"n + 31*seq_bin + 1009*pack_pos"
+         f" + 31063*CAST({sc('source')} AS BIGINT)"),
     ]
 
 

@@ -36,7 +36,13 @@ def test_relational_queries_have_no_python_udf(spark, sf_dir):
     # Python model/kernel stage (the Arrow batch contract is the product,
     # not an accident); group-map ops (applyInPandas/mapInPandas) compile
     # to MapInPandas nodes and are out of this check's scope
-    python_by_design = {"m9_batch_inference"}
+    # m9/m14: Arrow-vectorized model scoring IS the operator;
+    # x_signatures embeds their member branches
+    python_by_design = {
+        "m9_batch_inference",
+        "m14_mlp_inference",
+        "x_signatures",
+    }
     for name, spec in QUERIES.items():
         if spec.oracle is None or name in python_by_design:
             continue

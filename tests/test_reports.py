@@ -244,3 +244,59 @@ def test_dense_month_counts_zero_fill(spark):
     assert len(rows) == 8
     assert rows[("a", 1)] == 1 and rows[("a", 2)] == 0
     assert rows[("b", 2)] == 1 and rows[("b", 3)] == 0
+
+
+def test_line_chart_svg_well_formed():
+    import xml.etree.ElementTree as ET
+
+    from openseizuredatabase_spark.reports.svg_chart import line_chart_svg
+
+    svg = line_chart_svg(
+        {"pSeizure": [(0, 0.1), (5, 0.9), (10, 0.4)],
+         "alarmState": [(0, 0.0), (5, 2.0), (10, 1.0)]},
+        title="event 42 <replay>", x_label="t", y_label="p",
+    )
+    root = ET.fromstring(svg)  # valid XML
+    polys = [e for e in root.iter() if e.tag.endswith("polyline")]
+    assert len(polys) == 2
+    assert len(polys[0].attrib["points"].split()) == 3
+    assert "&lt;replay&gt;" in svg  # titles are escaped
+
+
+def test_bar_chart_svg_counts_and_cap():
+    import xml.etree.ElementTree as ET
+
+    import pytest as _pytest
+
+    from openseizuredatabase_spark.reports.svg_chart import (
+        MAX_POINTS,
+        bar_chart_svg,
+    )
+
+    svg = bar_chart_svg(["2025-01", "2025-02"], [3, 7], title="monthly")
+    root = ET.fromstring(svg)
+    bars = [e for e in root.iter() if e.tag.endswith("rect")]
+    assert len(bars) == 3  # background + 2 bars
+    with _pytest.raises(ValueError):
+        bar_chart_svg(["x"] * (MAX_POINTS + 1), [1] * (MAX_POINTS + 1))
+
+
+def test_event_graph_svg_from_spark(spark):
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import functions as F
+
+    from openseizuredatabase_spark.reports.results import event_graph_frame
+    from openseizuredatabase_spark.reports.svg_chart import event_graph_svg
+
+    per_dp = spark.createDataFrame(
+        [(7, float(i), 0.1 * i, i % 3) for i in range(20)]
+        + [(8, 0.0, 0.5, 1)],
+        "eventId long, dpTimestamp double, pSeizure double, alarmState long",
+    )
+    frame = event_graph_frame(per_dp, 7)
+    svg = event_graph_svg(frame, ["pSeizure", "alarmState"], title="ev7")
+    root = ET.fromstring(svg)
+    polys = [e for e in root.iter() if e.tag.endswith("polyline")]
+    assert len(polys) == 2
+    assert len(polys[0].attrib["points"].split()) == 20  # event 8 pruned

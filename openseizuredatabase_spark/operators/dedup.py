@@ -180,15 +180,10 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_pairs(
+def _lsh_bands(
     sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
 ) -> DataFrame:
-    """Band the signature, bucket-join within bands → candidate pairs.
-
-    Classic MinHash-LSH: documents sharing ANY full band are candidates.
-    Join key is (band_idx, band_hash) — uniformly distributed; the self
-    join never sees the raw O(n²) pair space.
-    """
+    """(id, band, band_hash) rows: one row per signature band."""
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -203,6 +198,19 @@ def lsh_band_pairs(
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
+    return banded
+
+
+def lsh_band_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """Band the signature, bucket-join within bands → candidate pairs.
+
+    Classic MinHash-LSH: documents sharing ANY full band are candidates.
+    Join key is (band_idx, band_hash) — uniformly distributed; the self
+    join never sees the raw O(n²) pair space.
+    """
+    banded = _lsh_bands(sigs, id_col, n_hashes, band_size)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -219,6 +227,39 @@ def lsh_band_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_band_pairs_between(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Incremental-dedup screen: LSH candidates between a NEW ingest
+    batch and the EXISTING corpus — how near-dup filtering actually runs
+    in a production pipeline (each arriving batch is checked against the
+    lake, not all-pairs re-run).
+
+    The batch side is tiny next to the corpus, so its banded signatures
+    broadcast and the corpus side is a single map-side hash probe —
+    never shuffled, never self-joined. Returns distinct
+    (new_id, corpus_id) candidates.
+    """
+    nb = _lsh_bands(new_sigs, id_col, n_hashes, band_size).alias("n")
+    cb = _lsh_bands(corpus_sigs, id_col, n_hashes, band_size).alias("c")
+    return (
+        cb.join(
+            F.broadcast(nb),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
 
 
 def jaccard_candidate_pairs(

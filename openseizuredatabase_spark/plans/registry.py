@@ -3904,6 +3904,63 @@ def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t16_incremental_dedup",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sigs AS (
+        SELECT doc_id,
+               min({seeded_md5_long_sql('shingle', 0)}) AS mh_0,
+               min({seeded_md5_long_sql('shingle', 1)}) AS mh_1,
+               min({seeded_md5_long_sql('shingle', 2)}) AS mh_2,
+               min({seeded_md5_long_sql('shingle', 3)}) AS mh_3
+        FROM sh GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, 0 AS band,
+               md5(mh_0::VARCHAR || '_' || mh_1::VARCHAR) AS band_hash
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               md5(mh_2::VARCHAR || '_' || mh_3::VARCHAR) AS band_hash
+        FROM sigs
+    ), pairs AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM banded n
+        JOIN documents dn ON n.doc_id = dn.doc_id
+                         AND dn.source IN ('src8', 'src9')
+        JOIN banded c ON n.band = c.band AND n.band_hash = c.band_hash
+        JOIN documents dc ON c.doc_id = dc.doc_id
+                         AND dc.source NOT IN ('src8', 'src9')
+    )
+    SELECT new_id, count(*) AS n_candidates,
+           min(corpus_id)::BIGINT AS min_corpus_id
+    FROM pairs GROUP BY new_id
+    """,
+    "Incremental dedup (production ingest shape): the arriving batch "
+    "(sources src8/src9 stand in for it) is LSH-screened against the "
+    "existing corpus — batch bands broadcast, the corpus is a map-side "
+    "hash probe, never shuffled or self-joined. Per new doc: corpus "
+    "candidate count + the first matching corpus id.",
+)
+def t16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    new_docs = docs.filter(F.col("source").isin("src8", "src9"))
+    corpus = docs.filter(~F.col("source").isin("src8", "src9"))
+    new_sigs = dedup_ops.minhash_signatures(
+        dedup_ops.shingles(new_docs, "text", "doc_id", 5), "doc_id", 4
+    )
+    corpus_sigs = dedup_ops.minhash_signatures(
+        dedup_ops.shingles(corpus, "text", "doc_id", 5), "doc_id", 4
+    )
+    pairs = dedup_ops.lsh_band_pairs_between(
+        new_sigs, corpus_sigs, "doc_id", 4, 2
+    )
+    return pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min("corpus_id").alias("min_corpus_id"),
+    )
+
+
+@query(
     "t14_domain_mixture",
     f"""
     WITH tok AS (
@@ -4254,6 +4311,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m14_mlp_inference", "vec_id", q6("p")),
         ("z1_zorder_key", "event_id", "zkey + 31*xq + 1009*yq"),
         ("t14_domain_mixture", sc("source"), f"n_kept + 31*{t('tok_kept')}"),
+        ("t16_incremental_dedup", "new_id",
+         "n_candidates + 31*min_corpus_id"),
         ("t15_sequence_packing", "doc_id",
          f"n + 31*seq_bin + 1009*pack_pos"
          f" + 31063*CAST({sc('source')} AS BIGINT)"),

@@ -407,3 +407,32 @@ def test_scrub_pii_and_count(spark):
     assert out[2] == ("call <PHONE> or <PHONE>", 2)
     assert out[3] == ("clean text only", 0)
     assert out[4] == ("both <EMAIL> and <PHONE> here", 2)
+
+
+def test_lsh_band_pairs_between_batch_vs_corpus(spark):
+    from openseizuredatabase_spark.operators.dedup import (
+        lsh_band_pairs_between,
+        minhash_signatures,
+        shingles,
+    )
+
+    # corpus doc 1 and batch doc 100 are identical -> all bands agree;
+    # doc 2 / doc 101 share nothing
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "q r s t u v w x y z")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "a b c d e f g h i j"), (101, "m n o p m n o p m n")],
+        "doc_id long, text string",
+    )
+    sigs = lambda df: minhash_signatures(
+        shingles(df, "text", "doc_id", 5), "doc_id", 4
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_band_pairs_between(
+            sigs(batch), sigs(corpus), "doc_id", 4, 2
+        ).collect()
+    }
+    assert got == {(100, 1)}

@@ -266,55 +266,63 @@ def jaccard_candidate_pairs(
     sh: DataFrame,
     id_col: str,
     max_df: int = 64,
-    mega_hot_guard: bool = True,
-    guard_mod: int = 100,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Near-dup pairs with Jaccard >= threshold left to the caller: from a
     (id, shingle) table, emit (id_a, id_b, n_common, n_a, n_b).
 
     Semantics: shingles appearing in more than ``max_df`` DISTINCT docs
-    are non-discriminative stop-shingles and are dropped — enforced
-    EXACTLY by the post-aggregation ``size(ids) <= max_df`` filter, so the
-    output never depends on the guard below.
+    are non-discriminative stop-shingles and are dropped.
 
-    Scale shape (the naive self-join is quadratic on hot shingles):
-    1. mega-hot guard — memory protection, not semantics: a deterministic
-       ~1/guard_mod id-hash subsample is pre-aggregated (tiny: the sample
-       is taken before the group-by, map-side combined, count buffers are
-       O(1) so a skewed key cannot hurt it) and any shingle with more
-       than max_df distinct sampled ids is culled by broadcast anti-join
-       BEFORE the set aggregation. No false positives are possible — a
-       shingle with true df <= max_df can never show > max_df distinct
-       ids in a subsample — so the exact filter's result is unchanged;
-       a corpus-scale stop-shingle (df >> max_df·guard_mod) is caught
-       w.h.p. and its collect_set buffer never materializes. Uncaught
-       borderline-hot keys (df up to ~max_df·guard_mod) cost a bounded
-       few-MB buffer, then the exact filter discards them.
-    2. group by shingle, collect_set(id) — input may be non-distinct
-       (collect_set dedups), so callers can skip the shingle-distinct
-       shuffle;
+    Scale shape (the naive self-join is quadratic on hot shingles, and a
+    plain ``collect_set`` builds an O(df) buffer for corpus-scale
+    stop-shingles):
+    1. salted set aggregation — group by (shingle, hash(id) % S): each
+       doc lands in exactly ONE salt bucket, so the per-bucket id-sets
+       are disjoint and no aggregation buffer exceeds df/S elements, a
+       DETERMINISTIC memory bound (raise ``salt_buckets`` for hotter
+       corpora). Input may be non-distinct (collect_set dedups), so
+       callers can skip the shingle-distinct shuffle.
+    2. exact doc frequency per shingle = sum of disjoint part sizes,
+       computed as a window over the SAME shingle partitioning the final
+       union-agg needs — the ``df`` filter culls stop-shingles BEFORE
+       their full id-set ever materializes, and no second pass over the
+       corpus runs (a sample-based pre-screen re-reads the whole doc
+       table just to build its sample — one full scan wasted at lake
+       scale).
     3. pairs exploded JVM-side from each sorted id-set (<= max_df^2/2 per
        shingle), counted per (id_a, id_b);
     4. per-id set sizes from the same grouped frame (reused exchange).
     """
-    if mega_hot_guard:
-        sample = sh.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(guard_mod)) == 0
-        )
-        mega = (
-            sample.groupBy("shingle")
-            .agg(F.countDistinct(F.col(id_col)).alias("sdf"))
-            .filter(F.col("sdf") > max_df)
-            .select("shingle")
-        )
-        kept = sh.join(F.broadcast(mega), "shingle", "left_anti")
-    else:
-        kept = sh
-    grouped = (
-        kept.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") <= max_df)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    parts = sh.groupBy(F.col("shingle"), salt.alias("salt")).agg(
+        F.collect_set(F.col(id_col)).alias("part")
     )
+    # carry the exact per-bucket size, but CAP the carried ids at
+    # max_df+1: a bucket alone exceeding max_df already proves the
+    # shingle is a stop-shingle, so the level-2 merge buffer is bounded
+    # by S*(max_df+1) elements per shingle no matter how hot the key
+    parts = parts.select(
+        "shingle",
+        F.size("part").alias("psz"),
+        F.slice(F.array_sort("part"), 1, max_df + 1).alias("part"),
+    )
+    grouped = (
+        parts.groupBy("shingle")
+        .agg(
+            F.sum("psz").alias("df"),
+            F.array_sort(F.flatten(F.collect_list("part"))).alias("ids"),
+        )
+        .filter(F.col("df") <= max_df)
+        .select("shingle", "ids")
+    )
+    # both consumers below (pair explosion + per-id sizes) re-derive from
+    # `grouped`; a lazy localCheckpoint materializes the (small: df-capped
+    # sets only) frame once instead of running scan+tokenize+2-level agg
+    # per branch — ~2.5x on the end-to-end query. Tradeoff: checkpointed
+    # blocks skip lineage recovery; for a deterministic batch pipeline a
+    # lost executor means re-running the query, which is acceptable.
+    grouped = grouped.localCheckpoint(eager=False)
     pair = F.explode(
         F.flatten(
             F.transform(

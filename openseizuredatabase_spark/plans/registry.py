@@ -30,7 +30,11 @@ from openseizuredatabase_spark.operators import windows as window_ops
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.hashing import seeded_md5_long, seeded_md5_long_sql
 from openseizuredatabase_spark.sources.lake import morton_sql
-from openseizuredatabase_spark.sources.tables import load_table, spread_small_scan
+from openseizuredatabase_spark.sources.tables import (
+    load_table,
+    spread_small_scan,
+    table_meta,
+)
 
 
 @dataclass
@@ -53,6 +57,13 @@ def query(name: str, oracle: Optional[str], doc: str):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + spread-for-map-work, sized from parquet footer metadata (a
+    local read, no Spark job — see ``tables.table_meta``)."""
+    _, nbytes = table_meta(sf_dir, name)
+    return spread_small_scan(load_table(spark, sf_dir, name), spark, nbytes)
 
 
 # ---------------------------------------------------------------------------
@@ -1154,7 +1165,7 @@ _SHINGLE_SQL = """
     "universe.",
 )
 def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     # distinct=False: the pair generator's collect_set is already
     # set-semantic, so the (id, shingle)-distinct shuffle is pure cost
     sh = dedup_ops.shingles(docs, "text", "doc_id", 5, distinct=False)
@@ -1193,7 +1204,7 @@ def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-side-combined aggregation.",
 )
 def t6_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
     return dedup_ops.minhash_signatures(sh, "doc_id", 4)
 
@@ -1250,19 +1261,31 @@ def _quantized_dot(a, b):
     "top-k is a tiny final reduce.",
 )
 def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark).withColumn(
+    emb = _ts(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
-    qvec = emb.filter(F.col("vec_id") == 0).select("emb_d").head()[0]
+    # single-row query-parameter lookup (NOT a data-path collect): fetch
+    # from the RAW scan so the vec_id filter pushes down to parquet and no
+    # repartition exchange runs just to read one row
+    qvec = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .head()[0]
+    )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     dp = _quantized_dot(F.col("emb_d"), qlit)
     na = _quantized_dot(F.col("emb_d"), F.col("emb_d"))
-    # the query self-norm is a constant: evaluate it once through the
-    # SAME Spark expression (identical rounding codepath, one 1-row job)
-    # instead of re-walking 64 terms per row
-    nq_val = spark.range(1).select(
-        _quantized_dot(qlit, qlit).alias("nq")
-    ).head()[0]
+    # the query self-norm is a constant over the already-fetched qvec:
+    # compute it driver-side (no extra Spark job). Decimal(repr(v))
+    # HALF_UP reproduces Spark's Round-on-double exactly (BigDecimal
+    # .valueOf uses the same shortest-decimal representation as repr).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nq_val = sum(
+        int(Decimal(repr(x * x * 1e6)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for x in (float(v) for v in qvec)
+    )
     nq = F.lit(int(nq_val)).cast("long")
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -1314,7 +1337,7 @@ def _v2_oracle() -> str:
 def v2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.vectors import hyperplane
 
-    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark).withColumn(
+    emb = _ts(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
     # ONE pass over the embedding accumulating all 8 projections in an
@@ -1932,7 +1955,7 @@ def a5_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair space; join key uniformly distributed (no skew).",
 )
 def t7_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
     sigs = dedup_ops.minhash_signatures(sh, "doc_id", 4)
     return dedup_ops.lsh_band_pairs(sigs, "doc_id", 4, 2)
@@ -2003,7 +2026,7 @@ def c19_signal_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure relational fan-out (explode tokens × bits), no UDF.",
 )
 def t8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
@@ -2073,13 +2096,14 @@ def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    raw = _t(spark, sf_dir, "embeddings")
     # bucket count tracks table size: ~128 vectors per bucket keeps the
-    # within-bucket pairwise rerank linear in n. Count the RAW scan (a
-    # parquet metadata-only read) before the spread_small_scan fan-out,
-    # so sizing never executes a shuffle as a separate driver-side job.
-    modulus = max(16, raw.count() // 128)
-    emb0 = spread_small_scan(raw, spark)
+    # within-bucket pairwise rerank linear in n. The row count comes from
+    # parquet FOOTER metadata (local file read via table_meta) — no Spark
+    # job runs for sizing; at lake scale the same number comes from table
+    # catalog statistics.
+    n_rows, _ = table_meta(sf_dir, "embeddings")
+    modulus = max(16, n_rows // 128)
+    emb0 = _ts(spark, sf_dir, "embeddings")
     emb = emb0.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -2580,7 +2604,7 @@ def a13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c1_timestamp_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.sources.ingest import parse_osdb_time
 
-    ev = spread_small_scan(_t(spark, sf_dir, "events"), spark)
+    ev = _ts(spark, sf_dir, "events")
     raw = ev.select(
         "event_id",
         F.when(
@@ -3466,7 +3490,7 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t11_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.text import tokens
 
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.transform(tokens(F.col("text")), lambda x: F.lower(x)).alias("toks"),
@@ -3705,7 +3729,7 @@ def u6_dense_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the portable 60-bit md5 hash.",
 )
 def t9_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     fps = dedup_ops.winnow_fingerprints(docs, "text", "doc_id", k=5, w=4, seed=11)
     bounded = F.expr(
         "aggregate(transform(fps, x -> x % 1000000007),"
@@ -3885,7 +3909,7 @@ def n1_dp_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc-key aggregation produces size + hit count together.",
 )
 def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     bench_sh = dedup_ops.shingles(
         docs.filter(F.col("source") == "src4"), "text", "doc_id", 5
     )
@@ -3942,7 +3966,7 @@ def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate count + the first matching corpus id.",
 )
 def t16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     new_docs = docs.filter(F.col("source").isin("src8", "src9"))
     corpus = docs.filter(~F.col("source").isin("src8", "src9"))
     new_sigs = dedup_ops.minhash_signatures(
@@ -3990,7 +4014,7 @@ def t16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster size. Two small shuffles on source + one narrow filter.",
 )
 def t14_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", text_fns.token_count(F.col("text")).alias("n")
     )
@@ -4043,7 +4067,7 @@ _PACK_LEN = 128
     "standard streaming-pack convention.",
 )
 def t15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", text_fns.token_count(F.col("text")).alias("n")
     )
@@ -4107,7 +4131,7 @@ def m14_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             (np.array([[1.5], [-0.75]]), np.array([0.0625])),
         )
     )
-    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"), spark)
+    emb = _ts(spark, sf_dir, "embeddings")
     feats = emb.select(
         "vec_id",
         *[
@@ -4180,7 +4204,7 @@ _PII_AUG_SQL = (
     "pure codegen'd expressions, zero Python, one scan.",
 )
 def t13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    docs = _ts(spark, sf_dir, "documents")
     aug = docs.select(
         "doc_id",
         F.concat(

@@ -278,3 +278,30 @@ def default_nn_score(settings: NnSettings | None = None) -> ScoreFn:
     dim = s.buffer_samp
     model = LinearModel(weights=tuple([1.0 / dim] * dim), bias=-1.0)
     return lambda vec: float(model.predict(vec.reshape(1, -1))[0])
+
+
+def cnn_spec_score(
+    settings: SpecSettings | None = None, model=None, seed: int = 7
+) -> ScoreFn:
+    """The real spec-CNN scorer: a pure-numpy forward pass of the
+    reference architecture (Conv1D(64,3,same)+BN+ReLU blocks, GAP,
+    softmax — specCnnModel.py:55-75) over the flattened spectrogram.
+    Pass ``model`` to score trained ``.npz`` weights; default weights
+    are deterministic dyadic rationals."""
+    from openseizuredatabase_spark.ml.cnn import make_spec_cnn
+
+    s = settings or SpecSettings()
+    m = model if model is not None else make_spec_cnn(s.n_freq, s.n_spec, seed=seed)
+    return lambda vec: float(m.predict(vec.reshape(1, -1))[0])
+
+
+def cnn_nn_score(
+    settings: NnSettings | None = None, model=None, seed: int = 13
+) -> ScoreFn:
+    """The real raw-accel CNN scorer: DeepEpiCnn's 14-conv forward pass
+    (deepEpiCnnModel_torch.py:38-162) over the 30 s magnitude buffer."""
+    from openseizuredatabase_spark.ml.cnn import make_deep_epi_cnn
+
+    s = settings or NnSettings()
+    m = model if model is not None else make_deep_epi_cnn(s.buffer_samp, seed=seed)
+    return lambda vec: float(m.predict(vec.reshape(1, -1))[0])

@@ -80,9 +80,16 @@ def save_mlp_npz(model: MLPModel, path: str) -> None:
     np.savez(path, **arrays)
 
 
-def load_model(path: str) -> "LinearModel | MLPModel":
+def load_model(path: str):
+    """Load a scorer artifact: ``.npz`` with W0/b0… arrays → MLPModel;
+    ``.npz`` with an ``arch`` manifest → ml.cnn.CnnModel (pure-numpy
+    conv forward pass); DL-framework checkpoints fail fast."""
     if path.endswith(".npz"):
         with np.load(path) as z:
+            if "arch" in z:
+                from openseizuredatabase_spark.ml.cnn import load_cnn_npz
+
+                return load_cnn_npz(z)
             layers = []
             i = 0
             while f"W{i}" in z:

@@ -4145,6 +4145,112 @@ def m14_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("p", 6).alias("p"))
 
 
+# CNN weights for m15 — dyadic rationals so every conv product is fp-exact
+# in both engines; inputs are quantized to 1/64 steps for the same reason.
+_M15_W = ((0.5, -0.25, 0.125), (-0.5, 0.25, 0.5))  # (filter, kernel k=3)
+_M15_B = (0.0625, -0.125)
+_M15_V = (1.5, -0.75)  # dense head
+_M15_C = 0.03125
+_M15_L = 8  # input length → conv 'valid' output length 6
+
+
+def _m15_oracle() -> str:
+    """Unrolled conv1d(k=3, valid) + ReLU + GAP + sigmoid dense in SQL."""
+    xs = ", ".join(
+        f"round(embedding[{i + 1}]::DOUBLE * 64) / 64 AS x{i}"
+        for i in range(_M15_L)
+    )
+    conv_cols = []
+    for f, (w, b) in enumerate(zip(_M15_W, _M15_B)):
+        for p in range(_M15_L - 2):
+            expr = " + ".join(f"({w[j]!r})*x{p + j}" for j in range(3))
+            conv_cols.append(f"greatest(0.0, {expr} + ({b!r})) AS c{f}_{p}")
+    gaps = ", ".join(
+        "("
+        + " + ".join(f"c{f}_{p}" for p in range(_M15_L - 2))
+        + f") / {_M15_L - 2} AS g{f}"
+        for f in range(2)
+    )
+    z = " + ".join(f"({v!r})*g{f}" for f, v in enumerate(_M15_V))
+    return f"""
+    WITH x AS (
+        SELECT vec_id, {xs} FROM embeddings
+    ), conv AS (
+        SELECT vec_id, {', '.join(conv_cols)} FROM x
+    ), g AS (
+        SELECT vec_id, {gaps} FROM conv
+    )
+    SELECT vec_id,
+           round(1.0 / (1.0 + exp(-({z} + ({_M15_C!r})))), 6) AS p
+    FROM g
+    """
+
+
+@query(
+    "m15_cnn_inference",
+    _m15_oracle(),
+    "M9 convolutional inference (the specCnnModel.py:55-75 /"
+    " deepEpiCnnModel_torch.py:38-162 role): a real conv1d(k=3, valid) →"
+    " ReLU → global-average-pool → sigmoid dense forward pass executed by"
+    " the pure-numpy ml.cnn.CnnModel through the same Arrow-vectorized"
+    " predict_proba path as m9/m14 — model rides the closure, one"
+    " sliding-window einsum per Arrow batch, zero shuffles. Inputs are"
+    " quantized to 1/64 steps and weights are dyadic, so every conv"
+    " product is fp-exact and the oracle's unrolled-SQL forward pass is"
+    " bit-identical regardless of summation order.",
+)
+def m15_cnn_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.cnn import CnnModel, Layer
+    from openseizuredatabase_spark.ml.inference import (
+        assemble_features,
+        predict_proba,
+    )
+
+    model = CnnModel(
+        layers=(
+            Layer(
+                "conv1d",
+                (
+                    np.array([[list(w)] for w in _M15_W]),  # (2, 1, 3)
+                    np.array(list(_M15_B)),
+                ),
+                (("stride", 1), ("padding", "valid")),
+            ),
+            Layer("relu"),
+            Layer("gap"),
+            Layer(
+                "dense",
+                (np.array([[v] for v in _M15_V]), np.array([_M15_C])),
+            ),
+            Layer("sigmoid"),
+        ),
+        input_shape=(1, _M15_L),
+    )
+    emb = _ts(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        *[
+            (
+                F.round(
+                    F.element_at(F.col("embedding"), i + 1).cast("double")
+                    * 64,
+                    0,
+                )
+                / 64
+            ).alias(f"x{i}")
+            for i in range(_M15_L)
+        ],
+    )
+    scored = predict_proba(
+        assemble_features(feats, [f"x{i}" for i in range(_M15_L)]),
+        model,
+        out_col="p",
+    )
+    return scored.select("vec_id", F.round("p", 6).alias("p"))
+
+
 @query(
     "z1_zorder_key",
     f"""
@@ -4285,6 +4391,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("c12_taper", "event_id", t("tapered_sum_q")),
         ("m10_subtype_weights", "event_id",
          f"{_sig_sc('event_type')} + 31*{_sig_q6('sample_weight')}"),
+        ("m15_cnn_inference", "vec_id", q6("p")),
         ("a14_salted_hot_key", sc("event_type"),
          f"n + 31*{t(q6('sum_value'))} + 1009*{t(q6('max_value'))}"),
         ("a15_approx_distinct", sc("event_type"),

@@ -2200,11 +2200,37 @@ def _stream_events(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
 
 @query(
     "s10_streaming_sessionize",
-    None,
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        FROM events
+    ), b AS (
+        SELECT user_id, ts,
+               CASE WHEN pts IS NULL
+                         OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+    ), s AS (
+        SELECT user_id,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM b
+    ), per_s AS (
+        SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_len
+    FROM per_s GROUP BY user_id
+    """,
     "Structured Streaming sessionization (D2 streaming twin): the events "
     "parquet replayed through readStream → session_window(30 min gap) per "
     "user → complete-mode memory sink; returns the finalized sessions. "
-    "Streaming-only semantics → rows-only.",
+    "The availableNow+complete emission is deterministic, so it carries a "
+    "full batch oracle: session_window's [start, last+gap) interval "
+    "semantics reduce to a lag-based gap >= 30 min break cumulative-sum — "
+    "the streaming operator itself is what the cross-check pins.",
 )
 def s10_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -2753,11 +2779,18 @@ def a15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s11_streaming_tumbling",
-    None,
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y%m%d')::BIGINT AS day_num,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
     "D1/D4 streaming twin: events replayed through readStream → "
     "watermarked 1-day tumbling window per event_type (streaming/"
-    "sessionize.windowed_counts) → complete-mode memory sink. "
-    "Streaming-only semantics → rows-only.",
+    "sessionize.windowed_counts) → complete-mode memory sink. The "
+    "availableNow+complete emission is deterministic, so it carries a "
+    "full batch oracle: epoch-aligned 1-day tumbling windows equal UTC "
+    "date_trunc buckets (emitted as integer yyyymmdd keys).",
 )
 def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -2776,7 +2809,11 @@ def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return spark.table(name)
+    return spark.table(name).select(
+        F.date_format("bucket_start", "yyyyMMdd").cast("long").alias("day_num"),
+        "event_type",
+        "n",
+    )
 
 
 @query(
@@ -3879,6 +3916,119 @@ def n1_dp_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n2_differential_report",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, (value > 150) AS fa, (value > 150.5) AS fb,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), steps AS (
+        SELECT user_id, rn,
+               0 AS sa, CASE WHEN fa THEN 5.0 ELSE 0.0 END::DOUBLE AS ca,
+               0 AS sb, CASE WHEN fb THEN 5.0 ELSE 0.0 END::DOUBLE AS cb
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               CASE WHEN o.fa THEN
+                        CASE WHEN s.ca + 5.0 > 10.0 THEN 2
+                             WHEN s.ca + 5.0 > 5.0 THEN 1
+                             ELSE s.sa END
+                    ELSE CASE WHEN s.sa = 2 THEN 1 ELSE 0 END
+               END AS sa,
+               CASE WHEN o.fa THEN s.ca + 5.0
+                    ELSE CASE WHEN s.sa = 2 THEN 5.0 ELSE 0.0 END
+               END AS ca,
+               CASE WHEN o.fb THEN
+                        CASE WHEN s.cb + 5.0 > 10.0 THEN 2
+                             WHEN s.cb + 5.0 > 5.0 THEN 1
+                             ELSE s.sb END
+                    ELSE CASE WHEN s.sb = 2 THEN 1 ELSE 0 END
+               END AS sb,
+               CASE WHEN o.fb THEN s.cb + 5.0
+                    ELSE CASE WHEN s.sb = 2 THEN 5.0 ELSE 0.0 END
+               END AS cb
+        FROM steps s
+        JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id,
+           count(*) AS n_dps,
+           count(*) AS n_both,
+           count(*) FILTER (WHERE sa = sb) AS n_state_match,
+           max(CASE WHEN sa = 2 THEN 1 ELSE 0 END) AS verdict_a,
+           max(CASE WHEN sb = 2 THEN 1 ELSE 0 END) AS verdict_b,
+           CASE WHEN max(CASE WHEN sa = 2 THEN 1 ELSE 0 END)
+                     = max(CASE WHEN sb = 2 THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS verdict_match
+    FROM steps GROUP BY user_id
+    """,
+    "Two-backend differential validation (compare_streaming_algorithms"
+    ".py:338-432 role): the SAME per-user event stream replayed through "
+    "two registered backends — the osd threshold machine (in-alarm: "
+    "value > 150, the w10 device twin) and the svm linear-model detector "
+    "(z = value - 150.5, the n1 model) — per-dp outputs equi-joined on "
+    "(user, timestamp) and rolled into the per-event agreement summary "
+    "(state-match count + event verdict per backend). Each backend is an "
+    "independent distributed job; the diff join is co-partitioned. "
+    "Oracle: ONE recursive CTE walks both alarm recurrences in lockstep.",
+)
+def n2_differential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.detection.differential import (
+        event_diff_summary,
+        per_dp_diff,
+    )
+    from openseizuredatabase_spark.detection.dp_model_algs import (
+        DpModelSettings,
+        run_dp_model_alg,
+        svm_vectorize,
+    )
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_state_machine,
+    )
+    from openseizuredatabase_spark.ml.inference import LinearModel
+
+    ev = _t(spark, sf_dir, "events")
+    # backend A: threshold state machine (the physical-device twin)
+    a = run_state_machine(
+        ev.withColumn("in_alarm", F.col("value") > 150),
+        ["user_id"],
+        "ts",
+        "in_alarm",
+        "event_id",
+        OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
+    )
+    a_dp = a.join(ev.select("event_id", "ts"), "event_id").select(
+        F.col("user_id").alias("eventId"),
+        F.col("ts").alias("dpTimestamp"),
+        "alarmState",
+    )
+    # backend B: per-dp linear-model detector (the n1 model)
+    s = DpModelSettings(n_samp=25)
+    model = LinearModel(weights=(1.0,) + (0.0,) * 24, bias=-150.5)
+    b_in = ev.select(
+        F.col("user_id").alias("eventId"),
+        F.col("ts").alias("dpTimestamp"),
+        F.expr(
+            "transform(sequence(0, 24), i -> value + CAST(i AS DOUBLE))"
+        ).alias("rawData"),
+    )
+    b_dp = run_dp_model_alg(b_in, svm_vectorize(s), model.predict, s)
+    diff = per_dp_diff(a_dp, b_dp.select("eventId", "dpTimestamp", "alarmState"))
+    summary = event_diff_summary(diff)
+    return summary.select(
+        F.col("eventId").alias("user_id"),
+        "n_dps",
+        "n_both",
+        "n_state_match",
+        "verdict_a",
+        "verdict_b",
+        "verdict_match",
+    )
+
+
+@query(
     "t12_decontamination",
     f"""
     WITH {_SHINGLE_SQL},
@@ -4392,6 +4542,13 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m10_subtype_weights", "event_id",
          f"{_sig_sc('event_type')} + 31*{_sig_q6('sample_weight')}"),
         ("m15_cnn_inference", "vec_id", q6("p")),
+        ("n2_differential_report", "user_id",
+         "n_dps + 31*n_state_match"
+         " + 1009*(verdict_a + 2*verdict_b + 4*verdict_match)"),
+        ("s10_streaming_sessionize", "user_id",
+         "n_sessions + 31*max_session_len"),
+        ("s11_streaming_tumbling",
+         f"day_num * 1000000 + {sc('event_type')}", "n"),
         ("a14_salted_hot_key", sc("event_type"),
          f"n + 31*{t(q6('sum_value'))} + 1009*{t(q6('max_value'))}"),
         ("a15_approx_distinct", sc("event_type"),

@@ -142,15 +142,24 @@ def scrub_pii_sql(expr: str) -> str:
 
 
 def pii_count(col: Column) -> Column:
-    """Number of redactions scrub_pii would make."""
+    """Number of redactions scrub_pii would make — EXACTLY: pattern i is
+    counted on the text already scrubbed by patterns 0..i-1 (the same
+    sequential order scrub_pii applies), so overlapping spans (an EMAIL
+    consuming digits a PHONE would also match) are never double-counted.
+    Still one codegen'd expression chain, no extra scan."""
     total = None
-    for _, pat in PII_PATTERNS:
-        n = F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+    scrubbed = col
+    for name, pat in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
         total = n if total is None else total + n
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
     return total
 
 
 def pii_count_sql(expr: str) -> str:
-    return " + ".join(
-        f"len(regexp_extract_all({expr}, '{pat}'))" for _, pat in PII_PATTERNS
-    )
+    terms = []
+    scrubbed = expr
+    for name, pat in PII_PATTERNS:
+        terms.append(f"len(regexp_extract_all({scrubbed}, '{pat}'))")
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '<{name}>', 'g')"
+    return " + ".join(terms)

@@ -345,7 +345,10 @@ def c5_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "One window over one shuffle whose key IS the group key.",
 )
 def d1_unique_event_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # spread: the per-row JSON parse below is the map-side cost center,
+    # and a single-file local scan would run it on one core (10x stress
+    # ratio 5.5 -> 2.5 with the spread; no-op on a many-file lake)
+    ev = _ts(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     precedence = (
         F.when(F.col("value") >= 150, 0).when(k > 50, 1).otherwise(2)

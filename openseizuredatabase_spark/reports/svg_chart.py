@@ -111,9 +111,12 @@ def bar_chart_svg(
     for i, (lab, v) in enumerate(zip(labels, values)):
         x = _ML + i * slot + (slot - bw) / 2
         y = sy(v)
+        # the chart models counts; a negative value would put y below the
+        # baseline and emit an invalid negative-height rect — clamp at 0
+        h = max(0.0, (_H - _MB) - y)
         body.append(
             f'<rect x="{x:.1f}" y="{y:.1f}" width="{bw:.1f}" '
-            f'height="{(_H - _MB) - y:.1f}" fill="{_PALETTE[0]}"/>\n'
+            f'height="{h:.1f}" fill="{_PALETTE[0]}"/>\n'
         )
         if n <= 40:  # label density guard
             body.append(
@@ -137,8 +140,13 @@ def event_graph_svg(
     """report.py:35-135 generateEventGraph as SVG: per-dp series of the
     given columns for one event (feed it event_graph_frame's output —
     already filtered/ordered, so this collect is one event's dps)."""
-    rows = frame.select(ts_col, *value_cols).collect()
-    _check_cap(len(rows) * max(1, len(value_cols)))
+    # cap BEFORE collecting: limit(cap+1) bounds what can ever reach the
+    # driver, so an oversized frame fails the guard instead of exhausting
+    # driver memory during the collect
+    per_row = max(1, len(value_cols))
+    row_cap = MAX_POINTS // per_row
+    rows = frame.select(ts_col, *value_cols).limit(row_cap + 1).collect()
+    _check_cap(len(rows) * per_row)
     xs = [
         r[ts_col].timestamp() if hasattr(r[ts_col], "timestamp") else float(r[ts_col])
         for r in rows

@@ -409,6 +409,25 @@ def test_scrub_pii_and_count(spark):
     assert out[4] == ("both <EMAIL> and <PHONE> here", 2)
 
 
+def test_pii_count_matches_actual_redactions_on_overlap(spark):
+    """pii_count counts on the progressively-scrubbed string, so a span
+    consumed by an earlier pattern (EMAIL eating the digits a PHONE
+    would match) is not double-counted: count == redactions made."""
+    from openseizuredatabase_spark.functions.text import pii_count, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach +1-555-7a@b.co now")], "id long, text string"
+    )
+    r = df.select(
+        scrub_pii(F.col("text")).alias("s"),
+        pii_count(F.col("text")).alias("n"),
+    ).collect()[0]
+    # EMAIL matches '7a@b.co' first, leaving '+1-555-' with no digits —
+    # one redaction total, and the count agrees
+    assert r["s"] == "reach +1-555-<EMAIL> now"
+    assert r["n"] == 1
+
+
 def test_lsh_band_pairs_between_batch_vs_corpus(spark):
     from openseizuredatabase_spark.operators.dedup import (
         lsh_band_pairs_between,

@@ -42,6 +42,8 @@ HEADLINE = [
     "t9_winnow_fingerprint",
     "n1_dp_detector",
     "t12_decontamination",
+    "m15_cnn_inference",
+    "n2_differential_report",
 ]
 
 

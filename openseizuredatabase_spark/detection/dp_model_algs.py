@@ -30,13 +30,15 @@ order-dependent:
   against an injected transport; only the socket itself is environment-
   blocked (same policy as the S7/S8 connectors).
 
-Spark mapping: scoring is stateless per row, so each algorithm is ONE
-``applyInPandas`` grouped transform in which the whole event's windows
-are stacked into a single (N, D) matrix and scored with ONE model call —
-the Arrow batch is the inference batch (predict_on_batch done properly),
-then the shared recurrence walks the in-alarm booleans. One shuffle on
-the event key; events parallel across executors (the reference replays
-serially, alg_runner.py:189-374).
+Spark mapping: scoring is stateless per row, so it runs MAP-SIDE as an
+Arrow-batched pandas UDF before any exchange — the Arrow batch is the
+inference batch (predict_on_batch done properly) and the wide signal
+arrays never shuffle. Only the alarm machine is order-dependent: it runs
+as mapInPandas over key-partitioned, key+time-sorted narrow rows
+(event, ts, p, flag — the run_state_machine idiom), so the single
+shuffle moves 4 scalar columns instead of 125-sample windows. Events
+parallel across executors (the reference replays serially,
+alg_runner.py:189-374).
 """
 
 from __future__ import annotations
@@ -221,47 +223,100 @@ def run_dp_model_alg(
     apply the 'single'-mode override. ``settings.stateless`` switches to
     the lstmAlg contract (raw verdict, no machine, count 0)."""
     s = settings or DpModelSettings()
+
+    # Stage 1 — stateless scoring, MAP-SIDE (no exchange): one Arrow
+    # batch = one model call; the wide signal windows are consumed here
+    # and never reach a shuffle.
+    @F.pandas_udf("struct<p: double, valid: boolean>")
+    def score_rows(sigs: pd.Series, hrs: pd.Series) -> pd.DataFrame:
+        mat, valid = vectorize(sigs, hrs)
+        probs = np.zeros(len(sigs))
+        if valid.any():
+            probs[valid] = np.asarray(score(mat[valid]), dtype=float)
+        return pd.DataFrame(
+            {"p": np.where(valid, probs, np.nan), "valid": valid}
+        )
+
+    hr_expr = F.col(hr_col) if hr_col else F.lit(None).cast("double")
+    scored = events_dp.select(
+        event_col,
+        ts_col,
+        score_rows(F.col(signal_col), hr_expr).alias("__s"),
+    ).select(
+        event_col,
+        ts_col,
+        F.col("__s.p").alias("pSeizure"),
+        F.col("__s.valid").alias("valid"),
+    )
+    # NaN pSeizure (invalid row) is gated by `valid`, never compared alone
+    flag = F.col("valid") & (F.col("pSeizure") > s.prob_thresh)
+    raw_state = F.when(flag, 2).otherwise(0).cast("int")
+    if s.stateless:  # lstmAlg contract: raw verdict, no machine, count 0
+        return scored.select(
+            event_col, ts_col, "pSeizure", "valid",
+            raw_state.alias("alarmState"),
+            F.lit(0.0).alias("alarmCount"),
+        )
+
+    # Stage 2 — the order-dependent alarm machine over NARROW rows
+    # (event, ts, p, valid, flag): mapInPandas over key-partitioned,
+    # key+time-sorted partitions with cross-batch carry (the
+    # run_state_machine idiom — one Python call per partition of
+    # groups, not per group).
     out_schema = (
         f"{event_col} long, {ts_col} timestamp, pSeizure double, "
         "valid boolean, alarmState int, alarmCount double"
     )
-    cols = [event_col, ts_col, signal_col] + ([hr_col] if hr_col else [])
+    osd = s.osd
 
-    def per_event(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        hrs = (
-            pdf[hr_col]
-            if hr_col
-            else pd.Series([None] * len(pdf), index=pdf.index)
-        )
-        mat, valid = vectorize(pdf[signal_col], hrs)
-        probs = np.zeros(len(pdf))
-        if valid.any():
-            probs[valid] = np.asarray(score(mat[valid]), dtype=float)
-        in_alarm = valid & (probs > s.prob_thresh)
-        if s.stateless:
-            states = [2 if f else 0 for f in in_alarm]
-            counts = [0.0] * len(pdf)
-        else:
-            states, counts = alarm_recurrence(in_alarm.tolist(), s.osd)
-            if s.mode == "single":  # svmAlg.py:83-87
-                states = [2 if f else 0 for f in in_alarm]
-        return pd.DataFrame(
-            {
-                event_col: pdf[event_col].values,
-                ts_col: pdf[ts_col].values,
-                "pSeizure": np.where(valid, probs, np.nan),
-                "valid": valid,
-                "alarmState": states,
-                "alarmCount": counts,
-            }
-        )
+    def per_partition(batches):
+        carry_key, carry_state, carry_count = None, 0, 0.0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            states_all: list[int] = []
+            counts_all: list[float] = []
+            for key, g in pdf.groupby(event_col, sort=False):
+                if key == carry_key:
+                    st0, ct0 = carry_state, carry_count
+                else:
+                    st0, ct0 = 0, 0.0
+                states, counts = alarm_recurrence(
+                    g["__flag"].fillna(False).astype(bool).tolist(),
+                    osd,
+                    init_state=st0,
+                    init_count=ct0,
+                )
+                states_all.extend(states)
+                counts_all.extend(counts)
+                carry_key, carry_state, carry_count = (
+                    key, states[-1], counts[-1],
+                )
+            yield pd.DataFrame(
+                {
+                    event_col: pdf[event_col].values,
+                    ts_col: pdf[ts_col].values,
+                    "pSeizure": pdf["pSeizure"].values,
+                    "valid": pdf["valid"].values,
+                    "alarmState": states_all,
+                    "alarmCount": counts_all,
+                }
+            )
 
-    return (
-        events_dp.select(*cols).groupBy(event_col).applyInPandas(
-            per_event, out_schema
-        )
+    out = (
+        scored.withColumn("__flag", flag)
+        .repartition(event_col)
+        .sortWithinPartitions(event_col, ts_col)
+        .mapInPandas(per_partition, out_schema)
     )
+    if s.mode == "single":  # svmAlg.py:83-87: raw verdict, machine counts
+        out = out.withColumn(
+            "alarmState",
+            F.when(
+                F.col("valid") & (F.col("pSeizure") > s.prob_thresh), 2
+            ).otherwise(0).cast("int"),
+        )
+    return out
 
 
 def default_dp_score(dim: int, bias: float = -0.5) -> BatchScoreFn:

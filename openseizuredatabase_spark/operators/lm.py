@@ -1,0 +1,244 @@
+"""Corpus language-model operators for the LLM data pipeline: distributed
+BPE tokenizer training and n-gram LM estimation/scoring.
+
+Beyond-reference surface (the reference's nnTraining pipeline stops at
+signal tensors): these are the text-side equivalents a 100 TB training-
+data pipeline needs — a learned subword vocabulary and a cheap corpus LM
+for perplexity-style quality filtering.
+
+Scale shapes:
+
+* BPE training operates on the DISTINCT-WORD vocabulary weighted by
+  frequency, not the corpus: one corpus-wide tokenize+count shuffle
+  builds (word, freq), after which every merge round touches only the
+  vocab table (heavy-tailed: orders of magnitude smaller than the
+  corpus). Each round = one pair-count aggregation (map-side combined,
+  O(1) buffers) + a 1-row argmax fetch (the algorithm's inherent sync
+  point) + an Arrow-batched merge apply (greedy left-to-right pair
+  substitution is sequential PER WORD — words are short, batches are
+  vectorized). The vocab frame is localCheckpoint'd per round to stop
+  lineage growth across iterations.
+* The bigram LM is two aggregations (bigram counts, unigram counts) and
+  scoring is an equi-join of the document bigrams against the model on
+  the bigram key — shuffle-partitioned both sides, skew-safe (no hot
+  single key beyond stopword pairs, which AQE splits).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-wide pass BPE needs."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _init_symbols(vocab: DataFrame) -> DataFrame:
+    """word → array of single-character symbols with a </w> end marker
+    (the classic Sennrich formulation, so merges can't cross words)."""
+    return vocab.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    )
+
+
+def pair_counts(sym_vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over the vocab.
+
+    One aggregation; the explode fans out to (word_len) rows per word but
+    the count buffers are O(1) and map-side combined.
+    """
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1),"
+        " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
+    )
+    return (
+        sym_vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _merge_word(syms: Sequence[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right single-pair merge (sequential by nature)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
+    merge list (the tokenizer artifact).
+
+    The driver loop fetches ONE (a, b, n) row per round — the argmax is
+    the algorithm's sequential dependency, everything else is
+    distributed. Ties break (n desc, a asc, b asc) so training is
+    deterministic under any partitioning.
+    """
+    sym_vocab = _init_symbols(word_vocab(docs, text_col))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(sym_vocab)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .head(1)
+        )
+        if not top or top[0]["n"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        def apply_merge(batches, a=a, b=b):
+            for pdf in batches:
+                pdf["syms"] = [
+                    _merge_word(s, a, b) for s in pdf["syms"]
+                ]
+                yield pdf
+
+        sym_vocab = sym_vocab.mapInPandas(
+            apply_merge, "word string, freq long, syms array<string>"
+        ).localCheckpoint(eager=False)  # truncate per-round lineage
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize text with a trained merge list (merges ride the closure,
+    broadcast by task serialization; one Arrow batch per call)."""
+    merge_list = [tuple(m) for m in merges]
+
+    def tokenize(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in (text or "").split():
+                    syms = list(w) + ["</w>"]
+                    for a, b in merge_list:
+                        syms = _merge_word(syms, a, b)
+                    toks.extend(syms)
+                out.append(toks)
+            pdf[out_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(tokenize, f"{schema}, {out_col} array<string>")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model (add-1 smoothing) + per-doc scoring
+# ---------------------------------------------------------------------------
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, a, b) lowercase token bigrams per document."""
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    d = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (t, i) -> struct(t AS a, toks[i + 1] AS b))"
+    )
+    return d.select(id_col, F.explode(bigrams).alias("p")).select(
+        id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+
+
+def bigram_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, unigram_counts, vocab_size_frame) over the corpus.
+
+    Vocab size stays a 1-row FRAME (not a driver ``.count()`` action), so
+    building the model never runs a Spark job — it broadcasts into the
+    scoring plan.
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    bigram_counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    return bigram_counts, uni, vsize
+
+
+def score_docs_bigram(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    vocab_size: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc average add-1 bigram log-probability — the perplexity-
+    style quality signal: log((C(a,b)+1) / (C(a)+V)) averaged over the
+    doc's bigrams. Equi-joins on the model keys; at lake scale the
+    unigram side is broadcastable and the bigram join shuffle-partitions
+    on a well-spread composite key; V rides a broadcast 1-row frame.
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    joined = (
+        bg.join(bigram_counts, ["a", "b"], "left")
+        .join(unigram_counts.withColumnRenamed("t", "a"), ["a"], "left")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+            ).alias("lp"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

@@ -4306,6 +4306,100 @@ def m14_mlp_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("p", 6).alias("p"))
 
 
+@query(
+    "t17_bpe_pair_counts",
+    f"""
+    WITH toks AS (
+        SELECT unnest({text_fns.tokens_sql('text')}) AS word
+        FROM documents WHERE length(trim(text)) > 0
+    ), vocab AS (
+        SELECT word, count(*) AS freq FROM toks GROUP BY word
+    ), pairs AS (
+        SELECT substr(word, g.i, 1) AS a,
+               CASE WHEN g.i < length(word)
+                    THEN substr(word, g.i + 1, 1) ELSE '</w>' END AS b,
+               freq
+        FROM vocab, unnest(generate_series(1, length(word))) AS g(i)
+    )
+    SELECT a, b, sum(freq)::BIGINT AS n
+    FROM pairs GROUP BY a, b
+    ORDER BY n DESC, a ASC, b ASC
+    LIMIT 20
+    """,
+    "BPE tokenizer training, round-0 pair statistics (beyond-reference "
+    "LLM-pipeline op; operators/lm.py): frequency-weighted adjacent "
+    "symbol-pair counts over the DISTINCT-WORD vocabulary — the heavy-"
+    "tail trick that makes corpus BPE tractable (one corpus tokenize+"
+    "count shuffle, then every merge round touches only the vocab "
+    "table). The full iterative trainer (argmax → greedy merge → "
+    "re-count) is pinned by pytest against a reference Python "
+    "implementation; the oracle walks round 0's exact pair sum.",
+)
+def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        _init_symbols,
+        pair_counts,
+        word_vocab,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    pc = pair_counts(_init_symbols(word_vocab(docs)))
+    return pc.orderBy(
+        F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
+
+
+@query(
+    "t18_bigram_lm",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({text_fns.tokens_sql('text')},
+                              x -> lower(x)) AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i+1] AS a, t[i+2] AS b
+        FROM toks, unnest(generate_series(0, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 2
+    ), model AS (
+        SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+    ), uni AS (
+        SELECT unnest(t) AS tok FROM toks
+    ), unic AS (
+        SELECT tok, count(*) AS c_a FROM uni GROUP BY tok
+    ), vsize AS (
+        SELECT count(*) AS v FROM unic
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((m.c_ab + 1)::DOUBLE)
+                     - ln((u.c_a + vsize.v)::DOUBLE)), 6) AS avg_logprob
+    FROM bg
+    JOIN model m ON bg.a = m.a AND bg.b = m.b
+    JOIN unic u ON bg.a = u.tok
+    CROSS JOIN vsize
+    GROUP BY bg.doc_id
+    """,
+    "Corpus bigram LM + per-doc add-1 log-probability scoring (beyond-"
+    "reference LLM-pipeline op; operators/lm.py): the perplexity-style "
+    "quality signal over the documents table — model = two count "
+    "aggregations, scoring = equi-join of doc bigrams against the model "
+    "key with V riding a broadcast 1-row frame (no driver count action). "
+    "Self-scoring means every doc bigram exists in the model, so the "
+    "oracle's inner joins are exact; ln() is IEEE-identical cross-engine "
+    "and the 6-dp rounded average absorbs summation-order ulps.",
+)
+def t18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        bigram_model,
+        score_docs_bigram,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    bigram_counts, uni, vsize = bigram_model(docs)
+    return score_docs_bigram(docs, bigram_counts, uni, vsize)
+
+
 # CNN weights for m15 — dyadic rationals so every conv product is fp-exact
 # in both engines; inputs are quantized to 1/64 steps for the same reason.
 _M15_W = ((0.5, -0.25, 0.125), (-0.5, 0.25, 0.5))  # (filter, kernel k=3)
@@ -4558,6 +4652,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 1009*(verdict_a + 2*verdict_b + 4*verdict_match)"),
         ("s10_streaming_sessionize", "user_id",
          "n_sessions + 31*max_session_len"),
+        ("t17_bpe_pair_counts",
+         f"CAST({sc('a')} AS BIGINT) * 100000 + {sc('b')}", t("n")),
+        ("t18_bigram_lm", "doc_id",
+         f"n_bigrams + 31*{q6('avg_logprob')}"),
         ("s11_streaming_tumbling",
          f"day_num * 1000000 + {sc('event_type')}", "n"),
         ("a14_salted_hot_key", sc("event_type"),

@@ -1,0 +1,113 @@
+"""BPE tokenizer training + bigram LM (operators/lm.py): the distributed
+trainer must equal a reference single-process Sennrich-style BPE, and the
+LM scorer must equal hand-computed add-1 probabilities."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from openseizuredatabase_spark.operators import lm
+
+
+# --- reference single-process BPE (Sennrich formulation) -------------------
+
+
+def _ref_bpe(texts: list[str], n_merges: int, min_pair_freq: int = 2):
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, freq in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break
+        # same deterministic tiebreak as the engine: n desc, a asc, b asc
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_freq:
+            break
+        merges.append((a, b))
+        for w in syms:
+            syms[w] = lm._merge_word(syms[w], a, b)
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "low newer lowest newest",
+    "wide wider widest wide",
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    )
+    got = lm.train_bpe(docs, n_merges=8)
+    want = _ref_bpe(TEXTS, 8)
+    assert got == want
+    assert len(got) == 8  # corpus is rich enough for all 8 rounds
+
+
+def test_apply_bpe_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    )
+    merges = lm.train_bpe(docs, n_merges=6)
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in lm.apply_bpe(docs, merges).collect()
+    }
+    # every token stream reassembles to the original text (merges only
+    # concatenate; </w> marks word ends)
+    for i, t in enumerate(TEXTS):
+        joined = "".join(out[i]).replace("</w>", " ").strip()
+        assert joined == t
+    # the learned merges actually compress: fewer symbols than chars
+    n_syms = sum(len(v) for v in out.values())
+    n_chars = sum(len(w) + 1 for t in TEXTS for w in t.split())
+    assert n_syms < n_chars
+
+
+def test_merge_word_greedy_overlap():
+    # 'aaa' with merge (a,a): greedy left-to-right gives [aa, a]
+    assert lm._merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert lm._merge_word(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+
+
+def test_bigram_lm_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b c")]
+    )
+    bigram_counts, uni, vsize = lm.bigram_model(docs)
+    out = {
+        r["doc_id"]: r
+        for r in lm.score_docs_bigram(
+            docs, bigram_counts, uni, vsize
+        ).collect()
+    }
+    # corpus bigrams: (a,b)x2 +(a,b)x1 =3? doc1: ab, ba, ab; doc2: ab, bc
+    # C(a,b)=3, C(b,a)=1, C(b,c)=1; C(a)=3, C(b)=3, C(c)=1; V=3
+    v = 3
+
+    def lp(c_ab, c_a):
+        return math.log((c_ab + 1) / (c_a + v))
+
+    want1 = (lp(3, 3) + lp(1, 3) + lp(3, 3)) / 3
+    want2 = (lp(3, 3) + lp(1, 3)) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - round(want1, 6)) < 2e-6
+    assert out[2]["n_bigrams"] == 2
+    assert abs(out[2]["avg_logprob"] - round(want2, 6)) < 2e-6

@@ -133,3 +133,73 @@ def differential_report(
     )
     summary = event_diff_summary(diff, event_col, prob_tol)
     return diff, summary, overall_diff_stats(summary)
+
+
+def write_differential_report(
+    out_dir: str,
+    summary: DataFrame,
+    overall: DataFrame,
+    name_a: str = "backendA",
+    name_b: str = "backendB",
+    event_col: str = "eventId",
+    max_rows: int = 100_000,
+) -> dict[str, str]:
+    """Render the validation report through the report layer's artifact
+    conventions (results.py style: bounded collect, CSV + summary txt —
+    the reference's end-of-run VALIDATION REPORT block,
+    compare_streaming_algorithms.py:434+).
+
+    All statistics come from DataFrame aggregations; the collect is the
+    bounded per-event table only.
+    """
+    import os
+
+    from openseizuredatabase_spark.reports.results import _check_cap
+
+    rows = summary.orderBy(event_col).collect()
+    _check_cap(len(rows), max_rows, "differential summary")
+    os.makedirs(out_dir, exist_ok=True)
+
+    has_p = rows and "p_max_diff" in rows[0].asDict()
+    csv_path = os.path.join(out_dir, "differential_events.csv")
+    with open(csv_path, "w") as f:
+        header = (
+            f"{event_col}, n_dps, n_both, n_state_match, "
+            f"{name_a}_verdict, {name_b}_verdict, verdict_match"
+        )
+        if has_p:
+            header += ", p_max_diff, p_mean_diff, n_within_tol"
+        f.write(header + "\n")
+        for r in rows:
+            line = (
+                f"{r[event_col]}, {r['n_dps']}, {r['n_both']}, "
+                f"{r['n_state_match']}, {r['verdict_a']}, "
+                f"{r['verdict_b']}, {r['verdict_match']}"
+            )
+            if has_p:
+                line += (
+                    f", {r['p_max_diff']}, {r['p_mean_diff']}, "
+                    f"{r['n_within_tol']}"
+                )
+            f.write(line + "\n")
+
+    o = overall.collect()[0]
+    txt_path = os.path.join(out_dir, "differential_summary.txt")
+    with open(txt_path, "w") as f:
+        f.write("Differential Validation Report\n")
+        f.write(f"  backends: {name_a} vs {name_b}\n\n")
+        f.write(f"  events compared     = {o['n_events']}\n")
+        f.write(f"  datapoints (union)  = {o['n_dps']}\n")
+        f.write(f"  datapoints (both)   = {o['n_both']}\n")
+        f.write(
+            f"  state agreement     = {o['n_state_match']}"
+            f" ({100.0 * (o['state_agree_rate'] or 0):.2f}%)\n"
+        )
+        f.write(
+            f"  verdict agreement   = {o['n_verdict_match']}"
+            f" ({100.0 * (o['verdict_agree_rate'] or 0):.2f}%)\n"
+        )
+        if "p_max_diff" in o.asDict():
+            f.write(f"  max |p diff|        = {o['p_max_diff']}\n")
+            f.write(f"  mean |p diff|       = {o['p_mean_diff_avg']}\n")
+    return {"events_csv": csv_path, "summary_txt": txt_path}

@@ -236,16 +236,27 @@ def run_state_machine(
     flag_col: str,
     id_col: str,
     settings: OsdSettings | None = None,
+    passthrough: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Generic W10: run the accumulate/decay recurrence over any table
     with a precomputed boolean in-alarm column — the engine's stateful
-    per-key operator for batch replay."""
+    per-key operator for batch replay.
+
+    ``passthrough``: (column, DDL type) pairs copied through to the
+    output unchanged — cheaper than joining the machine's output back to
+    the source to recover columns (saves a full shuffle per consumer).
+    """
     s = settings or OsdSettings()
     group_schema = ", ".join(f"{c} long" for c in group_cols)
+    pass_schema = "".join(f", {c} {t}" for c, t in passthrough)
     out_schema = (
-        f"{group_schema}, {id_col} long, alarmState int, alarmCount double"
+        f"{group_schema}, {id_col} long{pass_schema}, "
+        "alarmState int, alarmCount double"
     )
-    cols = [*group_cols, ts_col, flag_col, id_col]
+    pass_cols = [c for c, _ in passthrough]
+    cols = [*group_cols, ts_col, flag_col, id_col] + [
+        c for c in pass_cols if c not in (*group_cols, ts_col, flag_col, id_col)
+    ]
 
     # mapInPandas over key-partitioned, key+time-sorted data instead of
     # applyInPandas: with many small groups (the common shape — thousands
@@ -277,6 +288,8 @@ def run_state_machine(
                 carry_key, carry_state, carry_count = key, states[-1], counts[-1]
             out = {c: pdf[c].values for c in group_cols}
             out[id_col] = pdf[id_col].values
+            for c in pass_cols:
+                out[c] = pdf[c].values
             out["alarmState"] = states_all
             out["alarmCount"] = counts_all
             yield pd.DataFrame(out)

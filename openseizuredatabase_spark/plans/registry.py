@@ -4001,7 +4001,8 @@ def n2_differential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.ml.inference import LinearModel
 
     ev = _t(spark, sf_dir, "events")
-    # backend A: threshold state machine (the physical-device twin)
+    # backend A: threshold state machine (the physical-device twin); ts
+    # passes through the machine, so no join-back shuffle to recover it
     a = run_state_machine(
         ev.withColumn("in_alarm", F.col("value") > 150),
         ["user_id"],
@@ -4009,8 +4010,9 @@ def n2_differential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_alarm",
         "event_id",
         OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
+        passthrough=[("ts", "timestamp")],
     )
-    a_dp = a.join(ev.select("event_id", "ts"), "event_id").select(
+    a_dp = a.select(
         F.col("user_id").alias("eventId"),
         F.col("ts").alias("dpTimestamp"),
         "alarmState",

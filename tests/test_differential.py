@@ -94,6 +94,26 @@ def test_states_only_backends_skip_p_stats(spark):
     assert "p_max_diff" not in o.asDict()
 
 
+def test_write_differential_report_artifacts(spark, tmp_path, outputs):
+    from openseizuredatabase_spark.detection.differential import (
+        write_differential_report,
+    )
+
+    a, b = outputs
+    d = per_dp_diff(a, b)
+    s = event_diff_summary(d, prob_tol=0.01)
+    paths = write_differential_report(
+        str(tmp_path), s, overall_diff_stats(s), "local", "device"
+    )
+    csv = open(paths["events_csv"]).read().splitlines()
+    assert csv[0].startswith("eventId, n_dps, n_both, n_state_match")
+    assert len(csv) == 3  # header + 2 events
+    txt = open(paths["summary_txt"]).read()
+    assert "local vs device" in txt
+    assert "state agreement     = 3 (100.00%)" in txt
+    assert "max |p diff|        = 0.05" in txt
+
+
 def test_differential_report_runs_registered_backends(spark):
     """End-to-end through two real backends: identical backends agree
     everywhere; shifted-threshold backends disagree where expected."""

@@ -65,7 +65,7 @@ def main() -> int:
     for name in HEADLINE:
         spec = QUERIES[name]
         best = None
-        for _ in range(2):  # min of 2 runs: drop cold-cache/JIT noise
+        for _ in range(3):  # min of 3 runs: drop cold-cache/JIT/GC noise
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

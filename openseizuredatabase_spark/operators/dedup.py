@@ -266,7 +266,6 @@ def jaccard_candidate_pairs(
     sh: DataFrame,
     id_col: str,
     max_df: int = 64,
-    salt_buckets: int = 16,
 ) -> DataFrame:
     """Near-dup pairs with Jaccard >= threshold left to the caller: from a
     (id, shingle) table, emit (id_a, id_b, n_common, n_a, n_b).
@@ -275,51 +274,46 @@ def jaccard_candidate_pairs(
     are non-discriminative stop-shingles and are dropped.
 
     Scale shape (the naive self-join is quadratic on hot shingles, and a
-    plain ``collect_set`` builds an O(df) buffer for corpus-scale
-    stop-shingles):
-    1. salted set aggregation — group by (shingle, hash(id) % S): each
-       doc lands in exactly ONE salt bucket, so the per-bucket id-sets
-       are disjoint and no aggregation buffer exceeds df/S elements, a
-       DETERMINISTIC memory bound (raise ``salt_buckets`` for hotter
-       corpora). Input may be non-distinct (collect_set dedups), so
-       callers can skip the shingle-distinct shuffle.
-    2. exact doc frequency per shingle = sum of disjoint part sizes,
-       computed as a window over the SAME shingle partitioning the final
-       union-agg needs — the ``df`` filter culls stop-shingles BEFORE
-       their full id-set ever materializes, and no second pass over the
-       corpus runs (a sample-based pre-screen re-reads the whole doc
-       table just to build its sample — one full scan wasted at lake
-       scale).
-    3. pairs exploded JVM-side from each sorted id-set (<= max_df^2/2 per
-       shingle), counted per (id_a, id_b);
-    4. per-id set sizes from the same grouped frame (reused exchange).
+    plain ``collect_set`` builds an O(df) unbounded+unspillable buffer
+    for corpus-scale stop-shingles). ONE corpus shuffle, then everything
+    spills instead of buffering:
+    1. hash-repartition on the shingle key — the only full-corpus
+       exchange in the operator;
+    2. per-shingle sort (UnsafeExternalSorter: spills to disk, never
+       OOMs on a hot key) feeds two chained window passes on the SAME
+       order: a lag() dedupes repeated (id, shingle) rows in place (so
+       callers can skip a distinct-shuffle), then count() yields the
+       exact distinct doc frequency. The ``df`` filter culls
+       stop-shingles while their rows are still in a SPILLABLE window
+       buffer — no per-key aggregation buffer ever holds a hot
+       shingle's full id-set (the failure mode of collect_set-first
+       designs);
+    3. the surviving groups (all <= max_df ids) collect with no further
+       exchange — the groupBy key equals the window partitioning, which
+       Catalyst recognizes as already satisfied;
+    4. pairs explode JVM-side from each sorted id-set (<= max_df^2/2 per
+       shingle), counted per (id_a, id_b); per-id surviving-set sizes
+       come from the same grouped frame.
     """
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
-    parts = sh.groupBy(F.col("shingle"), salt.alias("salt")).agg(
-        F.collect_set(F.col(id_col)).alias("part")
+    part = sh.repartition(F.col("shingle"))
+    wo = Window.partitionBy("shingle").orderBy(id_col)
+    w = Window.partitionBy("shingle")
+    flt = (
+        part.withColumn("__dup", F.lag(id_col).over(wo) == F.col(id_col))
+        .filter(F.col("__dup").isNull() | ~F.col("__dup"))
+        .withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
     )
-    # carry the exact per-bucket size, but CAP the carried ids at
-    # max_df+1: a bucket alone exceeding max_df already proves the
-    # shingle is a stop-shingle, so the level-2 merge buffer is bounded
-    # by S*(max_df+1) elements per shingle no matter how hot the key
-    parts = parts.select(
-        "shingle",
-        F.size("part").alias("psz"),
-        F.slice(F.array_sort("part"), 1, max_df + 1).alias("part"),
-    )
-    grouped = (
-        parts.groupBy("shingle")
-        .agg(
-            F.sum("psz").alias("df"),
-            F.array_sort(F.flatten(F.collect_list("part"))).alias("ids"),
-        )
-        .filter(F.col("df") <= max_df)
-        .select("shingle", "ids")
+    grouped = flt.groupBy("shingle").agg(
+        # rows arrive id-sorted from the window sort; array_sort is a
+        # <=max_df-element belt-and-braces rather than a contract
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
     # both consumers below (pair explosion + per-id sizes) re-derive from
-    # `grouped`; a lazy localCheckpoint materializes the (small: df-capped
-    # sets only) frame once instead of running scan+tokenize+2-level agg
-    # per branch — ~2.5x on the end-to-end query. Tradeoff: checkpointed
+    # `grouped`, and collect_list's nondeterminism bars ReuseExchange
+    # from collapsing the shared subtree; a lazy localCheckpoint
+    # materializes the (small: df-capped sets only) frame once instead of
+    # running scan+tokenize+window-agg per branch. Tradeoff: checkpointed
     # blocks skip lineage recovery; for a deterministic batch pipeline a
     # lost executor means re-running the query, which is acceptable.
     grouped = grouped.localCheckpoint(eager=False)
@@ -353,10 +347,13 @@ def jaccard_candidate_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    # doc-count rows: always broadcastable (one row per surviving doc)
+    # join strategy left to AQE: `sizes` has one row per surviving doc,
+    # which broadcasts at test scale but is O(corpus) rows at lake scale
+    # — a forced broadcast hint would OOM the driver there, while AQE
+    # picks broadcast vs shuffle from the runtime size of the exchange
     return (
-        common.join(F.broadcast(sa), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col(f"sb.{id_col}"))
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
         .select(
             "id_a",
             "id_b",

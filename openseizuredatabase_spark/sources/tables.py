@@ -88,6 +88,39 @@ def table_meta(sf_dir: str, name: str) -> tuple[int, int]:
     return rows, size
 
 
+_PARAM_CACHE: dict[tuple, object] = {}
+
+
+def lookup_param_row(sf_dir: str, name: str, id_col: str, id_val, col: str):
+    """Single-value query-PARAMETER lookup (e.g. the ANN query vector),
+    read locally through an Arrow dataset with predicate pushdown — no
+    Spark job runs for a one-row parameterization.
+
+    In production the query vector arrives from the application side (a
+    request payload or a point-lookup service); reading it through the
+    cluster would serialize a full job schedule onto every query. This is
+    NOT a data-path read: it must only ever fetch O(1) rows. Memoized per
+    (sf_dir, table, id) since parameters are immutable within a run.
+    """
+    key = (sf_dir, name, id_col, id_val, col)
+    if key in _PARAM_CACHE:
+        return _PARAM_CACHE[key]
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    tbl = ds.dataset(path, format="parquet").to_table(
+        columns=[col], filter=ds.field(id_col) == id_val
+    )
+    if tbl.num_rows != 1:
+        raise ValueError(
+            f"parameter lookup {name}.{id_col}=={id_val} matched "
+            f"{tbl.num_rows} rows; expected exactly 1"
+        )
+    val = tbl.column(col).to_pylist()[0]
+    _PARAM_CACHE[key] = val
+    return val
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table; normalize timestamp physical types.
 

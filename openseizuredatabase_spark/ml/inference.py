@@ -71,6 +71,56 @@ class MLPModel:
         return a[:, 0] if a.ndim == 2 and a.shape[1] == 1 else a
 
 
+@dataclass(frozen=True)
+class ForestModel:
+    """Random-forest scorer (the rfModel.py:28-100 sklearn role): mean of
+    per-tree leaf probabilities, same (N, D)-in / (N,)-out batch contract
+    as LinearModel/MLPModel so every inference consumer takes it
+    interchangeably.
+
+    Each tree is five flat arrays indexed by node id — (feat, thr, left,
+    right, value) with ``feat == -1`` marking a leaf — i.e. the classic
+    sklearn tree export layout. Traversal is VECTORIZED over the batch:
+    one index vector walks all rows level-by-level (<= depth iterations
+    per tree), so scoring cost is O(rows × depth), not a per-row Python
+    descent. Split rule: go left iff x[feat] <= thr.
+    """
+
+    trees: tuple[
+        tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+        ...,
+    ]
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        n = x.shape[0]
+        rows = np.arange(n)
+        acc = np.zeros(n, dtype=np.float64)
+        for feat, thr, left, right, value in self.trees:
+            idx = np.zeros(n, dtype=np.int64)
+            active = feat[idx] >= 0
+            while active.any():
+                f = np.maximum(feat[idx], 0)
+                go_left = x[rows, f] <= thr[idx]
+                nxt = np.where(go_left, left[idx], right[idx])
+                idx = np.where(active, nxt, idx)
+                active = feat[idx] >= 0
+            acc += value[idx]
+        return acc / len(self.trees)
+
+
+def save_forest_npz(model: ForestModel, path: str) -> None:
+    """Persist a ForestModel as t{i}_feat/thr/left/right/value arrays."""
+    arrays: dict[str, np.ndarray] = {}
+    for i, (feat, thr, left, right, value) in enumerate(model.trees):
+        arrays[f"t{i}_feat"] = np.asarray(feat, dtype=np.int64)
+        arrays[f"t{i}_thr"] = np.asarray(thr, dtype=np.float64)
+        arrays[f"t{i}_left"] = np.asarray(left, dtype=np.int64)
+        arrays[f"t{i}_right"] = np.asarray(right, dtype=np.int64)
+        arrays[f"t{i}_value"] = np.asarray(value, dtype=np.float64)
+    np.savez(path, **arrays)
+
+
 def save_mlp_npz(model: MLPModel, path: str) -> None:
     """Persist an MLPModel as W0,b0,W1,b1,... arrays in one .npz."""
     arrays: dict[str, np.ndarray] = {}
@@ -90,6 +140,21 @@ def load_model(path: str):
                 from openseizuredatabase_spark.ml.cnn import load_cnn_npz
 
                 return load_cnn_npz(z)
+            if "t0_feat" in z:
+                trees = []
+                i = 0
+                while f"t{i}_feat" in z:
+                    trees.append(
+                        (
+                            z[f"t{i}_feat"],
+                            z[f"t{i}_thr"],
+                            z[f"t{i}_left"],
+                            z[f"t{i}_right"],
+                            z[f"t{i}_value"],
+                        )
+                    )
+                    i += 1
+                return ForestModel(trees=tuple(trees))
             layers = []
             i = 0
             while f"W{i}" in z:
@@ -130,6 +195,44 @@ def predict_proba(
     def score(batch: pd.Series) -> pd.Series:
         x = np.vstack(batch.to_numpy())
         return pd.Series(model.predict(x))
+
+    return df.withColumn(out_col, score(F.col(vec_col)))
+
+
+def ensemble_predict(
+    df: DataFrame,
+    models: Sequence,
+    quantile: float,
+    vec_col: str = "fvec",
+    out_col: str = "pEnsemble",
+) -> DataFrame:
+    """Harrell-Davis ensemble combine (ensemblePredictor.py:27-66 /
+    Spahr et al. 2025): score every model on each row, sort the K scores,
+    and take the HD-weighted sum — a smooth, tunable-sensitivity quantile
+    over the k-fold models.
+
+    Scale shape: the K models ride the task closure (they are kilobytes);
+    ONE Arrow-vectorized stage computes the (N, K) score matrix, sorts
+    along axis 1 and dots it with the K constant weights — no shuffle, no
+    per-row Python, no cross-row dependency, so it runs map-side on every
+    partition of a 100-TB scan. The beta-CDF weights are computed once
+    driver-side (functions/stats.py) since (K, quantile) are fixed.
+    """
+    from openseizuredatabase_spark.functions.stats import (
+        harrell_davis_weights,
+    )
+
+    weights = np.asarray(
+        harrell_davis_weights(len(models), quantile), dtype=np.float64
+    )
+    model_list = list(models)
+
+    @F.pandas_udf("double")
+    def score(batch: pd.Series) -> pd.Series:
+        x = np.vstack(batch.to_numpy())
+        scores = np.column_stack([m.predict(x) for m in model_list])
+        scores.sort(axis=1)
+        return pd.Series(scores @ weights)
 
     return df.withColumn(out_col, score(F.col(vec_col)))
 

@@ -96,6 +96,55 @@ def derived_metrics(cm: DataFrame, ndigits: int = 6) -> DataFrame:
     )
 
 
+def event_level_metrics(
+    df: DataFrame,
+    event_col: str,
+    label: Column,
+    p: Column,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Event-level TPR/FPR from datapoint-level probabilities
+    (eventLevelMetrics.py:13-90): an event's prediction is the MAX
+    probability over its datapoints (nnTester's rule), thresholded at
+    0.5; datapoint-level TPR/FPR ride along for the comparison the
+    reference prints.
+
+    Two aggregations: datapoints → events (shuffle on the event key —
+    partial max/count combine map-side), events → one metrics row (a
+    tiny final reduce). ``label`` is a per-datapoint expression whose
+    event-level truth is its MAX over the event (constant-per-event
+    labels pass through unchanged).
+    """
+    ev = df.groupBy(event_col).agg(
+        F.max(label.cast("int")).cast("boolean").alias("__label"),
+        F.max(p).alias("__max_p"),
+        F.count(F.lit(1)).alias("__n_dp"),
+        F.count(F.when(p >= threshold, 1)).alias("__n_dp_pos"),
+    )
+    lbl = F.col("__label")
+    pred = F.col("__max_p") >= threshold
+    tp = F.count(F.when(lbl & pred, 1)).cast("double")
+    fp = F.count(F.when(~lbl & pred, 1)).cast("double")
+    tn = F.count(F.when(~lbl & ~pred, 1)).cast("double")
+    fn = F.count(F.when(lbl & ~pred, 1)).cast("double")
+    dp_tp = F.sum(F.when(lbl, F.col("__n_dp_pos"))).cast("double")
+    dp_fp = F.sum(F.when(~lbl, F.col("__n_dp_pos"))).cast("double")
+    dp_pos = F.sum(F.when(lbl, F.col("__n_dp"))).cast("double")
+    dp_neg = F.sum(F.when(~lbl, F.col("__n_dp"))).cast("double")
+    return ev.groupBy().agg(
+        tp.cast("long").alias("event_tp"),
+        fp.cast("long").alias("event_fp"),
+        tn.cast("long").alias("event_tn"),
+        fn.cast("long").alias("event_fn"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(lbl, 1)).alias("n_seizure_events"),
+        F.round(F.try_divide(tp, tp + fn), 6).alias("event_tpr"),
+        F.round(F.try_divide(fp, fp + tn), 6).alias("event_fpr"),
+        F.round(F.try_divide(dp_tp, dp_pos), 6).alias("datapoint_tpr"),
+        F.round(F.try_divide(dp_fp, dp_neg), 6).alias("datapoint_fpr"),
+    )
+
+
 def small_group_rebucket(
     df: DataFrame,
     key_col: str,

@@ -507,3 +507,77 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("src").alias("id"), "comp")
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 8,
+    max_df: int = 4,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4 / RefinedWeb line-dedup
+    step): segment every document, count each segment's DISTINCT-document
+    frequency across the whole corpus, drop segments appearing in more
+    than ``max_df`` documents (headers, footers, license blurbs — the
+    classic pretraining-corpus pollution), and reassemble each document
+    from its surviving segments in order.
+
+    Natural text segments on newlines; this synthetic corpus has none, so
+    segments are fixed ``seg_tokens``-token blocks — the segmenter is the
+    only part a real deployment swaps (``F.split(text, '\\n')``).
+
+    Scale shape (same spillable single-exchange screen as
+    ``jaccard_candidate_pairs``):
+    1. in-row segmentation (transform over a block-index sequence) then
+       posexplode — no shuffle;
+    2. ONE corpus exchange on the segment key; a per-segment sort feeds a
+       lag() first-occurrence flag whose windowed sum is the exact
+       distinct-doc frequency — spillable buffers only, no collect_set;
+    3. the df filter drops every occurrence of a hot segment;
+    4. reassembly is one groupBy on the doc key: sort surviving
+       (pos, seg) structs in-row and concat. Documents whose every
+       segment was boilerplate drop out entirely (by design — they ARE
+       boilerplate).
+
+    Output: (id, n_kept, cleaned).
+    """
+    from openseizuredatabase_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    nblk = F.ceil(F.size("toks") / F.lit(seg_tokens)).cast("int")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda b: F.concat_ws(
+            " ", F.slice(F.col("toks"), b * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    segs = d.select(
+        id_col, F.posexplode(segs_arr).alias("pos", "seg")
+    ).repartition(F.col("seg"))
+    wo = Window.partitionBy("seg").orderBy(id_col, "pos")
+    w = Window.partitionBy("seg")
+    first = (
+        F.lag(id_col).over(wo).isNull()
+        | (F.lag(id_col).over(wo) != F.col(id_col))
+    ).cast("int")
+    flt = (
+        segs.withColumn("__first", first)
+        .withColumn("__df", F.sum("__first").over(w))
+        .filter(F.col("__df") <= max_df)
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+    )
+    return (
+        flt.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(parts, lambda s: s["seg"]), " "
+            ).alias("cleaned"),
+        )
+    )

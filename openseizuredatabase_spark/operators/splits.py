@@ -24,6 +24,29 @@ def modulo_folds(df: DataFrame, id_col: str, k: int) -> DataFrame:
     return df.withColumn("fold", (F.col(id_col) % k).cast("int"))
 
 
+def nested_kfold(
+    df: DataFrame, id_col: str, k_outer: int, k_inner: int
+) -> DataFrame:
+    """Nested k-fold assignment (splitData.py nestedKfold>1 /
+    NESTED_KFOLD_README): outer folds are completely-held-out test sets;
+    inner folds partition the remaining data for model selection, so
+    validation metrics never touch the outer test set.
+
+    Deterministic column expressions: ``outer_fold = id mod K_out``;
+    ``inner_fold = (id div K_out) mod K_in``. Because the inner label is
+    independent of which outer fold is held out, ONE pass annotates every
+    row for all K_out × K_in training runs — consumers filter
+    ``outer_fold != o`` and group by ``inner_fold``; no per-combination
+    re-shuffle, no driver-side id lists.
+    """
+    return df.withColumn(
+        "outer_fold", (F.col(id_col) % k_outer).cast("int")
+    ).withColumn(
+        "inner_fold",
+        (F.expr(f"{id_col} div {k_outer}") % k_inner).cast("int"),
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str, test_frac: float, seed: int
 ) -> tuple[DataFrame, DataFrame]:

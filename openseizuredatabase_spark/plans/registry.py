@@ -4592,6 +4592,293 @@ def t13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window signature bundle + explicit registry ordering
 # ---------------------------------------------------------------------------
 #
+# ---------------------------------------------------------------------------
+# Round-3 additions: tree-ensemble inference, nested k-fold, event-level
+# metrics, Harrell-Davis ensemble combine, corpus boilerplate scrub
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m16_rf_inference",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               embedding[1]::DOUBLE AS x1,
+               embedding[2]::DOUBLE AS x2,
+               embedding[3]::DOUBLE AS x3
+        FROM embeddings
+    ), t AS (
+        SELECT vec_id,
+               CASE WHEN x1 <= 0.0
+                    THEN CASE WHEN x2 <= 0.25 THEN 0.25 ELSE 0.75 END
+                    ELSE CASE WHEN x3 <= -0.25 THEN 0.5 ELSE 1.0 END
+               END AS t0,
+               CASE WHEN x2 <= 0.5 THEN 0.125 ELSE 0.875 END AS t1,
+               CASE WHEN x3 <= 0.125
+                    THEN CASE WHEN x1 <= -0.5 THEN 0.0 ELSE 0.5 END
+                    ELSE CASE WHEN x2 <= 0.0 THEN 0.25 ELSE 1.0 END
+               END AS t2
+        FROM x
+    )
+    SELECT vec_id, round((t0 + t1 + t2) / 3, 6) AS p FROM t
+    """,
+    "M9 tree-ensemble inference (the rfModel.py:28-100 sklearn "
+    "RandomForest role): a 3-tree forest scored by ml.inference."
+    "ForestModel — flat node arrays ride the closure, traversal is "
+    "VECTORIZED over each Arrow batch (one index vector walks all rows "
+    "level-by-level), zero shuffles, zero per-row Python. Thresholds "
+    "and leaf probabilities are dyadic so every comparison and the "
+    "3-way mean are fp-exact; the oracle walks the identical trees as "
+    "nested CASE expressions.",
+)
+def m16_rf_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.inference import (
+        ForestModel,
+        assemble_features,
+        predict_proba,
+    )
+
+    def tree(feat, thr, left, right, value):
+        return (
+            np.array(feat, dtype=np.int64),
+            np.array(thr, dtype=np.float64),
+            np.array(left, dtype=np.int64),
+            np.array(right, dtype=np.int64),
+            np.array(value, dtype=np.float64),
+        )
+
+    model = ForestModel(
+        trees=(
+            tree(
+                [0, 1, 2, -1, -1, -1, -1],
+                [0.0, 0.25, -0.25, 0, 0, 0, 0],
+                [1, 3, 5, -1, -1, -1, -1],
+                [2, 4, 6, -1, -1, -1, -1],
+                [0, 0, 0, 0.25, 0.75, 0.5, 1.0],
+            ),
+            tree([1, -1, -1], [0.5, 0, 0], [1, -1, -1], [2, -1, -1],
+                 [0, 0.125, 0.875]),
+            tree(
+                [2, 0, 1, -1, -1, -1, -1],
+                [0.125, -0.5, 0.0, 0, 0, 0, 0],
+                [1, 3, 5, -1, -1, -1, -1],
+                [2, 4, 6, -1, -1, -1, -1],
+                [0, 0, 0, 0.0, 0.5, 0.25, 1.0],
+            ),
+        )
+    )
+    emb = _ts(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1).alias(f"x{i}")
+            for i in range(3)
+        ],
+    )
+    scored = predict_proba(
+        assemble_features(feats, ["x0", "x1", "x2"]), model, out_col="p"
+    )
+    return scored.select("vec_id", F.round("p", 6).alias("p"))
+
+
+@query(
+    "m17_nested_kfold",
+    """
+    SELECT (event_id % 5)::INTEGER AS outer_fold,
+           ((event_id // 5) % 3)::INTEGER AS inner_fold,
+           count(*) AS n,
+           count(DISTINCT event_id) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Nested k-fold assignment (splitData.py nestedKfold>1, "
+    "NESTED_KFOLD_README): outer folds are fully-held-out test sets, "
+    "inner folds partition the rest for model selection. One pass "
+    "annotates every row for all K_out x K_in runs — consumers filter "
+    "outer_fold != o and group by inner_fold; no per-combination "
+    "re-shuffle.",
+)
+def m17_nested_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = split_ops.nested_kfold(_t(spark, sf_dir, "events"), "event_id", 5, 3)
+    return ev.groupBy("outer_fold", "inner_fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_events"),
+    )
+
+
+_N3_P = "1.0 / (1.0 + exp(-((value - 150) / 25.0)))"
+
+
+@query(
+    "n3_event_level_metrics",
+    f"""
+    WITH ev AS (
+        SELECT user_id,
+               max(value) >= 170 AS label,
+               max({_N3_P}) AS max_p,
+               count(*) AS n_dp,
+               count(CASE WHEN {_N3_P} >= 0.5 THEN 1 END) AS n_dp_pos
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        count(CASE WHEN label AND max_p >= 0.5 THEN 1 END)::BIGINT AS event_tp,
+        count(CASE WHEN NOT label AND max_p >= 0.5 THEN 1 END)::BIGINT AS event_fp,
+        count(CASE WHEN NOT label AND max_p < 0.5 THEN 1 END)::BIGINT AS event_tn,
+        count(CASE WHEN label AND max_p < 0.5 THEN 1 END)::BIGINT AS event_fn,
+        count(*) AS n_events,
+        count(CASE WHEN label THEN 1 END) AS n_seizure_events,
+        round(count(CASE WHEN label AND max_p >= 0.5 THEN 1 END)
+              / nullif(count(CASE WHEN label THEN 1 END), 0)::DOUBLE, 6)
+            AS event_tpr,
+        round(count(CASE WHEN NOT label AND max_p >= 0.5 THEN 1 END)
+              / nullif(count(CASE WHEN NOT label THEN 1 END), 0)::DOUBLE, 6)
+            AS event_fpr,
+        round(sum(CASE WHEN label THEN n_dp_pos END)
+              / nullif(sum(CASE WHEN label THEN n_dp END), 0)::DOUBLE, 6)
+            AS datapoint_tpr,
+        round(sum(CASE WHEN NOT label THEN n_dp_pos END)
+              / nullif(sum(CASE WHEN NOT label THEN n_dp END), 0)::DOUBLE, 6)
+            AS datapoint_fpr
+    FROM ev
+    """,
+    "Event-level vs datapoint-level detection metrics "
+    "(eventLevelMetrics.py:13-90): an event's prediction is the MAX "
+    "pSeizure over its datapoints thresholded at 0.5 (nnTester's rule); "
+    "the reference prints both levels to show event-level sensitivity "
+    "exceeding datapoint-level. Two aggregations: datapoints to events "
+    "(partial-combined shuffle on the event key), events to one metrics "
+    "row (tiny final reduce).",
+)
+def n3_event_level_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-((F.col("value") - 150) / F.lit(25.0)))
+    )
+    return agg_ops.event_level_metrics(
+        ev, "user_id", F.col("value") >= 170, p
+    )
+
+
+def _n4_models():
+    """Five dyadic-weight linear scorers standing in for the k-fold
+    models the reference ensembles (ensemblePredictor.py:119-176)."""
+    from openseizuredatabase_spark.ml.inference import LinearModel
+
+    return [
+        LinearModel(weights=(0.5, 0.25, -0.5), bias=0.125),
+        LinearModel(weights=(0.25, -0.5, 0.5), bias=-0.25),
+        LinearModel(weights=(-0.5, 0.5, 0.25), bias=0.0625),
+        LinearModel(weights=(0.375, -0.125, -0.25), bias=-0.0625),
+        LinearModel(weights=(-0.25, 0.375, 0.125), bias=0.25),
+    ]
+
+
+def _n4_oracle() -> str:
+    from openseizuredatabase_spark.functions.stats import (
+        harrell_davis_weights,
+    )
+
+    ws = harrell_davis_weights(5, 0.6)
+    ps = []
+    for m in _n4_models():
+        z = " + ".join(
+            f"({w!r})*x{i + 1}" for i, w in enumerate(m.weights)
+        )
+        ps.append(f"1.0 / (1.0 + exp(-({z} + ({m.bias!r}))))")
+    p_cols = ", ".join(f"{p} AS p{k}" for k, p in enumerate(ps))
+    dot = " + ".join(f"l[{i + 1}]*({w!r})" for i, w in enumerate(ws))
+    return f"""
+    WITH x AS (
+        SELECT vec_id,
+               embedding[1]::DOUBLE AS x1,
+               embedding[2]::DOUBLE AS x2,
+               embedding[3]::DOUBLE AS x3
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id, {p_cols} FROM x
+    ), s AS (
+        SELECT vec_id, list_sort([p0, p1, p2, p3, p4]) AS l FROM p
+    )
+    SELECT vec_id, round({dot}, 6) AS p_ens FROM s
+    """
+
+
+@query(
+    "n4_ensemble_quantile",
+    _n4_oracle(),
+    "Harrell-Davis quantile ensemble (ensemblePredictor.py:27-66, Spahr "
+    "et al. 2025): five fold-models score every row, the K scores sort "
+    "and combine under beta-CDF order-statistic weights — the tunable-"
+    "sensitivity combine the reference uses over its k-fold CNNs. The "
+    "incomplete-beta weights come from functions/stats.py (no scipy in "
+    "this environment) computed ONCE driver-side; one Arrow stage "
+    "produces the (N, K) score matrix and the weighted sorted sum, no "
+    "shuffle. The oracle embeds the identical weight literals and walks "
+    "the same sigmoids + list_sort in SQL.",
+)
+def n4_ensemble_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.ml.inference import (
+        assemble_features,
+        ensemble_predict,
+    )
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1).alias(f"x{i}")
+            for i in range(3)
+        ],
+    )
+    scored = ensemble_predict(
+        assemble_features(feats, ["x0", "x1", "x2"]),
+        _n4_models(),
+        quantile=0.6,
+        out_col="p_ens",
+    )
+    return scored.select("vec_id", F.round("p_ens", 6).alias("p_ens"))
+
+
+@query(
+    "t19_boilerplate_scrub",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {text_fns.tokens_sql('text')} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), segs AS (
+        SELECT doc_id, g.i AS pos,
+               array_to_string(list_slice(tk, g.i*8 + 1, g.i*8 + 8), ' ') AS seg
+        FROM toks,
+             unnest(generate_series(0,
+                 CAST(ceil(len(tk) / 8.0) AS INTEGER) - 1)) AS g(i)
+    ), seg_df AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), kept AS (
+        SELECT s.doc_id, s.pos, s.seg
+        FROM segs s JOIN seg_df d ON s.seg = d.seg WHERE d.df <= 4
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(seg, ' ' ORDER BY pos) AS cleaned
+    FROM kept GROUP BY doc_id
+    """,
+    "Corpus-level boilerplate scrub (the C4/RefinedWeb repeated-line "
+    "removal step; generalizes T13's in-row scrub to cross-document "
+    "evidence): drop every segment whose DISTINCT-document frequency "
+    "exceeds 4, reassemble docs from surviving segments in order. One "
+    "corpus exchange on the segment key with spillable window screens "
+    "(no collect_set buffers), then one doc-key aggregation rebuilds "
+    "the text — the jaccard_candidate_pairs memory discipline applied "
+    "to text cleaning.",
+)
+def t19_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    return dedup_ops.boilerplate_scrub(
+        docs, "text", "doc_id", seg_tokens=8, max_df=4
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # 79 oracled queries compete for those slots, so every oracled query that
 # does not fit gets driver-visible coverage through ONE bundle query:
@@ -4718,6 +5005,17 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t15_sequence_packing", "doc_id",
          f"n + 31*seq_bin + 1009*pack_pos"
          f" + 31063*CAST({sc('source')} AS BIGINT)"),
+        ("m16_rf_inference", "vec_id", q6("p")),
+        ("m17_nested_kfold", "outer_fold * 100 + inner_fold",
+         "n + 31*n_events"),
+        ("n3_event_level_metrics", "0",
+         "event_tp + 31*event_fp + 1009*event_tn + 31063*event_fn"
+         f" + 1000003*{q6('coalesce(event_tpr, -1)')}"
+         f" + 7*{q6('coalesce(datapoint_fpr, -1)')}"),
+        ("n4_ensemble_quantile", "vec_id", q6("p_ens")),
+        ("t19_boilerplate_scrub", "doc_id",
+         "n_kept + 31*length(cleaned)"
+         " + 1009*ascii(substr(cleaned, 1, 1))"),
     ]
 
 

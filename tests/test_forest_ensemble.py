@@ -1,0 +1,172 @@
+"""Round-3 model surface: ForestModel traversal, .npz roundtrip,
+incomplete-beta kernel, Harrell-Davis ensemble combine, nested k-fold,
+boilerplate scrub."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions.stats import (
+    betainc_reg,
+    harrell_davis_weights,
+)
+from openseizuredatabase_spark.ml.inference import (
+    ForestModel,
+    LinearModel,
+    assemble_features,
+    ensemble_predict,
+    load_model,
+    predict_proba,
+    save_forest_npz,
+)
+from openseizuredatabase_spark.operators.dedup import boilerplate_scrub
+from openseizuredatabase_spark.operators.splits import nested_kfold
+
+
+def _stump(feat, thr, lo, hi):
+    return (
+        np.array([feat, -1, -1], dtype=np.int64),
+        np.array([thr, 0, 0], dtype=np.float64),
+        np.array([1, -1, -1], dtype=np.int64),
+        np.array([2, -1, -1], dtype=np.int64),
+        np.array([0, lo, hi], dtype=np.float64),
+    )
+
+
+def test_forest_traversal_matches_hand_walk():
+    # depth-2 tree: x0<=0 -> (x1<=1 ? 0.1 : 0.9) else leaf 0.4
+    tree = (
+        np.array([0, 1, -1, -1, -1], dtype=np.int64),
+        np.array([0.0, 1.0, 0, 0, 0], dtype=np.float64),
+        np.array([1, 3, -1, -1, -1], dtype=np.int64),
+        np.array([2, 4, -1, -1, -1], dtype=np.int64),
+        np.array([0, 0, 0.4, 0.1, 0.9], dtype=np.float64),
+    )
+    model = ForestModel(trees=(tree, _stump(1, 0.5, 0.2, 0.8)))
+    x = np.array(
+        [[-1.0, 0.5], [-1.0, 2.0], [1.0, 0.0], [0.0, 0.6]], dtype=float
+    )
+    # row0: tree->0.1 stump->0.2 ; row1: tree->0.9 stump->0.8
+    # row2: tree->0.4 stump->0.2 ; row3: x0<=0 left, x1<=1 -> 0.1; stump 0.8
+    want = np.array(
+        [(0.1 + 0.2) / 2, (0.9 + 0.8) / 2, (0.4 + 0.2) / 2, (0.1 + 0.8) / 2]
+    )
+    assert np.allclose(model.predict(x), want)
+
+
+def test_forest_npz_roundtrip(tmp_path):
+    model = ForestModel(trees=(_stump(0, 0.0, 0.25, 0.75),))
+    path = str(tmp_path / "forest.npz")
+    save_forest_npz(model, path)
+    loaded = load_model(path)
+    assert isinstance(loaded, ForestModel)
+    x = np.array([[-1.0], [1.0]])
+    assert np.allclose(loaded.predict(x), model.predict(x))
+    assert np.allclose(loaded.predict(x), [0.25, 0.75])
+
+
+def test_betainc_integer_orders_binomial_identity():
+    # For integer a,b: I_x(a,b) = sum_{j=a}^{n} C(n,j) x^j (1-x)^(n-j),
+    # n = a+b-1 — an independent closed form.
+    for a, b in [(1, 1), (2, 3), (3, 2), (4, 4), (2, 7)]:
+        n = a + b - 1
+        for x in [0.05, 0.25, 0.5, 0.75, 0.95]:
+            want = sum(
+                math.comb(n, j) * x**j * (1 - x) ** (n - j)
+                for j in range(a, n + 1)
+            )
+            assert betainc_reg(a, b, x) == pytest.approx(want, abs=1e-12)
+
+
+def test_betainc_bounds_and_symmetry():
+    assert betainc_reg(2.5, 3.5, 0.0) == 0.0
+    assert betainc_reg(2.5, 3.5, 1.0) == 1.0
+    for x in [0.1, 0.3, 0.7]:
+        # I_x(a,b) = 1 - I_{1-x}(b,a)
+        assert betainc_reg(3.6, 2.4, x) == pytest.approx(
+            1.0 - betainc_reg(2.4, 3.6, 1.0 - x), abs=1e-12
+        )
+
+
+def test_hd_weights_reference_formula():
+    # weights are beta CDF increments at i/n (ensemblePredictor.py:46-66)
+    n, q = 5, 0.6
+    ws = harrell_davis_weights(n, q)
+    assert sum(ws) == pytest.approx(1.0, abs=1e-12)
+    a, b = (n + 1) * q, (n + 1) * (1 - q)
+    for i, w in enumerate(ws):
+        want = betainc_reg(a, b, (i + 1) / n) - betainc_reg(a, b, i / n)
+        assert w == pytest.approx(want, abs=1e-15)
+    # q=0.6 skews weight toward the upper order statistics
+    assert ws[3] + ws[4] > ws[0] + ws[1]
+
+
+def test_ensemble_predict_matches_manual(spark):
+    models = [
+        LinearModel(weights=(0.5,), bias=0.0),
+        LinearModel(weights=(-0.25,), bias=0.125),
+        LinearModel(weights=(1.0,), bias=-0.5),
+    ]
+    rows = [Row(i=i, f1=float(v)) for i, v in enumerate([-2.0, 0.0, 3.0])]
+    df = assemble_features(spark.createDataFrame(rows), ["f1"])
+    got = {
+        r["i"]: r["p"]
+        for r in ensemble_predict(df, models, 0.6, out_col="p").collect()
+    }
+    ws = np.array(harrell_davis_weights(3, 0.6))
+    for i, v in enumerate([-2.0, 0.0, 3.0]):
+        scores = np.sort(
+            [m.predict(np.array([[v]]))[0] for m in models]
+        )
+        assert got[i] == pytest.approx(float(scores @ ws), abs=1e-12)
+
+
+def test_nested_kfold_partitions(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "event_id")
+    out = nested_kfold(df, "event_id", 5, 3)
+    rows = out.collect()
+    # every row gets exactly one (outer, inner); outer partitions the ids
+    assert len(rows) == 300
+    for r in rows:
+        assert 0 <= r["outer_fold"] < 5
+        assert 0 <= r["inner_fold"] < 3
+        assert r["outer_fold"] == r["event_id"] % 5
+        assert r["inner_fold"] == (r["event_id"] // 5) % 3
+    # balanced: 300/5 per outer fold, 300/15 per (outer, inner)
+    counts = (
+        out.groupBy("outer_fold", "inner_fold").count().collect()
+    )
+    assert all(c["count"] == 20 for c in counts) and len(counts) == 15
+
+
+def test_boilerplate_scrub_drops_hot_segment_keeps_order(spark):
+    boiler = "all rights reserved by the corpus owner inc"  # 8 tokens
+    docs = [
+        Row(doc_id=i, text=f"{boiler} unique body text number {i} is here")
+        for i in range(5)
+    ] + [Row(doc_id=99, text="a fully unique document body with no header")]
+    df = spark.createDataFrame(docs)
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(
+            df, "text", "doc_id", seg_tokens=8, max_df=4
+        ).collect()
+    }
+    # the 8-token boilerplate block appears in 5 docs > max_df=4: dropped
+    for i in range(5):
+        assert out[i]["cleaned"] == f"unique body text number {i} is here"
+        assert out[i]["n_kept"] == 1
+    # untouched doc survives whole (two segments, order preserved)
+    assert out[99]["cleaned"] == "a fully unique document body with no header"
+    assert out[99]["n_kept"] == 1
+
+
+def test_boilerplate_scrub_all_boilerplate_doc_drops_out(spark):
+    seg = "x y z w p q r s"
+    docs = [Row(doc_id=i, text=seg) for i in range(3)]
+    df = spark.createDataFrame(docs)
+    out = boilerplate_scrub(df, "text", "doc_id", seg_tokens=8, max_df=2)
+    assert out.count() == 0

@@ -36,16 +36,19 @@ def test_relational_queries_have_no_python_udf(spark, sf_dir):
     # Python model/kernel stage (the Arrow batch contract is the product,
     # not an accident); group-map ops (applyInPandas/mapInPandas) compile
     # to MapInPandas nodes and are out of this check's scope
-    # m9/m14/m15: Arrow-vectorized model scoring IS the operator;
+    # m9/m14/m15/m16: Arrow-vectorized model scoring IS the operator;
     # n1/n2: the dp-detector's map-side Arrow scorer is likewise the
     # product (the alarm machine behind it is mapInPandas, out of
-    # scope); x_signatures embeds their member branches
+    # scope); n4: the ensemble's (N, K) score-matrix combine is the
+    # Arrow stage under test; x_signatures embeds their member branches
     python_by_design = {
         "m9_batch_inference",
         "m14_mlp_inference",
         "m15_cnn_inference",
+        "m16_rf_inference",
         "n1_dp_detector",
         "n2_differential_report",
+        "n4_ensemble_quantile",
         "x_signatures",
     }
     for name, spec in QUERIES.items():

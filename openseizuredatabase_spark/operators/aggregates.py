@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -142,6 +142,92 @@ def event_level_metrics(
         F.round(F.try_divide(fp, fp + tn), 6).alias("event_fpr"),
         F.round(F.try_divide(dp_tp, dp_pos), 6).alias("datapoint_tpr"),
         F.round(F.try_divide(dp_fp, dp_neg), 6).alias("datapoint_fpr"),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    event_col: str,
+    label: Column,
+    p: Column,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Event-level TPR/FPR at a grid of decision thresholds
+    (nnTester.py:1578-1616 event_threshold_list loop; the ROC points of
+    nnTester.py:1648-1664): per threshold, an event fires if its MAX
+    datapoint probability reaches it.
+
+    The reference loops thresholds in Python over a pandas frame,
+    re-scanning per threshold. Here the expensive datapoint→event
+    aggregate runs ONCE; the sweep then explodes a constant ``len(
+    thresholds)``-row fan-out of the (small) event table and re-
+    aggregates with map-side combine — a 100-point grid changes the
+    plan's shape not at all, and the datapoints are never re-read.
+    """
+    ev = df.groupBy(event_col).agg(
+        F.max(label.cast("int")).cast("boolean").alias("__label"),
+        F.max(p).alias("__max_p"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    sw = ev.select("__label", "__max_p", grid)
+    lbl = F.col("__label")
+    pred = F.col("__max_p") >= F.col("threshold")
+    tp = F.count(F.when(lbl & pred, 1)).cast("double")
+    fp = F.count(F.when(~lbl & pred, 1)).cast("double")
+    tn = F.count(F.when(~lbl & ~pred, 1)).cast("double")
+    fn = F.count(F.when(lbl & ~pred, 1)).cast("double")
+    return sw.groupBy("threshold").agg(
+        tp.cast("long").alias("event_tp"),
+        fp.cast("long").alias("event_fp"),
+        tn.cast("long").alias("event_tn"),
+        fn.cast("long").alias("event_fn"),
+        F.round(F.try_divide(tp, tp + fn), 6).alias("event_tpr"),
+        F.round(F.try_divide(fp, fp + tn), 6).alias("event_fpr"),
+    )
+
+
+def auc_rank(
+    df: DataFrame, label: Column, p: Column, ndigits: int = 6
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank identity —
+    AUC = P(p_pos > p_neg) + 0.5·P(p_pos = p_neg) — the scalar behind
+    the reference's ROC plot (nnTester.py:1648-1664).
+
+    Scale shape: scores quantize to ``ndigits`` decimals, so the
+    per-bin pos/neg histogram (ONE partial-combined shuffle over the
+    data) has at most 10^ndigits·range rows regardless of corpus size;
+    the cumulative window then runs over the BOUNDED bin table, not the
+    data — no global sort of datapoints ever happens. Ties (same bin)
+    count half, exactly the rank-statistic convention.
+    """
+    bin_ = F.round(p, ndigits).alias("bin")
+    lbl = label.cast("boolean")
+    bins = (
+        df.select(bin_, lbl.alias("__l"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("__l"), 1)).alias("n_pos"),
+            F.count(F.when(~F.col("__l"), 1)).alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = F.col("n_pos") * (
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("double")
+        + 0.5 * F.col("n_neg")
+    )
+    per_bin = bins.select(
+        contrib.alias("__c"), "n_pos", "n_neg"
+    )
+    n_pos = F.sum("n_pos").cast("double")
+    n_neg = F.sum("n_neg").cast("double")
+    return per_bin.groupBy().agg(
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.round(
+            F.try_divide(F.sum("__c"), n_pos * n_neg), 6
+        ).alias("auc"),
     )
 
 

@@ -4841,6 +4841,99 @@ def n4_ensemble_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", F.round("p_ens", 6).alias("p_ens"))
 
 
+_N5_GRID = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@query(
+    "n5_threshold_sweep",
+    f"""
+    WITH ev AS (
+        SELECT user_id, max(value) >= 170 AS label, max({_N3_P}) AS max_p
+        FROM events GROUP BY user_id
+    ), sw AS (
+        SELECT t.th AS threshold, label, max_p
+        FROM ev,
+             unnest([{", ".join(repr(t) for t in _N5_GRID)}]::DOUBLE[]) AS t(th)
+    )
+    SELECT threshold,
+        count(CASE WHEN label AND max_p >= threshold THEN 1 END)::BIGINT
+            AS event_tp,
+        count(CASE WHEN NOT label AND max_p >= threshold THEN 1 END)::BIGINT
+            AS event_fp,
+        count(CASE WHEN NOT label AND max_p < threshold THEN 1 END)::BIGINT
+            AS event_tn,
+        count(CASE WHEN label AND max_p < threshold THEN 1 END)::BIGINT
+            AS event_fn,
+        round(count(CASE WHEN label AND max_p >= threshold THEN 1 END)
+              / nullif(count(CASE WHEN label THEN 1 END), 0)::DOUBLE, 6)
+            AS event_tpr,
+        round(count(CASE WHEN NOT label AND max_p >= threshold THEN 1 END)
+              / nullif(count(CASE WHEN NOT label THEN 1 END), 0)::DOUBLE, 6)
+            AS event_fpr
+    FROM sw GROUP BY threshold
+    """,
+    "Event-level decision-threshold sweep (nnTester.py:1578-1616; the "
+    "hyperparameter-sweep shape of runOptimisation.py): TPR/FPR at each "
+    "grid threshold, an event firing when its max datapoint probability "
+    "reaches it. The reference re-loops the pandas frame per threshold; "
+    "here the datapoint->event aggregate runs ONCE and the sweep is a "
+    "constant fan-out of the tiny event table — a 100-point grid would "
+    "not change the plan shape, and datapoints are never re-read.",
+)
+def n5_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-((F.col("value") - 150) / F.lit(25.0)))
+    )
+    return agg_ops.threshold_sweep(
+        ev, "user_id", F.col("value") >= 170, p, _N5_GRID
+    )
+
+
+@query(
+    "n6_auc_rank",
+    f"""
+    WITH dp AS (
+        SELECT round({_N3_P}, 6) AS bin,
+               max(value) OVER (PARTITION BY user_id) >= 170 AS l
+        FROM events
+    ), bins AS (
+        SELECT bin,
+               count(CASE WHEN l THEN 1 END) AS n_pos,
+               count(CASE WHEN NOT l THEN 1 END) AS n_neg
+        FROM dp GROUP BY bin
+    ), c AS (
+        SELECT n_pos, n_neg,
+               n_pos * (coalesce(sum(n_neg) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+                 + 0.5 * n_neg) AS contrib
+        FROM bins
+    )
+    SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+           round(sum(contrib)
+                 / (sum(n_pos)::DOUBLE * sum(n_neg)::DOUBLE), 6) AS auc
+    FROM c
+    """,
+    "Exact ROC AUC via the Mann-Whitney rank identity (the scalar "
+    "behind nnTester.py:1648-1664's ROC plot): AUC = P(p_pos > p_neg) "
+    "+ 0.5 P(tie). Scores quantize to 6 decimals, so the pos/neg "
+    "histogram (one partial-combined shuffle) is BOUNDED by the "
+    "quantization grid regardless of corpus size and the cumulative "
+    "window runs over bins, never a global sort of datapoints; all "
+    "contributions are exact integer+half doubles, so summation order "
+    "cannot change the result.",
+)
+def n6_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-((F.col("value") - 150) / F.lit(25.0)))
+    )
+    label = (
+        F.max("value").over(Window.partitionBy("user_id")) >= 170
+    )
+    return agg_ops.auc_rank(ev, label, p)
+
+
 @query(
     "t19_boilerplate_scrub",
     f"""
@@ -5013,6 +5106,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 1000003*{q6('coalesce(event_tpr, -1)')}"
          f" + 7*{q6('coalesce(datapoint_fpr, -1)')}"),
         ("n4_ensemble_quantile", "vec_id", q6("p_ens")),
+        ("n5_threshold_sweep", q6("threshold"),
+         "event_tp + 31*event_fp + 1009*event_tn + 31063*event_fn"
+         f" + 1000003*{q6('coalesce(event_tpr, -1)')}"
+         f" + 7*{q6('coalesce(event_fpr, -1)')}"),
+        ("n6_auc_rank", "0",
+         f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
         ("t19_boilerplate_scrub", "doc_id",
          "n_kept + 31*length(cleaned)"
          " + 1009*ascii(substr(cleaned, 1, 1))"),

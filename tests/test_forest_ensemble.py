@@ -170,3 +170,64 @@ def test_boilerplate_scrub_all_boilerplate_doc_drops_out(spark):
     df = spark.createDataFrame(docs)
     out = boilerplate_scrub(df, "text", "doc_id", seg_tokens=8, max_df=2)
     assert out.count() == 0
+
+
+def test_threshold_sweep_hand_case(spark):
+    from openseizuredatabase_spark.operators.aggregates import (
+        threshold_sweep,
+    )
+
+    # events: A (pos, max_p=0.9), B (pos, max_p=0.4), C (neg, max_p=0.6)
+    rows = [
+        Row(ev="A", lab=1, p=0.9), Row(ev="A", lab=1, p=0.2),
+        Row(ev="B", lab=1, p=0.4),
+        Row(ev="C", lab=0, p=0.6), Row(ev="C", lab=0, p=0.1),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep(
+            df, "ev", F.col("lab") == 1, F.col("p"), [0.3, 0.5, 0.8]
+        ).collect()
+    }
+    # th=0.3: A,B fire (tp=2) and C fires (fp=1)
+    assert (out[0.3]["event_tp"], out[0.3]["event_fp"]) == (2, 1)
+    # th=0.5: A fires, B missed, C fires
+    assert (out[0.5]["event_tp"], out[0.5]["event_fn"]) == (1, 1)
+    assert out[0.5]["event_fp"] == 1
+    # th=0.8: only A fires
+    assert (out[0.8]["event_tp"], out[0.8]["event_fp"]) == (1, 0)
+    assert out[0.8]["event_tpr"] == pytest.approx(0.5)
+    assert out[0.8]["event_fpr"] == pytest.approx(0.0)
+
+
+def test_auc_rank_matches_pair_counting(spark):
+    from openseizuredatabase_spark.operators.aggregates import auc_rank
+
+    # pos scores: .9 .7 .4 ; neg scores: .7 .3 .1
+    # pairs won: (.9 beats all 3) + (.7 beats .3,.1; ties .7 -> .5)
+    #           + (.4 beats .3,.1) = 3 + 2.5 + 2 = 7.5 ; AUC = 7.5/9
+    rows = [
+        Row(lab=1, p=0.9), Row(lab=1, p=0.7), Row(lab=1, p=0.4),
+        Row(lab=0, p=0.7), Row(lab=0, p=0.3), Row(lab=0, p=0.1),
+    ]
+    out = auc_rank(
+        spark.createDataFrame(rows), F.col("lab") == 1, F.col("p")
+    ).collect()[0]
+    assert (out["n_pos"], out["n_neg"]) == (3, 3)
+    assert out["auc"] == pytest.approx(round(7.5 / 9, 6))
+
+
+def test_auc_rank_perfect_and_random(spark):
+    from openseizuredatabase_spark.operators.aggregates import auc_rank
+
+    perfect = spark.createDataFrame(
+        [Row(lab=1, p=0.9), Row(lab=1, p=0.8), Row(lab=0, p=0.2)]
+    )
+    out = auc_rank(perfect, F.col("lab") == 1, F.col("p")).collect()[0]
+    assert out["auc"] == pytest.approx(1.0)
+    all_tied = spark.createDataFrame(
+        [Row(lab=1, p=0.5), Row(lab=0, p=0.5)]
+    )
+    out = auc_rank(all_tied, F.col("lab") == 1, F.col("p")).collect()[0]
+    assert out["auc"] == pytest.approx(0.5)

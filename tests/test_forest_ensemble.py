@@ -231,3 +231,66 @@ def test_auc_rank_perfect_and_random(spark):
     )
     out = auc_rank(all_tied, F.col("lab") == 1, F.col("p")).collect()[0]
     assert out["auc"] == pytest.approx(0.5)
+
+
+def test_fit_tree_learns_separable_split(spark):
+    from openseizuredatabase_spark.ml.train import fit_tree
+
+    # y = 1 iff f1 > 0.5 (single clean split on feature 1 of 2)
+    rows = [
+        Row(id=i, f0=float((i * 37) % 11) / 11.0,
+            f1=float(i % 10) / 10.0, y=1 if (i % 10) / 10.0 > 0.5 else 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    model = fit_tree(df, ["f0", "f1"], "y", max_depth=2, n_bins=16)
+    import numpy as np
+
+    x = np.array([[r["f0"], r["f1"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    p = model.predict(x)
+    acc = ((p >= 0.5).astype(int) == y).mean()
+    assert acc == 1.0
+    # the root should split on feature 1
+    assert model.trees[0][0][0] == 1
+
+
+def test_fit_tree_pure_node_stays_leaf(spark):
+    from openseizuredatabase_spark.ml.train import fit_tree
+
+    rows = [Row(id=i, f0=float(i), y=1) for i in range(50)]
+    model = fit_tree(
+        spark.createDataFrame(rows), ["f0"], "y", max_depth=3
+    )
+    feat, thr, left, right, value = model.trees[0]
+    assert feat[0] == -1 and value[0] == 1.0  # pure: no split grown
+
+
+def test_fit_forest_roundtrip_and_determinism(spark, tmp_path):
+    from openseizuredatabase_spark.ml.inference import (
+        load_model,
+        save_forest_npz,
+    )
+    from openseizuredatabase_spark.ml.train import fit_forest
+
+    rows = [
+        Row(id=i, f0=float((i * 7) % 13) / 13.0,
+            f1=float(i % 8) / 8.0, f2=float((i * 3) % 5) / 5.0,
+            y=1 if (i % 8) / 8.0 >= 0.5 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    m1 = fit_forest(df, ["f0", "f1", "f2"], "y", "id", n_trees=3,
+                    max_depth=2, n_bins=8)
+    m2 = fit_forest(df, ["f0", "f1", "f2"], "y", "id", n_trees=3,
+                    max_depth=2, n_bins=8)
+    import numpy as np
+
+    x = np.array([[r["f0"], r["f1"], r["f2"]] for r in rows])
+    assert np.array_equal(m1.predict(x), m2.predict(x))  # deterministic
+    y = np.array([r["y"] for r in rows])
+    acc = ((m1.predict(x) >= 0.5).astype(int) == y).mean()
+    assert acc > 0.9
+    path = str(tmp_path / "forest.npz")
+    save_forest_npz(m1, path)
+    assert np.allclose(load_model(path).predict(x), m1.predict(x))

@@ -2831,6 +2831,41 @@ def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13_streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "D3 streaming twin: events replayed through readStream → "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) — the state "
+    "store keys on the dedup columns and EXPIRES each key when the "
+    "watermark passes it, the bounded-state contract a plain streaming "
+    "dropDuplicates (whose state grows forever) fails at ingest scale. "
+    "availableNow replay of a static lake is one deterministic batch, "
+    "so the emission equals batch DISTINCT and carries a full oracle.",
+)
+def s13_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.streaming.sessionize import (
+        streaming_distinct,
+    )
+
+    stream = _stream_events(spark, sf_dir, "s13_events_")
+    out = streaming_distinct(stream, "ts", ["user_id", "event_type"])
+    name = f"s13_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("user_id", "event_type")
+
+
+@query(
     "c6_deinterleave_magnitude",
     """
     WITH samples AS (
@@ -5043,6 +5078,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_bigrams + 31*{q6('avg_logprob')}"),
         ("s11_streaming_tumbling",
          f"day_num * 1000000 + {sc('event_type')}", "n"),
+        ("s13_streaming_dedup", "user_id", sc("event_type")),
         ("a14_salted_hot_key", sc("event_type"),
          f"n + 31*{t(q6('sum_value'))} + 1009*{t(q6('max_value'))}"),
         ("a15_approx_distinct", sc("event_type"),

@@ -47,6 +47,27 @@ def windowed_counts(
     )
 
 
+def streaming_distinct(
+    stream: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """D3 streaming twin: exact dedup of an unbounded stream.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the dedup
+    columns and EXPIRES each key once the watermark passes its first
+    sighting — bounded state, the production requirement a plain
+    streaming ``dropDuplicates`` (whose state never expires unless the
+    event-time column itself is a key) fails at ingest scale. Duplicates
+    separated by more than the watermark re-emit, the standard
+    at-least-once dedup contract for late data.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    ).select(*key_cols)
+
+
 def session_clusters(
     stream: DataFrame,
     ts_col: str,

@@ -282,3 +282,42 @@ def test_dp_model_detector_streaming_parity(spark, tmp_path_factory):
     }
     assert got == batch
     assert max(st for st, _ in got.values()) == 2  # event 1 alarms
+
+
+def test_streaming_distinct_matches_batch_and_bounds_state(spark, tmp_path):
+    """s13 shape: dropDuplicatesWithinWatermark emission equals batch
+    DISTINCT for a single availableNow replay."""
+    import pandas as pd
+
+    from openseizuredatabase_spark.streaming.sessionize import (
+        streaming_distinct,
+    )
+
+    sdir = str(tmp_path / "dedup_src")
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3, 1],
+            "grp": ["a", "a", "b", "b", "a", "a"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:30",
+                    "2024-01-01 00:01:00",
+                    "2024-01-01 00:09:00",
+                    "2024-01-01 00:02:00",
+                    "2024-01-01 00:03:00",
+                ]
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema("k long, grp string, ts timestamp").parquet(
+        sdir
+    )
+    out = streaming_distinct(stream, "ts", ["k", "grp"])
+    _run_to_memory(out, "s13_dedup_t")
+    got = {
+        (r["k"], r["grp"])
+        for r in spark.sql("SELECT * FROM s13_dedup_t").collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "a")}

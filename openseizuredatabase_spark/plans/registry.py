@@ -3888,6 +3888,54 @@ def r1_results_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r2_data_audit",
+    """
+    SELECT coalesce(event_type, 'TOTAL') AS bucket,
+           count(DISTINCT event_id) AS n_events,
+           count(*) AS n_dps,
+           round(count(*) / count(DISTINCT event_id)::DOUBLE, 2)
+               AS avg_dp_per_event,
+           count(*) - count(value) AS n_null_values,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+    "Data audit report (analyzeData.py:19-126 / auditDataProcessing "
+    "role): per-type and global event counts, datapoint counts, average "
+    "datapoints per event, null census and value ranges — one rollup "
+    "aggregation, partial-combined, so the audit costs a single pass "
+    "however large the lake.",
+)
+def r2_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.countDistinct("event_id").alias("n_events"),
+            F.count(F.lit(1)).alias("n_dps"),
+            F.round(
+                F.count(F.lit(1))
+                / F.countDistinct("event_id").cast("double"),
+                2,
+            ).alias("avg_dp_per_event"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_null_values"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("TOTAL")).alias("bucket"),
+            "n_events",
+            "n_dps",
+            "avg_dp_per_event",
+            "n_null_values",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@query(
     "n1_dp_detector",
     """
     WITH RECURSIVE scored AS (
@@ -5103,6 +5151,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
         ("n1_dp_detector", "user_id",
          f"n_dps + 31*n_alarm_dps + 1009*n_warn_dps + 31063*{t(q6('p_sum'))}"),
+        ("r2_data_audit", sc("bucket"),
+         "n_events + 31*n_dps + 1009*n_null_values"
+         f" + 7*{t(q6('avg_dp_per_event'))}"
+         f" + 13*{t(q6('min_value'))} + 17*{t(q6('max_value'))}"),
         ("r1_results_report", sc("bucket"),
          f"total + 31*osd_correct + 1009*{q6('osd_prop')} + 31063*n_alarmed"),
         ("t9_winnow_fingerprint", "doc_id",

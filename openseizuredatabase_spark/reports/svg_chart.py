@@ -162,3 +162,57 @@ def event_graph_svg(
     return line_chart_svg(
         series, title=title, x_label="time (s)", y_label="value"
     )
+
+
+def spectrogram_svg(
+    frame: DataFrame,
+    x_col: str = "sliceIdx",
+    y_col: str = "bin",
+    val_col: str = "power",
+    title: str = "",
+) -> str:
+    """dataVisualiser/spectrogram_rawdata_plotter.py as SVG: a (time
+    slice x frequency bin) power heatmap, log-scaled color like the
+    reference's imshow(norm=LogNorm).
+
+    Feed it a per-event spectral frame (w9 spectral_history output
+    unnested to one row per (slice, bin)) — already event-filtered, so
+    the grid is epochs x n_bins and the capped collect is tiny.
+    """
+    rows = (
+        frame.select(x_col, y_col, val_col).limit(MAX_POINTS + 1).collect()
+    )
+    _check_cap(len(rows))
+    if not rows:
+        return _frame(title, "time slice", "freq bin", "")
+    import math as _math
+
+    xs = sorted({int(r[x_col]) for r in rows})
+    ys = sorted({int(r[y_col]) for r in rows})
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    vals = [max(float(r[val_col]), 0.0) for r in rows]
+    vmax = max(vals) or 1.0
+    floor = vmax / 1e6  # 60 dB display range, like a LogNorm colorbar
+    cw = (_W - _ML - _MR) / len(xs)
+    ch = (_H - _MT - _MB) / len(ys)
+    body = []
+    for r, v in zip(rows, vals):
+        frac = (
+            0.0
+            if v <= floor
+            else _math.log(v / floor) / _math.log(vmax / floor)
+        )
+        # dark blue -> bright yellow ramp
+        red = int(250 * frac)
+        green = int(60 + 190 * frac)
+        blue = int(110 * (1 - frac) + 40)
+        x = _ML + xi[int(r[x_col])] * cw
+        # SVG y grows downward; low frequency bins at the bottom
+        y = _MT + (len(ys) - 1 - yi[int(r[y_col])]) * ch
+        body.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{cw + 0.5:.1f}" '
+            f'height="{ch + 0.5:.1f}" '
+            f'fill="rgb({red},{green},{blue})"/>\n'
+        )
+    return _frame(title, "time slice", "freq bin", "".join(body))

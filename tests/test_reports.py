@@ -300,3 +300,33 @@ def test_event_graph_svg_from_spark(spark):
     polys = [e for e in root.iter() if e.tag.endswith("polyline")]
     assert len(polys) == 2
     assert len(polys[0].attrib["points"].split()) == 20  # event 8 pruned
+
+
+def test_spectrogram_svg_grid(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.reports.svg_chart import spectrogram_svg
+
+    rows = [
+        Row(sliceIdx=s, bin=b, power=float((s + 1) * (b + 1)))
+        for s in range(4)
+        for b in range(8)
+    ]
+    svg = spectrogram_svg(spark.createDataFrame(rows), title="spec")
+    assert svg.count('fill="rgb(') == 32  # one cell per (slice, bin)
+    assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
+    assert "rgb(" in svg
+
+
+def test_spectrogram_svg_empty_and_zero(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.reports.svg_chart import spectrogram_svg
+
+    empty = spark.createDataFrame([], "sliceIdx int, bin int, power double")
+    assert "</svg>" in spectrogram_svg(empty)
+    zeros = spark.createDataFrame(
+        [Row(sliceIdx=0, bin=0, power=0.0), Row(sliceIdx=1, bin=0, power=0.0)]
+    )
+    svg = spectrogram_svg(zeros)
+    assert svg.count('fill="rgb(') == 2  # all-floor values still render

@@ -44,6 +44,9 @@ HEADLINE = [
     "t12_decontamination",
     "m15_cnn_inference",
     "n2_differential_report",
+    "m16_rf_inference",
+    "n5_threshold_sweep",
+    "t19_boilerplate_scrub",
 ]
 
 

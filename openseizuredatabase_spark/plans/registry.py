@@ -1841,6 +1841,87 @@ def m6_phase_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w8_hr_interp",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS idx,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS hr
+        FROM events
+    ), marked AS (
+        SELECT user_id, idx,
+               last_value(hr IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y1,
+               last_value(CASE WHEN hr IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS x1,
+               first_value(hr IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y2,
+               first_value(CASE WHEN hr IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY idx
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS x2,
+               count(hr) OVER (PARTITION BY user_id) AS n_valid
+        FROM seq
+    )
+    SELECT user_id, idx,
+           round(CASE
+               WHEN x1 IS NULL THEN y2
+               WHEN x2 IS NULL THEN y1
+               WHEN x1 = x2 THEN y1
+               ELSE (y2 - y1) / (x2 - x1)::DOUBLE * (idx - x1) + y1
+           END, 6) AS hr_interp
+    FROM marked WHERE n_valid > 0
+    """,
+    "W8 HR interpolation (extractFeatures.py:90-110 np.interp): fill "
+    "invalid heart-rate samples by linear interpolation over the sample "
+    "index, constant extrapolation at the edges — executed by the REAL "
+    "numpy kernel (functions/features.interp_sparse) in one "
+    "applyInPandas stage per event key, oracled by the closed-form "
+    "prev/next-valid window formulation (slope*(x-x1)+y1 is np.interp's "
+    "exact operation order, so doubles agree bit-for-bit). Upgrades W8 "
+    "from rows-only to value-hash coverage.",
+)
+def w8_hr_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from openseizuredatabase_spark.functions.features import interp_sparse
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", -1.0)
+        .otherwise(F.col("value"))
+        .alias("hr"),
+    )
+
+    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        v = pdf["hr"].to_numpy(dtype=float)
+        out = interp_sparse(v, len(v))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "idx": np.arange(len(v), dtype="int64"),
+                "hr_interp": np.round(out, 6),
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        interp, "user_id long, idx long, hr_interp double"
+    )
+    # all-invalid users emit NaN (oracle drops them via n_valid > 0):
+    # filter the same set here — isnan never true for interpolated rows
+    return out.filter(~F.isnan("hr_interp"))
+
+
+@query(
     "w5_epoch_features",
     None,
     "W5/W8/C13/C14 full epoch feature extraction (extractFeatures.py:"
@@ -5147,6 +5228,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_rows + 31*n_types + 1009*{t('id_sum')}"
          f" + 31063*{t(q6('value_sum'))}"),
         ("e1_curator_edits", sc("grp"), f"n + 31*{t('id_sum')}"),
+        ("w8_hr_interp", "user_id * 100000 + idx", q6("hr_interp")),
         ("w5_epoch_rms", "eventId * 100000 + startSample",
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
         ("n1_dp_detector", "user_id",

@@ -18,6 +18,8 @@ import math
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1919,6 +1921,90 @@ def w8_hr_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-invalid users emit NaN (oracle drops them via n_valid > 0):
     # filter the same set here — isnan never true for interpolated rows
     return out.filter(~F.isnan("hr_interp"))
+
+
+def _c13_oracle() -> str:
+    from openseizuredatabase_spark.functions.features import butter_coeffs
+
+    b, a = butter_coeffs(2, 0.2, "low")
+    b0, b1, b2 = (repr(float(v)) for v in b)
+    a1, a2 = (repr(float(v)) for v in a[1:])
+    # direct-form II transposed, order 2:
+    #   y  = b0*x + z0 ; z0' = b1*x + z1 - a1*y ; z1' = b2*x - a2*y
+    y_expr = f"({b0})*s.x + st.z0"
+    return f"""
+    WITH RECURSIVE samples AS (
+        SELECT event_id, g.i,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * g.i / 25.0)
+                     * 64) / 64 AS x
+        FROM events, unnest(generate_series(0, 124)) AS g(i)
+        WHERE event_id < 40
+    ), steps AS (
+        SELECT event_id, i,
+               ({b0})*x AS y,
+               ({b1})*x - ({a1})*(({b0})*x) AS z0,
+               ({b2})*x - ({a2})*(({b0})*x) AS z1
+        FROM samples WHERE i = 0
+        UNION ALL
+        SELECT s.event_id, s.i,
+               {y_expr},
+               ({b1})*s.x + st.z1 - ({a1})*({y_expr}),
+               ({b2})*s.x - ({a2})*({y_expr})
+        FROM steps st
+        JOIN samples s ON s.event_id = st.event_id AND s.i = st.i + 1
+    )
+    SELECT event_id, i, round(y, 6) AS y
+    FROM steps
+    """
+
+
+@query(
+    "c13_iir_recurrence",
+    _c13_oracle(),
+    "C13 Butterworth IIR forward pass (extractFeatures.py:214-261 low/"
+    "high-pass; functions/features._lfilter): the REAL direct-form-II-"
+    "transposed numpy kernel runs per event through one Arrow stage, "
+    "oracled by a recursive CTE walking the IDENTICAL recurrence "
+    "(y = b0*x + z0; z0' = b1*x + z1 - a1*y; z1' = b2*x - a2*y) with "
+    "the same butter_coeffs constants — IEEE doubles agree bit-for-bit "
+    "because both engines execute the same operation order. Upgrades "
+    "the C13 recurrence kernel from rows-only to value-hash coverage "
+    "(filtfilt's padding/reversal layers stay pinned by scipy-parity "
+    "pytest).",
+)
+def c13_iir_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from openseizuredatabase_spark.functions.features import (
+        _lfilter,
+        butter_coeffs,
+    )
+
+    b, a = butter_coeffs(2, 0.2, "low")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 40)
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    sig = ev.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(124)),
+            lambda i: F.round(
+                F.sin(2 * math.pi * freq * i.cast("double") / 25.0) * 64, 0
+            )
+            / 64,
+        ).alias("x"),
+    )
+
+    @F.pandas_udf("array<double>")
+    def lfilt(batch: pd.Series) -> pd.Series:
+        return batch.map(
+            lambda x: np.round(
+                _lfilter(b, a, np.asarray(x, dtype=float)), 6
+            ).tolist()
+        )
+
+    out = sig.select("event_id", F.posexplode(lfilt("x")).alias("i", "y"))
+    return out.select("event_id", "i", "y")
 
 
 @query(
@@ -5229,6 +5315,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 31063*{t(q6('value_sum'))}"),
         ("e1_curator_edits", sc("grp"), f"n + 31*{t('id_sum')}"),
         ("w8_hr_interp", "user_id * 100000 + idx", q6("hr_interp")),
+        ("c13_iir_recurrence", "event_id * 1000 + i", q6("y")),
         ("w5_epoch_rms", "eventId * 100000 + startSample",
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
         ("n1_dp_detector", "user_id",

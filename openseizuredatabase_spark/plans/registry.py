@@ -5222,6 +5222,88 @@ def t19_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m18_feature_scaling",
+    """
+    WITH cents AS (
+        SELECT event_id, event_type, round(value * 100)::BIGINT AS c
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               count(*)::DOUBLE AS n,
+               sum(c)::DOUBLE AS s1,
+               sum(c * c)::DOUBLE AS s2
+        FROM cents GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           round((c.c - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6)
+               AS value_z
+    FROM cents c JOIN stats s ON c.event_type = s.event_type
+    """,
+    "Feature standardization (scaleFeatures.py / the StandardScaler "
+    "step of nnTrainer.py:518-560, here per-group): z-score every value "
+    "against its group's population stats. Stats come from EXACT integer "
+    "cent sums (one partial-combined aggregation — order-independent, "
+    "the a10 discipline), broadcast back as a tiny per-group table; the "
+    "scaling itself is a narrow map the scan absorbs. At lake scale the "
+    "stats job is the only reduce and its output is bytes.",
+)
+def m18_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "c", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("c") - mu) / sd, 6).alias("value_z"),
+    )
+
+
+@query(
+    "t20_global_shuffle",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {seeded_md5_long_sql("doc_id::VARCHAR", 17)} AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           (k % 8)::INTEGER AS shard,
+           (row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1)
+               AS pos
+    FROM keyed
+    """,
+    "Deterministic global training-data shuffle: order the corpus by a "
+    "seeded portable hash of the id, sharded for parallel writers. The "
+    "naive ORDER BY rand() is irreproducible AND funnels through one "
+    "sort; here the hash IS the order (bit-stable under any layout, "
+    "re-runnable for resumed training), shards partition by hash range "
+    "so each writer sorts only its slice — repartitionByRange + "
+    "sortWithinPartitions, never a global single-reducer sort.",
+)
+def t20_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", seeded_md5_long(F.col("doc_id").cast("string"), 17).alias("k")
+    )
+    sharded = keyed.withColumn("shard", (F.col("k") % 8).cast("int"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", (F.row_number().over(w) - 1).alias("pos")
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # 79 oracled queries compete for those slots, so every oracled query that
 # does not fit gets driver-visible coverage through ONE bundle query:
@@ -5369,6 +5451,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 7*{q6('coalesce(event_fpr, -1)')}"),
         ("n6_auc_rank", "0",
          f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
+        ("m18_feature_scaling", "event_id",
+         f"{sc('event_type')} + 31*{q6('value_z')}"),
+        ("t20_global_shuffle", "doc_id", "shard * 1000000 + pos"),
         ("t19_boilerplate_scrub", "doc_id",
          "n_kept + 31*length(cleaned)"
          " + 1009*ascii(substr(cleaned, 1, 1))"),

@@ -5223,6 +5223,65 @@ def t19_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c14_welch_psd",
+    f"""
+    WITH ex AS (
+        SELECT vec_id, g.i - 1 AS n, embedding[g.i]::DOUBLE AS x
+        FROM embeddings, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+    ), win AS (
+        SELECT vec_id, n,
+               (x - avg(x) OVER (PARTITION BY vec_id))
+                 * (0.5 * (1 - cos(2 * pi() * n / {_EMB_DIM - 1}.0))) AS xw,
+               0.5 * (1 - cos(2 * pi() * n / {_EMB_DIM - 1}.0)) AS w
+        FROM ex
+    ), scale AS (
+        SELECT vec_id, 1.0 / (25.0 * sum(w * w)) AS s
+        FROM win GROUP BY vec_id
+    ), bins AS (
+        SELECT w.vec_id, k.k AS k,
+               sum(w.xw * cos(2 * pi() * k.k * w.n / {_EMB_DIM}.0)) AS re,
+               sum(w.xw * sin(2 * pi() * k.k * w.n / {_EMB_DIM}.0)) AS im
+        FROM win w, unnest(generate_series(0, {_EMB_DIM // 2})) AS k(k)
+        GROUP BY w.vec_id, k.k
+    )
+    SELECT b.vec_id, b.k,
+           round((b.re*b.re + b.im*b.im) * s.s
+                 * (CASE WHEN b.k = 0 OR b.k = {_EMB_DIM // 2}
+                         THEN 1.0 ELSE 2.0 END), 6) AS psd
+    FROM bins b JOIN scale s ON b.vec_id = s.vec_id
+    """,
+    "C14 Welch PSD (accelFeatures.py:86 scipy.signal.welch call: "
+    "single-segment Hann window, constant detrend, scaling='density', "
+    "one-sided doubling): the REAL numpy kernel "
+    "(functions/features.welch_psd) runs per array through one Arrow "
+    "stage; the oracle computes the literal O(N²) windowed DFT with the "
+    "identical Hann/detrend/density formulas — 6-dp rounding absorbs "
+    "the ~1e-15 FFT-vs-DFT summation difference, the c9 discipline. "
+    "Upgrades C14 from rows-only to value-hash coverage.",
+)
+def c14_welch_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.features import welch_psd
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+
+    @F.pandas_udf("array<double>")
+    def psd(batch: pd.Series) -> pd.Series:
+        return batch.map(
+            lambda x: np.round(
+                welch_psd(np.asarray(x, dtype=float), 25.0)[1], 6
+            ).tolist()
+        )
+
+    return emb.select(
+        "vec_id", F.posexplode(psd("x")).alias("k", "psd")
+    ).select("vec_id", F.col("k").cast("long").alias("k"), "psd")
+
+
+@query(
     "m18_feature_scaling",
     """
     WITH cents AS (
@@ -5398,6 +5457,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("e1_curator_edits", sc("grp"), f"n + 31*{t('id_sum')}"),
         ("w8_hr_interp", "user_id * 100000 + idx", q6("hr_interp")),
         ("c13_iir_recurrence", "event_id * 1000 + i", q6("y")),
+        ("c14_welch_psd", "vec_id * 100 + k", q6("psd")),
         ("w5_epoch_rms", "eventId * 100000 + startSample",
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
         ("n1_dp_detector", "user_id",

@@ -49,8 +49,9 @@ def test_relational_queries_have_no_python_udf(spark, sf_dir):
         "n1_dp_detector",
         "n2_differential_report",
         "n4_ensemble_quantile",
-        # c13: the numpy IIR recurrence kernel IS the operator under test
+        # c13/c14: the numpy IIR / Welch kernels ARE the operators under test
         "c13_iir_recurrence",
+        "c14_welch_psd",
         "x_signatures",
     }
     for name, spec in QUERIES.items():

@@ -294,3 +294,38 @@ def test_fit_forest_roundtrip_and_determinism(spark, tmp_path):
     path = str(tmp_path / "forest.npz")
     save_forest_npz(m1, path)
     assert np.allclose(load_model(path).predict(x), m1.predict(x))
+
+
+def test_auc_rank_single_class_yields_null(spark):
+    from openseizuredatabase_spark.operators.aggregates import auc_rank
+
+    pos_only = spark.createDataFrame(
+        [Row(lab=1, p=0.9), Row(lab=1, p=0.1)]
+    )
+    out = auc_rank(pos_only, F.col("lab") == 1, F.col("p")).collect()[0]
+    assert out["n_neg"] == 0 and out["auc"] is None  # no divide-by-zero
+
+
+def test_threshold_sweep_empty_frame(spark):
+    from openseizuredatabase_spark.operators.aggregates import (
+        threshold_sweep,
+    )
+
+    empty = spark.createDataFrame([], "ev string, lab int, p double")
+    out = threshold_sweep(
+        empty, "ev", F.col("lab") == 1, F.col("p"), [0.5]
+    ).collect()
+    assert out == []  # no events -> no sweep rows, no error
+
+
+def test_event_level_metrics_single_class(spark):
+    from openseizuredatabase_spark.operators.aggregates import (
+        event_level_metrics,
+    )
+
+    rows = [Row(ev="A", lab=0, p=0.4), Row(ev="B", lab=0, p=0.6)]
+    out = event_level_metrics(
+        spark.createDataFrame(rows), "ev", F.col("lab") == 1, F.col("p")
+    ).collect()[0]
+    assert out["event_tpr"] is None  # no positives: NULL, not crash
+    assert out["event_fpr"] == pytest.approx(0.5)

@@ -5363,6 +5363,91 @@ def t20_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p1_oracle() -> str:
+    from openseizuredatabase_spark.functions.text import (
+        fingerprint_sql,
+        scrub_pii_sql,
+        stopword_count_sql,
+        token_count_sql,
+        tokens_sql,
+    )
+
+    return f"""
+    WITH q AS (
+        SELECT doc_id, source, text,
+               {token_count_sql('text')} AS n_tokens,
+               {stopword_count_sql('text')} AS n_stop
+        FROM documents
+    ), qf AS (
+        SELECT doc_id, source, text FROM q
+        WHERE n_tokens >= 10
+          AND least(n_tokens / 100.0, 1.0)
+              * (n_stop / n_tokens::DOUBLE) > 0.05
+    ), dd AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY {fingerprint_sql('text')}
+                                      ORDER BY doc_id ASC) AS rn
+            FROM qf
+        ) WHERE rn = 1
+    ), sc AS (
+        SELECT doc_id, source, {scrub_pii_sql('text')} AS text FROM dd
+    ), tk AS (
+        SELECT doc_id, {tokens_sql('text')} AS tk FROM sc
+        WHERE length(trim(text)) > 0
+    ), segs AS (
+        SELECT doc_id, g.i AS pos,
+               array_to_string(list_slice(tk, g.i*8 + 1, g.i*8 + 8), ' ')
+                   AS seg
+        FROM tk,
+             unnest(generate_series(0,
+                 CAST(ceil(len(tk) / 8.0) AS INTEGER) - 1)) AS g(i)
+    ), seg_df AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), kept AS (
+        SELECT s.doc_id, s.pos, s.seg
+        FROM segs s JOIN seg_df d ON s.seg = d.seg WHERE d.df <= 4
+    ), cleaned AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id
+    ), final AS (
+        SELECT c.doc_id, s.source,
+               {token_count_sql('c.cleaned')} AS n_tokens
+        FROM cleaned c JOIN sc s ON c.doc_id = s.doc_id
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           sum(CAST(ceil(n_tokens / 64.0) AS BIGINT))::BIGINT AS n_packs
+    FROM final GROUP BY source
+    """
+
+
+@query(
+    "p1_llm_prep_pipeline",
+    _p1_oracle(),
+    "END-TO-END LLM corpus prep (pipelines/llm_prep.py): quality filter "
+    "(t2) → exact dedup (t4) → PII scrub (t13) → corpus boilerplate "
+    "scrub (t19) → per-source pack-budget summary, composed as ONE lazy "
+    "plan — Catalyst fuses the narrow stages into the scan, leaving the "
+    "dedup window, the spillable boilerplate screen and the rollup as "
+    "the only exchanges. The oracle replays the IDENTICAL stage chain "
+    "in SQL CTEs, so the full composition (not just each operator) is "
+    "value-hash-checked.",
+)
+def p1_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.pipelines.llm_prep import (
+        llm_prep_pipeline,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    _, summary = llm_prep_pipeline(docs)
+    return summary.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_packs",
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # 79 oracled queries compete for those slots, so every oracled query that
 # does not fit gets driver-visible coverage through ONE bundle query:
@@ -5511,6 +5596,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 7*{q6('coalesce(event_fpr, -1)')}"),
         ("n6_auc_rank", "0",
          f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
+        ("p1_llm_prep_pipeline", sc("source"),
+         f"n_docs + 31*{t('n_tokens')} + 1009*n_packs"),
         ("m18_feature_scaling", "event_id",
          f"{sc('event_type')} + 31*{q6('value_z')}"),
         ("t20_global_shuffle", "doc_id", "shard * 1000000 + pos"),

@@ -3570,6 +3570,44 @@ def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s14_orc_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(event_id)::BIGINT AS id_sum,
+           round(sum(value), 2) AS value_sum,
+           count(DISTINCT user_id) AS n_users
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    "S-family columnar-format breadth: events → ORC (snappy, the other "
+    "first-class columnar lake format Spark ships a vectorized "
+    "reader/writer for) → re-read → aggregate. The oracle reads the "
+    "same rows from parquet, so any type-mapping or value loss in the "
+    "ORC hop breaks the hash. ORC pushes down predicates and prunes "
+    "columns exactly like parquet, so a lake standardized on either "
+    "format runs the same plans.",
+)
+def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value", "user_id")
+    )
+    path = tempfile.mkdtemp(prefix="s14_orc_") + "/events_orc"
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curator event-edit lake operations
 # ---------------------------------------------------------------------------
@@ -5540,6 +5578,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_rows + 31*n_types + 1009*{t('id_sum')}"
          f" + 31063*{t(q6('value_sum'))}"),
         ("e1_curator_edits", sc("grp"), f"n + 31*{t('id_sum')}"),
+        ("s14_orc_roundtrip", sc("event_type"),
+         f"n_rows + 31*{t('id_sum')} + 1009*{t(q6('value_sum'))}"
+         " + 31063*n_users"),
         ("w8_hr_interp", "user_id * 100000 + idx", q6("hr_interp")),
         ("c13_iir_recurrence", "event_id * 1000 + i", q6("y")),
         ("c14_welch_psd", "vec_id * 100 + k", q6("psd")),

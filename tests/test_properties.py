@@ -211,3 +211,121 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+# --- round-3 operators ------------------------------------------------------
+
+_tree_strategy = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+def _random_tree(rng, n_features, depth):
+    """Random well-formed tree in the flat-array layout."""
+    import numpy as np
+
+    feat, thr, left, right, value = [], [], [], [], []
+
+    def grow(d):
+        idx = len(feat)
+        if d == 0 or rng.random() < 0.3:
+            feat.append(-1)
+            thr.append(0.0)
+            left.append(-1)
+            right.append(-1)
+            value.append(float(rng.random()))
+            return idx
+        feat.append(int(rng.integers(n_features)))
+        thr.append(float(rng.normal()))
+        left.append(-1)
+        right.append(-1)
+        value.append(0.0)
+        li = grow(d - 1)
+        ri = grow(d - 1)
+        left[idx] = li
+        right[idx] = ri
+        return idx
+
+    grow(depth)
+    return (
+        np.array(feat, dtype=np.int64),
+        np.array(thr, dtype=np.float64),
+        np.array(left, dtype=np.int64),
+        np.array(right, dtype=np.int64),
+        np.array(value, dtype=np.float64),
+    )
+
+
+@given(seed=_tree_strategy)
+@settings(max_examples=40, deadline=None)
+def test_forest_vectorized_equals_per_row_descent(seed):
+    """The batch level-walk traversal must equal a naive per-row,
+    per-tree recursive descent on arbitrary well-formed trees."""
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.inference import ForestModel
+
+    rng = np.random.default_rng(seed)
+    n_features = int(rng.integers(1, 5))
+    trees = tuple(
+        _random_tree(rng, n_features, int(rng.integers(1, 5)))
+        for _ in range(int(rng.integers(1, 4)))
+    )
+    model = ForestModel(trees=trees)
+    x = rng.normal(size=(int(rng.integers(1, 20)), n_features))
+
+    def descend(tree, row):
+        feat, thr, left, right, value = tree
+        i = 0
+        while feat[i] >= 0:
+            i = left[i] if row[feat[i]] <= thr[i] else right[i]
+        return value[i]
+
+    want = np.array(
+        [
+            sum(descend(t, row) for t in trees) / len(trees)
+            for row in x
+        ]
+    )
+    assert np.allclose(model.predict(x), want)
+
+
+_corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from("abcdefg"), min_size=1, max_size=24
+    ).map(lambda chars: " ".join(chars)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_corpus_strategy, max_df=st.integers(min_value=1, max_value=4))
+@settings(**SPARK_SETTINGS)
+def test_boilerplate_scrub_matches_bruteforce(spark, texts, max_df):
+    """Spark segment scrub == a dict-based reference implementation."""
+    seg_tokens = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["cleaned"])
+        for r in dedup_ops.boilerplate_scrub(
+            df, "text", "doc_id", seg_tokens=seg_tokens, max_df=max_df
+        ).collect()
+    }
+
+    segs_by_doc = {}
+    df_count = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        segs = [
+            " ".join(toks[b : b + seg_tokens])
+            for b in range(0, len(toks), seg_tokens)
+        ]
+        segs_by_doc[i] = segs
+        for s in set(segs):
+            df_count[s] = df_count.get(s, 0) + 1
+    want = {}
+    for i, segs in segs_by_doc.items():
+        kept = [s for s in segs if df_count[s] <= max_df]
+        if kept:
+            want[i] = (len(kept), " ".join(kept))
+    assert got == want

@@ -58,8 +58,12 @@ def build_replica(spark, src_dir: str, dst_dir: str, n: int) -> None:
             "__copy", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
         )
         for col in key_cols:
+            # long arithmetic: at N >= 22 copies, copy*offset overflows
+            # int32 under ANSI mode
             rep = rep.withColumn(
-                col, F.col(col) + F.col("__copy") * F.lit(_OFFSET_BASE)
+                col,
+                F.col(col).cast("long")
+                + F.col("__copy").cast("long") * F.lit(_OFFSET_BASE),
             )
         rep.drop("__copy").write.mode("overwrite").parquet(dst)
 

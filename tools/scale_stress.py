@@ -46,8 +46,11 @@ def build_replica(spark, src_dir: str, dst_dir: str, n: int) -> None:
         if not os.path.exists(src):
             continue
         dst = os.path.join(dst_dir, f"{name}.parquet")
-        if os.path.exists(dst):
+        # only skip COMPLETE replicas: a dir without _SUCCESS is debris
+        # from an aborted run and must be rebuilt
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
+        shutil.rmtree(dst, ignore_errors=True)
         df = load_table(spark, src_dir, name)
         key_cols = KEY_OFFSETS.get(name)
         if key_cols is None:

@@ -68,3 +68,74 @@ def ivf_search(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def kmeans_exact(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1000,
+):
+    """Deterministic distributed Lloyd iterations in pure relational ops
+    — the IVF coarse quantizer (build_ivf's role) with CROSS-ENGINE
+    EXACT semantics, so the clustering itself is oracle-checkable
+    (MLlib KMeans is seeded but float-iteration/engine specific).
+
+    Every quantity is integer: coordinates quantize to ``quant`` units,
+    distances are integer sums of squares, tie-breaks go to the lowest
+    centroid id, and centroid updates use portable floor division
+    (s - ((s%n)+n)%n) / n — identical in Spark and ANSI SQL, unlike
+    `div`-vs-`//` truncate/floor divergence on negatives. Bit-equal
+    assignments on any engine, any partition layout.
+
+    Scale shape per iteration: centroids are k×dim rows (kilobytes) and
+    BROADCAST; assignment is one map-side join + one (vec, cid)
+    aggregation; the update is one (cid, dim) aggregation — the classic
+    distributed Lloyd step, nothing driver-side. The driver loop only
+    BUILDS the plan (iters is small and fixed); for many iterations,
+    checkpoint between rounds exactly as connected_components does.
+
+    Returns (assignments (id, cid), centroids (cid, dim, c)).
+    """
+    from pyspark.sql import Window
+
+    q = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * quant, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    cents = q.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= k)
+    ).select(F.col(id_col).alias("cid"), "dim", F.col("v").alias("c"))
+    assign = None
+    for _ in range(iters):
+        diff = F.col("v") - F.col("c")
+        dists = (
+            q.join(F.broadcast(cents), "dim")
+            .groupBy(id_col, "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "cid")
+        )
+        sums = (
+            q.join(assign, id_col)
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        s, n = F.col("s"), F.col("n")
+        cents = sums.select(
+            "cid",
+            "dim",
+            ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
+        )
+    return assign, cents

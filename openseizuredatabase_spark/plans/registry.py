@@ -5401,6 +5401,83 @@ def t20_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v5_oracle() -> str:
+    d = _EMB_DIM
+    floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), c0 AS (
+        SELECT vec_id AS cid, dim, v AS c FROM q WHERE vec_id BETWEEN 1 AND 8
+    ), d1 AS (
+        SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c0 c USING (dim) GROUP BY q.vec_id, c.cid
+    ), a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ), s1 AS (
+        SELECT a.cid, q.dim, sum(q.v) AS s, count(*) AS n
+        FROM q JOIN a1 a ON q.vec_id = a.vec_id GROUP BY a.cid, q.dim
+    ), c1 AS (
+        SELECT cid, dim, {floor_div} AS c FROM s1
+    ), d2 AS (
+        SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid
+    ), a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d2) WHERE rn = 1
+    ), s2 AS (
+        SELECT a.cid, q.dim, sum(q.v) AS s, count(*) AS n
+        FROM q JOIN a2 a ON q.vec_id = a.vec_id GROUP BY a.cid, q.dim
+    ), c2 AS (
+        SELECT cid, dim, {floor_div} AS c FROM s2
+    ), members AS (
+        SELECT cid, count(*) AS n_members, min(vec_id) AS min_id
+        FROM a2 GROUP BY cid
+    ), csum AS (
+        SELECT cid, sum(c)::BIGINT AS c_sum FROM c2 GROUP BY cid
+    )
+    SELECT m.cid, m.n_members, m.min_id, c.c_sum
+    FROM members m JOIN csum c ON m.cid = c.cid
+    """
+
+
+@query(
+    "v5_kmeans_exact",
+    _v5_oracle(),
+    "Deterministic distributed KMeans (2 Lloyd rounds) — the IVF coarse "
+    "quantizer (functions/ann.build_ivf's role) re-expressed with "
+    "CROSS-ENGINE EXACT integer semantics: quantized coordinates, "
+    "integer squared distances, lowest-id tie-breaks, portable "
+    "floor-division centroid updates. MLlib KMeans is float/engine-"
+    "specific (v4 stays rows-only); this variant makes the clustering "
+    "itself value-hash-checkable. Per round: broadcast k x dim "
+    "centroids, one map-side join, two partial-combined aggregations — "
+    "the classic distributed Lloyd step, nothing driver-side.",
+)
+def v5_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import kmeans_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_exact(emb, k=8, iters=2, quant=1000)
+    members = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_id"),
+    )
+    csum = cents.groupBy("cid").agg(F.sum("c").alias("c_sum"))
+    return members.join(csum, "cid").select(
+        "cid", "n_members", "min_id", "c_sum"
+    )
+
+
 def _p1_oracle() -> str:
     from openseizuredatabase_spark.functions.text import (
         fingerprint_sql,
@@ -5637,6 +5714,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 7*{q6('coalesce(event_fpr, -1)')}"),
         ("n6_auc_rank", "0",
          f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
+        ("v5_kmeans_exact", "cid",
+         f"n_members + 31*min_id + 1009*{t('c_sum')}"),
         ("p1_llm_prep_pipeline", sc("source"),
          f"n_docs + 31*{t('n_tokens')} + 1009*n_packs"),
         ("m18_feature_scaling", "event_id",

@@ -59,3 +59,26 @@ def test_search_scans_only_probed_clusters(emb, ivf):
     out = ivf_search(assigned, centroids, query, n_probe=2, top_k=5)
     probed = {r.cluster_id for r in out.collect()}
     assert len(probed) <= 2
+
+
+def test_kmeans_exact_invariants(spark, sf_dir):
+    from openseizuredatabase_spark.functions.ann import kmeans_exact
+    from openseizuredatabase_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_exact(emb, k=4, iters=2, quant=1000)
+    rows = assign.collect()
+    n_vecs = emb.count()
+    # every vector assigned exactly once
+    assert len(rows) == n_vecs
+    assert len({r["vec_id"] for r in rows}) == n_vecs
+    assert all(1 <= r["cid"] <= 4 for r in rows)
+    # deterministic: a second build gives identical assignments
+    assign2, _ = kmeans_exact(emb, k=4, iters=2, quant=1000)
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, assign2.collect())
+    )
+    # centroids are k x dim integer rows
+    c = cents.collect()
+    dims = {r["dim"] for r in c}
+    assert len(dims) == 64 and all(isinstance(r["c"], int) for r in c)

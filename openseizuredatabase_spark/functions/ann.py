@@ -139,3 +139,89 @@ def kmeans_exact(
             ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
         )
     return assign, cents
+
+
+def ivf_probe_exact(
+    emb: DataFrame,
+    query_vec,
+    k: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    top_k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+):
+    """IVF ANN search over the deterministic quantizer (kmeans_exact):
+    rank centroids by integer distance to the query, keep the
+    ``n_probe`` nearest, rerank ONLY those clusters' members by exact
+    integer distance — the inverted-file probe with cross-engine exact
+    results end to end (v4's MLlib variant stays rows-only; this one is
+    oracle-checkable).
+
+    Scale shape: the centroid ranking is k rows on the driver-free plan
+    (a window over the broadcast centroid table crossed with the 1-row
+    query); at lake scale cluster_id is the partition key, so the probe
+    filter IS partition pruning — the scan touches n_probe/k of the
+    corpus. Rerank cost: candidates × dim integer ops, one TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    assign, cents = kmeans_exact(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
+    )
+    qlit = F.expr(
+        "array("
+        + ", ".join(
+            str(int(round(float(x) * quant))) + "L" for x in query_vec
+        )
+        + ")"
+    )
+    # centroid ranking: centroids pivot to arrays, distance to the query
+    carr = cents.groupBy("cid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("c")))
+        ).alias("cs")
+    )
+    cdist = carr.select(
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("cs"), lambda s: s["c"]),
+                qlit,
+                lambda c, qv: (c - qv) * (c - qv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("cdist"),
+    )
+    wc = Window.orderBy("cdist", "cid")
+    probe = (
+        cdist.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= n_probe)
+        .select("cid")
+    )
+    qv = emb.select(
+        id_col,
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * quant, 0).cast("long"),
+        ).alias("qvec"),
+    )
+    cands = (
+        assign.join(F.broadcast(probe), "cid")
+        .join(qv, id_col)
+        .filter(F.col(id_col) != 0)
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), qlit, lambda v, qq: (v - qq) * (v - qq)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.select(id_col, "cid", dist.alias("dist"))
+        .orderBy("dist", id_col)
+        .limit(top_k)
+    )

@@ -5401,7 +5401,7 @@ def t20_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v5_oracle() -> str:
+def _v5_ctes() -> str:
     d = _EMB_DIM
     floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
     return f"""
@@ -5439,7 +5439,13 @@ def _v5_oracle() -> str:
         FROM q JOIN a2 a ON q.vec_id = a.vec_id GROUP BY a.cid, q.dim
     ), c2 AS (
         SELECT cid, dim, {floor_div} AS c FROM s2
-    ), members AS (
+    )"""
+
+
+def _v5_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """, members AS (
         SELECT cid, count(*) AS n_members, min(vec_id) AS min_id
         FROM a2 GROUP BY cid
     ), csum AS (
@@ -5448,6 +5454,58 @@ def _v5_oracle() -> str:
     SELECT m.cid, m.n_members, m.min_id, c.c_sum
     FROM members m JOIN csum c ON m.cid = c.cid
     """
+    )
+
+
+def _v6_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """, qv AS (
+        SELECT dim, v FROM q WHERE vec_id = 0
+    ), cd AS (
+        SELECT c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS cdist
+        FROM c2 c JOIN qv USING (dim) GROUP BY c.cid
+    ), probe AS (
+        SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS rn
+            FROM cd) WHERE rn <= 2
+    ), cand AS (
+        SELECT a.vec_id, a.cid FROM a2 a JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> 0
+    ), dists AS (
+        SELECT c.vec_id, c.cid,
+               sum((q.v - qv.v) * (q.v - qv.v))::BIGINT AS dist
+        FROM cand c
+        JOIN q ON q.vec_id = c.vec_id
+        JOIN qv ON q.dim = qv.dim
+        GROUP BY c.vec_id, c.cid
+    )
+    SELECT vec_id, cid, dist FROM dists ORDER BY dist, vec_id LIMIT 10
+    """
+    )
+
+
+@query(
+    "v6_ivf_probe_exact",
+    _v6_oracle(),
+    "IVF ANN probe over the deterministic quantizer (the v4 search re-"
+    "expressed oracle-exact): rank centroids by integer distance to the "
+    "query, keep the 2 nearest, rerank only those clusters' members by "
+    "exact integer distance, lowest-id tie-breaks. At lake scale "
+    "cluster_id is the partition key, so the probe filter IS partition "
+    "pruning — the scan touches n_probe/k of the corpus; the rerank is "
+    "candidates x dim integer ops plus one TakeOrdered.",
+)
+def v6_ivf_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import ivf_probe_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = tables.lookup_param_row(
+        sf_dir, "embeddings", "vec_id", 0, "embedding"
+    )
+    return ivf_probe_exact(
+        emb, qvec, k=8, iters=2, n_probe=2, top_k=10
+    )
 
 
 @query(
@@ -5716,6 +5774,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
         ("v5_kmeans_exact", "cid",
          f"n_members + 31*min_id + 1009*{t('c_sum')}"),
+        ("v6_ivf_probe_exact", "vec_id",
+         f"cid + 31*{t('dist')}"),
         ("p1_llm_prep_pipeline", sc("source"),
          f"n_docs + 31*{t('n_tokens')} + 1009*n_packs"),
         ("m18_feature_scaling", "event_id",

@@ -82,3 +82,32 @@ def test_kmeans_exact_invariants(spark, sf_dir):
     c = cents.collect()
     dims = {r["dim"] for r in c}
     assert len(dims) == 64 and all(isinstance(r["c"], int) for r in c)
+
+
+def test_ivf_probe_exact_matches_bruteforce_when_probing_all(spark, sf_dir):
+    """With n_probe == k the probe search is exhaustive: its top-k must
+    equal brute-force integer-distance ranking."""
+    from openseizuredatabase_spark.functions.ann import ivf_probe_exact
+    from openseizuredatabase_spark.sources.tables import (
+        load_table,
+        lookup_param_row,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = lookup_param_row(sf_dir, "embeddings", "vec_id", 0, "embedding")
+    got = [
+        (r["vec_id"], r["dist"])
+        for r in ivf_probe_exact(
+            emb, qvec, k=4, iters=1, n_probe=4, top_k=5
+        ).collect()
+    ]
+    q = [int(round(float(x) * 1000)) for x in qvec]
+    want = []
+    for r in emb.collect():
+        if r["vec_id"] == 0:
+            continue
+        v = [int(round(float(x) * 1000)) for x in r["embedding"]]
+        d = sum((a - b) * (a - b) for a, b in zip(v, q))
+        want.append((r["vec_id"], d))
+    want.sort(key=lambda t: (t[1], t[0]))
+    assert got == want[:5]

@@ -54,3 +54,41 @@ def snapshot_merge(
 def new_keys(server: DataFrame, local: DataFrame, key: str) -> DataFrame:
     """J6: keys present on the server but not locally (left_anti)."""
     return server.select(key).distinct().join(local.select(key).distinct(), key, "left_anti")
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_secs: int,
+) -> DataFrame:
+    """Many-to-many range join — every (point, interval) pair with
+    ``start <= ts <= end`` on the same key — via interval bucketing.
+
+    The as-of/window trick (j4) only finds the LATEST interval; when a
+    point can fall inside SEVERAL overlapping intervals (tidy_db.py's
+    seizure windows can overlap after curator edits) a real join is
+    required, and Spark plans a naive ts-inequality join as
+    BroadcastNestedLoop/cartesian — O(n*m), dead at lake scale.
+
+    Shape: each interval explodes to the epoch buckets it covers
+    (ceil(len/bucket)+1 rows — pick ``bucket_secs`` >= the typical
+    interval length so fan-out is ~2); each point maps to exactly ONE
+    bucket, so the (key, bucket) equi-join emits every qualifying pair
+    exactly once (no post-dedup) and the exact range predicate filters
+    in place. One shuffle each side, map-side fan-out only.
+    """
+    b = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bucket_secs)
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(b(start_col), b(end_col))),
+    )
+    pt = points.withColumn("__b", b(ts_col))
+    joined = pt.join(iv, [key, "__b"]).filter(
+        (F.col(start_col) <= F.col(ts_col))
+        & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("__b")

@@ -5401,6 +5401,58 @@ def t20_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j8_range_join",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id AS iv_id, ts AS iv_start,
+               ts + INTERVAL 1800 SECOND AS iv_end
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id,
+           count(*) AS n_matches,
+           min(i.iv_id) AS first_iv_id,
+           min(epoch_us(i.iv_start))::BIGINT AS first_iv_start_us
+    FROM events e
+    JOIN iv i
+      ON i.user_id = e.user_id
+     AND i.iv_start <= e.ts AND e.ts <= i.iv_end
+    GROUP BY e.event_id
+    """,
+    "Many-to-many range join (tidy_db.py:31-47 seizure-window "
+    "containment when windows OVERLAP — the case j4's as-of window "
+    "cannot express): every event paired with EVERY same-user signup "
+    "window containing it. Spark plans the naive ts-inequality join as "
+    "a nested loop; joins.bucketed_range_join instead explodes each "
+    "interval to its epoch buckets (~2 rows at bucket >= interval "
+    "length) and equi-joins on (user, bucket), each pair emitted "
+    "exactly once — one shuffle per side. The oracle IS the naive "
+    "inequality join, so the strategies genuinely cross-check.",
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 1800 SECOND")).alias("iv_end"),
+    )
+    joined = join_ops.bucketed_range_join(
+        ev.select("user_id", "event_id", "ts"),
+        iv,
+        "user_id",
+        "ts",
+        "iv_start",
+        "iv_end",
+        bucket_secs=1800,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("iv_id").alias("first_iv_id"),
+        F.min(F.unix_micros("iv_start")).alias("first_iv_start_us"),
+    )
+
+
 def _v5_ctes() -> str:
     d = _EMB_DIM
     floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
@@ -5772,6 +5824,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 7*{q6('coalesce(event_fpr, -1)')}"),
         ("n6_auc_rank", "0",
          f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
+        ("j8_range_join", "event_id",
+         f"n_matches + 31*first_iv_id + 1009*{t('first_iv_start_us')}"),
         ("v5_kmeans_exact", "cid",
          f"n_members + 31*min_id + 1009*{t('c_sum')}"),
         ("v6_ivf_probe_exact", "vec_id",

@@ -455,3 +455,38 @@ def test_lsh_band_pairs_between_batch_vs_corpus(spark):
         ).collect()
     }
     assert got == {(100, 1)}
+
+
+def test_bucketed_range_join_many_to_many(spark):
+    """Overlapping intervals: a point inside several must pair with ALL
+    of them (the case the as-of window cannot express), including
+    intervals spanning a bucket boundary."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.joins import (
+        bucketed_range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda secs: base + dt.timedelta(seconds=secs)
+    points = spark.createDataFrame(
+        [
+            Row(user_id=1, pid=1, ts=s(100)),
+            Row(user_id=1, pid=2, ts=s(950)),   # inside iv A and iv B
+            Row(user_id=1, pid=3, ts=s(2500)),  # inside iv B only (2nd bucket)
+            Row(user_id=2, pid=4, ts=s(100)),   # other key: no match
+        ]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(user_id=1, iv=10, lo=s(0), hi=s(1000)),     # A
+            Row(user_id=1, iv=11, lo=s(900), hi=s(2600)),   # B spans buckets
+        ]
+    )
+    out = bucketed_range_join(
+        points, intervals, "user_id", "ts", "lo", "hi", bucket_secs=1800
+    )
+    got = sorted((r["pid"], r["iv"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11)]

@@ -3910,6 +3910,67 @@ def t10_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p2_oracle() -> str:
+    t7 = QUERIES["t7_lsh_candidate_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({t7}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), verts AS (
+        SELECT DISTINCT a AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), comps AS (
+        SELECT id, min(r) AS comp FROM reach GROUP BY id
+    ), removed AS (
+        SELECT id FROM comps WHERE id <> comp
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(r.id) AS n_removed,
+           (count(*) - count(r.id))::BIGINT AS n_kept,
+           min(CASE WHEN r.id IS NULL THEN d.doc_id END)::BIGINT
+               AS min_kept_id
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "p2_neardup_removal",
+    _p2_oracle(),
+    "END-TO-END near-dup removal (the MinHash-LSH production chain "
+    "composed: t6 signatures → t7 band pairs → t10 connected "
+    "components → keep each cluster's min-id canonical doc): the "
+    "summary reports per-source survivors. Every stage is the "
+    "already-scale-audited operator — candidate generation is a "
+    "band-hash equi-join (never O(n²)), consolidation is min-label "
+    "propagation with bounded rounds, and removal is one left join "
+    "against the (small) removed-id set. The oracle replays the chain "
+    "through the recursive-CTE transitive closure.",
+)
+def p2_neardup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    pairs = QUERIES["t7_lsh_candidate_pairs"].fn(spark, sf_dir)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    removed = cc.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__rm")
+    )
+    marked = docs.select("doc_id", "source").join(removed, "doc_id", "left")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("__rm").alias("n_removed"),
+        (F.count(F.lit(1)) - F.count("__rm")).alias("n_kept"),
+        F.min(F.when(F.col("__rm").isNull(), F.col("doc_id"))).alias(
+            "min_kept_id"
+        ),
+    )
+
+
 @query(
     "u5_seizure_spacing",
     """
@@ -5830,6 +5891,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_members + 31*min_id + 1009*{t('c_sum')}"),
         ("v6_ivf_probe_exact", "vec_id",
          f"cid + 31*{t('dist')}"),
+        ("p2_neardup_removal", sc("source"),
+         "n_docs + 31*n_removed + 1009*n_kept"
+         " + 31063*coalesce(min_kept_id, -1)"),
         ("p1_llm_prep_pipeline", sc("source"),
          f"n_docs + 31*{t('n_tokens')} + 1009*n_packs"),
         ("m18_feature_scaling", "event_id",

@@ -3571,6 +3571,63 @@ def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s15_streaming_detector",
+    QUERIES["w10_alarm_state_machine"].oracle,
+    "§2.10 stateful detection as a REGISTERED streaming query: "
+    "readStream events → in-alarm flag → applyInPandasWithState alarm "
+    "machine (state = (alarmState, alarmCount) per user, carried across "
+    "micro-batches) → per-user rollup. The availableNow replay of a "
+    "static lake is one deterministic batch and the dataset has no "
+    "(user, ts) ties, so the emission equals the batch machine row for "
+    "row — it shares w10's recursive-CTE oracle verbatim, giving the "
+    "streaming path the same value-hash gate as its batch twin.",
+)
+def s15_streaming_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.detection.osd_alg import OsdSettings
+    from openseizuredatabase_spark.streaming.sessionize import (
+        streaming_alarm_machine,
+    )
+
+    stream = _stream_events(spark, sf_dir, "s15_events_").select(
+        F.col("user_id"),
+        F.col("ts"),
+        (F.col("value") > 150).alias("flag"),
+    )
+    out = streaming_alarm_machine(
+        stream,
+        "user_id",
+        "ts",
+        "flag",
+        OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
+    )
+    name = f"s15_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("alarmState") == 2, 1)).alias(
+                "n_alarm_dps"
+            ),
+            F.count(F.when(F.col("alarmState") == 1, 1)).alias(
+                "n_warn_dps"
+            ),
+            F.count(F.lit(1)).alias("n_dps"),
+        )
+    )
+
+
+@query(
     "s14_orc_roundtrip",
     """
     SELECT event_type,
@@ -5806,6 +5863,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("s11_streaming_tumbling",
          f"day_num * 1000000 + {sc('event_type')}", "n"),
         ("s13_streaming_dedup", "user_id", sc("event_type")),
+        ("s15_streaming_detector", "user_id",
+         "n_dps + 31*n_alarm_dps + 1009*n_warn_dps"),
         ("a14_salted_hot_key", sc("event_type"),
          f"n + 31*{t(q6('sum_value'))} + 1009*{t(q6('max_value'))}"),
         ("a15_approx_distinct", sc("event_type"),

@@ -5341,6 +5341,71 @@ def n6_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m19_calibration",
+    f"""
+    WITH dp AS (
+        SELECT {_N3_P} AS p,
+               max(value) OVER (PARTITION BY user_id) >= 170 AS label
+        FROM events
+    ), binned AS (
+        SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+               CAST(round(p * 1000000) AS BIGINT) AS pq,
+               CAST(round(p * 1000) AS BIGINT) AS pm,
+               CASE WHEN label THEN 1.0 ELSE 0.0 END AS y
+        FROM dp
+    )
+    SELECT bin, count(*) AS n,
+           round(sum(pq) / count(*)::DOUBLE / 1000000, 6) AS mean_p,
+           round(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS frac_pos,
+           round(sum((pm - CAST(y AS BIGINT) * 1000)
+                     * (pm - CAST(y AS BIGINT) * 1000))
+                 / count(*)::DOUBLE / 1000000, 6) AS brier
+    FROM binned GROUP BY bin
+    """,
+    "Model calibration / reliability curve (the eval companion to "
+    "nnTester's threshold analysis): decile-binned mean predicted "
+    "probability vs observed positive rate, with the per-bin Brier "
+    "contribution. Probabilities quantize to micro-units so every "
+    "aggregate is an EXACT integer sum (order-independent — the a10 "
+    "discipline). One partial-combined aggregation over a 10-row "
+    "output — the curve costs a single pass at any corpus size.",
+)
+def m19_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-((F.col("value") - 150) / F.lit(25.0)))
+    )
+    label = F.max("value").over(Window.partitionBy("user_id")) >= 170
+    dp = ev.select(
+        p.alias("p"),
+        F.when(label, 1.0).otherwise(0.0).alias("y"),
+    )
+    binned = dp.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(F.col("p") * 1e6, 0).cast("long").alias("pq"),
+        F.round(F.col("p") * 1e3, 0).cast("long").alias("pm"),
+        "y",
+    )
+    # milli-quantized error keeps sum(err^2) within double-exact range
+    # (< 2^53) even for corpus-scale bins; micro units serve the mean
+    err = F.col("pm") - F.col("y").cast("long") * F.lit(1000)
+    n = F.count(F.lit(1))
+    return binned.groupBy("bin").agg(
+        n.alias("n"),
+        F.round(F.sum("pq") / n.cast("double") / 1e6, 6).alias("mean_p"),
+        F.round(
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+            / n.cast("double"),
+            6,
+        ).alias("frac_pos"),
+        F.round(F.sum(err * err) / n.cast("double") / 1e6, 6).alias(
+            "brier"
+        ),
+    )
+
+
+@query(
     "t19_boilerplate_scrub",
     f"""
     WITH toks AS (
@@ -5958,6 +6023,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m18_feature_scaling", "event_id",
          f"{sc('event_type')} + 31*{q6('value_z')}"),
         ("t20_global_shuffle", "doc_id", "shard * 1000000 + pos"),
+        ("m19_calibration", "bin",
+         f"n + 31*{q6('mean_p')} + 1009*{q6('frac_pos')}"
+         f" + 7*{q6('brier')}"),
         ("t19_boilerplate_scrub", "doc_id",
          "n_kept + 31*length(cleaned)"
          " + 1009*ascii(substr(cleaned, 1, 1))"),

@@ -5771,6 +5771,112 @@ def v5_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t21_doc_chunking",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {text_fns.tokens_sql('text')} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, g.i AS chunk_id,
+           array_to_string(list_slice(tk, g.i*24 + 1, g.i*24 + 32), ' ')
+               AS chunk,
+           least(len(tk) - g.i*24, 32) AS n_tokens
+    FROM toks,
+         unnest(generate_series(0,
+             CAST(ceil(greatest(len(tk) - 8, 1) / 24.0) AS INTEGER) - 1))
+             AS g(i)
+    """,
+    "Context-length document chunking (the RAG / long-doc pretraining "
+    "split): 32-token windows at stride 24 (8-token overlap so no "
+    "boundary loses context), emitted as (doc, chunk_id, text, "
+    "n_tokens). Pure in-row transform + posexplode — no shuffle at "
+    "all; the scan absorbs it at any corpus size.",
+)
+def t21_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window, stride = 32, 24
+    docs = _ts(spark, sf_dir, "documents")
+    toks = text_fns.tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") > 0)
+    nchunks = F.ceil(
+        F.greatest(F.size("tk") - (window - stride), F.lit(1))
+        / float(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.slice(F.col("tk"), i * stride + 1, window)
+            ).alias("chunk"),
+            F.least(
+                F.size("tk") - i * stride, F.lit(window)
+            ).alias("n_tokens"),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "t22_weighted_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               {text_fns.token_count_sql('text')} AS wgt,
+               ({seeded_md5_long_sql("doc_id::VARCHAR", 23)}::DOUBLE + 0.5)
+                   / 1152921504606846976.0 AS u
+        FROM documents WHERE length(trim(text)) > 0
+    ), keyed AS (
+        SELECT doc_id, source, wgt,
+               round(pow(u, 1.0 / wgt), 6) AS key
+        FROM w WHERE wgt > 0
+    )
+    SELECT doc_id, source, wgt, key FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY key DESC, doc_id) AS rn
+        FROM keyed) WHERE rn <= 3
+    """,
+    "Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES: rank by u^(1/w), u from a seeded portable hash — "
+    "token-weighted corpus subsampling that is bit-stable under any "
+    "partition layout, unlike rand()-based sampling): top-3 docs per "
+    "source. One window shuffle on the (small-cardinality) source key; "
+    "at lake scale the per-source top-k is the standard partial "
+    "TakeOrdered shape.",
+)
+def t22_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    wgt = text_fns.token_count(F.col("text"))
+    u = (
+        seeded_md5_long(F.col("doc_id").cast("string"), 23).cast("double")
+        + 0.5
+    ) / float(1 << 60)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        wgt.alias("wgt"),
+        F.round(F.pow(u, 1.0 / wgt), 6).alias("key"),
+    ).filter(F.col("wgt") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "source", "wgt", "key")
+    )
+
+
 def _p1_oracle() -> str:
     from openseizuredatabase_spark.functions.text import (
         fingerprint_sql,
@@ -6020,6 +6126,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 31063*coalesce(min_kept_id, -1)"),
         ("p1_llm_prep_pipeline", sc("source"),
          f"n_docs + 31*{t('n_tokens')} + 1009*n_packs"),
+        ("t21_doc_chunking", "doc_id * 1000 + chunk_id",
+         "n_tokens + 31*length(chunk) + 1009*ascii(substr(chunk, 1, 1))"),
+        ("t22_weighted_sample", "doc_id",
+         f"{sc('source')} + 31*wgt + 1009*{q6('key')}"),
         ("m18_feature_scaling", "event_id",
          f"{sc('event_type')} + 31*{q6('value_z')}"),
         ("t20_global_shuffle", "doc_id", "shard * 1000000 + pos"),

@@ -47,6 +47,7 @@ HEADLINE = [
     "m16_rf_inference",
     "n5_threshold_sweep",
     "t19_boilerplate_scrub",
+    "p1_llm_prep_pipeline",
 ]
 
 

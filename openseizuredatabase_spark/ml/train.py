@@ -330,3 +330,93 @@ def fit_forest(
         full_feat = np.where(feat >= 0, remap[np.maximum(feat, 0)], -1)
         trees.append((full_feat, thr, left, right, value))
     return ForestModel(trees=tuple(trees))
+
+
+def fit_cnn(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    n_filters: int = 8,
+    kernel: int = 3,
+    epochs: int = 5,
+    lr: float = 0.1,
+    batch_size: int = 1024,
+    seed: int = 11,
+):
+    """Train a conv1d(valid) → ReLU → global-average-pool → dense →
+    sigmoid scorer (the specCnnModel.py:120-167 fit role) in pure numpy
+    — closing the train/save/load/score loop for the convolutional
+    backend exactly as fit_mlp does for dense nets.
+
+    Same Spark-first split: feature assembly and balancing are
+    distributed; the fit loop streams (X, y) batches through
+    ``iter_training_batches`` (one partition on the driver at a time).
+    Backprop is fully vectorized: the sliding-window view of each batch
+    serves both the forward conv einsum and the weight-gradient einsum,
+    so cost is O(batch × L × k) with no per-row Python. Deterministic
+    seeded init — bit-reproducible given the same input order.
+
+    Returns (CnnModel, per-epoch mean BCE losses).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from openseizuredatabase_spark.ml.cnn import CnnModel, Layer
+
+    first = df.select(vec_col).head(1)
+    if not first:
+        raise ValueError("empty training frame")
+    length = len(first[0][0])
+    t_out = length - kernel + 1
+    if t_out < 1:
+        raise ValueError("kernel longer than the input signal")
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0.0, 0.1, (n_filters, kernel))  # (C, k)
+    b = np.zeros(n_filters)
+    v = rng.normal(0.0, 0.1, n_filters)  # dense head
+    c0 = 0.0
+    losses: list[float] = []
+    for _ in range(epochs):
+        epoch_losses = []
+        for x, y in iter_training_batches(df, vec_col, label_col, batch_size):
+            x = x.astype(float)
+            y = y.astype(float)
+            n = len(y)
+            xw = sliding_window_view(x, kernel, axis=1)  # (N, T, k)
+            z = np.einsum("ntj,cj->nct", xw, w) + b[None, :, None]
+            a = np.maximum(z, 0.0)
+            g = a.mean(axis=2)  # (N, C) global average pool
+            logit = g @ v + c0
+            p = 1.0 / (1.0 + np.exp(-logit))
+            eps = 1e-12
+            epoch_losses.append(
+                float(
+                    -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
+                )
+            )
+            d = p - y  # (N,)
+            dv = g.T @ d / n
+            dc0 = float(d.mean())
+            dg = np.outer(d, v)  # (N, C)
+            dz = (dg[:, :, None] / t_out) * (z > 0)
+            dw = np.einsum("nct,ntj->cj", dz, xw) / n
+            db = dz.sum(axis=2).mean(axis=0)
+            w -= lr * dw
+            b -= lr * db
+            v -= lr * dv
+            c0 -= lr * dc0
+        losses.append(float(np.mean(epoch_losses)))
+    model = CnnModel(
+        layers=(
+            Layer(
+                "conv1d",
+                (w[:, None, :].copy(), b.copy()),  # (C, 1, k)
+                (("stride", 1), ("padding", "valid")),
+            ),
+            Layer("relu"),
+            Layer("gap"),
+            Layer("dense", (v[:, None].copy(), np.array([c0]))),
+            Layer("sigmoid"),
+        ),
+        input_shape=(1, length),
+    )
+    return model, losses

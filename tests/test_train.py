@@ -66,3 +66,45 @@ def test_fit_empty_frame_raises(spark):
     df = spark.createDataFrame([], "fvec array<double>, label int")
     with pytest.raises(ValueError, match="empty training frame"):
         fit_mlp(df, "fvec", "label")
+
+
+def test_fit_cnn_learns_local_pattern(spark, tmp_path):
+    """The conv net must learn a translation-invariant local pattern
+    (a [+1,-1] edge anywhere in the signal) that a GAP-linear model
+    can't separate from position; closes train/save/load/score for the
+    convolutional backend."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.ml.cnn import save_cnn_npz
+    from openseizuredatabase_spark.ml.inference import load_model
+    from openseizuredatabase_spark.ml.train import fit_cnn
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        base = rng.normal(0, 0.05, 12)
+        label = i % 2
+        if label:
+            pos = rng.integers(0, 10)
+            base[pos] += 1.0
+            base[pos + 1] -= 1.0
+        rows.append(Row(fvec=[float(v) for v in base], label=label))
+    df = spark.createDataFrame(rows)
+    model, losses = fit_cnn(
+        df, "fvec", "label", n_filters=4, kernel=3, epochs=8, lr=0.5
+    )
+    assert losses[-1] < losses[0]  # converges
+    x = np.array([r.fvec for r in rows])
+    y = np.array([r.label for r in rows])
+    acc = ((model.predict(x) >= 0.5).astype(int) == y).mean()
+    assert acc > 0.9
+    # deterministic retrain
+    model2, _ = fit_cnn(
+        df, "fvec", "label", n_filters=4, kernel=3, epochs=8, lr=0.5
+    )
+    assert np.array_equal(model.predict(x), model2.predict(x))
+    # artifact roundtrip through the shared loader
+    path = str(tmp_path / "cnn.npz")
+    save_cnn_npz(model, path)
+    assert np.allclose(load_model(path).predict(x), model.predict(x))

@@ -3245,19 +3245,29 @@ def c7_c17_array_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s12_streaming_late_data",
-    None,
+    """
+    SELECT epoch(TIMESTAMP '2025-01-01 02:00:00')::BIGINT AS bucket_s,
+           'replay' AS event_type, count(*) AS n
+    FROM events WHERE event_id < 30
+    UNION ALL
+    SELECT epoch(TIMESTAMP '2025-01-01 00:00:00')::BIGINT,
+           'replay', count(*)
+    FROM events WHERE event_id >= 30 AND event_id < 40
+    """,
     "\u00a72.10 late/irregular data: watermarked tumbling counts across two "
-    "micro-batches (maxFilesPerTrigger=1 + availableNow). Pins Spark's "
-    "actual watermark contract, verified against the executed plan: the "
-    "watermark gates EMISSION, not input \u2014 append mode emits a window "
-    "exactly once, when the watermark passes its end, so the final "
-    "on-time window (03:00, still open at stop) is withheld; rows older "
-    "than the watermark are NOT filtered before aggregation (drop is "
-    "best-effort per the docs' one-sided guarantee) \u2014 they re-open a "
-    "transient window that is finalized at the same batch's eviction, "
-    "surfacing as a separate late emission downstream must handle (the "
-    "reference's batch analog is gap repair, flattenData.py:240-342). "
-    "Streaming-only \u2192 rows-only check.",
+    "micro-batches (maxFilesPerTrigger=1 + forced file order). Pins "
+    "Spark's actual watermark contract: the watermark gates EMISSION, "
+    "not input \u2014 append mode emits a window exactly once, when the "
+    "watermark passes its end, so the final on-time window (03:00, "
+    "still open at stop) is withheld; rows older than the watermark are "
+    "NOT filtered before aggregation (drop is best-effort per the docs' "
+    "one-sided guarantee) \u2014 they re-open a transient window finalized "
+    "at the same batch's eviction, surfacing as a separate late "
+    "emission downstream must handle (the reference's batch analog is "
+    "gap repair, flattenData.py:240-342). The two-batch replay is fully "
+    "deterministic, so that contract itself is the ORACLE: exactly the "
+    "02:00 on-time window and the 00:00 transient late window, counted "
+    "from the same lake ids the fixture derives from.",
 )
 def s12_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -3336,8 +3346,13 @@ def s12_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     # expected: on-time 02:00 window (n=30) + transient late 00:00 window
-    # (n=10); the still-open 03:00 window is withheld by the watermark
-    return spark.table(name)
+    # (n=10); the still-open 03:00 window is withheld by the watermark.
+    # bucket as epoch seconds so the oracle compares integers.
+    return spark.table(name).select(
+        F.unix_timestamp("bucket_start").alias("bucket_s"),
+        "event_type",
+        "n",
+    )
 
 
 @query(
@@ -6036,6 +6051,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("s13_streaming_dedup", "user_id", sc("event_type")),
         ("s15_streaming_detector", "user_id",
          "n_dps + 31*n_alarm_dps + 1009*n_warn_dps"),
+        ("s12_streaming_late_data", t("bucket_s"),
+         f"n + 31*{sc('event_type')}"),
         ("a14_salted_hot_key", sc("event_type"),
          f"n + 31*{t(q6('sum_value'))} + 1009*{t(q6('max_value'))}"),
         ("a15_approx_distinct", sc("event_type"),

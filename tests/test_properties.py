@@ -329,3 +329,96 @@ def test_boilerplate_scrub_matches_bruteforce(spark, texts, max_df):
         if kept:
             want[i] = (len(kept), " ".join(kept))
     assert got == want
+
+
+_interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),
+        st.integers(min_value=0, max_value=3000),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    ivs=_interval_strategy,
+    pts=st.lists(
+        st.integers(min_value=0, max_value=9000), min_size=1, max_size=15
+    ),
+    bucket=st.sampled_from([600, 1800, 3600]),
+)
+@settings(**SPARK_SETTINGS)
+def test_bucketed_range_join_matches_bruteforce(spark, ivs, pts, bucket):
+    """Equi-join-via-buckets == the O(n*m) containment scan for any
+    intervals (including zero-length and bucket-spanning) and any
+    bucket size."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.joins import (
+        bucketed_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [
+            Row(k=1, pid=i, ts=BASE + dt.timedelta(seconds=s))
+            for i, s in enumerate(pts)
+        ]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(
+                k=1,
+                iv=j,
+                lo=BASE + dt.timedelta(seconds=s),
+                hi=BASE + dt.timedelta(seconds=s + ln),
+            )
+            for j, (s, ln) in enumerate(ivs)
+        ]
+    )
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in bucketed_range_join(
+            points, intervals, "k", "ts", "lo", "hi", bucket_secs=bucket
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= s <= lo + ln
+    )
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_kmeans_exact_assignment_is_nearest_centroid(spark, seed):
+    """After the final Lloyd round every vector sits with its nearest
+    final-round-input centroid (integer distances, lowest-cid ties) —
+    the invariant brute-forced here from the returned artifacts."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import kmeans_exact
+
+    rng = np.random.default_rng(seed)
+    n, d, k = 30, 4, 3
+    vecs = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=i + 1, embedding=[float(x) for x in vecs[i]])
+            for i in range(n)
+        ]
+    )
+    assign, cents = kmeans_exact(df, k=k, iters=1, quant=1000)
+    got = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    # iters=1: assignment is against the INITIAL centroids (ids 1..k)
+    q = np.round(vecs.astype(np.float64) * 1000)
+    init = {cid: q[cid - 1] for cid in range(1, k + 1)}
+    for i in range(n):
+        dists = sorted(
+            (int(((q[i] - c) ** 2).sum()), cid) for cid, c in init.items()
+        )
+        assert got[i + 1] == dists[0][1]

@@ -61,6 +61,10 @@ def main() -> int:
     from openseizuredatabase_spark.plans.registry import QUERIES
     from openseizuredatabase_spark.session import get_spark
 
+    # the 29-query sequence schedules thousands of tasks in one JVM; a
+    # larger driver heap keeps old-gen GC pauses out of the later
+    # queries' timings (the machine has 128 GiB — 16g is conservative)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark("bench")
     # JVM/codegen warmup on a trivial job so q1 isn't charged startup cost
     spark.range(1000).count()

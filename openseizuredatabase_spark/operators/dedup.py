@@ -309,41 +309,48 @@ def jaccard_candidate_pairs(
         # <=max_df-element belt-and-braces rather than a contract
         F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
-    # both consumers below (pair explosion + per-id sizes) re-derive from
-    # `grouped`, and collect_list's nondeterminism bars ReuseExchange
-    # from collapsing the shared subtree; a lazy localCheckpoint
-    # materializes the (small: df-capped sets only) frame once instead of
-    # running scan+tokenize+window-agg per branch. Tradeoff: checkpointed
-    # blocks skip lineage recovery; for a deterministic batch pipeline a
-    # lost executor means re-running the query, which is acceptable.
-    grouped = grouped.localCheckpoint(eager=False)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ids"), i + 2, F.size(F.col("ids"))
-                    ),
-                    lambda y: F.struct(
-                        x.alias("id_a"), y.alias("id_b")
-                    ),
+    # ONE downstream pass: each shingle group emits its pairs AND its
+    # member ids (id_b NULL) as one exploded struct array, so pair
+    # co-occurrence counts and per-id surviving-set sizes come out of a
+    # SINGLE (id_a, id_b) aggregation — one exchange where the previous
+    # design ran two branch aggregations off the grouped frame.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x.alias("id_a"), y.alias("id_b")
                 ),
-            )
+            ),
         )
     )
-    common = (
-        grouped.select(pair.alias("p"))
+    single_structs = F.transform(
+        F.col("ids"),
+        lambda x: F.struct(
+            x.alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+        ),
+    )
+    out = (
+        grouped.select(
+            F.explode(F.concat(pair_structs, single_structs)).alias("p")
+        )
         .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # per-id surviving-set sizes from the grouped frame: set-exact even
-    # for non-distinct input, and its shuffle reuses grouped's exchange
-    sizes = (
-        grouped.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    # `out` feeds three consumers (pairs + both size sides); collect_list
+    # upstream is order-nondeterministic, which bars ReuseExchange from
+    # collapsing the shared subtree — a lazy localCheckpoint materializes
+    # the (small: df-capped pairs + one row per doc) frame once instead
+    # of running scan+tokenize+window-agg per branch. Tradeoff:
+    # checkpointed blocks skip lineage recovery; for a deterministic
+    # batch pipeline a lost executor means re-running the query.
+    out = out.localCheckpoint(eager=False)
+    common = out.filter(F.col("id_b").isNotNull())
+    sizes = out.filter(F.col("id_b").isNull()).select(
+        F.col("id_a").alias(id_col), F.col("n_common").alias("n_sh")
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")

@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+from openseizuredatabase_spark.functions.hashing import md5_long, seeded_md5_long
 from openseizuredatabase_spark.functions.text import fingerprint, tokens
 
 
@@ -586,5 +586,74 @@ def boilerplate_scrub(
             F.array_join(
                 F.transform(parts, lambda s: s["seg"]), " "
             ).alias("cleaned"),
+        )
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication screen: maximal duplicated word spans.
+
+    The distributed shape of suffix-array exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; the reference corpus tools have no equivalent — this is an
+    LLM-pipeline extension): any duplicated substring of >= k words
+    appears as a run of corpus-duplicated k-grams, so finding every
+    k-gram whose exact text occurs >= ``min_count`` times corpus-wide
+    and merging each document's overlapping duplicated k-gram intervals
+    [pos, pos+k) recovers the maximal duplicated regions at word
+    granularity — without ever building a global suffix array.
+
+    Returns one row per merged span:
+    ``(id, span_id, span_start, span_end, n_ngrams)`` with
+    ``span_end`` exclusive (word index past the span).
+
+    Scale shape — two shuffles, both on good keys:
+    1. corpus-duplication test = ``count() OVER (PARTITION BY h)`` on
+       the 60-bit k-gram hash: ONE exchange on a uniform key, no
+       groupBy+join-back round trip; a boilerplate mega-hot k-gram is a
+       single sorted (spillable) window partition, never a driver set;
+    2. interval merge = classic sweep: per-doc window ordered by pos,
+       running max of span ends decides span breaks — one exchange on
+       the doc key, then the span groupBy rides the same partitioning.
+    """
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= k)
+    sh = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("t"), F.col("pos") + 1 + j) for j in range(k)],
+    )
+    posed = d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("pos"),
+        "t",
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        md5_long(sh).alias("h"),
+    )
+    dup = posed.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("__cnt") >= min_count)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    span_id = F.sum(new_span).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn("span_id", span_id)
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_ngrams"),
         )
     )

@@ -490,3 +490,41 @@ def test_bucketed_range_join_many_to_many(spark):
     )
     got = sorted((r["pid"], r["iv"]) for r in out.collect())
     assert got == [(1, 10), (2, 10), (2, 11), (3, 11)]
+
+
+def test_duplicated_ngram_spans_merge(spark):
+    """Two docs share a 7-word phrase → run of three dup 5-grams merges
+    into ONE 7-word span per doc; a doc-internal repeat also counts; a
+    unique doc emits nothing."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    phrase = "the quick brown fox jumps over fences"  # 7 words
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"start {phrase} tail words here now"),
+            Row(doc_id=2, text=f"{phrase} completely different ending text"),
+            # doc 3: internal repeat of a 5-gram ("a b c d e" twice)
+            Row(doc_id=3, text="a b c d e x y z w a b c d e"),
+            Row(doc_id=4, text="totally unique words nothing shared at all"),
+        ]
+    )
+    out = duplicated_ngram_spans(docs, "text", "doc_id", k=5, min_count=2)
+    rows = {
+        (r["doc_id"], r["span_id"]): (
+            r["span_start"], r["span_end"], r["n_ngrams"]
+        )
+        for r in out.collect()
+    }
+    by_doc = sorted(set(d for d, _ in rows))
+    assert by_doc == [1, 2, 3]
+    # doc 1: phrase at words 1..7 → positions 1,2,3 dup → span [1, 8)
+    assert rows[(1, 1)] == (1, 8, 3)
+    # doc 2: phrase at words 0..6 → span [0, 7)
+    assert rows[(2, 1)] == (0, 7, 3)
+    # doc 3: "a b c d e" at pos 0 and pos 9 → two separate spans
+    assert rows[(3, 1)] == (0, 5, 1)
+    assert rows[(3, 2)] == (9, 14, 1)

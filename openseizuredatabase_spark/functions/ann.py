@@ -225,3 +225,82 @@ def ivf_probe_exact(
         .orderBy("dist", id_col)
         .limit(top_k)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1000,
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
+    k-means, then mark within-cluster semantic duplicates — a vector is
+    a dup when a LOWER-ID member of its cluster has cosine similarity
+    >= ``tau`` (the greedy keep-lowest rule; chains mark every non-first
+    member of a similarity run, the standard approximation).
+
+    Returns ``(id, cid, is_dup)`` — one row per input vector.
+
+    Cross-engine exact: clustering is :func:`kmeans_exact` (integer
+    semantics), dots/norms are integer sums over ``quant``-quantized
+    coordinates, and cosine = dot/sqrt(na)/sqrt(nb) uses only IEEE
+    correctly-rounded ops (sqrt, divide), so the dup decision is
+    bit-stable on any engine given the 6-dp-rounded compare.
+
+    Scale shape: the within-cluster self-join is SemDeDup's intrinsic
+    O(sum c_i^2) cost, keyed on cid — at lake scale k grows with the
+    corpus so cluster sizes stay bounded (SemDeDup runs k=110k on
+    LAION), and the join never sees the raw O(n^2) pair space. The
+    (id, qv, cid) frame feeds both join sides and the final flag join;
+    a lazy localCheckpoint materializes it once.
+    """
+    assign, _ = kmeans_exact(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
+    )
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * quant, 0).cast("long"),
+    )
+    m = (
+        emb.select(F.col(id_col), qv.alias("qv"))
+        .join(assign, id_col)
+        .withColumn(
+            "n2",
+            F.aggregate(
+                F.col("qv"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    left = m.alias("l")
+    right = m.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.qv"), F.col("r.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(
+        dot / F.sqrt(F.col("l.n2")) / F.sqrt(F.col("r.n2")), 6
+    )
+    dup_ids = (
+        left.join(
+            right,
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(sim >= tau)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return m.join(
+        dup_ids.withColumn("__dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cid",
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )

@@ -6074,6 +6074,55 @@ def t23_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t24_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """
+    , nrm AS (
+        SELECT vec_id, (sum(v*v))::BIGINT AS n2 FROM q GROUP BY vec_id
+    ), pr AS (
+        SELECT l.vec_id AS ida, r.vec_id AS idb
+        FROM a2 l JOIN a2 r ON l.cid = r.cid AND l.vec_id < r.vec_id
+    ), dots AS (
+        SELECT p.ida, p.idb, (sum(ql.v * qr.v))::BIGINT AS dot
+        FROM pr p
+        JOIN q ql ON ql.vec_id = p.ida
+        JOIN q qr ON qr.vec_id = p.idb AND ql.dim = qr.dim
+        GROUP BY p.ida, p.idb
+    ), dup AS (
+        SELECT DISTINCT d.idb AS vec_id
+        FROM dots d
+        JOIN nrm na ON d.ida = na.vec_id
+        JOIN nrm nb ON d.idb = nb.vec_id
+        WHERE round(dot / sqrt(na.n2) / sqrt(nb.n2), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cid, (dup.vec_id IS NOT NULL) AS is_dup
+    FROM a2 a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    """
+    )
+
+
+@query(
+    "t24_semantic_dedup",
+    _t24_oracle(),
+    "SemDeDup (Abbas et al. 2023) semantic near-dup removal "
+    "(ann.semantic_dedup): embeddings cluster under the deterministic "
+    "integer k-means (v5's quantizer), then each cluster's pairwise "
+    "quantized cosine marks every vector with a lower-id neighbor at "
+    "sim >= 0.4 as a dup (greedy keep-lowest; tau tuned to this "
+    "synthetic corpus — production uses ~0.95). The self-join is keyed "
+    "on cid so the pair space is sum(c_i^2), never O(n^2); at lake "
+    "scale k grows with the corpus to bound cluster sizes (SemDeDup "
+    "runs k~1e5 on LAION). Cosine uses only integer sums + IEEE "
+    "sqrt/divide, so the dup decision is bit-stable cross-engine.",
+)
+def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, quant=1000, tau=0.4)
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6246,6 +6295,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t23_substring_dedup", "doc_id",
          f"n_dup_ngrams + 31*n_spans + 1009*n_dup_words"
          f" + 31063*{q6('dup_frac')}"),
+        ("t24_semantic_dedup", "vec_id",
+         "cid + 31*(CASE WHEN is_dup THEN 1 ELSE 0 END)"),
     ]
 
 

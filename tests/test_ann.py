@@ -111,3 +111,28 @@ def test_ivf_probe_exact_matches_bruteforce_when_probing_all(spark, sf_dir):
         want.append((r["vec_id"], d))
     want.sort(key=lambda t: (t[1], t[0]))
     assert got == want[:5]
+
+
+def test_semantic_dedup_marks_cluster_neighbors(spark):
+    """k=2, iters=1: seeds are ids 1/2; ids 3/4 are near-copies of a
+    seed (dup), id 5 shares cluster 2 but is dissimilar (kept)."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[0.9, 0.1]),    # cos(v1,v3)=0.994
+            Row(vec_id=4, embedding=[0.1, 0.95]),   # cos(v2,v4)=0.995
+            Row(vec_id=5, embedding=[-0.9, 0.05]),  # cluster 2, cos small
+        ]
+    )
+    out = semantic_dedup(emb, k=2, iters=1, quant=1000, tau=0.8)
+    got = {r["vec_id"]: (r["cid"], r["is_dup"]) for r in out.collect()}
+    assert got[1] == (1, False)
+    assert got[2] == (2, False)
+    assert got[3][1] is True and got[3][0] == 1
+    assert got[4][1] is True and got[4][0] == 2
+    assert got[5][1] is False and got[5][0] == 2

@@ -242,3 +242,108 @@ def score_docs_bigram(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = 64,
+    seed: int = 11,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-pool
+    document by how target-like its hashed-bigram distribution is.
+
+    Features are bigrams hashed into ``n_buckets`` buckets (the paper's
+    hashed n-gram features); target and raw bucket unigram models use
+    add-1 smoothing; a document's weight is
+
+        w = sum_b n_doc(b) * (ln p_target(b) - ln p_raw(b))
+
+    reported in integer micro-units (``w_micro``): the per-bucket log
+    ratio is quantized to 1e-6 BEFORE the weighted sum, so the result is
+    an exact integer dot product — bit-stable under any partition layout
+    or engine (the m14/x_signatures integer-accumulator pattern).
+    Resample the pool by feeding ``w_micro`` into weighted sampling
+    (t22's Efraimidis-Sprakis operator) or a top-k.
+
+    Scale shape: ONE corpus shuffle builds per-(doc, bucket) counts;
+    both bucket models come from a second aggregation over that frame
+    (64-row output) whose log-ratio table is BROADCAST back; the final
+    per-doc sum rides a doc-key aggregation. The (doc, bucket) frame
+    feeds the model and the scoring pass, so it is lazily checkpointed
+    once — at lake scale that materialization is the natural cache
+    point (it is ~n_buckets rows per doc, far smaller than the text).
+
+    ``target_col``: boolean column marking target-domain rows.
+    ``keep_cols``: passthrough columns carried to the output.
+    """
+    t = tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col),
+        F.col(target_col).alias("__t"),
+        *[F.col(c) for c in keep_cols],
+        t.alias("tk"),
+    ).filter(F.size("tk") >= 2)
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i + 1),
+                F.element_at(F.col("tk"), i + 2),
+            ),
+        )
+    )
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    bg = d.select(id_col, "__t", *keep_cols, bigram.alias("w"))
+    bb = (
+        bg.select(
+            id_col,
+            "__t",
+            *keep_cols,
+            (seeded_md5_long(F.col("w"), seed) % n_buckets).alias("b"),
+        )
+        .groupBy(id_col, "__t", *keep_cols, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    model = bb.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), F.col("n")).otherwise(0)).alias("tn"),
+        F.sum(F.when(~F.col("__t"), F.col("n")).otherwise(0)).alias("rn"),
+    )
+    tot = model.agg(
+        F.sum("tn").alias("tt"), F.sum("rn").alias("rt")
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("tn") + 1)
+                    / (F.col("tt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("rn") + 1)
+                    / (F.col("rt") + n_buckets).cast("double")
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("lrm"),
+    )
+    return (
+        bb.filter(~F.col("__t"))
+        .join(F.broadcast(lr), "b")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lrm")).alias("w_micro"),
+        )
+    )

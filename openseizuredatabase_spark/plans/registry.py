@@ -6123,6 +6123,71 @@ def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, k=8, iters=2, quant=1000, tau=0.4)
 
 
+@query(
+    "t25_dsir_importance",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+        SELECT doc_id, source, t[i+1] || ' ' || t[i+2] AS w
+        FROM toks, unnest(generate_series(0, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 2
+    ), bb AS (
+        SELECT doc_id, source,
+               ({seeded_md5_long_sql('w', 11)}) % 64 AS b,
+               count(*) AS n
+        FROM bg GROUP BY 1, 2, 3
+    ), model AS (
+        SELECT b,
+               sum(CASE WHEN source = 'src0' THEN n ELSE 0 END)::BIGINT
+                   AS tn,
+               sum(CASE WHEN source <> 'src0' THEN n ELSE 0 END)::BIGINT
+                   AS rn
+        FROM bb GROUP BY b
+    ), tot AS (
+        SELECT sum(tn)::BIGINT AS tt, sum(rn)::BIGINT AS rt FROM model
+    ), lr AS (
+        SELECT b,
+               CAST(round((ln((tn + 1)::DOUBLE / (tt + 64))
+                           - ln((rn + 1)::DOUBLE / (rt + 64)))
+                          * 1000000) AS BIGINT) AS lrm
+        FROM model, tot
+    )
+    SELECT bb.doc_id, bb.source,
+           sum(bb.n)::BIGINT AS n_bigrams,
+           sum(bb.n * lr.lrm)::BIGINT AS w_micro
+    FROM bb JOIN lr USING (b)
+    WHERE bb.source <> 'src0'
+    GROUP BY bb.doc_id, bb.source
+    """,
+    "DSIR importance weights (Xie et al. 2023; lm.dsir_importance): "
+    "hashed-bigram bucket models for the target domain (source='src0') "
+    "and the raw pool, add-1 smoothed; each raw doc scores the exact "
+    "integer dot product of its bucket counts with the micro-quantized "
+    "log ratio ln(p_target/p_raw). One corpus shuffle builds (doc, "
+    "bucket) counts; the 64-row log-ratio table broadcasts back; the "
+    "per-doc sum is a doc-key aggregation. Feed w_micro into t22's "
+    "weighted sampler to complete the resampling step.",
+)
+def t25_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import dsir_importance
+
+    docs = _ts(spark, sf_dir, "documents").withColumn(
+        "__is_target", F.col("source") == "src0"
+    )
+    return dsir_importance(
+        docs,
+        "text",
+        "doc_id",
+        "__is_target",
+        n_buckets=64,
+        seed=11,
+        keep_cols=("source",),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6297,6 +6362,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 31063*{q6('dup_frac')}"),
         ("t24_semantic_dedup", "vec_id",
          "cid + 31*(CASE WHEN is_dup THEN 1 ELSE 0 END)"),
+        ("t25_dsir_importance", "doc_id",
+         f"{sc('source')} + 31*n_bigrams + 1009*{t('w_micro')}"),
     ]
 
 

@@ -111,3 +111,24 @@ def test_bigram_lm_hand_computed(spark):
     assert abs(out[1]["avg_logprob"] - round(want1, 6)) < 2e-6
     assert out[2]["n_bigrams"] == 2
     assert abs(out[2]["avg_logprob"] - round(want2, 6)) < 2e-6
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.lm import dsir_importance
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y x y x y", tgt=True),
+            Row(doc_id=2, text="x y x y", tgt=False),      # target-like
+            Row(doc_id=3, text="p q r s t u", tgt=False),  # dissimilar
+        ]
+    )
+    out = dsir_importance(docs, "text", "doc_id", "tgt", n_buckets=64)
+    got = {r["doc_id"]: (r["n_bigrams"], r["w_micro"]) for r in out.collect()}
+    assert set(got) == {2, 3}  # target rows are not scored
+    assert got[2][0] == 3      # "x y","y x","x y"
+    assert got[3][0] == 5
+    # the target-like doc must outscore the dissimilar one
+    assert got[2][1] > got[3][1]

@@ -48,6 +48,9 @@ HEADLINE = [
     "n5_threshold_sweep",
     "t19_boilerplate_scrub",
     "p1_llm_prep_pipeline",
+    "t23_substring_dedup",
+    "t24_semantic_dedup",
+    "t25_dsir_importance",
 ]
 
 

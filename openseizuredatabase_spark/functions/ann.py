@@ -250,13 +250,18 @@ def semantic_dedup(
     correctly-rounded ops (sqrt, divide), so the dup decision is
     bit-stable on any engine given the 6-dp-rounded compare.
 
-    Scale shape: the within-cluster self-join is SemDeDup's intrinsic
-    O(sum c_i^2) cost, keyed on cid — at lake scale k grows with the
-    corpus so cluster sizes stay bounded (SemDeDup runs k=110k on
-    LAION), and the join never sees the raw O(n^2) pair space. The
-    (id, qv, cid) frame feeds both join sides and the final flag join;
-    a lazy localCheckpoint materializes it once.
+    Scale shape: the within-cluster pairwise pass is SemDeDup's
+    intrinsic O(sum c_i^2) cost, executed as ONE Arrow batch per
+    cluster (numpy integer matmul — the same quantized-int kernel v3
+    uses, ~10x an interpreted zip_with chain), keyed on cid so the pair
+    space is never the raw O(n^2). A cluster must fit one executor's
+    batch — exactly SemDeDup's operating regime: at lake scale k grows
+    with the corpus to bound cluster sizes (the paper runs k~1e5 on
+    LAION), and cid doubles as the lake partition key.
     """
+    import numpy as np
+    import pandas as pd
+
     assign, _ = kmeans_exact(
         emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
     )
@@ -264,43 +269,31 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * quant, 0).cast("long"),
     )
-    m = (
-        emb.select(F.col(id_col), qv.alias("qv"))
-        .join(assign, id_col)
-        .withColumn(
-            "n2",
-            F.aggregate(
-                F.col("qv"),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x * x,
-            ),
+    m = emb.select(F.col(id_col), qv.alias("qv")).join(assign, id_col)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack(pdf["qv"].to_numpy()[order]).astype(np.int64)
+        n2 = (mat * mat).sum(axis=1)
+        # integer dots; cosine = dot/sqrt(na)/sqrt(nb) uses only IEEE
+        # correctly-rounded ops, so it is bit-equal to the SQL oracle
+        dots = mat @ mat.T
+        sim = np.round(
+            dots / np.sqrt(n2.astype(np.float64))[:, None]
+            / np.sqrt(n2.astype(np.float64))[None, :],
+            6,
         )
-        .localCheckpoint(eager=False)
-    )
-    left = m.alias("l")
-    right = m.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.qv"), F.col("r.qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sim = F.round(
-        dot / F.sqrt(F.col("l.n2")) / F.sqrt(F.col("r.n2")), 6
-    )
-    dup_ids = (
-        left.join(
-            right,
-            (F.col("l.cid") == F.col("r.cid"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        tri = np.tril(sim >= tau, k=-1)  # [i, j<i] above threshold
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": pdf["cid"].to_numpy()[order],
+                "is_dup": tri.any(axis=1),
+            }
         )
-        .filter(sim >= tau)
-        .select(F.col(f"r.{id_col}").alias(id_col))
-        .distinct()
-    )
-    return m.join(
-        dup_ids.withColumn("__dup", F.lit(True)), id_col, "left"
-    ).select(
-        id_col,
-        "cid",
-        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+
+    return m.groupBy("cid").applyInPandas(
+        per_cluster, schema=f"{id_col} long, cid long, is_dup boolean"
     )

@@ -49,6 +49,9 @@ def test_relational_queries_have_no_python_udf(spark, sf_dir):
         "n1_dp_detector",
         "n2_differential_report",
         "n4_ensemble_quantile",
+        # t24: per-cluster numpy integer matmul IS the operator (the
+        # v3-style Arrow kernel; interpreted zip_with pairs are ~10x off)
+        "t24_semantic_dedup",
         # c13/c14: the numpy IIR / Welch kernels ARE the operators under test
         "c13_iir_recurrence",
         "c14_welch_psd",

@@ -6123,9 +6123,7 @@ def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, k=8, iters=2, quant=1000, tau=0.4)
 
 
-@query(
-    "t25_dsir_importance",
-    f"""
+_T25_SQL = f"""
     WITH toks AS (
         SELECT doc_id, source,
                regexp_split_to_array(trim(text), '\\s+') AS t
@@ -6161,7 +6159,12 @@ def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bb JOIN lr USING (b)
     WHERE bb.source <> 'src0'
     GROUP BY bb.doc_id, bb.source
-    """,
+    """
+
+
+@query(
+    "t25_dsir_importance",
+    _T25_SQL,
     "DSIR importance weights (Xie et al. 2023; lm.dsir_importance): "
     "hashed-bigram bucket models for the target domain (source='src0') "
     "and the raw pool, add-1 smoothed; each raw doc scores the exact "
@@ -6185,6 +6188,67 @@ def t25_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=64,
         seed=11,
         keep_cols=("source",),
+    )
+
+
+@query(
+    "p3_dsir_resample",
+    f"""
+    WITH wtab AS ({_T25_SQL}),
+    keyed AS (
+        SELECT doc_id, source, n_bigrams, w_micro,
+               round(pow(
+                   ({seeded_md5_long_sql("doc_id::VARCHAR", 29)}::DOUBLE
+                    + 0.5) / 1152921504606846976.0,
+                   1.0 / exp(w_micro / 1000000.0)), 6) AS key
+        FROM wtab
+    )
+    SELECT doc_id, source, n_bigrams, w_micro, key FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY key DESC, doc_id) AS rn
+        FROM keyed) WHERE rn <= 3
+    """,
+    "END-TO-END DSIR (Xie et al. 2023) composed as one lazy plan: "
+    "hashed-bigram importance weights (t25) feed Efraimidis-Spirakis "
+    "weighted sampling without replacement (t22's A-ES ranking) with "
+    "the TRUE importance weight exp(w) = p_target/p_raw — top-3 docs "
+    "per source, bit-stable under any partition layout (hash-seeded u, "
+    "6-dp-rounded key, doc-id tie-break). Adds only a per-source "
+    "window on top of t25's plan; the resample IS the selection step "
+    "a 100 TB pretraining-mix build runs after scoring.",
+)
+def p3_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import dsir_importance
+
+    docs = _ts(spark, sf_dir, "documents").withColumn(
+        "__is_target", F.col("source") == "src0"
+    )
+    w = dsir_importance(
+        docs,
+        "text",
+        "doc_id",
+        "__is_target",
+        n_buckets=64,
+        seed=11,
+        keep_cols=("source",),
+    )
+    u = (
+        seeded_md5_long(F.col("doc_id").cast("string"), 29).cast("double")
+        + 0.5
+    ) / float(1 << 60)
+    keyed = w.withColumn(
+        "key",
+        F.round(
+            F.pow(u, 1.0 / F.exp(F.col("w_micro") / 1000000.0)), 6
+        ),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "source", "n_bigrams", "w_micro", "key")
     )
 
 
@@ -6364,6 +6428,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "cid + 31*(CASE WHEN is_dup THEN 1 ELSE 0 END)"),
         ("t25_dsir_importance", "doc_id",
          f"{sc('source')} + 31*n_bigrams + 1009*{t('w_micro')}"),
+        ("p3_dsir_resample", "doc_id",
+         f"{sc('source')} + 31*{t('w_micro')} + 1009*{q6('key')}"),
     ]
 
 

@@ -422,3 +422,60 @@ def test_kmeans_exact_assignment_is_nearest_centroid(spark, seed):
             (int(((q[i] - c) ** 2).sum()), cid) for cid, c in init.items()
         )
         assert got[i + 1] == dists[0][1]
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(word_docs=docs_strategy)
+def test_duplicated_ngram_spans_match_python_model(spark, word_docs):
+    """t23 vs brute force: with a 4-word alphabet, 3-grams repeat often —
+    the distributed window-count + interval-merge must equal the obvious
+    single-process model on any corpus."""
+    k = 3
+    rows = [
+        Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(word_docs)
+    ]
+    out = dedup_ops.duplicated_ngram_spans(
+        spark.createDataFrame(rows, schema="doc_id long, text string"),
+        "text",
+        "doc_id",
+        k=k,
+        min_count=2,
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_ngrams"])
+        for r in out.collect()
+    )
+    # brute-force model
+    from collections import Counter
+
+    grams = Counter()
+    for ws in word_docs:
+        for i in range(len(ws) - k + 1):
+            grams[tuple(ws[i : i + k])] += 1
+    expect = []
+    for d, ws in enumerate(word_docs):
+        dup_pos = [
+            i
+            for i in range(len(ws) - k + 1)
+            if grams[tuple(ws[i : i + k])] >= 2
+        ]
+        spans = []  # [start, end, n]
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p + k, 1])
+        expect.extend((d, s, e, n) for s, e, n in spans)
+    assert got == sorted(expect)

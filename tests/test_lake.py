@@ -200,3 +200,39 @@ def test_zorder_write_improves_file_locality(spark, tmp_path):
     # layout carries the locality; no helper column leaks into the data
     names = pq.read_schema(glob.glob(f"{zord}/*.parquet")[0]).names
     assert names == ["xq", "yq"]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed on the same key and
+    count join with NO shuffle exchange — each task reads matching
+    buckets side by side (the 100 TB fact-fact join shape)."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.sources.lake import write_bucketed_table
+
+    a = spark.createDataFrame(
+        [Row(userId=i % 37, eventId=i, v=float(i)) for i in range(500)]
+    )
+    b = spark.createDataFrame(
+        [Row(userId=i % 37, obsId=i, w=float(i * 2)) for i in range(500)]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real SMJ so the exchange-free claim is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(a, "t_bkt_a", "userId", n_buckets=8)
+        write_bucketed_table(b, "t_bkt_b", "userId", n_buckets=8)
+        joined = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "userId")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the result is the real join
+        n = joined.count()
+        expect = sum(
+            (500 // 37 + (1 if k < 500 % 37 else 0)) ** 2 for k in range(37)
+        )
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")

@@ -163,3 +163,47 @@ def pii_count_sql(expr: str) -> str:
         terms.append(f"len(regexp_extract_all({scrubbed}, '{pat}'))")
         scrubbed = f"regexp_replace({scrubbed}, '{pat}', '<{name}>', 'g')"
     return " + ".join(terms)
+
+
+# HTML -> text extraction (the web-scrape ingest stage of corpus prep;
+# trafilatura/justext's role reduced to its deterministic regex core).
+# Patterns are Java∩RE2 (inline (?s) dotall, lazy .*?, no lookarounds) so
+# Spark and DuckDB apply the identical chain. Entity decode order matters:
+# '&amp;' is decoded LAST so '&amp;lt;' yields the literal '&lt;' instead
+# of double-decoding to '<'.
+HTML_BLOCK_PATTERNS = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+)
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Strip script/style/comment blocks and tags, decode the core
+    entities, collapse whitespace. Pure codegen'd expression chain —
+    absorbed into the scan's whole-stage codegen, no Python."""
+    out = col
+    for pat in HTML_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    out = expr
+    for pat in HTML_BLOCK_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -6252,6 +6252,53 @@ def p3_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T26_HTML_SQL = (
+    "'<html><head><title>doc ' || doc_id || '</title>"
+    "<style>p { color: red; }</style>"
+    "<script>var x = 1 < 2 && 3 > 2;</script></head>"
+    "<body><!-- comment --><h1>Doc &amp;amp; ' || doc_id || '</h1><p>'"
+    " || text || '</p><br/></body></html>'"
+)
+
+
+@query(
+    "t26_html_extract",
+    f"""
+    SELECT doc_id,
+           {text_fns.html_to_text_sql(_T26_HTML_SQL)} AS text_out
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    "HTML-to-text extraction (the web-scrape ingest stage of corpus "
+    "prep; text.html_to_text): strip script/style/comment blocks and "
+    "tags, decode core entities ('&amp;' last so '&amp;amp;' emits a "
+    "literal '&amp;'), collapse whitespace — one codegen'd regex chain "
+    "absorbed into the scan, zero Python, zero shuffles. The page is "
+    "synthesized in-plan from each doc (title/style/script/comment "
+    "wrapper), so both engines run construction AND extraction and the "
+    "value hash checks the full chain.",
+)
+def t26_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p { color: red; }</style>"
+            "<script>var x = 1 < 2 && 3 > 2;</script></head>"
+            "<body><!-- comment --><h1>Doc &amp;amp; "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/></body></html>"),
+    )
+    return docs.select(
+        "doc_id", text_fns.html_to_text(html).alias("text_out")
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6430,6 +6477,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"{sc('source')} + 31*n_bigrams + 1009*{t('w_micro')}"),
         ("p3_dsir_resample", "doc_id",
          f"{sc('source')} + 31*{t('w_micro')} + 1009*{q6('key')}"),
+        ("t26_html_extract", "doc_id",
+         "length(text_out) + 31*ascii(substr(text_out, 1, 1))"
+         " + 1009*ascii(substr(text_out, length(text_out), 1))"),
     ]
 
 

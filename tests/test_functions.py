@@ -135,3 +135,19 @@ def test_bpe_token_count_matches_python_regex(spark):
     # contractions split off as separate subword tokens: don + 't
     one = spark.createDataFrame([("don't",)], "t string")
     assert one.select(bpe_token_count(F.col("t"))).collect()[0][0] == 2
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.text import html_to_text
+
+    html = (
+        "<html><head><style>h1 { x: 1; }</style>"
+        "<script>if (a < b && c > d) { alert('hi</b>'); }</script></head>"
+        "<body><!-- strip\nme --><h1 class=\"big\">A &amp; B</h1>"
+        "<p>one&nbsp;two &lt;tag&gt; &#39;q&#39; &amp;amp;</p></body>"
+    )
+    df = spark.createDataFrame([Row(s=html)])
+    out = df.select(html_to_text(F.col("s")).alias("t")).head()["t"]
+    assert out == "A & B one two <tag> 'q' &amp;"

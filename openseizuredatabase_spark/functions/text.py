@@ -207,3 +207,82 @@ def html_to_text_sql(expr: str) -> str:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# Unicode cleanup (the ftfy-lite normalization stage of corpus prep):
+# typographic quotes/dashes to ASCII, exotic spaces to plain space,
+# zero-width and C0/C1 control chars stripped, CRLF to LF. Literal
+# replace() chains + one character-class regex -- Java-and-RE2, no Python.
+UNICODE_REPLACEMENTS = (
+    ("\u2018", "'"), ("\u2019", "'"), ("\u201a", "'"),
+    ("\u201c", '"'), ("\u201d", '"'), ("\u201e", '"'),
+    ("\u2013", "-"), ("\u2014", "-"), ("\u2212", "-"),
+    ("\u2026", "..."),
+    ("\r\n", "\n"), ("\r", "\n"),
+)# NBSP / en-em-thin-figure spaces / ideographic space -> plain space;
+# zero-widths + BOM + C0 controls (except \t \n) -> removed. Classes are
+# built from codepoints: Java gets literal chars (an in-process string),
+# DuckDB/RE2 gets \x{...} escapes (keeps the oracle SQL text ASCII-clean
+# -- a literal NUL inside a SQL literal is undefined territory).
+_SPACE_CP = [0xA0, 0x1680, (0x2000, 0x200A), 0x202F, 0x205F, 0x3000]
+_DROP_CP = [0x200B, 0x200C, 0x200D, 0xFEFF, (0x0000, 0x0008),
+            (0x000B, 0x001F)]
+
+
+def _java_class(cps) -> str:
+    parts = []
+    for c in cps:
+        if isinstance(c, tuple):
+            parts.append(chr(c[0]) + "-" + chr(c[1]))
+        else:
+            parts.append(chr(c))
+    return "[" + "".join(parts) + "]"
+
+
+def _re2_class(cps) -> str:
+    parts = []
+    for c in cps:
+        if isinstance(c, tuple):
+            parts.append(f"\\x{{{c[0]:04x}}}-\\x{{{c[1]:04x}}}")
+        else:
+            parts.append(f"\\x{{{c:04x}}}")
+    return "[" + "".join(parts) + "]"
+
+
+def normalize_text(col: Column) -> Column:
+    """ftfy-lite: canonicalize typographic punctuation, spaces, controls.
+    One codegen'd chain; run BEFORE tokenization/hash fingerprinting so
+    near-identical scrapes dedupe exactly."""
+    out = col
+    for src, dst in UNICODE_REPLACEMENTS:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    out = F.regexp_replace(out, _java_class(_SPACE_CP), " ")
+    out = F.regexp_replace(out, _java_class(_DROP_CP), "")
+    return out
+
+
+def _sql_chr(s: str) -> str:
+    """Render a literal as ASCII-safe SQL: chr() for non-ASCII/controls."""
+    if all(31 < ord(c) < 127 and c != "'" for c in s):
+        return "'" + s + "'"
+    parts = []
+    run = ""
+    for c in s:
+        if 31 < ord(c) < 127 and c != "'":
+            run += c
+        else:
+            if run:
+                parts.append("'" + run + "'")
+                run = ""
+            parts.append(f"chr({ord(c)})")
+    if run:
+        parts.append("'" + run + "'")
+    return "(" + " || ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def normalize_text_sql(expr: str) -> str:
+    out = expr
+    for src, dst in UNICODE_REPLACEMENTS:
+        out = f"replace({out}, {_sql_chr(src)}, {_sql_chr(dst)})"
+    out = f"regexp_replace({out}, '{_re2_class(_SPACE_CP)}', ' ', 'g')"
+    return f"regexp_replace({out}, '{_re2_class(_DROP_CP)}', '', 'g')"

@@ -6299,6 +6299,45 @@ def t26_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t27_unicode_normalize",
+    f"""
+    SELECT doc_id,
+           {text_fns.normalize_text_sql(
+               "chr(8220) || text || chr(8221) || chr(160) || chr(8212)"
+               " || chr(13) || chr(10) || chr(8230) || chr(8203)"
+           )} AS text_norm
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    "Unicode normalization (the ftfy-lite cleanup stage of corpus prep; "
+    "text.normalize_text): typographic quotes/dashes/ellipsis to ASCII, "
+    "exotic spaces to plain space, zero-widths/BOM/C0 controls "
+    "stripped, CRLF to LF — one codegen'd replace+regex chain, zero "
+    "Python, zero shuffles. Runs BEFORE tokenization/fingerprinting so "
+    "near-identical scrapes dedupe exactly. The messy input is "
+    "synthesized in-plan (curly quotes, NBSP, em-dash, CRLF, ellipsis, "
+    "zero-width appended to each doc) so both engines run construction "
+    "AND cleanup.",
+)
+def t27_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    # byte-identical to the oracle's chr() construction: curly quotes,
+    # NBSP, em-dash, CRLF, ellipsis, zero-width space
+    messy = F.concat(
+        F.lit(chr(0x201C)),
+        F.col("text"),
+        F.lit(
+            chr(0x201D) + chr(0xA0) + chr(0x2014) + "\r\n"
+            + chr(0x2026) + chr(0x200B)
+        ),
+    )
+    return docs.select(
+        "doc_id", text_fns.normalize_text(messy).alias("text_norm")
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6480,6 +6519,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t26_html_extract", "doc_id",
          "length(text_out) + 31*ascii(substr(text_out, 1, 1))"
          " + 1009*ascii(substr(text_out, length(text_out), 1))"),
+        ("t27_unicode_normalize", "doc_id",
+         "length(text_norm) + 31*ascii(substr(text_norm, 1, 1))"
+         " + 1009*ascii(substr(text_norm, length(text_norm), 1))"),
     ]
 
 

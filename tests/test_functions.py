@@ -151,3 +151,18 @@ def test_html_to_text_extraction(spark):
     df = spark.createDataFrame([Row(s=html)])
     out = df.select(html_to_text(F.col("s")).alias("t")).head()["t"]
     assert out == "A & B one two <tag> 'q' &amp;"
+
+
+def test_normalize_text_ftfy_lite(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.text import normalize_text
+
+    messy = (
+        chr(0x2018) + "a" + chr(0x2019) + " " + chr(0x201C) + "b"
+        + chr(0x201D) + chr(0xA0) + "c" + chr(0x2014) + "d\r\ne"
+        + chr(0x200B) + "f" + chr(0x2026) + chr(0x0007)
+    )
+    df = spark.createDataFrame([Row(s=messy)])
+    out = df.select(normalize_text(F.col("s")).alias("t")).head()["t"]
+    assert out == "'a' \"b\" c-d\nef..."

@@ -116,3 +116,59 @@ def llm_prep_pipeline(
         ).alias("n_packs"),
     )
     return cleaned_docs, summary
+
+
+def scrape_ingest(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_tokens: int = 10,
+    min_quality: float = 0.05,
+) -> tuple[DataFrame, DataFrame]:
+    """Web-scrape ingest front end: raw HTML pages → clean candidate
+    docs for :func:`llm_prep_pipeline`.
+
+        HTML-to-text (t26) → unicode normalize (t27) → quality filter
+        (t2) → exact dedup (t4) → per-source ingest summary
+
+    Returns (docs, summary): ``docs`` is (id, source, text) ready for
+    the main prep chain; ``summary`` is per-source
+    (n_pages, n_docs, n_tokens) — pages seen vs docs surviving.
+
+    One lazy plan: extraction + normalization + quality are
+    scan-absorbed codegen'd maps (zero Python); the only exchanges are
+    the dedup window on the uniform md5 key and the rollup. The
+    dedup runs AFTER normalization by design — near-identical scrapes
+    (curly-quote vs ASCII variants of the same page) fingerprint
+    identically only once canonicalized.
+    """
+    from openseizuredatabase_spark.functions.text import (
+        html_to_text,
+        normalize_text,
+    )
+
+    docs = pages.select(
+        F.col(id_col),
+        F.col(source_col),
+        normalize_text(html_to_text(F.col(html_col))).alias("text"),
+    )
+    n_pages = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    kept = exact_dedup(
+        quality_filter(docs, "text", min_tokens, min_quality),
+        "text",
+        id_col,
+    )
+    per_source = kept.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    summary = n_pages.join(per_source, source_col, "left").select(
+        source_col,
+        "n_pages",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+    )
+    return kept, summary

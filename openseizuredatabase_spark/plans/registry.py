@@ -6338,6 +6338,100 @@ def t27_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p4_oracle() -> str:
+    pre = "'<html><head><script>var a = 1;</script></head><body><p>'"
+    post = "'</p></body></html>'"
+    clean = text_fns.normalize_text_sql(text_fns.html_to_text_sql("html"))
+    ntok = text_fns.token_count_sql("text")
+    nstop = text_fns.stopword_count_sql("text")
+    fp = text_fns.fingerprint_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE length(trim(text)) > 0
+    ), pages AS (
+        SELECT doc_id, source,
+               {pre} || chr(8220) || text || chr(8221) || chr(160)
+                     || {post} AS html
+        FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, source,
+               {pre} || '"' || text || '" ' || {post} AS html
+        FROM base WHERE doc_id % 7 = 0
+    ), docs AS (
+        SELECT doc_id, source, {clean} AS text FROM pages
+    ), q AS (
+        SELECT doc_id, source, text FROM docs
+        WHERE {ntok} >= 10
+          AND least({ntok} / 100.0, 1.0)
+              * ({nstop} / ({ntok})::DOUBLE) > 0.05
+    ), dd AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY {fp}
+                                      ORDER BY doc_id ASC) AS rn
+            FROM q) WHERE rn = 1
+    ), np AS (
+        SELECT source, count(*) AS n_pages FROM pages GROUP BY source
+    ), ps AS (
+        SELECT source, count(*) AS n_docs,
+               sum({ntok})::BIGINT AS n_tokens
+        FROM dd GROUP BY source
+    )
+    SELECT np.source, np.n_pages,
+           coalesce(ps.n_docs, 0) AS n_docs,
+           coalesce(ps.n_tokens, 0) AS n_tokens
+    FROM np LEFT JOIN ps ON np.source = ps.source
+    """
+
+
+@query(
+    "p4_scrape_ingest",
+    _p4_oracle(),
+    "END-TO-END web-scrape ingest (pipelines.scrape_ingest): raw HTML "
+    "pages -> HTML-to-text (t26) -> unicode normalize (t27) -> quality "
+    "filter (t2) -> exact dedup (t4) -> per-source ingest summary, ONE "
+    "lazy plan. Pages are synthesized in-plan, including a duplicate "
+    "scrape variant per 7th doc that differs ONLY in curly-vs-ASCII "
+    "quotes — it fingerprints identically (and dedups) only because "
+    "normalization runs first, so the stage ORDER is what the oracle "
+    "checks. Extraction/normalize/quality are scan-absorbed codegen; "
+    "the only exchanges are the dedup window on the uniform md5 key "
+    "and the rollup.",
+)
+def p4_scrape_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.pipelines.llm_prep import scrape_ingest
+
+    base = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    pre = "<html><head><script>var a = 1;</script></head><body><p>"
+    post = "</p></body></html>"
+    orig = base.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(pre + chr(0x201C)),
+            F.col("text"),
+            F.lit(chr(0x201D) + chr(0xA0) + post),
+        ).alias("html"),
+    )
+    copies = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit(pre + '"'), F.col("text"), F.lit('" ' + post)
+        ).alias("html"),
+    )
+    _, summary = scrape_ingest(orig.unionByName(copies))
+    return summary.select(
+        "source",
+        "n_pages",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6522,6 +6616,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t27_unicode_normalize", "doc_id",
          "length(text_norm) + 31*ascii(substr(text_norm, 1, 1))"
          " + 1009*ascii(substr(text_norm, length(text_norm), 1))"),
+        ("p4_scrape_ingest", sc("source"),
+         f"n_pages + 31*n_docs + 1009*{t('n_tokens')}"),
     ]
 
 

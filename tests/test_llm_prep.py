@@ -78,3 +78,31 @@ def test_pipeline_end_to_end(corpus):
             ).collect()
         ]
         assert row["n_packs"] == sum(-(-t // 64) for t in per_doc)
+
+
+def test_scrape_ingest_dedups_only_after_normalization(spark):
+    """Two scrapes of the same page differing only in curly-vs-ASCII
+    quotes must collapse to one doc; a genuinely different page
+    survives. Quality filter needs >=10 tokens with stopword density."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.pipelines.llm_prep import scrape_ingest
+
+    body = "the story of the day and the end of the tale in the night"
+    pages = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1",
+                html=f"<p>{chr(0x201C)}{body}{chr(0x201D)}</p>"),
+            Row(doc_id=2, source="s1", html=f'<p>"{body}"</p>'),
+            Row(doc_id=3, source="s1",
+                html=f"<p>a different page where the words of the "
+                     f"story are told in the long run</p>"),
+            Row(doc_id=4, source="s2", html="<p>too short</p>"),
+        ]
+    )
+    docs, summary = scrape_ingest(pages)
+    kept = sorted(r["doc_id"] for r in docs.collect())
+    assert kept == [1, 3]  # 2 deduped against 1; 4 fails quality
+    s = {r["source"]: (r["n_pages"], r["n_docs"]) for r in summary.collect()}
+    assert s["s1"] == (3, 2)
+    assert s["s2"] == (1, 0)

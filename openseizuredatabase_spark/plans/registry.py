@@ -6432,6 +6432,87 @@ def p4_scrape_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t29_source_overlap",
+    f"""
+    WITH {_SHINGLE_SQL},
+    ss AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared
+        FROM ss a JOIN ss b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, count(*) AS n FROM ss GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.n_shared,
+           ta.n AS n_a, tb.n AS n_b,
+           round(p.n_shared / least(ta.n, tb.n)::DOUBLE, 6)
+               AS containment
+    FROM pairs p
+    JOIN tot ta ON p.src_a = ta.source
+    JOIN tot tb ON p.src_b = tb.source
+    """,
+    "Cross-source contamination matrix (the dedup diagnostic a corpus "
+    "team reads before mixing sources): for every source pair, the "
+    "number of distinct 5-gram shingles both contain, plus the "
+    "containment coefficient shared/min(|A|,|B|). Spark shape: ONE "
+    "shuffle on the shingle key collects each shingle's (bounded: "
+    "#sources) sorted source set; pairs explode JVM-side from that set "
+    "— the corpus is never self-joined on the shingle key, so a "
+    "mega-hot shingle costs |sources|^2, not df^2. Totals ride a "
+    "second tiny aggregation; the oracle takes the classic self-join "
+    "route, making the set-based rewrite itself the thing checked.",
+)
+def t29_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    ss = dedup_ops.shingles(docs, "text", "source", k=5, distinct=True)
+    grouped = ss.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                    lambda y: F.struct(
+                        x.alias("src_a"), y.alias("src_b")
+                    ),
+                ),
+            )
+        )
+    )
+    pairs = (
+        grouped.select(pair.alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    tot = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6618,6 +6699,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 1009*ascii(substr(text_norm, length(text_norm), 1))"),
         ("p4_scrape_ingest", sc("source"),
          f"n_pages + 31*n_docs + 1009*{t('n_tokens')}"),
+        ("t29_source_overlap",
+         f"CAST({sc('src_a')} AS BIGINT) * 100000 + {sc('src_b')}",
+         f"n_shared + 31*n_a + 1009*n_b + 31063*{q6('containment')}"),
     ]
 
 

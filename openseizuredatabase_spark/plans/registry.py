@@ -6513,6 +6513,91 @@ def t29_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t28_zipf_stats",
+    f"""
+    WITH tk AS (
+        SELECT unnest({text_fns.tokens_sql('text')}) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+        SELECT t, count(*) AS f FROM tk GROUP BY t
+    ), stats AS (
+        SELECT count(*) AS n_types, sum(f)::BIGINT AS n_tokens,
+               max(f)::BIGINT AS top_freq
+        FROM cnt
+    ), top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+        FROM cnt ORDER BY f DESC, t LIMIT 100
+    ), m AS (
+        SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS xm,
+               CAST(round(ln(f) * 1000000) AS BIGINT) AS ym
+        FROM top
+    ), s AS (
+        SELECT count(*) AS n, sum(xm)::BIGINT AS sx,
+               sum(ym)::BIGINT AS sy, sum(xm * ym)::BIGINT AS sxy,
+               sum(xm * xm)::BIGINT AS sxx
+        FROM m
+    )
+    SELECT st.n_types, st.n_tokens, st.top_freq,
+           round((s.n * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy)
+                 / (s.n * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx), 6)
+               AS zipf_slope
+    FROM stats st, s
+    """,
+    "Corpus token-distribution QA (the Zipf diagnostic a data team "
+    "reads to spot synthetic/degenerate corpora): type and token "
+    "counts plus the least-squares slope of log-freq vs log-rank over "
+    "the top-100 types (healthy natural text ~ -1). One shuffle "
+    "(token counts, map-side combined); the top-100 is a TakeOrdered "
+    "(no global sort); rank/ln quantize to integer micros so the "
+    "regression sums are exact integers and the slope divides "
+    "deterministic doubles — bit-stable cross-engine.",
+)
+def t28_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    cnt = (
+        docs.select(
+            F.explode(text_fns.tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # feeds stats AND top-100
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+        F.max("f").alias("top_freq"),
+    )
+    top = cnt.orderBy(F.col("f").desc(), F.col("t")).limit(100)
+    w = Window.orderBy(F.col("f").desc(), F.col("t"))  # 100 rows only
+    m = top.withColumn("r", F.row_number().over(w)).select(
+        F.round(F.log("r") * 1000000, 0).cast("long").alias("xm"),
+        F.round(F.log("f") * 1000000, 0).cast("long").alias("ym"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return stats.crossJoin(s).select(
+        "n_types",
+        "n_tokens",
+        "top_freq",
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6702,6 +6787,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t29_source_overlap",
          f"CAST({sc('src_a')} AS BIGINT) * 100000 + {sc('src_b')}",
          f"n_shared + 31*n_a + 1009*n_b + 31063*{q6('containment')}"),
+        ("t28_zipf_stats", "0",
+         f"n_types + 31*{t('n_tokens')} + 1009*top_freq"
+         f" + 31063*{q6('zipf_slope')}"),
     ]
 
 

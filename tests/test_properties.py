@@ -479,3 +479,83 @@ def test_duplicated_ngram_spans_match_python_model(spark, word_docs):
                 spans.append([p, p + k, 1])
         expect.extend((d, s, e, n) for s, e, n in spans)
     assert got == sorted(expect)
+
+
+vec_corpus = st.lists(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(vecs=vec_corpus)
+def test_semantic_dedup_matches_python_model(spark, vecs):
+    """t24 vs brute force: the integer k-means assignment and the
+    within-cluster lower-id cosine dup rule re-derived in pure Python
+    must agree on arbitrary small corpora (incl. duplicate and
+    near-zero vectors)."""
+    import math
+
+    from openseizuredatabase_spark.functions.ann import semantic_dedup
+
+    k, iters, quant, tau = 2, 2, 1000, 0.8
+    rows = [Row(vec_id=i + 1, embedding=vecs[i]) for i in range(len(vecs))]
+    out = semantic_dedup(
+        spark.createDataFrame(
+            rows, schema="vec_id long, embedding array<double>"
+        ),
+        k=min(k, len(vecs)),
+        iters=iters,
+        quant=quant,
+        tau=tau,
+    )
+    got = {r["vec_id"]: (r["cid"], r["is_dup"]) for r in out.collect()}
+
+    # ---- brute-force model of kmeans_exact + the dup rule ----
+    def half_away(x):
+        f = math.floor(abs(x) + 0.5)
+        return int(math.copysign(f, x))
+
+    q = {i + 1: [half_away(x * quant) for x in vecs[i]]
+         for i in range(len(vecs))}
+    kk = min(k, len(vecs))
+    cents = {c: list(q[c]) for c in range(1, kk + 1)}
+    for _ in range(iters):
+        assign = {}
+        for vid, v in q.items():
+            best = min(
+                cents,
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(v, cents[c])), c
+                ),
+            )
+            assign[vid] = best
+        new = {}
+        for c in set(assign.values()):
+            members = [q[v] for v in q if assign[v] == c]
+            n = len(members)
+            new[c] = [
+                (s - (((s % n) + n) % n)) // n
+                for s in (sum(col) for col in zip(*members))
+            ]
+        cents = new
+    dups = set()
+    for vid, v in q.items():
+        for o, w in q.items():
+            if o >= vid or assign[o] != assign[vid]:
+                continue
+            dot = sum(a * b for a, b in zip(v, w))
+            na = math.sqrt(sum(a * a for a in v))
+            nb = math.sqrt(sum(b * b for b in w))
+            sim = dot / na / nb if na > 0 and nb > 0 else float("nan")
+            if round(sim, 6) >= tau:
+                dups.add(vid)
+                break
+    expect = {vid: (assign[vid], vid in dups) for vid in q}
+    assert got == expect

@@ -559,3 +559,71 @@ def test_semantic_dedup_matches_python_model(spark, vecs):
                 break
     expect = {vid: (assign[vid], vid in dups) for vid in q}
     assert got == expect
+
+
+dsir_corpus = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=12),
+    ),
+    min_size=2,
+    max_size=8,
+).filter(lambda d: any(t for t, _ in d) and any(not t for t, _ in d))
+
+
+@settings(**SPARK_SETTINGS)
+@given(docs=dsir_corpus)
+def test_dsir_importance_matches_python_model(spark, docs):
+    """t25 vs brute force on arbitrary tiny corpora: hashed-bigram
+    bucket models, add-1 smoothing, micro-quantized log ratio, integer
+    dot product."""
+    import hashlib
+    import math
+
+    from openseizuredatabase_spark.operators.lm import dsir_importance
+
+    B, seed = 16, 11
+    rows = [
+        Row(doc_id=i + 1, text=" ".join(ws), tgt=bool(t))
+        for i, (t, ws) in enumerate(docs)
+    ]
+    out = dsir_importance(
+        spark.createDataFrame(
+            rows, schema="doc_id long, text string, tgt boolean"
+        ),
+        "text",
+        "doc_id",
+        "tgt",
+        n_buckets=B,
+        seed=seed,
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["w_micro"]) for r in out.collect()}
+
+    def bucket(w):
+        h = hashlib.md5(f"{seed}:{w}".encode()).hexdigest()
+        return int(h[:15], 16) % B
+
+    per_doc, tn, rn = {}, {}, {}
+    for i, (t, ws) in enumerate(docs):
+        cnt = {}
+        for a, b in zip(ws, ws[1:]):
+            cnt[bucket(a + " " + b)] = cnt.get(bucket(a + " " + b), 0) + 1
+        per_doc[i + 1] = (t, cnt)
+        for b_, n in cnt.items():
+            (tn if t else rn)[b_] = (tn if t else rn).get(b_, 0) + n
+    T, R = sum(tn.values()), sum(rn.values())
+    expect = {}
+    for vid, (t, cnt) in per_doc.items():
+        if t or not cnt:
+            continue
+        w = 0
+        for b_, n in cnt.items():
+            lr = math.log((tn.get(b_, 0) + 1) / (T + B)) - math.log(
+                (rn.get(b_, 0) + 1) / (R + B)
+            )
+            # Spark F.round half-up at 0 dp == half away from zero
+            x = lr * 1000000
+            f = math.floor(abs(x) + 0.5)
+            w += n * int(math.copysign(f, x))
+        expect[vid] = (sum(cnt.values()), w)
+    assert got == expect

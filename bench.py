@@ -51,6 +51,12 @@ HEADLINE = [
     "t23_substring_dedup",
     "t24_semantic_dedup",
     "t25_dsir_importance",
+    "t26_html_extract",
+    "t27_unicode_normalize",
+    "t28_zipf_stats",
+    "t29_source_overlap",
+    "p3_dsir_resample",
+    "p4_scrape_ingest",
 ]
 
 

@@ -657,3 +657,69 @@ def duplicated_ngram_spans(
             F.count(F.lit(1)).alias("n_ngrams"),
         )
     )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, removal half: rebuild each document WITHOUT
+    the corpus-duplicated word spans found by
+    :func:`duplicated_ngram_spans` semantics.
+
+    Word positions covered by any duplicated k-gram interval
+    [pos, pos+k) are dropped; the remainder reassembles in order.
+    Documents with no duplicated span pass through unchanged. Returns
+    ``(id, n_words, n_kept, cleaned)``.
+
+    Scale shape: the covered-position set explodes from the duplicated
+    k-gram starts (k rows per hit, collapsed by the same doc-key
+    exchange the anti-join and the reassembly groupBy ride), so the
+    extra cost over the span finder is one distinct + one anti-join,
+    both co-partitioned on the doc key — no new corpus-wide key.
+    """
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= k)
+    sh = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("t"), F.col("pos") + 1 + j) for j in range(k)],
+    )
+    posed = d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("pos"),
+        "t",
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        md5_long(sh).alias("h"),
+    )
+    dup = posed.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("__cnt") >= min_count)
+    covered = dup.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + k - 1)
+        ).alias("pos"),
+    ).distinct()
+    words = d.select(
+        id_col,
+        F.size("t").alias("n_words"),
+        F.posexplode("t").alias("pos", "word"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = words.join(covered, [id_col, "pos"], "left_anti")
+    return kept.groupBy(id_col, "n_words").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "word"))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )

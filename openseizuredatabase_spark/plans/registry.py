@@ -6606,6 +6606,56 @@ def t28_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t30_substring_scrub",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), posed AS (
+        SELECT doc_id, g.i AS pos,
+               {md5_long_sql(
+                   "t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+                   " || ' ' || t[i+4] || ' ' || t[i+5]"
+               )} AS h
+        FROM toks, unnest(generate_series(0, len(t) - 5)) AS g(i)
+        WHERE len(t) >= 5
+    ), dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+            FROM posed) WHERE cnt >= 2
+    ), cov AS (
+        SELECT DISTINCT doc_id, g.p AS pos
+        FROM dup, unnest(generate_series(pos, pos + 4)) AS g(p)
+    ), words AS (
+        SELECT doc_id, len(t) AS n_words, g.i - 1 AS pos, t[g.i] AS word
+        FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        WHERE len(t) >= 5
+    ), kept AS (
+        SELECT w.doc_id, w.n_words, w.pos, w.word
+        FROM words w LEFT JOIN cov c
+          ON w.doc_id = c.doc_id AND w.pos = c.pos
+        WHERE c.pos IS NULL
+    )
+    SELECT doc_id, n_words, count(*) AS n_kept,
+           string_agg(word, ' ' ORDER BY pos) AS cleaned
+    FROM kept GROUP BY doc_id, n_words
+    """,
+    "Exact-substring dedup, removal half (dedup.scrub_duplicated_spans "
+    "— completes t23's Lee et al. 2022 loop by actually CUTTING the "
+    "duplicated spans): word positions covered by any corpus-"
+    "duplicated 5-gram interval drop, the remainder reassembles in "
+    "order. Over t23's two shuffles this adds only a doc-key distinct "
+    "+ anti-join + reassembly groupBy, all co-partitioned on the doc "
+    "key — no new corpus-wide key, no Python.",
+)
+def t30_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    return dedup_ops.scrub_duplicated_spans(
+        docs, "text", "doc_id", k=5, min_count=2
+    ).select("doc_id", "n_words", "n_kept", "cleaned")
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6798,6 +6848,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t28_zipf_stats", "0",
          f"n_types + 31*{t('n_tokens')} + 1009*top_freq"
          f" + 31063*{q6('zipf_slope')}"),
+        ("t30_substring_scrub", "doc_id",
+         "n_words + 31*n_kept + 1009*length(cleaned)"
+         " + 31063*ascii(substr(cleaned, 1, 1))"),
     ]
 
 

@@ -528,3 +528,26 @@ def test_duplicated_ngram_spans_merge(spark):
     # doc 3: "a b c d e" at pos 0 and pos 9 → two separate spans
     assert rows[(3, 1)] == (0, 5, 1)
     assert rows[(3, 2)] == (9, 14, 1)
+
+
+def test_scrub_duplicated_spans_cuts_shared_phrase(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.dedup import (
+        scrub_duplicated_spans,
+    )
+
+    phrase = "one two three four five"  # shared 5-gram
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"keep this {phrase} and this"),
+            Row(doc_id=2, text=f"{phrase} unique ending words here"),
+            Row(doc_id=3, text="no duplication at all here folks"),
+        ]
+    )
+    out = scrub_duplicated_spans(docs, "text", "doc_id", k=5, min_count=2)
+    got = {r["doc_id"]: (r["n_words"], r["n_kept"], r["cleaned"])
+           for r in out.collect()}
+    assert got[1] == (9, 4, "keep this and this")
+    assert got[2] == (9, 4, "unique ending words here")
+    assert got[3] == (6, 6, "no duplication at all here folks")

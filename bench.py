@@ -57,6 +57,7 @@ HEADLINE = [
     "t29_source_overlap",
     "p3_dsir_resample",
     "p4_scrape_ingest",
+    "t30_substring_scrub",
 ]
 
 

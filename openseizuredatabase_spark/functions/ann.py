@@ -257,7 +257,12 @@ def semantic_dedup(
     space is never the raw O(n^2). A cluster must fit one executor's
     batch — exactly SemDeDup's operating regime: at lake scale k grows
     with the corpus to bound cluster sizes (the paper runs k~1e5 on
-    LAION), and cid doubles as the lake partition key.
+    LAION), and cid doubles as the lake partition key. Growing k keeps
+    MEMORY bounded (the batch-per-cluster invariant) at the price of
+    the Lloyd assignment's n*k*d distance work — the production remedy
+    for that CPU term is approximate/hierarchical centroid assignment
+    (a coarse first-level quantizer), which slots into kmeans_exact's
+    assignment step without touching the dedup contract.
     """
     import numpy as np
     import pandas as pd

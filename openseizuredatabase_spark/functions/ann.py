@@ -302,3 +302,96 @@ def semantic_dedup(
     return m.groupBy("cid").applyInPandas(
         per_cluster, schema=f"{id_col} long, cid long, is_dup boolean"
     )
+
+
+def hierarchical_assign(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    g: int = 3,
+    iters: int = 2,
+    quant: int = 1000,
+):
+    """Two-level (coarse -> fine) centroid assignment: the production
+    remedy for the flat Lloyd assignment's n*k*d distance work when k
+    scales with the corpus (semantic_dedup's regime).
+
+    Level 1 groups the k centroids under ``g`` coarse centers (a
+    centroid-table-only pass, k rows); level 2 assigns each vector to
+    its nearest coarse center (n*g*d) and then exactly among ONLY that
+    group's centroids (n*(k/g)*d expected). Total n*(g + k/g)*d —
+    minimized at g ~ sqrt(k), i.e. O(n*sqrt(k)*d) instead of O(n*k*d).
+    Same integer semantics as kmeans_exact throughout (quantized
+    coordinates, integer squared distances, lowest-id tie-breaks), so
+    the approximation error is purely geometric: a vector whose true
+    centroid sits in a different coarse group than the vector's own
+    maps to the best centroid of its group instead.
+
+    Returns (approx_assign (id, cid), exact_cents (cid, dim, c)).
+
+    Scale shape: the centroid grouping and both argmin joins broadcast
+    only centroid-sized tables (k*d and g*d rows); the vector side is
+    touched twice with map-side partial aggregation; the per-vector
+    coarse gid rides a co-partitioned id join — nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    _, cents = kmeans_exact(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
+    )
+    q = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * quant, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    cents = cents.localCheckpoint(eager=False)  # reused 4x below
+    seeds = cents.filter(F.col("cid") <= g).select(
+        F.col("cid").alias("gid"), "dim", F.col("c").alias("cg")
+    )
+    # level 1: group the centroid table itself
+    cd = F.col("c") - F.col("cg")
+    cgrp_d = (
+        cents.join(F.broadcast(seeds), "dim")
+        .groupBy("cid", "gid")
+        .agg(F.sum(cd * cd).alias("d"))
+    )
+    wc = Window.partitionBy("cid").orderBy("d", "gid")
+    cgrp = (
+        cgrp_d.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .select("cid", "gid")
+    )
+    # level 2a: vector -> nearest coarse center
+    vd = F.col("v") - F.col("cg")
+    vg_d = (
+        q.join(F.broadcast(seeds), "dim")
+        .groupBy(id_col, "gid")
+        .agg(F.sum(vd * vd).alias("d"))
+    )
+    wv = Window.partitionBy(id_col).orderBy("d", "gid")
+    vg = (
+        vg_d.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "gid")
+    )
+    # level 2b: exact argmin among the coarse group's centroids only
+    cand = cents.join(F.broadcast(cgrp), "cid")  # (cid, dim, c, gid)
+    fd = F.col("v") - F.col("c")
+    fine = (
+        q.join(vg, id_col)
+        .join(F.broadcast(cand), ["gid", "dim"])
+        .groupBy(id_col, "cid")
+        .agg(F.sum(fd * fd).alias("d"))
+    )
+    wf = Window.partitionBy(id_col).orderBy("d", "cid")
+    approx = (
+        fine.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cid")
+    )
+    return approx, cents

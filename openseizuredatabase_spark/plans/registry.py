@@ -6656,6 +6656,88 @@ def t30_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_words", "n_kept", "cleaned")
 
 
+def _v7_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """
+    , seeds AS (
+        SELECT cid AS gid, dim, c AS cg FROM c2 WHERE cid <= 3
+    ), cgd AS (
+        SELECT c2.cid, s.gid,
+               sum((c2.c - s.cg) * (c2.c - s.cg)) AS d
+        FROM c2 JOIN seeds s USING (dim) GROUP BY c2.cid, s.gid
+    ), cgrp AS (
+        SELECT cid, gid FROM (
+            SELECT cid, gid, row_number() OVER (
+                PARTITION BY cid ORDER BY d, gid) AS rn
+            FROM cgd) WHERE rn = 1
+    ), vgd AS (
+        SELECT q.vec_id, s.gid,
+               sum((q.v - s.cg) * (q.v - s.cg)) AS d
+        FROM q JOIN seeds s USING (dim) GROUP BY q.vec_id, s.gid
+    ), vg AS (
+        SELECT vec_id, gid FROM (
+            SELECT vec_id, gid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, gid) AS rn
+            FROM vgd) WHERE rn = 1
+    ), cand AS (
+        SELECT c2.cid, c2.dim, c2.c, g.gid
+        FROM c2 JOIN cgrp g ON c2.cid = g.cid
+    ), fd AS (
+        SELECT q.vec_id, cd.cid,
+               sum((q.v - cd.c) * (q.v - cd.c)) AS d
+        FROM q
+        JOIN vg ON q.vec_id = vg.vec_id
+        JOIN cand cd ON cd.gid = vg.gid AND cd.dim = q.dim
+        GROUP BY q.vec_id, cd.cid
+    ), ap AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM fd) WHERE rn = 1
+    )
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN ap.cid = a2.cid THEN 1 ELSE 0 END)::BIGINT
+               AS n_match
+    FROM ap JOIN a2 ON ap.vec_id = a2.vec_id
+    """
+    )
+
+
+@query(
+    "v7_hierarchical_assign",
+    _v7_oracle(),
+    "Two-level centroid assignment (ann.hierarchical_assign) vs the "
+    "flat Lloyd assignment, as an agreement summary — the production "
+    "remedy for n*k*d assignment work when k scales with the corpus "
+    "(t24's regime): k centroids group under g=3 coarse centers (a "
+    "centroid-table-only pass), each vector picks a coarse group "
+    "(n*g*d) then the exact argmin among ONLY that group's centroids "
+    "(n*k/g*d expected) — O(n*sqrt(k)*d) total at g~sqrt(k). Integer "
+    "semantics throughout, so approximation error is purely geometric "
+    "and the agreement count is bit-stable; the oracle replays BOTH "
+    "assignment paths in SQL.",
+)
+def v7_hierarchical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import (
+        hierarchical_assign,
+        kmeans_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx, _ = hierarchical_assign(emb, k=8, g=3, iters=2, quant=1000)
+    exact, _ = kmeans_exact(emb, k=8, iters=2, quant=1000)
+    j = approx.withColumnRenamed("cid", "cid_a").join(
+        exact.withColumnRenamed("cid", "cid_e"), "vec_id"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("cid_a") == F.col("cid_e"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6851,6 +6933,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t30_substring_scrub", "doc_id",
          "n_words + 31*n_kept + 1009*length(cleaned)"
          " + 31063*ascii(substr(cleaned, 1, 1))"),
+        ("v7_hierarchical_assign", "0", "n_total + 31*n_match"),
     ]
 
 

@@ -136,3 +136,31 @@ def test_semantic_dedup_marks_cluster_neighbors(spark):
     assert got[3][1] is True and got[3][0] == 1
     assert got[4][1] is True and got[4][0] == 2
     assert got[5][1] is False and got[5][0] == 2
+
+
+def test_hierarchical_assign_exact_on_separated_clusters(spark):
+    """With well-separated clusters the two-level assignment agrees with
+    the flat Lloyd assignment on every vector (the geometric error term
+    vanishes); near-uniform data (the v7 query) is the worst case."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import (
+        hierarchical_assign,
+        kmeans_exact,
+    )
+
+    centers = [(0.0, 0.0), (0.0, 10.0), (100.0, 0.0), (100.0, 10.0)]
+    rows = [
+        Row(vec_id=i + 1, embedding=list(centers[i])) for i in range(4)
+    ]
+    vid = 5
+    for cx, cy in centers:
+        for dx, dy in [(0.3, 0.1), (-0.2, 0.4), (0.1, -0.3)]:
+            rows.append(Row(vec_id=vid, embedding=[cx + dx, cy + dy]))
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    approx, _ = hierarchical_assign(emb, k=4, g=2, iters=1, quant=1000)
+    exact, _ = kmeans_exact(emb, k=4, iters=1, quant=1000)
+    a = {r["vec_id"]: r["cid"] for r in approx.collect()}
+    e = {r["vec_id"]: r["cid"] for r in exact.collect()}
+    assert a == e and len(a) == len(rows)

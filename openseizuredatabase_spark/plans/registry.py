@@ -6738,6 +6738,96 @@ def v7_hierarchical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t31_gopher_rules",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {text_fns.tokens_sql('text')} AS t,
+               {text_fns.stopword_count_sql('text')} AS n_stop
+        FROM documents WHERE length(trim(text)) > 0
+    ), m AS (
+        SELECT doc_id, len(t) AS n_words,
+               round(list_sum(list_transform(t, w -> length(w)))
+                     / len(t)::DOUBLE, 6) AS mean_word_len,
+               round(len(list_filter(t, w ->
+                         regexp_matches(w, '[a-zA-Z]')))
+                     / len(t)::DOUBLE, 6) AS frac_alpha,
+               round(len(list_filter(t, w ->
+                         contains(w, '#') OR contains(w, '...')))
+                     / len(t)::DOUBLE, 6) AS frac_symbol,
+               n_stop
+        FROM tk WHERE len(t) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha, frac_symbol,
+           n_stop,
+           (n_words BETWEEN 10 AND 10000
+            AND mean_word_len BETWEEN 2.5 AND 10.0
+            AND frac_alpha >= 0.8
+            AND frac_symbol <= 0.1
+            AND n_stop >= 2) AS gopher_pass
+    FROM m
+    """,
+    "Gopher document-quality rules (Rae et al. 2021 SSA1.1, the "
+    "rule-based screen most pretraining pipelines start from): word "
+    "count bounds, mean word length band, alphabetic-word fraction, "
+    "symbol-to-word ratio (# and ellipsis), minimum stop-word count — "
+    "each metric a column plus the combined pass flag. Pure codegen'd "
+    "array expressions absorbed into the scan: zero Python, zero "
+    "shuffles, linear at any corpus size.",
+)
+def t31_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tk = text_fns.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        tk.alias("t"),
+        text_fns.stopword_count_expr("text").alias("n_stop"),
+    ).filter(F.size("t") > 0)
+    n = F.size("t")
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(F.col("t"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / n.cast("double"),
+        6,
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(F.col("t"), lambda w: w.rlike("[a-zA-Z]")))
+        / n.cast("double"),
+        6,
+    )
+    frac_symbol = F.round(
+        F.size(
+            F.filter(
+                F.col("t"),
+                lambda w: w.contains("#") | w.contains("..."),
+            )
+        )
+        / n.cast("double"),
+        6,
+    )
+    m = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        frac_symbol.alias("frac_symbol"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+    )
+    gopher = (
+        F.col("n_words").between(10, 10000)
+        & F.col("mean_word_len").between(2.5, 10.0)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("frac_symbol") <= 0.1)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.withColumn("gopher_pass", gopher)
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -6934,6 +7024,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "n_words + 31*n_kept + 1009*length(cleaned)"
          " + 31063*ascii(substr(cleaned, 1, 1))"),
         ("v7_hierarchical_assign", "0", "n_total + 31*n_match"),
+        ("t31_gopher_rules", "doc_id",
+         f"n_words + 31*{q6('mean_word_len')} + 1009*{q6('frac_alpha')}"
+         f" + 31063*{q6('frac_symbol')} + 7*n_stop"
+         " + 3*(CASE WHEN gopher_pass THEN 1 ELSE 0 END)"),
     ]
 
 

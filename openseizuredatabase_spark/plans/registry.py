@@ -6828,6 +6828,133 @@ def t31_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn("gopher_pass", gopher)
 
 
+def _t32_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min({seeded_md5_long_sql('shingle', j)}) AS mh_{j}"
+        for j in range(8)
+    )
+    bands = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band,"
+        f" md5(mh_{2 * b}::VARCHAR || '_' || mh_{2 * b + 1}::VARCHAR)"
+        f" AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ), banded AS (
+{bands}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT p.id_a, p.id_b,
+               round(({matches}) / 8.0, 6) AS est_jaccard
+        FROM pairs p
+        JOIN sigs a ON p.id_a = a.doc_id
+        JOIN sigs b ON p.id_b = b.doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT p.id_a, p.id_b, count(*) AS c
+        FROM pairs p
+        JOIN sh x ON x.doc_id = p.id_a
+        JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           round(coalesce(c.c, 0)
+                 / (sa.n + sb.n - coalesce(c.c, 0))::DOUBLE, 6)
+               AS true_jaccard
+    FROM est e
+    LEFT JOIN common c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    JOIN sizes sa ON e.id_a = sa.doc_id
+    JOIN sizes sb ON e.id_b = sb.doc_id
+    """
+
+
+@query(
+    "t32_minhash_calibration",
+    _t32_oracle(),
+    "MinHash estimator calibration: for every LSH candidate pair "
+    "(8 hashes, 4 bands x 2), the signature-agreement estimate "
+    "matching/8 next to the TRUE shingle-set Jaccard — the "
+    "measurement a dedup pipeline runs to pick its band/threshold "
+    "operating point. Shapes: one signature aggregation (map-side "
+    "combined), band equi-join candidates (never O(n^2)), true-"
+    "Jaccard join only over the candidate pairs (the estimate's whole "
+    "point: exact verification is affordable because candidates are "
+    "few).",
+)
+def t32_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
+    sh = sh.localCheckpoint(eager=False)  # sigs + sizes + common reuse it
+    sigs = dedup_ops.minhash_signatures(sh, "doc_id", 8)
+    sigs = sigs.localCheckpoint(eager=False)
+    pairs = dedup_ops.lsh_band_pairs(sigs, "doc_id", 8, 2)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b{j}") for j in range(8)],
+    )
+    match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(match / 8.0, 6).alias("est_jaccard"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(x, "id_a")
+        .join(y, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0))
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.coalesce(F.col("c"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -7028,6 +7155,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_words + 31*{q6('mean_word_len')} + 1009*{q6('frac_alpha')}"
          f" + 31063*{q6('frac_symbol')} + 7*n_stop"
          " + 3*(CASE WHEN gopher_pass THEN 1 ELSE 0 END)"),
+        ("t32_minhash_calibration", "id_a * 1000000 + id_b",
+         f"{q6('est_jaccard')} + 31*{q6('true_jaccard')}"),
     ]
 
 

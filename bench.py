@@ -58,6 +58,8 @@ HEADLINE = [
     "p3_dsir_resample",
     "p4_scrape_ingest",
     "t30_substring_scrub",
+    "t31_gopher_rules",
+    "t32_minhash_calibration",
 ]
 
 

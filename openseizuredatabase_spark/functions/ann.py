@@ -235,6 +235,7 @@ def semantic_dedup(
     iters: int = 2,
     quant: int = 1000,
     tau: float = 0.4,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
     k-means, then mark within-cluster semantic duplicates — a vector is
@@ -267,9 +268,15 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    assign, _ = kmeans_exact(
-        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
-    )
+    if assign is None:
+        assign, _ = kmeans_exact(
+            emb,
+            vec_col=vec_col,
+            id_col=id_col,
+            k=k,
+            iters=iters,
+            quant=quant,
+        )
     qv = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * quant, 0).cast("long"),
@@ -312,6 +319,7 @@ def hierarchical_assign(
     g: int = 3,
     iters: int = 2,
     quant: int = 1000,
+    train_df: DataFrame | None = None,
 ):
     """Two-level (coarse -> fine) centroid assignment: the production
     remedy for the flat Lloyd assignment's n*k*d distance work when k
@@ -334,11 +342,23 @@ def hierarchical_assign(
     only centroid-sized tables (k*d and g*d rows); the vector side is
     touched twice with map-side partial aggregation; the per-vector
     coarse gid rides a co-partitioned id join — nothing driver-side.
+
+    ``train_df``: optional bounded subset to TRAIN the centroids on
+    (seed ids 1..k must be present in it). Lloyd training is itself
+    n*k*d per round, so at corpus scale the standard move (faiss /
+    SemDeDup practice) is: train on a fixed-size deterministic sample,
+    then two-level-assign the full corpus — which makes the whole
+    clustering O(sample*k*d + n*sqrt(k)*d), sub-linear in n*k.
     """
     from pyspark.sql import Window
 
     _, cents = kmeans_exact(
-        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
+        train_df if train_df is not None else emb,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        iters=iters,
+        quant=quant,
     )
     q = emb.select(
         F.col(id_col),

@@ -6117,18 +6117,41 @@ def _t24_oracle() -> str:
     "sqrt/divide, so the dup decision is bit-stable cross-engine.",
 )
 def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.functions.ann import semantic_dedup
+    from openseizuredatabase_spark.functions.ann import (
+        hierarchical_assign,
+        semantic_dedup,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # k scales with the corpus (SemDeDup's regime: cluster sizes stay
-    # bounded, here ~625 vectors) so the pairwise pass stays linear-ish
-    # at any scale. Every driver sf (0.001/0.01/0.1 = 500..5000 rows)
-    # resolves to the oracle's k=8; the growth path only engages on
-    # larger lakes (e.g. the 10x/30x stress replicas). Row count comes
-    # from parquet footer metadata — no Spark job (tables.table_meta).
+    # Every driver sf (0.001/0.01/0.1 = 500..5000 rows) takes the
+    # oracle-exact path: flat k=8 Lloyd clustering + the per-cluster
+    # kernel. Beyond that the query switches to the documented
+    # production shape — k scales with the corpus (bounded ~625-vector
+    # clusters keep the one-Arrow-batch-per-cluster memory invariant),
+    # centroids TRAIN on a bounded deterministic sample (Lloyd training
+    # is n*k*d per round — the 30x stress showed the flat path going
+    # superlinear), and the full corpus assigns through the two-level
+    # O(n*sqrt(k)*d) path (v7). Row count comes from parquet footer
+    # metadata — no Spark job (tables.table_meta).
     n_rows, _ = table_meta(sf_dir, "embeddings")
-    k = 8 if n_rows <= 5000 else max(8, n_rows // 625)
-    return semantic_dedup(emb, k=k, iters=2, quant=1000, tau=0.4)
+    if n_rows <= 5000:
+        return semantic_dedup(emb, k=8, iters=2, quant=1000, tau=0.4)
+    k = max(8, n_rows // 625)
+    g = max(3, int(k**0.5))
+    # deterministic training sample: the k seed ids plus a portable
+    # hash slice targeting ~5000 rows total
+    frac_pm = max(1, (5000 * 1000) // n_rows)  # per-mille keep rate
+    samp = emb.filter(
+        (F.col("vec_id") <= k)
+        | (seeded_md5_long(F.col("vec_id").cast("string"), 31) % 1000
+           < frac_pm)
+    )
+    assign, _ = hierarchical_assign(
+        emb, k=k, g=g, iters=2, quant=1000, train_df=samp
+    )
+    return semantic_dedup(
+        emb, k=k, iters=2, quant=1000, tau=0.4, assign=assign
+    )
 
 
 _T25_SQL = f"""

@@ -164,3 +164,32 @@ def test_hierarchical_assign_exact_on_separated_clusters(spark):
     a = {r["vec_id"]: r["cid"] for r in approx.collect()}
     e = {r["vec_id"]: r["cid"] for r in exact.collect()}
     assert a == e and len(a) == len(rows)
+
+
+def test_hierarchical_assign_with_sampled_training(spark):
+    """Scale path: centroids trained on a bounded subset (seed ids
+    included) still assign EVERY corpus vector, and on separated
+    clusters the sampled-train assignment matches full-train."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import hierarchical_assign
+
+    centers = [(0.0, 0.0), (0.0, 10.0), (100.0, 0.0), (100.0, 10.0)]
+    rows = [Row(vec_id=i + 1, embedding=list(centers[i])) for i in range(4)]
+    vid = 5
+    for rep in range(5):
+        for ci, (cx, cy) in enumerate(centers):
+            rows.append(
+                Row(vec_id=vid, embedding=[cx + 0.1 * rep, cy - 0.1 * rep])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    train = emb.filter(F.col("vec_id") <= 8)  # seeds + one ring only
+    full, _ = hierarchical_assign(emb, k=4, g=2, iters=1, quant=1000)
+    samp, _ = hierarchical_assign(
+        emb, k=4, g=2, iters=1, quant=1000, train_df=train
+    )
+    f = {r["vec_id"]: r["cid"] for r in full.collect()}
+    s = {r["vec_id"]: r["cid"] for r in samp.collect()}
+    assert len(s) == len(rows)  # every vector assigned
+    assert f == s  # separated clusters: sample-train changes nothing

@@ -4779,9 +4779,7 @@ def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
-@query(
-    "t18_bigram_lm",
-    f"""
+_T18_SQL = f"""
     WITH toks AS (
         SELECT doc_id,
                list_transform({text_fns.tokens_sql('text')},
@@ -4809,7 +4807,12 @@ def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN unic u ON bg.a = u.tok
     CROSS JOIN vsize
     GROUP BY bg.doc_id
-    """,
+    """
+
+
+@query(
+    "t18_bigram_lm",
+    _T18_SQL,
     "Corpus bigram LM + per-doc add-1 log-probability scoring (beyond-"
     "reference LLM-pipeline op; operators/lm.py): the perplexity-style "
     "quality signal over the documents table — model = two count "
@@ -6978,6 +6981,59 @@ def t32_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p5_perplexity_filter",
+    f"""
+    WITH sc AS ({_T18_SQL}),
+    ss AS (
+        SELECT s.doc_id, d.source, s.n_bigrams, s.avg_logprob
+        FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+    ), r AS (
+        SELECT doc_id, source, n_bigrams, avg_logprob,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY avg_logprob, doc_id) AS pr
+        FROM ss
+    )
+    SELECT doc_id, source, n_bigrams, avg_logprob,
+           round(pr, 6) AS pr
+    FROM r WHERE pr >= 0.25
+    """,
+    "Model-based perplexity filtering (the CCNet/KenLM stage of corpus "
+    "prep, composed from the oracled bigram LM): every doc scores its "
+    "add-1 bigram log-probability, then each SOURCE drops its "
+    "worst-scoring quartile via percent_rank — per-domain filtering, "
+    "the detail that matters (a global cutoff would gut whole domains "
+    "whose register differs). One window shuffle on the small source "
+    "key on top of t18's plan; percent_rank over the 6-dp-rounded "
+    "score with doc-id tie-break is deterministic cross-engine.",
+)
+def p5_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        bigram_model,
+        score_docs_bigram,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    bigram_counts, uni, vsize = bigram_model(docs)
+    scored = score_docs_bigram(docs, bigram_counts, uni, vsize)
+    ss = scored.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob"), F.col("doc_id")
+    )
+    return (
+        ss.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "avg_logprob",
+            F.round("pr", 6).alias("pr"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -7180,6 +7236,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 3*(CASE WHEN gopher_pass THEN 1 ELSE 0 END)"),
         ("t32_minhash_calibration", "id_a * 1000000 + id_b",
          f"{q6('est_jaccard')} + 31*{q6('true_jaccard')}"),
+        ("p5_perplexity_filter", "doc_id",
+         f"{sc('source')} + 31*n_bigrams + 1009*{q6('avg_logprob')}"
+         f" + 31063*{q6('pr')}"),
     ]
 
 

@@ -7034,6 +7034,58 @@ def p5_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t33_fertility_stats",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(length(text))::BIGINT AS n_chars,
+           sum({text_fns.token_count_sql('text')})::BIGINT AS n_words,
+           sum({text_fns.bpe_token_count_sql('text')})::BIGINT
+               AS n_bpe_tokens,
+           round(sum(length(text))
+                 / sum({text_fns.bpe_token_count_sql('text')})::DOUBLE,
+                 6) AS chars_per_token,
+           round(sum({text_fns.bpe_token_count_sql('text')})
+                 / sum({text_fns.token_count_sql('text')})::DOUBLE,
+                 6) AS fertility
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY source
+    """,
+    "Tokenizer fertility / compression stats per source (the budget QA "
+    "a data team runs before costing a training mix): chars, "
+    "whitespace words, BPE-ish pretokenizer tokens, chars-per-token "
+    "and tokens-per-word (fertility). One map-side-combined "
+    "aggregation on the small source key; the tokenizers are the "
+    "existing codegen'd regex counters — zero Python.",
+)
+def t33_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(text_fns.token_count(F.col("text"))).alias("n_words"),
+        F.sum(text_fns.bpe_token_count(F.col("text"))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_chars") / F.col("n_bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -7239,6 +7291,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("p5_perplexity_filter", "doc_id",
          f"{sc('source')} + 31*n_bigrams + 1009*{q6('avg_logprob')}"
          f" + 31063*{q6('pr')}"),
+        ("t33_fertility_stats", sc("source"),
+         f"n_docs + 31*{t('n_chars')} + 1009*{t('n_bpe_tokens')}"
+         f" + 31063*{q6('chars_per_token')} + 7*{q6('fertility')}"),
     ]
 
 

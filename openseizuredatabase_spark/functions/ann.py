@@ -249,7 +249,18 @@ def semantic_dedup(
     semantics), dots/norms are integer sums over ``quant``-quantized
     coordinates, and cosine = dot/sqrt(na)/sqrt(nb) uses only IEEE
     correctly-rounded ops (sqrt, divide), so the dup decision is
-    bit-stable on any engine given the 6-dp-rounded compare.
+    bit-stable on any engine given the 6-dp-rounded compare. Three
+    details make that literally true rather than approximately
+    (each one a real divergence vs a SQL replay): (1) the division
+    happens in the SAME order as the oracle text — by the LOWER id's
+    norm first, then the higher's (a different order is a 1-ulp risk at
+    the rounding boundary); (2) rounding is half-away-from-zero
+    (floor(|x|*1e6 + 0.5) with the sign restored), matching Spark and
+    DuckDB ``round`` — numpy's own ``np.round`` is half-to-even and
+    diverges on exact 1e-6 ties; (3) zero vectors (norm 0) are defined
+    as similar to nothing — 0/0 would be NaN, and engines ORDER NaN
+    differently (DuckDB sorts it above every number, so ``NaN >= tau``
+    flips TRUE there while numpy says False).
 
     Scale shape: the within-cluster pairwise pass is SemDeDup's
     intrinsic O(sum c_i^2) cost, executed as ONE Arrow batch per
@@ -290,13 +301,18 @@ def semantic_dedup(
         mat = np.vstack(pdf["qv"].to_numpy()[order]).astype(np.int64)
         n2 = (mat * mat).sum(axis=1)
         # integer dots; cosine = dot/sqrt(na)/sqrt(nb) uses only IEEE
-        # correctly-rounded ops, so it is bit-equal to the SQL oracle
-        dots = mat @ mat.T
-        sim = np.round(
-            dots / np.sqrt(n2.astype(np.float64))[:, None]
-            / np.sqrt(n2.astype(np.float64))[None, :],
-            6,
-        )
+        # correctly-rounded ops, bit-equal to the SQL oracle PROVIDED
+        # the divisions run in the oracle's order: lower id (the column
+        # index in the lower triangle) first, then the row's own norm
+        rt = np.sqrt(n2.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (mat @ mat.T) / rt[None, :] / rt[:, None]
+        # half-away-from-zero at 6 dp, matching Spark/DuckDB round();
+        # np.round is half-to-even and flips exact 1e-6 ties
+        sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+        zero = n2 == 0  # cosine undefined: similar to nothing
+        sim[zero, :] = -2.0
+        sim[:, zero] = -2.0
         tri = np.tril(sim >= tau, k=-1)  # [i, j<i] above threshold
         return pd.DataFrame(
             {
@@ -306,8 +322,9 @@ def semantic_dedup(
             }
         )
 
+    id_type = emb.schema[id_col].dataType.simpleString()
     return m.groupBy("cid").applyInPandas(
-        per_cluster, schema=f"{id_col} long, cid long, is_dup boolean"
+        per_cluster, schema=f"{id_col} {id_type}, cid long, is_dup boolean"
     )
 
 

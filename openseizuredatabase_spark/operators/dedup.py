@@ -325,11 +325,15 @@ def jaccard_candidate_pairs(
             ),
         )
     )
+    # the NULL sentinel must carry the id column's own type — a "long"
+    # literal against string doc ids would give the pair structs and
+    # single structs mismatched field types and fail F.concat analysis
+    id_type = sh.schema[id_col].dataType
     single_structs = F.transform(
         F.col("ids"),
         lambda x: F.struct(
             x.alias("id_a"),
-            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast(id_type).alias("id_b"),
         ),
     )
     out = (
@@ -672,17 +676,25 @@ def scrub_duplicated_spans(
 
     Word positions covered by any duplicated k-gram interval
     [pos, pos+k) are dropped; the remainder reassembles in order.
-    Documents with no duplicated span pass through unchanged. Returns
+    EVERY input document emits exactly one row: documents with no
+    duplicated span (including those shorter than ``k`` words, which
+    cannot host a k-gram and so pass through verbatim) come back
+    unchanged, and fully-covered documents come back as
+    ``(n_kept=0, cleaned='')`` rather than vanishing — a scrub used to
+    rebuild a corpus must not silently delete documents. Returns
     ``(id, n_words, n_kept, cleaned)``.
 
     Scale shape: the covered-position set explodes from the duplicated
     k-gram starts (k rows per hit, collapsed by the same doc-key
-    exchange the anti-join and the reassembly groupBy ride), so the
-    extra cost over the span finder is one distinct + one anti-join,
-    both co-partitioned on the doc key — no new corpus-wide key.
+    exchange the left join and the reassembly groupBy ride), so the
+    extra cost over the span finder is one distinct + one outer join,
+    both co-partitioned on the doc key — no new corpus-wide key. The
+    short-doc branch is a narrow union: no extra shuffle (its groupBy
+    is replaced by a per-row projection).
     """
     toks = tokens(F.col(text_col))
-    d = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= k)
+    base = df.select(F.col(id_col), toks.alias("t"))
+    d = base.filter(F.size("t") >= k)
     sh = F.concat_ws(
         " ",
         *[F.element_at(F.col("t"), F.col("pos") + 1 + j) for j in range(k)],
@@ -704,22 +716,40 @@ def scrub_duplicated_spans(
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + k - 1)
         ).alias("pos"),
+        F.lit(1).alias("__cov"),
     ).distinct()
     words = d.select(
         id_col,
-        F.size("t").alias("n_words"),
+        F.size("t").cast("long").alias("n_words"),
         F.posexplode("t").alias("pos", "word"),
     ).withColumn("pos", F.col("pos").cast("long"))
-    kept = words.join(covered, [id_col, "pos"], "left_anti")
-    return kept.groupBy(id_col, "n_words").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    # LEFT join (not anti): a fully-covered doc keeps its group and
+    # aggregates to n_kept=0 / cleaned='' — collect_list drops the
+    # NULL structs of covered positions
+    flagged = words.join(covered, [id_col, "pos"], "left")
+    scrubbed = flagged.groupBy(id_col, "n_words").agg(
+        F.count(F.when(F.col("__cov").isNull(), 1)).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("pos", "word"))
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov").isNull(),
+                            F.struct("pos", "word"),
+                        )
+                    )
                 ),
                 lambda s: s["word"],
             ),
             " ",
         ).alias("cleaned"),
     )
+    passthrough = base.filter(F.size("t") < k).select(
+        F.col(id_col),
+        F.size("t").cast("long").alias("n_words"),
+        F.size("t").cast("long").alias("n_kept"),
+        F.array_join(F.col("t"), " ").alias("cleaned"),
+    )
+    return scrubbed.select(
+        id_col, "n_words", "n_kept", "cleaned"
+    ).unionByName(passthrough)

@@ -2313,28 +2313,14 @@ def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "v4_ivf_topk",
-    None,
-    "IVF approximate nearest-neighbor (the ANN scale path): MLlib KMeans "
-    "coarse quantizer, n_probe nearest clusters probed, exact cosine "
-    "rerank inside — at lake scale cluster_id is the partition key so a "
-    "probe touches only those partitions. Seeded but model-dependent → "
-    "rows-only; recall vs brute force pinned in tests/test_ann.py.",
-)
-def v4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from openseizuredatabase_spark.functions.ann import build_ivf, ivf_search
-
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned, centroids = build_ivf(emb, k=8, seed=42)
-    # query-parameter lookup: local Arrow read, memoized — no Spark job
-    query = np.asarray(
-        tables.lookup_param_row(sf_dir, "embeddings", "vec_id", 0, "embedding"),
-        dtype=float,
-    )
-    return ivf_search(assigned, centroids, query, n_probe=4, top_k=10)
+# v4_ivf_topk (MLlib-KMeans IVF search) is RETIRED as a registry entry:
+# v6_ivf_probe_exact runs the identical probe shape (coarse quantizer →
+# n_probe nearest clusters → exact rerank → top-k) with cross-engine
+# exact integer semantics and a full value-hash oracle, so the rows-only
+# v4 slot added no verification the oracled v6 doesn't already carry.
+# The MLlib path itself (functions/ann.build_ivf / ivf_search) stays a
+# library API — seeded-model recall vs brute force is pinned in
+# tests/test_ann.py.
 
 
 def _stream_events(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
@@ -6097,7 +6083,8 @@ def _t24_oracle() -> str:
         FROM dots d
         JOIN nrm na ON d.ida = na.vec_id
         JOIN nrm nb ON d.idb = nb.vec_id
-        WHERE round(dot / sqrt(na.n2) / sqrt(nb.n2), 6) >= 0.4
+        WHERE na.n2 > 0 AND nb.n2 > 0
+          AND round(dot / sqrt(na.n2) / sqrt(nb.n2), 6) >= 0.4
     )
     SELECT a.vec_id, a.cid, (dup.vec_id IS NOT NULL) AS is_dup
     FROM a2 a LEFT JOIN dup ON a.vec_id = dup.vec_id
@@ -6120,25 +6107,42 @@ def _t24_oracle() -> str:
     "sqrt/divide, so the dup decision is bit-stable cross-engine.",
 )
 def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import semantic_dedup
+
+    # Always the oracle-exact shape — flat k=8 Lloyd clustering + the
+    # per-cluster kernel — so the query's output is data-size-
+    # INDEPENDENT and matches its oracle at any sf (round-3 had a
+    # silent table_meta row-count branch here; the production
+    # auto-scaling parameterization is now the EXPLICIT separate entry
+    # t24_semdedup_scaled, the v4-vs-v5 split pattern).
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, quant=1000, tau=0.4)
+
+
+@query(
+    "t24_semdedup_scaled",
+    None,
+    "SemDeDup at the production parameterization (the scale path "
+    "t24_semantic_dedup's fixed-k oracle cannot follow): k scales with "
+    "the corpus (~625-vector clusters keep the one-Arrow-batch-per-"
+    "cluster memory invariant AND bound the intrinsic sum(c_i^2) "
+    "pairwise work), centroids TRAIN on a ~5000-row deterministic hash "
+    "sample (flat Lloyd training is n*k*d per round — the 30x stress "
+    "showed it superlinear), and the full corpus assigns through the "
+    "two-level O(n*sqrt(k)*d) path. Data-adaptive by design (row count "
+    "from parquet footers, no Spark job) → rows-only; every component "
+    "is separately value-hash oracled (clustering v5, two-level assign "
+    "v7, dup kernel t24) and scaled-vs-exact agreement is pinned in "
+    "tests/test_ann.py.",
+)
+def t24_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.ann import (
         hierarchical_assign,
         semantic_dedup,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # Every driver sf (0.001/0.01/0.1 = 500..5000 rows) takes the
-    # oracle-exact path: flat k=8 Lloyd clustering + the per-cluster
-    # kernel. Beyond that the query switches to the documented
-    # production shape — k scales with the corpus (bounded ~625-vector
-    # clusters keep the one-Arrow-batch-per-cluster memory invariant),
-    # centroids TRAIN on a bounded deterministic sample (Lloyd training
-    # is n*k*d per round — the 30x stress showed the flat path going
-    # superlinear), and the full corpus assigns through the two-level
-    # O(n*sqrt(k)*d) path (v7). Row count comes from parquet footer
-    # metadata — no Spark job (tables.table_meta).
     n_rows, _ = table_meta(sf_dir, "embeddings")
-    if n_rows <= 5000:
-        return semantic_dedup(emb, k=8, iters=2, quant=1000, tau=0.4)
     k = max(8, n_rows // 625)
     g = max(3, int(k**0.5))
     # deterministic training sample: the k seed ids plus a portable
@@ -6654,25 +6658,35 @@ def t28_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, g.p AS pos
         FROM dup, unnest(generate_series(pos, pos + 4)) AS g(p)
     ), words AS (
-        SELECT doc_id, len(t) AS n_words, g.i - 1 AS pos, t[g.i] AS word
+        SELECT doc_id, len(t)::BIGINT AS n_words,
+               g.i - 1 AS pos, t[g.i] AS word
         FROM toks, unnest(generate_series(1, len(t))) AS g(i)
         WHERE len(t) >= 5
     ), kept AS (
-        SELECT w.doc_id, w.n_words, w.pos, w.word
+        SELECT w.doc_id, w.n_words, w.pos, w.word,
+               (c.pos IS NULL) AS keep
         FROM words w LEFT JOIN cov c
           ON w.doc_id = c.doc_id AND w.pos = c.pos
-        WHERE c.pos IS NULL
     )
-    SELECT doc_id, n_words, count(*) AS n_kept,
-           string_agg(word, ' ' ORDER BY pos) AS cleaned
+    SELECT doc_id, n_words,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN word END, ' '
+                               ORDER BY pos), '') AS cleaned
     FROM kept GROUP BY doc_id, n_words
+    UNION ALL
+    SELECT doc_id, len(t)::BIGINT AS n_words, len(t)::BIGINT AS n_kept,
+           array_to_string(t, ' ') AS cleaned
+    FROM toks WHERE len(t) < 5
     """,
     "Exact-substring dedup, removal half (dedup.scrub_duplicated_spans "
     "— completes t23's Lee et al. 2022 loop by actually CUTTING the "
     "duplicated spans): word positions covered by any corpus-"
     "duplicated 5-gram interval drop, the remainder reassembles in "
-    "order. Over t23's two shuffles this adds only a doc-key distinct "
-    "+ anti-join + reassembly groupBy, all co-partitioned on the doc "
+    "order. EVERY document emits one row — sub-5-word docs pass "
+    "through verbatim and fully-covered docs come back as (0, '') "
+    "instead of vanishing, so the output is a corpus rebuild, not a "
+    "sample. Over t23's two shuffles this adds only a doc-key distinct "
+    "+ outer join + reassembly groupBy, all co-partitioned on the doc "
     "key — no new corpus-wide key, no Python.",
 )
 def t30_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7135,10 +7149,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("c12_taper", "event_id", t("tapered_sum_q")),
         ("m10_subtype_weights", "event_id",
          f"{_sig_sc('event_type')} + 31*{_sig_q6('sample_weight')}"),
-        ("m15_cnn_inference", "vec_id", q6("p")),
-        ("n2_differential_report", "user_id",
-         "n_dps + 31*n_state_match"
-         " + 1009*(verdict_a + 2*verdict_b + 4*verdict_match)"),
         ("s10_streaming_sessionize", "user_id",
          "n_sessions + 31*max_session_len"),
         ("t17_bpe_pair_counts",
@@ -7206,6 +7216,57 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t12_decontamination", "doc_id",
          f"n_sh + 31*n_hit + 1009*{q6('contam_frac')}"
          " + 31063*(CASE WHEN contaminated THEN 1 ELSE 0 END)"),
+        # round-4 window rotation: these long-stable round-1 singles
+        # moved from direct driver slots into the bundle, freeing their
+        # slots for the round-3 flagships (t23-t33, p3-p5, n2, m15,
+        # v5-v7) to get direct CORRECTNESS rows
+        ("f2_ci_substring", "doc_id", f"{sc('lang')} + 31*{sc('source')}"),
+        ("f3_sql_predicate", "event_id",
+         f"{sc('event_type')} + 31*{t(q6('value'))}"),
+        ("f4_date_range_daily",
+         f"CAST(replace(day, '-', '') AS BIGINT) * 100000"
+         f" + {sc('event_type')}", "n"),
+        ("c5_json_extract", sc("event_type"),
+         "n + 31*" + t(q6("coalesce(avg_k, -1)"))
+         + " + 1009*coalesce(max_k, -1) + 31063*n_high"),
+        ("d3_drop_duplicates",
+         f"user_id * 1000000 + {sc('event_type')}", "1"),
+        ("d4_weekly_counts",
+         "user_id * 100000000 + CAST(replace(week, '-', '') AS BIGINT)",
+         f"n + 31*{sc('event_type')}"),
+        ("w2_sorted_index", "event_id",
+         "user_id + 31*CAST(replace(replace(replace(iso_time, '-', ''),"
+         " ':', ''), 'T', '') AS BIGINT)"),
+        ("w4_gap_census", "user_id",
+         "n_gaps + 31*n_extras + 1009*n_rows"),
+        ("w6_feature_history", "event_id",
+         f"user_id + 7*{t(q6('value_t0'))} + 31*{t(q6('value_t1'))}"
+         f" + 1009*{t(q6('value_t2'))} + 31063*{t(q6('value_mean'))}"),
+        ("a2_category_cube",
+         "CAST(" + sc("coalesce(event_type, '~')")
+         + " AS BIGINT) * 100 + coalesce(cohort, -1)",
+         f"n + 31*{t(q6('sum_value'))}"),
+        ("a3_presence_flags", "user_id",
+         "(CASE WHEN mostly_high THEN 1 ELSE 0 END) + 31*n_valid"
+         " + 1009*n_rows"),
+        ("a4_max_severity", "user_id", "max_severity"),
+        ("a8_cumulative_daily",
+         f"CAST({sc('event_type')} AS BIGINT) * 100000000"
+         " + CAST(replace(day, '-', '') AS BIGINT)",
+         "n + 31*cum_n"),
+        ("a9_array_stats", "vec_id",
+         f"{t('mean_micro')} + 31*{t('norm_sq_micro')} + 1009*n"),
+        ("a10_moments", sc("event_type"),
+         f"{t(q6('mean_value'))} + 31*{t(q6('std_value'))}"
+         f" + 1009*{t(q6('skewness'))} + 31063*{t(q6('kurtosis'))}"),
+        ("c3_relative_time", "event_id",
+         f"user_id + 31*{t(q6('rel_s'))}"
+         " + 1009*(CAST(replace(replace(replace(iso_time, '-', ''),"
+         " ':', ''), 'T', '') AS BIGINT) % 1000000007)"),
+        ("m2_modulo_folds", f"fold * 100000 + {sc('event_type')}",
+         "n + 31*n_events"),
+        ("f12_min_group_size", "event_id", "user_id"),
+        ("u_set_algebra", "user_id", "1"),
         ("t13_pii_scrub", "doc_id",
          "n_redactions + 31*length(scrubbed)"
          " + 1009*ascii(substr(scrubbed, 3, 1))"),
@@ -7233,10 +7294,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_pos + 31*n_neg + 1009*{q6('coalesce(auc, -1)')}"),
         ("j8_range_join", "event_id",
          f"n_matches + 31*first_iv_id + 1009*{t('first_iv_start_us')}"),
-        ("v5_kmeans_exact", "cid",
-         f"n_members + 31*min_id + 1009*{t('c_sum')}"),
-        ("v6_ivf_probe_exact", "vec_id",
-         f"cid + 31*{t('dist')}"),
         ("p2_neardup_removal", sc("source"),
          "n_docs + 31*n_removed + 1009*n_kept"
          " + 31063*coalesce(min_kept_id, -1)"),
@@ -7255,45 +7312,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t19_boilerplate_scrub", "doc_id",
          "n_kept + 31*length(cleaned)"
          " + 1009*ascii(substr(cleaned, 1, 1))"),
-        ("t23_substring_dedup", "doc_id",
-         f"n_dup_ngrams + 31*n_spans + 1009*n_dup_words"
-         f" + 31063*{q6('dup_frac')}"),
-        ("t24_semantic_dedup", "vec_id",
-         "cid + 31*(CASE WHEN is_dup THEN 1 ELSE 0 END)"),
-        ("t25_dsir_importance", "doc_id",
-         f"{sc('source')} + 31*n_bigrams + 1009*{t('w_micro')}"),
-        ("p3_dsir_resample", "doc_id",
-         f"{sc('source')} + 31*{t('w_micro')} + 1009*{q6('key')}"),
-        ("t26_html_extract", "doc_id",
-         "length(text_out) + 31*ascii(substr(text_out, 1, 1))"
-         " + 1009*ascii(substr(text_out, length(text_out), 1))"),
-        ("t27_unicode_normalize", "doc_id",
-         "length(text_norm) + 31*ascii(substr(text_norm, 1, 1))"
-         " + 1009*ascii(substr(text_norm, length(text_norm), 1))"),
-        ("p4_scrape_ingest", sc("source"),
-         f"n_pages + 31*n_docs + 1009*{t('n_tokens')}"),
-        ("t29_source_overlap",
-         f"CAST({sc('src_a')} AS BIGINT) * 100000 + {sc('src_b')}",
-         f"n_shared + 31*n_a + 1009*n_b + 31063*{q6('containment')}"),
-        ("t28_zipf_stats", "0",
-         f"n_types + 31*{t('n_tokens')} + 1009*top_freq"
-         f" + 31063*{q6('zipf_slope')}"),
-        ("t30_substring_scrub", "doc_id",
-         "n_words + 31*n_kept + 1009*length(cleaned)"
-         " + 31063*ascii(substr(cleaned, 1, 1))"),
-        ("v7_hierarchical_assign", "0", "n_total + 31*n_match"),
-        ("t31_gopher_rules", "doc_id",
-         f"n_words + 31*{q6('mean_word_len')} + 1009*{q6('frac_alpha')}"
-         f" + 31063*{q6('frac_symbol')} + 7*n_stop"
-         " + 3*(CASE WHEN gopher_pass THEN 1 ELSE 0 END)"),
-        ("t32_minhash_calibration", "id_a * 1000000 + id_b",
-         f"{q6('est_jaccard')} + 31*{q6('true_jaccard')}"),
-        ("p5_perplexity_filter", "doc_id",
-         f"{sc('source')} + 31*n_bigrams + 1009*{q6('avg_logprob')}"
-         f" + 31063*{q6('pr')}"),
-        ("t33_fertility_stats", sc("source"),
-         f"n_docs + 31*{t('n_chars')} + 1009*{t('n_bpe_tokens')}"
-         f" + 31063*{q6('chars_per_token')} + 7*{q6('fertility')}"),
     ]
 
 
@@ -7339,23 +7357,30 @@ QUERIES["x_signatures"] = QuerySpec(
 # slot 50; remaining oracled queries next (full-fidelity, judge-checkable
 # locally); rows-only queries (genuinely non-SQL kernels) last.
 _DRIVER_WINDOW = [
+    # core round-1 flagships that keep direct slots
     "a1_pricing_summary", "j3_top_orders", "j2_semi_join_customers",
     "f7_anti_join_customers", "j5_snapshot_merge", "f1_include_exclude",
-    "f2_ci_substring", "f3_sql_predicate", "f4_date_range_daily",
-    "c5_json_extract", "d1_unique_event_grouping", "d2_gap_clustering",
-    "d3_drop_duplicates", "d4_weekly_counts", "w3_gap_fill",
-    "w4_gap_census", "w5_epoch_segmentation", "w6_feature_history",
-    "w7_moving_average", "w12_topk_per_group", "a8_cumulative_daily",
-    "a2_category_cube", "a3_presence_flags", "a4_max_severity",
+    "d1_unique_event_grouping", "d2_gap_clustering", "w3_gap_fill",
+    "w5_epoch_segmentation", "w7_moving_average", "w12_topk_per_group",
     "a5_event_rollup", "a6_confusion_metrics", "a11_per_user_rebucket",
-    "u_set_algebra", "m2_modulo_folds", "m3_oversample_balance",
+    "m1_train_test_split", "m3_oversample_balance", "m5_noise_augment",
+    "m6_phase_augment", "m9_batch_inference",
     "t1_token_stats", "t2_quality_score", "t3_lang_id",
     "t4_fingerprint_dedup", "t5_ngram_jaccard", "t6_minhash_signatures",
     "v1_cosine_topk", "v2_lsh_buckets", "w10_alarm_state_machine",
-    "c9_fft_features", "m1_train_test_split", "a9_array_stats",
-    "a10_moments", "c3_relative_time", "w2_sorted_index",
-    "f12_min_group_size", "m5_noise_augment", "m6_phase_augment",
-    "m9_batch_inference", "x_signatures",
+    "c9_fft_features",
+    # round-4 rotation: round-3 flagships promoted from the bundle to
+    # direct rows (the 19 long-stable round-1 singles they replaced —
+    # f2/f3/f4/c5/d3/d4/w2/w4/w6/a2/a3/a4/a8/a9/a10/c3/m2/f12/u — moved
+    # into x_signatures; zero coverage loss)
+    "t23_substring_dedup", "t24_semantic_dedup", "t25_dsir_importance",
+    "t26_html_extract", "t27_unicode_normalize", "t28_zipf_stats",
+    "t29_source_overlap", "t30_substring_scrub", "t31_gopher_rules",
+    "t32_minhash_calibration", "t33_fertility_stats",
+    "p3_dsir_resample", "p4_scrape_ingest", "p5_perplexity_filter",
+    "n2_differential_report", "m15_cnn_inference",
+    "v5_kmeans_exact", "v6_ivf_probe_exact", "v7_hierarchical_assign",
+    "x_signatures",
 ]
 
 

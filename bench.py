@@ -60,6 +60,8 @@ HEADLINE = [
     "t30_substring_scrub",
     "t31_gopher_rules",
     "t32_minhash_calibration",
+    "p5_perplexity_filter",
+    "t33_fertility_stats",
 ]
 
 
@@ -73,7 +75,7 @@ def main() -> int:
     from openseizuredatabase_spark.plans.registry import QUERIES
     from openseizuredatabase_spark.session import get_spark
 
-    # the 29-query sequence schedules thousands of tasks in one JVM; a
+    # the 43-query sequence schedules thousands of tasks in one JVM; a
     # larger driver heap keeps old-gen GC pauses out of the later
     # queries' timings (the machine has 128 GiB — 16g is conservative)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")

@@ -243,7 +243,12 @@ def semantic_dedup(
     >= ``tau`` (the greedy keep-lowest rule; chains mark every non-first
     member of a similarity run, the standard approximation).
 
-    Returns ``(id, cid, is_dup)`` — one row per input vector.
+    Returns ``(id, cid, is_dup)`` — one row per input vector. The id
+    column may be any orderable type (the keep-lowest rule is its
+    natural ordering; the output schema mirrors the input id type) —
+    but when ``assign`` is omitted the internal :func:`kmeans_exact`
+    seeds centroids from ids 1..k, so non-numeric ids must come with a
+    precomputed ``assign``.
 
     Cross-engine exact: clustering is :func:`kmeans_exact` (integer
     semantics), dots/norms are integer sums over ``quant``-quantized

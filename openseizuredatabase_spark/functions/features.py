@@ -179,14 +179,34 @@ def epoch_feature_dict(
     feats[f"activity_count_{prefix}"] = float(np.sqrt(np.mean(data**2)))
     feats[f"mean_{prefix}"] = float(np.mean(data))
     feats[f"std_{prefix}"] = float(np.std(data))
-    centered = data - data.mean()
-    m2 = np.mean(centered**2)
-    if m2 > 0:
-        feats[f"skewness_{prefix}"] = float(np.mean(centered**3) / m2**1.5)
-        feats[f"kurtosis_{prefix}"] = float(np.mean(centered**4) / m2**2 - 3.0)
+    # skew/kurtosis from EXACT power sums rather than centered moments
+    # (identical population formulas; on integer-valued data every
+    # partial sum is exactly representable, so the result is bit-equal
+    # to a SQL replay regardless of summation order — the a10
+    # discipline, extended to the epoch kernel so w5_epoch_moments is
+    # value-hash oracle-able). var**1.5 / var**2 are spelled as
+    # sqrt(var)*var and var*var: IEEE ops only, no libm pow.
+    n = float(len(data))
+    s1 = float(data.sum())
+    s2 = float((data * data).sum())
+    s3 = float((data * data * data).sum())
+    s4 = float((data * data * data * data).sum())
+    m = s1 / n
+    var = s2 / n - m * m
+    if var > 0:
+        feats[f"skewness_{prefix}"] = (
+            s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+        ) / (math.sqrt(var) * var)
+        feats[f"kurtosis_{prefix}"] = (
+            s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+            - 3 * m * m * m * m
+        ) / (var * var) - 3.0
     else:
         feats[f"skewness_{prefix}"] = 0.0
         feats[f"kurtosis_{prefix}"] = 0.0
+    # line length: the classic EEG/accelerometry complexity measure —
+    # total variation sum(|x_i - x_{i-1}|) over the epoch
+    feats[f"line_length_{prefix}"] = float(np.sum(np.abs(np.diff(data))))
     feats[f"zcr_{prefix}"] = float(
         np.sum(np.abs(np.diff(np.sign(data)))) / (2.0 * len(data))
     )

@@ -2562,14 +2562,16 @@ def j4_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quantized_signal(n: int = 25):
+def _quantized_signal(n: int = 25, scale: int = 10000):
     """Deterministic per-event sinusoid, quantized to longs so Spark and
-    DuckDB trig libm differences can't flip the value hash (c19 pattern)."""
+    DuckDB trig libm differences can't flip the value hash (c19 pattern).
+    ``scale=100`` keeps 4th-power sums exactly representable in float64
+    (the w5_epoch_moments requirement: |s|<=100 → sum(s^4) <= 5e9)."""
     freq = (F.col("event_id") % 5 + 1).cast("double")
     return F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda i: F.round(
-            F.sin(2 * math.pi * freq * i.cast("double") / 25.0) * 10000, 0
+            F.sin(2 * math.pi * freq * i.cast("double") / 25.0) * scale, 0
         ).cast("long"),
     )
 
@@ -3800,6 +3802,213 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.col("features"), "mean_magnitude"), 6).alias(
             "mean_raw"
         ),
+    )
+
+
+@query(
+    "w5_epoch_moments",
+    """
+    WITH base AS (
+        SELECT event_id % 100 AS eid, event_id,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0)
+                     * 100)::BIGINT AS s,
+               i
+        FROM events, unnest(generate_series(0, 24)) AS g(i)
+        WHERE event_id < 800
+    ), seq AS (
+        SELECT eid, s,
+               row_number() OVER (PARTITION BY eid ORDER BY event_id, i) - 1
+                   AS rn
+        FROM base
+    ), diffs AS (
+        SELECT eid, rn,
+               abs(s - lag(s) OVER (PARTITION BY eid ORDER BY rn)) AS dabs,
+               abs(sign(s) - sign(lag(s) OVER (PARTITION BY eid ORDER BY rn)))
+                   AS dsgn
+        FROM seq
+    ), counts AS (
+        SELECT eid, count(*) AS n FROM seq GROUP BY eid
+    ), epochs AS (
+        SELECT eid, 25 * k.k AS st
+        FROM counts, unnest(generate_series(0, 1000)) AS k(k)
+        WHERE 25 * k.k + 50 <= n
+    ), sums AS (
+        SELECT e.eid, e.st,
+               sum(q.s)::BIGINT AS s1,
+               sum(q.s * q.s)::BIGINT AS s2,
+               sum(q.s * q.s * q.s)::BIGINT AS s3,
+               sum(q.s * q.s * q.s * q.s)::BIGINT AS s4
+        FROM epochs e
+        JOIN seq q ON q.eid = e.eid AND q.rn BETWEEN e.st AND e.st + 49
+        GROUP BY e.eid, e.st
+    ), dsums AS (
+        SELECT e.eid, e.st,
+               sum(d.dabs)::BIGINT AS ll,
+               sum(d.dsgn)::BIGINT AS zc
+        FROM epochs e
+        JOIN diffs d ON d.eid = e.eid AND d.rn BETWEEN e.st + 1 AND e.st + 49
+        GROUP BY e.eid, e.st
+    ), calc AS (
+        SELECT s.eid, s.st, d.ll, d.zc,
+               s1::DOUBLE / 50.0 AS m,
+               s2::DOUBLE / 50.0 AS t2,
+               s3::DOUBLE / 50.0 AS t3,
+               s4::DOUBLE / 50.0 AS t4,
+               s2::DOUBLE / 50.0 - (s1::DOUBLE / 50.0) * (s1::DOUBLE / 50.0)
+                   AS v
+        FROM sums s JOIN dsums d ON s.eid = d.eid AND s.st = d.st
+    )
+    SELECT eid AS eventId, st::BIGINT AS startSample,
+           ll AS line_length,
+           round(zc::DOUBLE / (2.0 * 50.0), 6) AS zcr,
+           round(CASE WHEN v > 0
+                 THEN (t3 - 3 * m * t2 + 2 * m * m * m) / (sqrt(v) * v)
+                 ELSE 0.0 END, 6) AS skewness,
+           round(CASE WHEN v > 0
+                 THEN (t4 - 4 * m * t3 + 6 * m * m * t2 - 3 * m * m * m * m)
+                      / (v * v) - 3.0
+                 ELSE 0.0 END, 6) AS kurtosis
+    FROM calc
+    """,
+    "W5 epoch features, moments slice (extends the w5_epoch_rms "
+    "pattern per extractFeatures.py:143-211 / accelFeatures.py:70-79): "
+    "the SAME applyInPandas kernel (functions/features."
+    "extract_epoch_features) over a x100-quantized signal emits "
+    "line-length (total variation — exact integer), zero-crossing "
+    "rate (exact sign-diff counting), and skewness/kurtosis computed "
+    "from EXACT integer power sums with IEEE-only combining "
+    "(sqrt(v)*v, v*v — no libm pow), so every value is bit-equal to "
+    "the SQL replay. The x100 quantization bounds sum(s^4) at 5e9 — "
+    "exactly representable in float64 AND int64, which is what makes "
+    "the 4th-moment path order-independent.",
+)
+def w5_epoch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.features import (
+        extract_epoch_features,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 800).select(
+        (F.col("event_id") % 100).alias("eventId"),
+        F.timestamp_micros(F.col("event_id") * 1_000_000).alias("dpTimestamp"),
+        _quantized_signal(scale=100).cast("array<double>").alias("rawData"),
+        F.col("value").alias("hr"),
+    )
+    feats = extract_epoch_features(
+        ev, window_len=50, step=25, gravity_cutoff=None
+    )
+    fm = F.col("features")
+    return feats.select(
+        "eventId",
+        "startSample",
+        F.element_at(fm, "line_length_magnitude").cast("long").alias(
+            "line_length"
+        ),
+        F.round(F.element_at(fm, "zcr_magnitude"), 6).alias("zcr"),
+        F.round(F.element_at(fm, "skewness_magnitude"), 6).alias("skewness"),
+        F.round(F.element_at(fm, "kurtosis_magnitude"), 6).alias("kurtosis"),
+    )
+
+
+def _band_power_oracle() -> str:
+    from openseizuredatabase_spark.functions.features import FREQ_BANDS
+
+    values = ",\n               ".join(
+        f"('{name}', {lo}, {hi})" for name, (lo, hi) in FREQ_BANDS.items()
+    )
+    d = _EMB_DIM
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, g.i - 1 AS n, embedding[g.i]::DOUBLE AS x
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), win AS (
+        SELECT vec_id, n,
+               (x - avg(x) OVER (PARTITION BY vec_id))
+                 * (0.5 * (1 - cos(2 * pi() * n / {d - 1}.0))) AS xw,
+               0.5 * (1 - cos(2 * pi() * n / {d - 1}.0)) AS w
+        FROM ex
+    ), scale AS (
+        SELECT vec_id, 1.0 / (25.0 * sum(w * w)) AS s
+        FROM win GROUP BY vec_id
+    ), bins AS (
+        SELECT w.vec_id, k.k AS k,
+               sum(w.xw * cos(2 * pi() * k.k * w.n / {d}.0)) AS re,
+               sum(w.xw * sin(2 * pi() * k.k * w.n / {d}.0)) AS im
+        FROM win w, unnest(generate_series(0, {d // 2})) AS k(k)
+        GROUP BY w.vec_id, k.k
+    ), psd AS (
+        SELECT b.vec_id, b.k,
+               round((b.re*b.re + b.im*b.im) * s.s
+                     * (CASE WHEN b.k = 0 OR b.k = {d // 2}
+                             THEN 1.0 ELSE 2.0 END), 6) AS psd
+        FROM bins b JOIN scale s ON b.vec_id = s.vec_id
+    ), bands AS (
+        SELECT * FROM (VALUES {values}) AS v(band, lo, hi)
+    )
+    SELECT p.vec_id, bd.band,
+           sum(CAST(round(p.psd * 1000000) AS BIGINT))::BIGINT
+               AS band_power_micro,
+           count(*) AS n_bins
+    FROM psd p
+    JOIN bands bd ON p.k * 25.0 / {d}.0 >= bd.lo
+                 AND p.k * 25.0 / {d}.0 <= bd.hi
+    GROUP BY p.vec_id, bd.band
+    """
+
+
+@query(
+    "w5_band_power",
+    _band_power_oracle(),
+    "W5 per-band Parseval powers (accelFeatures.py:88-96 total_power "
+    "per FREQ_BANDS over the Welch PSD): the REAL numpy Welch kernel "
+    "(functions/features.welch_psd — the c14-verified path) emits "
+    "6-dp-rounded per-bin PSD; band membership (k*fs/N within "
+    "[lo, hi]) and the band sum happen relationally with the PSD "
+    "quantized to integer micro-units BEFORE summing — identical "
+    "integers in both engines, so the band aggregation is "
+    "order-independent and exactly value-hash-checkable (the float "
+    "band sums inside epoch_feature_dict stay pinned by pytest). The "
+    "14-band table broadcasts; the range join is a 14-row nested loop "
+    "the scan absorbs.",
+)
+def w5_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.features import (
+        FREQ_BANDS,
+        welch_psd,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+
+    @F.pandas_udf("array<double>")
+    def psd(batch: pd.Series) -> pd.Series:
+        return batch.map(
+            lambda x: np.round(
+                welch_psd(np.asarray(x, dtype=float), 25.0)[1], 6
+            ).tolist()
+        )
+
+    bins = emb.select(
+        "vec_id", F.posexplode(psd("x")).alias("k", "psd")
+    )
+    bands = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(name, lo, hi) for name, (lo, hi) in FREQ_BANDS.items()],
+            "band string, lo double, hi double",
+        )
+    )
+    freq = F.col("k").cast("double") * 25.0 / float(_EMB_DIM)
+    return (
+        bins.join(bands, (freq >= F.col("lo")) & (freq <= F.col("hi")))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.round(F.col("psd") * 1e6, 0).cast("long")
+            ).alias("band_power_micro"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
     )
 
 
@@ -7190,6 +7399,13 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("c14_welch_psd", "vec_id * 100 + k", q6("psd")),
         ("w5_epoch_rms", "eventId * 100000 + startSample",
          f"{q6('rms_raw')} + 31*{t(q6('mean_raw'))}"),
+        ("w5_epoch_moments", "eventId * 100000 + startSample",
+         f"{t('line_length')} + 31*{q6('zcr')} + 1009*{t(q6('skewness'))}"
+         f" + 31063*{t(q6('kurtosis'))}"),
+        ("w5_band_power",
+         f"vec_id * 100000000 + CAST({sc('band')} AS BIGINT) * 1000"
+         " + ascii(substr(band, 4, 1))",
+         f"{t('band_power_micro')} + 31*n_bins"),
         ("n1_dp_detector", "user_id",
          f"n_dps + 31*n_alarm_dps + 1009*n_warn_dps + 31063*{t(q6('p_sum'))}"),
         ("r2_data_audit", sc("bucket"),

@@ -193,3 +193,71 @@ def test_hierarchical_assign_with_sampled_training(spark):
     s = {r["vec_id"]: r["cid"] for r in samp.collect()}
     assert len(s) == len(rows)  # every vector assigned
     assert f == s  # separated clusters: sample-train changes nothing
+
+
+def test_semantic_dedup_zero_vector_not_similar(spark):
+    """A zero vector has undefined cosine: it must be similar to
+    NOTHING — neither flagged as a dup nor flagging others (0/0 = NaN
+    would compare differently across engines, so the kernel defines
+    sim = -2 for zero-norm pairs; the t24 oracle filters n2 > 0)."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0]),  # zero norm
+            Row(vec_id=4, embedding=[0.95, 0.05]),
+        ]
+    )
+    out = semantic_dedup(emb, k=2, iters=1, quant=1000, tau=0.5)
+    got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+    assert got[3] is False          # zero vector never a dup
+    assert got[4] is True           # near-copy of id 1 still flagged
+
+
+def test_semantic_dedup_string_ids(spark):
+    """applyInPandas output schema derives the id type from the input
+    frame (hard-coded 'long' was a round-3 assumption). String ids
+    require a precomputed ``assign`` — kmeans_exact seeds its centroids
+    from ids 1..k, which only exists for numeric ids — but the dup
+    kernel itself is id-type-agnostic (lexicographic keep-lowest)."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            Row(doc="a", embedding=[1.0, 0.0]),
+            Row(doc="b", embedding=[0.99, 0.01]),
+            Row(doc="c", embedding=[0.0, 1.0]),
+        ]
+    )
+    assign = spark.createDataFrame(
+        [Row(doc="a", cid=1), Row(doc="b", cid=1), Row(doc="c", cid=2)]
+    )
+    out = semantic_dedup(
+        emb, id_col="doc", quant=1000, tau=0.8, assign=assign
+    )
+    got = {r["doc"]: r["is_dup"] for r in out.collect()}
+    assert got["b"] is True and got["a"] is False and got["c"] is False
+
+
+def test_semdedup_scaled_agrees_with_exact(spark, sf_dir):
+    """t24_semdedup_scaled (sampled-train + two-level assignment, the
+    production parameterization) must stay a faithful approximation of
+    the oracled exact path: one row per vector, same schema, and the
+    dup verdicts agree on the overwhelming majority of vectors (the
+    only divergence source is the geometric coarse-assignment error)."""
+    from openseizuredatabase_spark.plans.registry import QUERIES
+
+    exact = QUERIES["t24_semantic_dedup"].fn(spark, sf_dir)
+    scaled = QUERIES["t24_semdedup_scaled"].fn(spark, sf_dir)
+    assert exact.columns == scaled.columns
+    e = {r["vec_id"]: r["is_dup"] for r in exact.collect()}
+    s = {r["vec_id"]: r["is_dup"] for r in scaled.collect()}
+    assert set(e) == set(s)
+    agree = sum(1 for k in e if e[k] == s[k]) / len(e)
+    assert agree >= 0.9, f"dup-verdict agreement {agree:.3f}"

@@ -551,3 +551,55 @@ def test_scrub_duplicated_spans_cuts_shared_phrase(spark):
     assert got[1] == (9, 4, "keep this and this")
     assert got[2] == (9, 4, "unique ending words here")
     assert got[3] == (6, 6, "no duplication at all here folks")
+
+
+def test_scrub_emits_every_document(spark):
+    """Round-4 contract: a scrub used to rebuild a corpus must not
+    silently delete documents — short docs (< k words, no possible
+    k-gram) pass through verbatim, and a fully-covered doc comes back
+    as (n_kept=0, cleaned='') instead of vanishing."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.dedup import (
+        scrub_duplicated_spans,
+    )
+
+    phrase = "one two three four five"  # exactly one 5-gram, duplicated
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=phrase),           # fully covered
+            Row(doc_id=2, text=phrase),           # fully covered
+            Row(doc_id=3, text="tiny doc"),       # < k words
+            Row(doc_id=4, text="ok " + phrase),   # partially covered
+        ]
+    )
+    out = scrub_duplicated_spans(docs, "text", "doc_id", k=5, min_count=2)
+    got = {r["doc_id"]: (r["n_words"], r["n_kept"], r["cleaned"])
+           for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}  # every doc emits exactly one row
+    assert got[1] == (5, 0, "")
+    assert got[2] == (5, 0, "")
+    assert got[3] == (2, 2, "tiny doc")
+    assert got[4] == (6, 1, "ok")
+
+
+def test_jaccard_candidate_pairs_string_ids(spark):
+    """The NULL size-sentinel must inherit the id column's type: string
+    doc ids were an analysis-time failure before round 4."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.dedup import (
+        jaccard_candidate_pairs,
+    )
+
+    sh = spark.createDataFrame(
+        [
+            Row(doc="a", shingle="x"), Row(doc="a", shingle="y"),
+            Row(doc="b", shingle="x"), Row(doc="b", shingle="y"),
+            Row(doc="c", shingle="z"),
+        ]
+    )
+    rows = jaccard_candidate_pairs(sh, "doc").collect()
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+           for r in rows}
+    assert got[("a", "b")] == (2, 2, 2)

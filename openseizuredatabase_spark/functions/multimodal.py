@@ -91,6 +91,198 @@ def decode_features(
     return media.select("media_id", "content").mapInPandas(run, out_schema)
 
 
+# --- real PNG codec (stdlib-only: struct + zlib) ---------------------------
+#
+# One honest codec path among the stubbed ones: PNG is fully decodable
+# with nothing but zlib inflate + per-scanline unfiltering, so the
+# "image decode" stage can be REAL here, not a deterministic fake.
+# Supports 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
+# non-interlaced — the overwhelming majority of training-corpus PNGs.
+# Palette and Adam7 fail fast with a clear message.
+
+import struct
+import zlib
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode a PNG to a (height, width, channels) uint8 array.
+
+    Pure stdlib: chunk walk → IHDR parse → concatenated-IDAT zlib
+    inflate → per-scanline unfilter (None/Sub/Up/Average/Paeth, the
+    full PNG filter set). The unfilter loop is per-scanline numpy
+    (vectorized where the filter allows: Up is a whole-row add; Sub/
+    Average/Paeth carry a per-pixel dependency and run at C-int speed
+    over a row buffer)."""
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, _comp, _filt,
+             interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG color type {color_type} (palette PNGs not supported)"
+        )
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNGs not supported")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        row0 = y * (stride + 1)
+        f = raw[row0]
+        line = np.frombuffer(
+            raw[row0 + 1 : row0 + 1 + stride], dtype=np.uint8
+        ).astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth: per-pixel left-dependency
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    cur[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, ch)
+
+
+def encode_png(
+    arr: np.ndarray, filters: "list[int] | None" = None
+) -> bytes:
+    """Encode a (h, w) or (h, w, channels) uint8 array as a PNG.
+
+    ``filters`` optionally forces the filter type per scanline (0-4);
+    default None-filters every line. Forcing a y%5 rotation exercises
+    the decoder's full unfilter matrix — the m20 oracle relies on that
+    round-trip."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch).astype(np.int64)
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        line = flat[y]
+        if f == 0:
+            enc = line
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        else:
+            enc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                va = line[i - ch] if i >= ch else 0
+                vb = prev[i]
+                vc = prev[i - ch] if i >= ch else 0
+                if f == 1:
+                    enc[i] = (line[i] - va) & 0xFF
+                elif f == 3:
+                    enc[i] = (line[i] - ((va + vb) >> 1)) & 0xFF
+                elif f == 4:
+                    enc[i] = (line[i] - _paeth(va, vb, vc)) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Real image-decode stage: PNG binary → per-image pixel statistics
+    through the stdlib decoder, one Arrow batch at a time (bytes never
+    on the driver). Non-PNG rows fail fast — this is the honest codec
+    path, not the stub."""
+    out_schema = (
+        f"{id_col} long, width long, height long, channels long, "
+        "n_px long, px_sum long, px_min long, px_max long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                img = decode_png(bytes(content))
+                h, w, ch = img.shape
+                ii = img.astype(np.int64)
+                rows.append(
+                    (mid, w, h, ch, int(img.size), int(ii.sum()),
+                     int(ii.min()), int(ii.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels",
+                    "n_px", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage. Real implementation requires PIL; without it the
     stage raises at plan-build time (NOT mid-job) so callers fail fast."""

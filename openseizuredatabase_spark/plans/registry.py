@@ -3429,6 +3429,63 @@ def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m20_png_decode",
+    """
+    WITH px AS (
+        SELECT event_id AS media_id,
+               (8 + event_id % 9)::BIGINT AS w,
+               (8 + event_id % 7)::BIGINT AS h,
+               (x.x * 7 + y.y * 13 + event_id * 31) % 256 AS v
+        FROM events,
+             unnest(generate_series(0, 8 + event_id % 9 - 1)) AS x(x),
+             unnest(generate_series(0, 8 + event_id % 7 - 1)) AS y(y)
+        WHERE event_id < 200
+    )
+    SELECT media_id, w AS width, h AS height, 1::BIGINT AS channels,
+           count(*) AS n_px, sum(v)::BIGINT AS px_sum,
+           min(v)::BIGINT AS px_min, max(v)::BIGINT AS px_max
+    FROM px GROUP BY media_id, w, h
+    """,
+    "REAL image decode (not the stub): deterministic greyscale images "
+    "are PNG-ENCODED with a rotating per-scanline filter (None/Sub/Up/"
+    "Average/Paeth — the full PNG filter matrix), then decoded by the "
+    "stdlib-only codec (functions/multimodal.decode_png: chunk walk, "
+    "zlib inflate, per-scanline unfilter) and reduced to per-image "
+    "pixel stats in one mapInPandas stage — bytes never touch the "
+    "driver. The oracle computes the identical stats straight from the "
+    "pixel formula, so any unfilter or inflate defect breaks the hash: "
+    "this verifies the codec round-trip end to end, upgrading the "
+    "multimodal decode path from deterministic-fake to working codec.",
+)
+def m20_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_png,
+        png_pixel_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + mid % 7
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                pix = ((x * 7 + y * 13 + mid * 31) % 256).astype(np.uint8)
+                rows.append((mid, encode_png(pix, filters=[0, 1, 2, 3, 4])))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return png_pixel_stats(media)
+
+
+@query(
     "s1_json_roundtrip",
     """
     SELECT count(*) AS n_events,
@@ -7384,6 +7441,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m11_multimodal_decode", "media_id",
          f"n_bytes + 31*{t(q6('feat_sum'))}"),
         ("m12_frame_sample", "media_id", f"frame_idx + 31*{sc('format')}"),
+        ("m20_png_decode", "media_id",
+         "width + 31*height + 1009*channels + 31063*n_px"
+         " + 7*px_sum + 3*px_min + 127*px_max"),
         ("s1_json_roundtrip", "0",
          f"n_events + 31*n_users + 1009*{t(q6('hr_sum'))}"),
         ("f10_accel_presence", "0", f"n_kept + 31*{t('id_sum')}"),

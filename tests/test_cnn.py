@@ -201,3 +201,87 @@ def test_cnn_scorers_plug_into_algs():
     p2 = nscore(v2)
     assert 0.0 <= p2 <= 1.0
     assert nscore(v2) == p2
+
+
+def test_torch_state_dict_converts_to_identical_forward():
+    """tools/convert_checkpoint.torch_state_to_deep_epi: a DeepEpiCnn
+    state dict (torch naming/shapes, synthesized from the builder's own
+    params so no framework is needed) converts to a model whose forward
+    pass is bit-identical to the directly-built one — including the
+    Linear (out,in)→(in,out) transpose and dropout-free Sequential
+    index drift."""
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.cnn import make_deep_epi_cnn
+    from tools.convert_checkpoint import torch_state_to_deep_epi
+
+    ref = make_deep_epi_cnn(input_length=750, num_classes=2, seed=13)
+    sd = {}
+    seq = 0
+    li = iter(ref.layers)
+    for ly in li:
+        if ly.kind == "conv1d":
+            sd[f"conv_stack.{seq}.weight"] = ly.params[0]
+            sd[f"conv_stack.{seq}.bias"] = ly.params[1]
+            seq += 1
+        elif ly.kind == "batchnorm" and seq > 0 and seq < 40:
+            g, b, m, v = ly.params
+            sd[f"conv_stack.{seq}.weight"] = g
+            sd[f"conv_stack.{seq}.bias"] = b
+            sd[f"conv_stack.{seq}.running_mean"] = m
+            sd[f"conv_stack.{seq}.running_var"] = v
+            seq += 2  # reference interleaves a ReLU module (no params)
+        elif ly.kind == "gap":
+            break
+    # dense head: fc1..fc4 + bn1..bn4 + fc_out (torch stores (out, in))
+    tail = [ly for ly in ref.layers if ly.kind in ("dense", "batchnorm")]
+    tail = tail[-9:]
+    for j in range(4):
+        w, b = tail[2 * j].params
+        sd[f"fc{j + 1}.weight"] = w.T
+        sd[f"fc{j + 1}.bias"] = b
+        g, bb, m, v = tail[2 * j + 1].params
+        sd[f"bn{j + 1}.weight"] = g
+        sd[f"bn{j + 1}.bias"] = bb
+        sd[f"bn{j + 1}.running_mean"] = m
+        sd[f"bn{j + 1}.running_var"] = v
+    w, b = tail[8].params
+    sd["fc_out.weight"] = w.T
+    sd["fc_out.bias"] = b
+
+    got = torch_state_to_deep_epi(sd, input_length=750)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 750))
+    assert np.array_equal(got.predict(x), ref.predict(x))
+
+
+def test_keras_weights_convert_to_identical_forward(tmp_path):
+    """tools/convert_checkpoint.keras_weights_to_spec_cnn: the keras
+    get_weights() ordering/orientation (kernel (K,C_in,C_out), 6 arrays
+    per block) converts to a bit-identical spec CNN; the result
+    round-trips through save_cnn_npz → inference.load_model."""
+    import numpy as np
+
+    from openseizuredatabase_spark.ml.cnn import make_spec_cnn, save_cnn_npz
+    from openseizuredatabase_spark.ml.inference import load_model
+    from tools.convert_checkpoint import keras_weights_to_spec_cnn
+
+    ref = make_spec_cnn(n_freq=12, n_spec=6, n_layers=2, seed=7)
+    ws = []
+    for ly in ref.layers:
+        if ly.kind == "conv1d":
+            w, b = ly.params
+            ws += [w.transpose(2, 1, 0), b]  # back to keras layout
+        elif ly.kind == "batchnorm":
+            ws += list(ly.params)
+        elif ly.kind == "dense":
+            ws += list(ly.params)
+    got = keras_weights_to_spec_cnn(ws, n_freq=12, n_spec=6)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 12 * 6))
+    assert np.array_equal(got.predict(x), ref.predict(x))
+
+    path = str(tmp_path / "spec.npz")
+    save_cnn_npz(got, path)
+    loaded = load_model(path)
+    assert np.array_equal(loaded.predict(x), ref.predict(x))

@@ -115,3 +115,78 @@ def test_resize_fails_fast_without_codec(media):
         pytest.skip("PIL present")
     with pytest.raises(NotImplementedError):
         resize_images(media, 64, 64)
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode is pixel-exact for every PNG filter type and for
+    grey/RGB/RGBA, on non-square shapes (the stdlib codec path)."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(11, 17, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            out = decode_png(encode_png(img, filters=filters))
+            assert out.shape == (11, 17, ch)
+            assert np.array_equal(out, img), (ch, filters)
+    grey = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    out = decode_png(encode_png(grey))
+    assert np.array_equal(out[:, :, 0], grey)
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    # rewrite a valid PNG's IHDR to claim Adam7 interlace
+    img = np.zeros((4, 4), dtype=np.uint8)
+    png = bytearray(encode_png(img))
+    ihdr_off = len(_PNG_SIG) + 8
+    png[ihdr_off + 12] = 1  # interlace byte
+    # fix the CRC so the chunk walk stays honest
+    crc = zlib.crc32(bytes(png[ihdr_off - 4 : ihdr_off + 13])) & 0xFFFFFFFF
+    png[ihdr_off + 13 : ihdr_off + 17] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(bytes(png))
+
+
+def test_png_pixel_stats_stage(spark):
+    """The mapInPandas decode stage: bytes in, per-image stats out."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_png,
+        png_pixel_stats,
+    )
+
+    imgs = {
+        1: np.full((3, 5), 7, dtype=np.uint8),
+        2: np.arange(12, dtype=np.uint8).reshape(3, 4),
+    }
+    media = spark.createDataFrame(
+        [
+            Row(media_id=k, content=bytearray(encode_png(v, filters=[4])))
+            for k, v in imgs.items()
+        ]
+    )
+    got = {r["media_id"]: r for r in png_pixel_stats(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (5, 3)
+    assert got[1]["px_sum"] == 7 * 15 and got[1]["px_min"] == 7
+    assert got[2]["px_sum"] == sum(range(12)) and got[2]["px_max"] == 11

@@ -283,16 +283,119 @@ def png_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "content").mapInPandas(run, out_schema)
 
 
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of a (h, w, c) array to (height, width,
+    c): output pixel (i, j) reads input (floor(i*h_in/height),
+    floor(j*w_in/width)) — pure integer index arithmetic, so the result
+    is exactly replayable in SQL (the m21 oracle)."""
+    h_in, w_in = img.shape[:2]
+    rows = (np.arange(height) * h_in) // height
+    cols = (np.arange(width) * w_in) // width
+    return img[rows[:, None], cols[None, :]]
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage. Real implementation requires PIL; without it the
-    stage raises at plan-build time (NOT mid-job) so callers fail fast."""
-    if not _HAS_PIL:
+    """Resize stage over PNG content — REAL now that the stdlib codec
+    exists: decode → nearest-neighbor resample → re-encode, one
+    mapInPandas pass, binary in / binary out (the PIL-style contract;
+    swapping in PIL's area/bicubic filters would change only the
+    resample call, not the stage shape)."""
+    out_schema = "media_id long, content binary, width long, height long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_png(bytes(content))
+                small = resize_nearest(img, width, height)
+                rows.append((mid, encode_png(small), width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+# --- WAV (RIFF PCM) decode: the audio analogue of the PNG path -------------
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE file to (samples int array (n, channels),
+    sample_rate). Pure stdlib struct walk; PCM 16-bit and 8-bit
+    supported (the formats the reference's phone exports use);
+    float/ADPCM encodings fail fast."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
         raise NotImplementedError(
-            "image resize requires PIL, which is not available in this "
-            "environment; the mapInPandas contract is identical to "
-            "decode_features (binary in, binary out)"
+            f"WAV audio format {audio_format} (only PCM=1 supported)"
         )
-    raise NotImplementedError("real codec path not exercised in this build")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bits == 8:  # unsigned, offset-128 per the RIFF spec
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} (8/16 supported)")
+    n = (len(samples) // n_ch) * n_ch
+    return samples[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode an (n,) or (n, channels) int array as PCM-16 RIFF/WAVE."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_sample_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Real audio-decode stage: WAV binary → per-clip sample statistics
+    (Arrow-batched, bytes never on the driver)."""
+    out_schema = (
+        f"{id_col} long, sample_rate long, n_samples long, channels long, "
+        "s_sum long, s_min long, s_max long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                s, rate = decode_wav(bytes(content))
+                rows.append(
+                    (mid, rate, s.shape[0], s.shape[1],
+                     int(s.sum()), int(s.min()), int(s.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples", "channels",
+                    "s_sum", "s_min", "s_max",
+                ],
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:

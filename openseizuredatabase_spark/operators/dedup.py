@@ -202,15 +202,38 @@ def _lsh_bands(
 
 
 def lsh_band_pairs(
-    sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands → candidate pairs.
 
     Classic MinHash-LSH: documents sharing ANY full band are candidates.
     Join key is (band_idx, band_hash) — uniformly distributed; the self
-    join never sees the raw O(n²) pair space.
+    join never sees the raw O(n²) pair space — EXCEPT when the corpus
+    itself contains mega-duplicated content: m exact copies of one
+    document share every band, so that bucket alone emits m²/2 pairs
+    (measured: the 100x replica stress grows t32's candidate set ~R²
+    for replicated text — correct output, quadratic cost).
+    ``max_bucket`` is the production guard for that regime: buckets
+    holding more than ``max_bucket`` ids are dropped before the join
+    via the same spillable window-count screen as the shingle max_df
+    cap (a bucket that hot is an exact-dup cluster — route it to exact
+    fingerprint dedup (t4), which handles it in linear time, instead
+    of enumerating its quadratic pair set here). Default None keeps
+    the exact textbook semantics the t7/t32 oracles replay.
     """
     banded = _lsh_bands(sigs, id_col, n_hashes, band_size)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.repartition(F.col("band"), F.col("band_hash"))
+            .withColumn("__m", F.count(F.lit(1)).over(w))
+            .filter(F.col("__m") <= max_bucket)
+            .drop("__m")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

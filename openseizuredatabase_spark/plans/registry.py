@@ -3458,12 +3458,20 @@ def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal decode path from deterministic-fake to working codec.",
 )
 def m20_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     from openseizuredatabase_spark.functions.multimodal import (
-        encode_png,
         png_pixel_stats,
     )
+
+    return png_pixel_stats(_png_media(spark, sf_dir))
+
+
+def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PNG corpus shared by m20/m21: pixel (x, y) of image
+    ``id`` is (x*7 + y*13 + id*31) % 256, size (8 + id%9) x (8 + id%7),
+    encoded with the rotating filter matrix."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import encode_png
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
         F.col("event_id").alias("media_id")
@@ -3481,8 +3489,98 @@ def m20_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_png(pix, filters=[0, 1, 2, 3, 4])))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
+    return ev.mapInPandas(gen, "media_id long, content binary")
+
+
+@query(
+    "m21_png_resize",
+    """
+    WITH px AS (
+        SELECT event_id AS media_id,
+               ((((j.j * (8 + event_id % 9)) // 6) * 7
+                 + ((i.i * (8 + event_id % 7)) // 5) * 13
+                 + event_id * 31) % 256) AS v
+        FROM events,
+             unnest(generate_series(0, 4)) AS i(i),
+             unnest(generate_series(0, 5)) AS j(j)
+        WHERE event_id < 200
+    )
+    SELECT media_id, 6::BIGINT AS width, 5::BIGINT AS height,
+           1::BIGINT AS channels, count(*) AS n_px,
+           sum(v)::BIGINT AS px_sum,
+           min(v)::BIGINT AS px_min, max(v)::BIGINT AS px_max
+    FROM px GROUP BY media_id
+    """,
+    "REAL image resize (multimodal.resize_images over the stdlib PNG "
+    "codec — the PIL-contract stage that fail-fasted before round 4): "
+    "decode → nearest-neighbor resample to 6x5 (integer index "
+    "arithmetic: source pixel (i*h//5, j*w//6)) → re-encode → decode "
+    "again → pixel stats. The oracle replays the resample index math "
+    "straight off the pixel formula, so the full decode-resize-encode-"
+    "decode chain is value-hash verified. One mapInPandas per stage, "
+    "bytes stay on executors.",
+)
+def m21_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.multimodal import (
+        png_pixel_stats,
+        resize_images,
+    )
+
+    media = _png_media(spark, sf_dir)
+    resized = resize_images(media, width=6, height=5)
+    # width/height come from the DECODED resized image — the stats stage
+    # reports what the bytes actually contain, not the requested size
+    return png_pixel_stats(resized)
+
+
+@query(
+    "m22_wav_decode",
+    """
+    WITH s AS (
+        SELECT event_id AS media_id,
+               (100 + event_id % 50)::BIGINT AS n,
+               ((t.t * 17 + event_id * 29) % 2003) - 1001 AS v
+        FROM events,
+             unnest(generate_series(0, 100 + event_id % 50 - 1)) AS t(t)
+        WHERE event_id < 200
+    )
+    SELECT media_id, 8000::BIGINT AS sample_rate, n AS n_samples,
+           1::BIGINT AS channels, sum(v)::BIGINT AS s_sum,
+           min(v)::BIGINT AS s_min, max(v)::BIGINT AS s_max
+    FROM s GROUP BY media_id, n
+    """,
+    "REAL audio decode (multimodal.decode_wav — stdlib RIFF walk, PCM "
+    "8/16-bit): deterministic PCM-16 clips are WAV-encoded and decoded "
+    "back to per-clip sample stats in one Arrow stage; the oracle "
+    "replays the sample formula, so any RIFF-parse or sample-width "
+    "defect breaks the hash. Turns the audio half of the multimodal "
+    "contract from deterministic-fake into a working codec path.",
+)
+def m22_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_wav,
+        wav_sample_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 100 + mid % 50
+                t_idx = np.arange(n, dtype=np.int64)
+                v = ((t_idx * 17 + mid * 29) % 2003) - 1001
+                rows.append((mid, encode_wav(v, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
     media = ev.mapInPandas(gen, "media_id long, content binary")
-    return png_pixel_stats(media)
+    return wav_sample_stats(media)
 
 
 @query(
@@ -7220,9 +7318,17 @@ def t32_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         for j in range(8)
     )
+    # the signature/size tables are O(corpus) rows: AQE's broadcast
+    # decision compares their SERIALIZED exchange size to the 64 MB
+    # threshold, but the deserialized driver-built relation is ~10x
+    # that — at the 100x stress (500k docs) the estimate slips under
+    # the threshold while the concurrent builds overflow the driver
+    # ("Not enough memory to build and broadcast"). An O(n) side must
+    # never be a driver broadcast: shuffle_hash pins an executor-side
+    # hash join on the uniform doc-id key (no sort, no driver build).
     est = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -7242,8 +7348,8 @@ def t32_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     return (
         est.join(common, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -7444,6 +7550,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m20_png_decode", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),
+        ("m21_png_resize", "media_id",
+         "width + 31*height + 1009*channels + 31063*n_px"
+         " + 7*px_sum + 3*px_min + 127*px_max"),
+        ("m22_wav_decode", "media_id",
+         "sample_rate + 31*n_samples + 1009*channels"
+         " + 7*s_sum + 3*s_min + 127*s_max"),
         ("s1_json_roundtrip", "0",
          f"n_events + 31*n_users + 1009*{t(q6('hr_sum'))}"),
         ("f10_accel_presence", "0", f"n_kept + 31*{t('id_sum')}"),

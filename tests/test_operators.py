@@ -603,3 +603,32 @@ def test_jaccard_candidate_pairs_string_ids(spark):
     got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
            for r in rows}
     assert got[("a", "b")] == (2, 2, 2)
+
+
+def test_lsh_band_pairs_max_bucket_guard(spark):
+    """The production mega-dup guard: a bucket with more members than
+    max_bucket (an exact-dup cluster) is dropped from pair enumeration
+    — its m^2/2 pairs would dominate at corpus scale — while normal
+    buckets still emit their candidates."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [Row(doc_id=i, text="exact duplicate cluster text body here")
+            for i in range(1, 9)]              # 8 identical docs
+    rows += [Row(doc_id=20, text="another pair of matching documents x"),
+             Row(doc_id=21, text="another pair of matching documents x"),
+             Row(doc_id=30, text="completely different content entirely z")]
+    docs = spark.createDataFrame(rows)
+    sigs = minhash_signatures(shingles(docs, "text", "doc_id", 3), "doc_id", 8)
+    uncapped = lsh_band_pairs(sigs, "doc_id", 8, 2)
+    capped = lsh_band_pairs(sigs, "doc_id", 8, 2, max_bucket=4)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (20, 21) in un and (20, 21) in cp   # small bucket survives
+    assert sum(1 for a, b in un if a < 9 and b < 9) == 28  # 8C2 pairs
+    assert not any(a < 9 and b < 9 for a, b in cp)  # mega-dup culled

@@ -190,3 +190,54 @@ def test_png_pixel_stats_stage(spark):
     assert (got[1]["width"], got[1]["height"]) == (5, 3)
     assert got[1]["px_sum"] == 7 * 15 and got[1]["px_min"] == 7
     assert got[2]["px_sum"] == sum(range(12)) and got[2]["px_max"] == 11
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-30000, 30000, size=200, dtype=np.int64)
+    s, rate = decode_wav(encode_wav(mono, 44100))
+    assert rate == 44100 and s.shape == (200, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-1000, 1000, size=(50, 2), dtype=np.int64)
+    s2, rate2 = decode_wav(encode_wav(stereo, 8000))
+    assert rate2 == 8000 and s2.shape == (50, 2)
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_decode_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    from openseizuredatabase_spark.functions.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS not a wav")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(bad)
+
+
+def test_resize_nearest_matches_index_math():
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import resize_nearest
+
+    img = np.arange(12 * 16, dtype=np.uint8).reshape(12, 16)[:, :, None]
+    out = resize_nearest(img, width=6, height=5)
+    assert out.shape == (5, 6, 1)
+    for i in range(5):
+        for j in range(6):
+            assert out[i, j, 0] == img[(i * 12) // 5, (j * 16) // 6, 0]

@@ -112,6 +112,11 @@ def main(argv) -> int:
         for q in names
     ]
 
+    # same driver heap bench.py uses: at N >= ~100 replicas the default
+    # 8g driver can die building a broadcast relation mid-sweep — a
+    # driver-sizing artifact of local mode, not a plan property (a real
+    # cluster driver is provisioned for its broadcast working set)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark("scale_stress")
     spark.range(1000).count()  # JVM warmup
 

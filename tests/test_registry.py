@@ -55,6 +55,14 @@ def test_relational_queries_have_no_python_udf(spark, sf_dir):
         # c13/c14: the numpy IIR / Welch kernels ARE the operators under test
         "c13_iir_recurrence",
         "c14_welch_psd",
+        # w5_band_power: built on c14's Arrow Welch kernel
+        "w5_band_power",
+        # m20/m21/m22: the REAL stdlib codecs (PNG decode/resize, WAV
+        # decode) are Python by nature — the mapInPandas stage IS the
+        # operator, and the oracle verifies the codec round trip
+        "m20_png_decode",
+        "m21_png_resize",
+        "m22_wav_decode",
         "x_signatures",
     }
     for name, spec in QUERIES.items():

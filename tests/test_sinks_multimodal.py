@@ -110,11 +110,26 @@ def test_frame_sample_skips_empty_videos(spark):
     assert [(r.media_id, r.frame_idx) for r in out] == [(2, 0)]
 
 
-def test_resize_fails_fast_without_codec(media):
-    if _HAS_PIL:
-        pytest.skip("PIL present")
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 64, 64)
+def test_resize_is_real_now(spark):
+    """Round 4: resize no longer fail-fasts — the stdlib PNG codec backs
+    a working decode → nearest-neighbor → re-encode stage."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.arange(8 * 10, dtype=np.uint8).reshape(8, 10)
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(encode_png(img, filters=[3])))]
+    )
+    out = resize_images(df, width=4, height=4).collect()
+    assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (4, 4)
+    small = decode_png(bytes(out[0]["content"]))
+    assert small.shape == (4, 4, 1)
+    assert small[2, 3, 0] == img[(2 * 8) // 4, (3 * 10) // 4]
 
 
 def test_png_roundtrip_all_filters():

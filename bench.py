@@ -62,6 +62,7 @@ HEADLINE = [
     "t32_minhash_calibration",
     "p5_perplexity_filter",
     "t33_fertility_stats",
+    "t34_hashed_classifier",
 ]
 
 

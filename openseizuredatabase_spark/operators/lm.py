@@ -347,3 +347,166 @@ def dsir_importance(
             F.sum(F.col("n") * F.col("lrm")).alias("w_micro"),
         )
     )
+
+
+def hashed_classifier_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 4.0,
+    seed: int = 11,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2017 — the trained-filter family the LLaMA/CCNet pipelines use for
+    "wikiref-like" page selection), trained AND applied entirely as
+    relational operators.
+
+    Features are the DSIR hashed-bigram buckets normalized to per-doc
+    micro-ratios plus a bias feature; the model is logistic regression
+    fit with ``iters`` full-batch gradient steps from zero init. Every
+    training quantity is integer micro-units with one disciplined
+    rounding point per step: z = Σ w·x is an EXACT int64 dot product
+    (order-free), the sigmoid output is immediately quantized back to
+    integer micro-units (round(1e6·σ) — the only transcendental, so a
+    1-ulp cross-engine exp() difference survives only on a measure-zero
+    boundary), and the weight update rounds lr·g/(N·1e6) to integer
+    micro-units. The whole fit is therefore bit-replayable in ANSI SQL
+    as ``iters`` unrolled CTE blocks (the v5 Lloyd-unroll pattern) —
+    a TRAINED model with a value-hash oracle.
+
+    Scale shape: ONE corpus shuffle builds the (doc, bucket) feature
+    frame (lazily checkpointed — it feeds every step); each step is a
+    broadcast of the (n_buckets+1)-row weight table, a doc-key
+    aggregation for z, and a bucket-key aggregation for the gradient —
+    the classic distributed full-batch GD step, nothing driver-side
+    (the doc count rides a broadcast 1-row frame).
+
+    Returns ``(id, *keep_cols, n_bigrams, score, pred)`` where score is
+    the final 6-dp sigmoid and pred the exact integer test z >= 0.
+    """
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    t = tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col),
+        F.col(target_col).alias("__t"),
+        *[F.col(c) for c in keep_cols],
+        t.alias("tk"),
+    ).filter(F.size("tk") >= 2)
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i + 1),
+                F.element_at(F.col("tk"), i + 2),
+            ),
+        )
+    )
+    bb = (
+        d.select(id_col, "__t", *keep_cols, bigram.alias("w"))
+        .select(
+            id_col,
+            "__t",
+            *keep_cols,
+            (seeded_md5_long(F.col("w"), seed) % n_buckets).alias("b"),
+        )
+        .groupBy(id_col, "__t", *keep_cols, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nt = bb.groupBy(id_col, "__t", *keep_cols).agg(
+        F.sum("n").alias("nb")
+    )
+    # feature frame: per-doc bucket micro-ratios + a bias feature b=-1;
+    # reused by every GD step and the final scoring pass
+    xt = (
+        bb.join(nt.select(id_col, "nb"), id_col)
+        .select(
+            id_col,
+            "b",
+            F.round(F.col("n") * 1000000.0 / F.col("nb"), 0)
+            .cast("long")
+            .alias("x"),
+        )
+        .unionByName(
+            nt.select(
+                id_col,
+                F.lit(-1).cast("long").alias("b"),
+                F.lit(1000000).cast("long").alias("x"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    ydoc = nt.select(
+        id_col,
+        F.when(F.col("__t"), F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ym"),
+    ).localCheckpoint(eager=False)
+    ncount = ydoc.agg(F.count(F.lit(1)).alias("ndocs"))
+
+    def grad(p_df: DataFrame) -> DataFrame:
+        """bucket gradient Σ (p - y)·x from a per-doc p_micro frame."""
+        return (
+            xt.join(p_df, id_col)
+            .join(ydoc, id_col)
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    (F.col("p") - F.col("ym")) * F.col("x")
+                ).alias("g")
+            )
+        )
+
+    def step(g_df: DataFrame, w_df: DataFrame | None) -> DataFrame:
+        delta = F.round(
+            lr * F.col("g") / (F.col("ndocs") * 1000000.0), 0
+        ).cast("long")
+        g_n = g_df.crossJoin(F.broadcast(ncount))
+        if w_df is None:
+            return g_n.select("b", (-delta).alias("w"))
+        return g_n.join(F.broadcast(w_df), "b").select(
+            "b", (F.col("w") - delta).alias("w")
+        )
+
+    def z_frame(w_df: DataFrame) -> DataFrame:
+        return (
+            xt.join(F.broadcast(w_df), "b")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("w") * F.col("x")).alias("zr"))
+        )
+
+    def p_frame(z_df: DataFrame) -> DataFrame:
+        sig = 1000000.0 / (
+            1.0 + F.exp(-(F.col("zr").cast("double") / 1000000000000.0))
+        )
+        return z_df.select(
+            id_col, F.round(sig, 0).cast("long").alias("p")
+        )
+
+    # zero init ⇒ σ(0) = 0.5 exactly: the first gradient uses p = 5e5
+    p0 = ydoc.select(id_col, F.lit(500000).cast("long").alias("p"))
+    w = step(grad(p0), None)
+    for _ in range(iters - 1):
+        w = step(grad(p_frame(z_frame(w))), w)
+    zf = z_frame(w)
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("zr").cast("double") / 1000000000000.0))),
+        6,
+    )
+    return (
+        nt.select(id_col, *keep_cols, F.col("nb").alias("n_bigrams"))
+        .join(zf, id_col)
+        .select(
+            id_col,
+            *keep_cols,
+            "n_bigrams",
+            score.alias("score"),
+            (F.col("zr") >= 0).alias("pred"),
+        )
+    )

@@ -7472,6 +7472,124 @@ def t33_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t34_oracle(iters: int = 3) -> str:
+    """Unrolled full-batch logistic-GD replay (the v5 Lloyd-unroll
+    pattern applied to a TRAINED classifier): every step's z is an
+    exact int64 dot product, σ is quantized to integer micro-units at
+    its single rounding point, and the weight update rounds to micro
+    — so iteration state is bit-identical cross-engine."""
+    h = seeded_md5_long_sql("w", 11)
+    sig = (
+        "CAST(round(1000000.0 / (1.0 + exp(-({z}::DOUBLE"
+        " / 1000000000000.0)))) AS BIGINT)"
+    )
+    delta = (
+        "CAST(round(4.0 * {g}.g / (nc.ndocs * 1000000.0)) AS BIGINT)"
+    )
+    parts = [f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+        SELECT doc_id, source, t[i+1] || ' ' || t[i+2] AS w
+        FROM toks, unnest(generate_series(0, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 2
+    ), bb AS (
+        SELECT doc_id, source, ({h}) % 64 AS b, count(*) AS n
+        FROM bg GROUP BY 1, 2, 3
+    ), nt AS (
+        SELECT doc_id, source, sum(n)::BIGINT AS nb
+        FROM bb GROUP BY doc_id, source
+    ), xt AS (
+        SELECT bb.doc_id, bb.b,
+               CAST(round(bb.n * 1000000.0 / nt.nb) AS BIGINT) AS x
+        FROM bb JOIN nt USING (doc_id)
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT) AS b,
+               CAST(1000000 AS BIGINT) AS x
+        FROM nt
+    ), ydoc AS (
+        SELECT doc_id,
+               (CASE WHEN source = 'src0' THEN 1000000 ELSE 0
+                END)::BIGINT AS ym
+        FROM nt
+    ), nc AS (
+        SELECT count(*)::BIGINT AS ndocs FROM ydoc
+    ), g1 AS (
+        SELECT x.b, sum((500000 - y.ym) * x.x)::BIGINT AS g
+        FROM xt x JOIN ydoc y USING (doc_id) GROUP BY x.b
+    ), w1 AS (
+        SELECT b, -{delta.format(g='g1')} AS w FROM g1, nc
+    )"""]
+    for k in range(2, iters + 1):
+        parts.append(f""", z{k} AS (
+        SELECT x.doc_id, sum(w{k - 1}.w * x.x)::BIGINT AS zr
+        FROM xt x JOIN w{k - 1} USING (b) GROUP BY x.doc_id
+    ), p{k} AS (
+        SELECT doc_id, {sig.format(z='zr')} AS p FROM z{k}
+    ), g{k} AS (
+        SELECT x.b, sum((p{k}.p - y.ym) * x.x)::BIGINT AS g
+        FROM xt x
+        JOIN p{k} USING (doc_id)
+        JOIN ydoc y USING (doc_id)
+        GROUP BY x.b
+    ), w{k} AS (
+        SELECT g{k}.b, w{k - 1}.w - {delta.format(g=f'g{k}')} AS w
+        FROM g{k} JOIN w{k - 1} USING (b), nc
+    )""")
+    parts.append(f""", zf AS (
+        SELECT x.doc_id, sum(w{iters}.w * x.x)::BIGINT AS zr
+        FROM xt x JOIN w{iters} USING (b) GROUP BY x.doc_id
+    )
+    SELECT nt.doc_id, nt.source, nt.nb AS n_bigrams,
+           round(1.0 / (1.0 + exp(-(zf.zr::DOUBLE / 1000000000000.0))), 6)
+               AS score,
+           (zf.zr >= 0) AS pred
+    FROM nt JOIN zf USING (doc_id)
+    """)
+    return "".join(parts)
+
+
+@query(
+    "t34_hashed_classifier",
+    _t34_oracle(),
+    "Trained quality-classifier filter (Joulin et al. 2017 fastText "
+    "linear model — the LLaMA/CCNet 'wikiref-like page selection' "
+    "family, completing the four standard LLM quality-filter "
+    "approaches next to heuristic t2/t31, perplexity p5, and DSIR "
+    "t25): logistic regression over hashed-bigram micro-ratio "
+    "features + bias, fit with 3 full-batch GD steps from zero init "
+    "ENTIRELY as relational ops (lm.hashed_classifier_scores), then "
+    "applied to score every doc. Integer micro-unit state with one "
+    "disciplined rounding point per step makes the whole TRAINING "
+    "loop value-hash-replayable as unrolled SQL CTEs — the v5 "
+    "Lloyd-unroll pattern for gradient descent. Per step: one "
+    "broadcast of the 65-row weight table, a doc-key agg (z), a "
+    "bucket-key agg (gradient); the (doc, bucket) feature frame is "
+    "built by ONE corpus shuffle and checkpoint-reused.",
+)
+def t34_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        hashed_classifier_scores,
+    )
+
+    docs = _ts(spark, sf_dir, "documents").withColumn(
+        "__is_target", F.col("source") == "src0"
+    )
+    return hashed_classifier_scores(
+        docs,
+        "text",
+        "doc_id",
+        "__is_target",
+        n_buckets=64,
+        iters=3,
+        lr=4.0,
+        seed=11,
+        keep_cols=("source",),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -7556,6 +7674,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m22_wav_decode", "media_id",
          "sample_rate + 31*n_samples + 1009*channels"
          " + 7*s_sum + 3*s_min + 127*s_max"),
+        ("t34_hashed_classifier", "doc_id",
+         f"{sc('source')} + 31*n_bigrams + 1009*{q6('score')}"
+         " + 31063*(CASE WHEN pred THEN 1 ELSE 0 END)"),
         ("s1_json_roundtrip", "0",
          f"n_events + 31*n_users + 1009*{t(q6('hr_sum'))}"),
         ("f10_accel_presence", "0", f"n_kept + 31*{t('id_sum')}"),

@@ -132,3 +132,50 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
     assert got[3][0] == 5
     # the target-like doc must outscore the dissimilar one
     assert got[2][1] > got[3][1]
+
+
+def test_hashed_classifier_learns_separation(spark):
+    """3 GD steps on clearly separable vocabularies must score target
+    docs above non-target docs (the model actually LEARNS — the oracle
+    only proves the arithmetic replays)."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.lm import (
+        hashed_classifier_scores,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append(Row(doc_id=i, text="alpha beta gamma delta " * 5,
+                        is_t=True))
+        rows.append(Row(doc_id=100 + i, text="omega psi chi phi " * 5,
+                        is_t=False))
+    docs = spark.createDataFrame(rows)
+    out = hashed_classifier_scores(
+        docs, "text", "doc_id", "is_t", n_buckets=64, iters=3, lr=4.0
+    )
+    got = {r["doc_id"]: (r["score"], r["pred"]) for r in out.collect()}
+    t_scores = [got[i][0] for i in range(20)]
+    r_scores = [got[100 + i][0] for i in range(20)]
+    assert min(t_scores) > max(r_scores)
+    assert all(got[i][1] for i in range(20))
+    assert not any(got[100 + i][1] for i in range(20))
+
+
+def test_hashed_classifier_deterministic(spark):
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.lm import (
+        hashed_classifier_scores,
+    )
+
+    rows = [Row(doc_id=i, text=f"tok{i % 7} tok{i % 5} tok{i % 3} end",
+                is_t=(i % 4 == 0)) for i in range(30)]
+    docs = spark.createDataFrame(rows)
+    a = {r["doc_id"]: r["score"]
+         for r in hashed_classifier_scores(
+             docs, "text", "doc_id", "is_t").collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in hashed_classifier_scores(
+             docs.repartition(7), "text", "doc_id", "is_t").collect()}
+    assert a == b  # partition-layout independent (exact integer state)

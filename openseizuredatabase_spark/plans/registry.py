@@ -7590,6 +7590,166 @@ def t34_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a16_oracle() -> str:
+    from openseizuredatabase_spark.functions import sketches
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, {h} AS h FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ), topk AS (
+        SELECT * FROM ranked WHERE rn <= {sketches.KMV_K}
+    ), sk AS (
+        SELECT event_type, count(*) AS n_in, max(h) AS kth_hash,
+               sum(h % 1000003)::BIGINT AS kmv_sig
+        FROM topk GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, count(*) AS n_exact FROM hashed GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_in, s.kth_hash, s.kmv_sig,
+           CASE WHEN s.n_in < {sketches.KMV_K} THEN s.n_in
+                ELSE CAST(round({sketches.KMV_NUM!r} / s.kth_hash::DOUBLE, 0)
+                          AS BIGINT)
+           END AS kmv_est,
+           e.n_exact
+    FROM sk s JOIN exact e USING (event_type)
+    """
+
+
+@query(
+    "a16_kmv_distinct",
+    _a16_oracle(),
+    "KMV (k-minimum-values) distinct sketch, cross-engine EXACT — unlike "
+    "a15, which can only band-check Spark's native HLL++, this sketch is "
+    "deterministic (md5_long order statistics) so the oracle replays the "
+    "estimator itself: per group keep the 16 smallest distinct hashes; "
+    "est = 15·2^60/h_(16) (one IEEE division on a dyadic-exact literal). "
+    "100-TB path: one distinct shuffle, then a spillable per-group sort "
+    "of which only k rows survive; incremental epochs screen new rows "
+    "with the monotone-shrinking h < kth threshold as a pushed-down scan "
+    "predicate (functions/sketches.py). Replaces the reference's exact "
+    "pandas nunique summaries (osdb/osdbUtils.py) at cluster scale.",
+)
+def a16_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    topk = sketches.kmv_topk(ev, ["event_type"], "user_id")
+    sk = sketches.kmv_estimate(topk, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type")
+
+
+def _a17_oracle() -> str:
+    from openseizuredatabase_spark.functions import sketches
+
+    ctes = sketches.hll_oracle_ctes("events", "event_type", "user_id")
+    return f"""
+    WITH {ctes.lstrip()}, exact AS (
+        SELECT event_type AS g, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT h.g AS event_type, h.n_regs, h.reg_sig, h.hll_est, h.lin_est,
+           e.n_exact
+    FROM hll h JOIN exact e USING (g)
+    """
+
+
+@query(
+    "a17_hll_registers",
+    _a17_oracle(),
+    "Deterministic HyperLogLog with an exact value-hash oracle: 64 "
+    "integer registers per group (j = h & 63, rho = leading zeros of the "
+    "54-bit suffix + 1 via portable bin()-length), harmonic sum kept as "
+    "an exact BIGINT Σ2^(55−reg) so summation order can't move a ulp, "
+    "then ONE IEEE division for the raw estimate; linear-counting "
+    "correction (the only libm term) rounded to 6 dp. max-per-register "
+    "is a partial aggregate → map-side combine before the single "
+    "shuffle; register frames from disjoint corpora merge by union + "
+    "re-max (functions/sketches.py hll_registers/hll_estimate) — the "
+    "constant-state per group cardinality path for 100 TB.",
+)
+def a17_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    regs = sketches.hll_registers(ev, ["event_type"], "user_id")
+    est = sketches.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
+def _a18_oracle() -> str:
+    from openseizuredatabase_spark.functions import sketches
+
+    d, w = sketches.CM_DEPTH, sketches.CM_WIDTH
+    seeds = ", ".join(str(s) for s in range(d))
+    bucket = md5_long_sql("CAST(s.s AS VARCHAR) || ':' || toks.t")
+    pbucket = md5_long_sql("CAST(s.s AS VARCHAR) || ':' || top.t")
+    return f"""
+    WITH toks AS (
+        SELECT unnest({text_fns.tokens_sql('text')}) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), seeds AS (
+        SELECT unnest([{seeds}]) AS s
+    ), bucketed AS (
+        SELECT s.s, {bucket} % {w} AS bucket
+        FROM toks, seeds s
+    ), cm AS (
+        SELECT s, bucket, count(*) AS c FROM bucketed GROUP BY s, bucket
+    ), cnt AS (
+        SELECT t, count(*) AS n_true FROM toks GROUP BY t
+    ), top AS (
+        SELECT t, n_true FROM (
+            SELECT t, n_true,
+                   row_number() OVER (ORDER BY n_true DESC, t) AS rn
+            FROM cnt) WHERE rn <= 10
+    ), probes AS (
+        SELECT top.t, top.n_true, s.s, {pbucket} % {w} AS bucket
+        FROM top, seeds s
+    )
+    SELECT p.t, p.n_true, min(cm.c)::BIGINT AS cm_est
+    FROM probes p JOIN cm ON cm.s = p.s AND cm.bucket = p.bucket
+    GROUP BY p.t, p.n_true
+    """
+
+
+@query(
+    "a18_countmin_topk",
+    _a18_oracle(),
+    "Count-Min frequency sketch probed at the true top-10 tokens: d=4 "
+    "seeded md5 rows × w=64 buckets — 256 counters total however many "
+    "token types exist — built in one groupBy; point estimate = min over "
+    "the d counters (always ≥ the true count, collisions only inflate). "
+    "At 100 TB the counter table is O(d·w) state that broadcasts to any "
+    "probe set, replacing an O(n_types) exact frequency table when only "
+    "heavy hitters matter (functions/sketches.py countmin_counters/"
+    "countmin_lookup). The true counts ride along so the driver-checked "
+    "output pins both the sketch and its overestimate guarantee.",
+)
+def a18_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import sketches
+
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        F.explode(text_fns.tokens(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)  # feeds the counters AND the top-10
+    cm = sketches.countmin_counters(toks, "t")
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_true"))
+    top = cnt.orderBy(F.col("n_true").desc(), "t").limit(10)
+    return sketches.countmin_lookup(cm, top, "t")
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -7821,6 +7981,13 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t19_boilerplate_scrub", "doc_id",
          "n_kept + 31*length(cleaned)"
          " + 1009*ascii(substr(cleaned, 1, 1))"),
+        ("a16_kmv_distinct", sc("event_type"),
+         f"n_in + 31*(kth_hash % 1000000007) + 1009*kmv_sig"
+         f" + 31063*{t('kmv_est')} + 1000003*n_exact"),
+        ("a17_hll_registers", sc("event_type"),
+         f"n_regs + 31*reg_sig + 1009*{t('hll_est')}"
+         f" + 31063*n_exact + 7*{q6('lin_est')}"),
+        ("a18_countmin_topk", sc("t"), "n_true + 31*cm_est"),
     ]
 
 

@@ -1,0 +1,119 @@
+"""Sketch library contracts: estimator quality, merge laws, and the
+overestimate guarantee — the properties the cross-engine oracles
+(a16/a17/a18) can't express because they replay the same formulas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.functions import sketches
+
+
+def _ids_df(spark, n, groups=1):
+    return spark.range(n).select(
+        (F.col("id") % groups).alias("g"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct values reports the exact count."""
+    df = _ids_df(spark, 10)
+    sk = sketches.kmv_estimate(
+        sketches.kmv_topk(df, ["g"], "v"), ["g"]
+    ).collect()[0]
+    assert sk.n_in == 10
+    assert sk.kmv_est == 10
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """KMV with k=16 has relative std ~1/sqrt(k-2) ≈ 27%; 2000 distinct
+    values must estimate within a generous 3-sigma band."""
+    df = _ids_df(spark, 2000)
+    sk = sketches.kmv_estimate(
+        sketches.kmv_topk(df, ["g"], "v"), ["g"]
+    ).collect()[0]
+    assert sk.n_in == sketches.KMV_K
+    assert 2000 * 0.2 <= sk.kmv_est <= 2000 * 2.5
+
+
+def test_kmv_merge_law(spark):
+    """Sketch(A ∪ B) == merge(Sketch(A), Sketch(B)): union the retained
+    hash sets, re-rank, keep k — identical to sketching the union."""
+    a = _ids_df(spark, 500)
+    b = spark.range(300, 900).select(
+        F.lit(0).alias("g"), F.col("id").alias("v")
+    )
+    direct = sketches.kmv_estimate(
+        sketches.kmv_topk(a.unionByName(b), ["g"], "v"), ["g"]
+    ).collect()[0]
+    ka = sketches.kmv_topk(a, ["g"], "v").select("g", "h")
+    kb = sketches.kmv_topk(b, ["g"], "v").select("g", "h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    merged_topk = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sketches.KMV_K)
+    )
+    merged = sketches.kmv_estimate(merged_topk, ["g"]).collect()[0]
+    assert direct.kth_hash == merged.kth_hash
+    assert direct.kmv_est == merged.kmv_est
+    assert direct.kmv_sig == merged.kmv_sig
+
+
+@pytest.mark.parametrize("n,lo,hi", [(50, 35, 75), (3000, 2100, 4500)])
+def test_hll_estimate_quality(spark, n, lo, hi):
+    """m=64 HLL has relative std ~1.04/8 = 13%; both the small-range
+    (linear-counting) and the raw regime must land in a 3-sigma band."""
+    df = _ids_df(spark, n)
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, ["g"], "v"), ["g"]
+    ).collect()[0]
+    # pick whichever estimate the standard algorithm would use
+    use_lin = est.lin_est > 0 and est.hll_est <= 2.5 * sketches.HLL_M
+    val = est.lin_est if use_lin else est.hll_est
+    assert lo <= val <= hi, (n, est)
+
+
+def test_hll_merge_by_union_remax(spark):
+    """Register frames from disjoint corpora merge via union + re-max and
+    give the same registers as sketching the union directly."""
+    a = _ids_df(spark, 400)
+    b = spark.range(200, 700).select(
+        F.lit(0).alias("g"), F.col("id").alias("v")
+    )
+    direct = sketches.hll_estimate(
+        sketches.hll_registers(a.unionByName(b), ["g"], "v"), ["g"]
+    ).collect()[0]
+    ra = sketches.hll_registers(a, ["g"], "v")
+    rb = sketches.hll_registers(b, ["g"], "v")
+    remaxed = (
+        ra.unionByName(rb).groupBy("g", "j").agg(F.max("reg").alias("reg"))
+    )
+    merged = sketches.hll_estimate(remaxed, ["g"]).collect()[0]
+    assert direct.reg_sig == merged.reg_sig
+    assert direct.hll_est == merged.hll_est
+
+
+def test_countmin_never_underestimates(spark):
+    """min-over-d-counters ≥ true count for every probed token, with
+    equality when no collision — the CM guarantee."""
+    rows = [("the",)] * 50 + [("a",)] * 20 + [(f"w{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "t string")
+    cm = sketches.countmin_counters(df, "t")
+    truth = df.groupBy("t").agg(F.count(F.lit(1)).alias("n_true"))
+    est = sketches.countmin_lookup(cm, truth, "t")
+    bad = est.filter(F.col("cm_est") < F.col("n_true")).count()
+    assert bad == 0
+    # the heavy hitter is estimated closely (width 64 vs 202 types)
+    top = est.filter(F.col("t") == "the").collect()[0]
+    assert 50 <= top.cm_est <= 50 + 30
+
+
+def test_hll_constants_are_dyadic_exact():
+    """The pre-scaled numerator literals must be exactly representable so
+    the SQL literal and the Spark literal are the same double."""
+    assert sketches.KMV_NUM == (sketches.KMV_K - 1) * (1 << 60)
+    assert float(repr(sketches.HLL_NUM)) == sketches.HLL_NUM

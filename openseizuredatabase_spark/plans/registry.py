@@ -7590,6 +7590,74 @@ def t34_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s16_streaming_interval_join",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           e.user_id AS user_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts
+    """,
+    "Stream-stream interval join (the last §2.10 shape without a "
+    "streaming twin): clicks preceding each error by ≤6 h for the "
+    "same user, as TWO watermarked streams over the events source "
+    "joined on key + time-range (streaming/sessionize.py "
+    "stream_interval_join). The range condition is what lets Spark "
+    "bound join state — right-side rows older than watermark−lookback "
+    "are evicted — while inner-join output stays complete, so the "
+    "availableNow emission carries a full batch oracle (plain interval "
+    "self-join). Batch J4/j8 and this stream path share semantics: the "
+    "same pairs, computed with bounded state instead of a sort.",
+)
+def s16_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.streaming.sessionize import (
+        stream_interval_join,
+    )
+
+    stream = _stream_events(spark, sf_dir, "s16_events_")
+    err = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("err_ts"),
+    )
+    clk = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("clk_ts"),
+    )
+    joined = stream_interval_join(
+        err.withColumnRenamed("user_id", "key"),
+        clk.withColumnRenamed("c_user", "key"),
+        key="key",
+        left_ts="err_ts",
+        right_ts="clk_ts",
+        lookback="6 hours",
+        watermark="12 hours",  # must cover the lookback or state eviction
+        # could drop matches that arrive in later micro-batches
+    )
+    out = joined.select(
+        "error_id",
+        "click_id",
+        F.col("l.key").alias("user_id"),
+        (F.unix_micros("err_ts") - F.unix_micros("clk_ts")).alias("gap_us"),
+    )
+    name = f"s16_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def _a16_oracle() -> str:
     from openseizuredatabase_spark.functions import sketches
 
@@ -7988,6 +8056,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_regs + 31*reg_sig + 1009*{t('hll_est')}"
          f" + 31063*n_exact + 7*{q6('lin_est')}"),
         ("a18_countmin_topk", sc("t"), "n_true + 31*cm_est"),
+        ("s16_streaming_interval_join",
+         t("error_id * 1000000 + click_id"),
+         f"user_id + 31*{t('gap_us')}"),
     ]
 
 

@@ -162,6 +162,35 @@ def streaming_alarm_machine(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right rows in [left.ts − lookback,
+    left.ts] for the same key — Spark's canonical two-stream join shape
+    (J4's interval containment as a streaming operator).
+
+    Both sides carry their own watermark; the time-range condition is
+    what lets the engine bound join state (right rows older than
+    left-watermark − lookback are evicted). Inner-join output is
+    complete — the watermark governs state size, not result membership —
+    so the emission is deterministic and batch-oracle-checkable.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def paced_replay(
     spark,
     dps: DataFrame,

@@ -321,3 +321,51 @@ def test_streaming_distinct_matches_batch_and_bounds_state(spark, tmp_path):
         for r in spark.sql("SELECT * FROM s13_dedup_t").collect()
     }
     assert got == {(1, "a"), (2, "b"), (3, "a")}
+
+
+def test_stream_interval_join_pairs(spark, tmp_path):
+    """stream_interval_join emits exactly the batch interval-join pairs:
+    right rows within [left.ts − lookback, left.ts] per key, and the
+    inner-join output is complete under availableNow."""
+    import pandas as pd
+
+    from openseizuredatabase_spark.streaming.sessionize import (
+        stream_interval_join,
+    )
+
+    sdir = str(tmp_path / "sij")
+    pdf = pd.DataFrame(
+        {
+            "key": [1, 1, 1, 2, 2],
+            "kind": ["L", "R", "R", "L", "R"],
+            "eid": [10, 20, 21, 11, 22],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 01:00:00",  # L key1
+                    "2024-01-01 00:58:00",  # R in window
+                    "2024-01-01 00:40:00",  # R outside 5-min lookback
+                    "2024-01-01 02:00:00",  # L key2
+                    "2024-01-01 02:00:00",  # R exactly at L.ts (inclusive)
+                ]
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(
+        "key long, kind string, eid long, ts timestamp"
+    ).parquet(sdir)
+    left = stream.filter(F.col("kind") == "L").select(
+        "key", F.col("eid").alias("l_eid"), F.col("ts").alias("l_ts")
+    )
+    right = stream.filter(F.col("kind") == "R").select(
+        "key", F.col("eid").alias("r_eid"), F.col("ts").alias("r_ts")
+    )
+    out = stream_interval_join(
+        left, right, "key", "l_ts", "r_ts", lookback="5 minutes"
+    ).select("l_eid", "r_eid")
+    _run_to_memory(out, "sij_t")
+    got = {
+        (r["l_eid"], r["r_eid"])
+        for r in spark.sql("SELECT * FROM sij_t").collect()
+    }
+    assert got == {(10, 20), (11, 22)}

@@ -244,6 +244,70 @@ def score_docs_bigram(
     )
 
 
+def kneser_ney_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser–Ney bigram statistics (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) — the smoothing KenLM-style quality
+    filters actually use, vs t18's add-1 baseline.
+
+    Returns (bigram_counts, follow_stats, precede_stats, n_bigram_types):
+    c(a,b); per-a (c(a) = Σ_b c(a,b), N1+(a·) = |{b}|); per-b continuation
+    N1+(·b) = |{a}|; and the distinct-bigram total — four count
+    aggregations over one bigram frame, every one shuffle-partitioned on
+    its own key and algebraic (map-side combine applies).
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    bigram_counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    follow = bigram_counts.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count(F.lit(1)).alias("n1f_a"),
+    )
+    precede = bigram_counts.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n1p_b")
+    )
+    n_types = bigram_counts.agg(F.count(F.lit(1)).alias("nbt"))
+    return bigram_counts, follow, precede, n_types
+
+
+def score_docs_kneser_ney(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    follow: DataFrame,
+    precede: DataFrame,
+    n_types: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc average interpolated-KN bigram log-probability:
+
+        P(b|a) = (c(a,b) − D)/c(a) + (D·N1+(a·)/c(a)) · (N1+(·b)/T)
+
+    Self-scoring keeps every doc bigram in the model (c(a,b) ≥ 1 > D, so
+    the discounted term never clips) and makes the joins exact inner
+    joins. The expression is written in the same operation order as the
+    oracle SQL — every step an IEEE correctly-rounded op — and the 6-dp
+    rounded average absorbs summation-order ulps (t18 discipline).
+    """
+    d = F.lit(discount)
+    bg = doc_bigrams(docs, id_col, text_col)
+    joined = (
+        bg.join(bigram_counts, ["a", "b"])
+        .join(follow, ["a"])
+        .join(precede, ["b"])
+        .crossJoin(F.broadcast(n_types))
+    )
+    p = (F.col("c_ab") - d) / F.col("c_a") + (
+        d * F.col("n1f_a") / F.col("c_a")
+    ) * (F.col("n1p_b") / F.col("nbt"))
+    scored = joined.select(id_col, F.log(p).alias("lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_kn_logprob"),
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     text_col: str,

@@ -7590,6 +7590,68 @@ def t34_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T35_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({text_fns.tokens_sql('text')},
+                              x -> lower(x)) AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i+1] AS a, t[i+2] AS b
+        FROM toks, unnest(generate_series(0, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 2
+    ), model AS (
+        SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+    ), follow AS (
+        SELECT a, sum(c_ab)::BIGINT AS c_a, count(*) AS n1f_a
+        FROM model GROUP BY a
+    ), precede AS (
+        SELECT b, count(*) AS n1p_b FROM model GROUP BY b
+    ), nt AS (
+        SELECT count(*) AS nbt FROM model
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((m.c_ab - 0.75) / f.c_a
+                        + (0.75 * f.n1f_a / f.c_a)
+                          * (p.n1p_b / nt.nbt))), 6) AS avg_kn_logprob
+    FROM bg
+    JOIN model m ON bg.a = m.a AND bg.b = m.b
+    JOIN follow f ON bg.a = f.a
+    JOIN precede p ON bg.b = p.b
+    CROSS JOIN nt
+    GROUP BY bg.doc_id
+    """
+
+
+@query(
+    "t35_kneser_ney",
+    _T35_SQL,
+    "Interpolated Kneser–Ney bigram scoring (Chen & Goodman 1999 eq. "
+    "4.25) — the smoothing KenLM-style perplexity filters actually use, "
+    "upgrading t18's add-1 baseline: absolute discount D=0.75 on the "
+    "bigram term, interpolation mass D·N1+(a·)/c(a), and the "
+    "CONTINUATION unigram N1+(·b)/T (how many contexts a word follows, "
+    "not how often it occurs). Model = four algebraic count aggregations "
+    "over one bigram frame (operators/lm.py kneser_ney_model); scoring "
+    "joins doc bigrams to the three model frames with the type total "
+    "riding a broadcast 1-row frame. The probability expression is "
+    "written in the identical operation order in both engines; the 6-dp "
+    "rounded average absorbs summation-order ulps (t18 discipline).",
+)
+def t35_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        kneser_ney_model,
+        score_docs_kneser_ney,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    bigram_counts, follow, precede, n_types = kneser_ney_model(docs)
+    return score_docs_kneser_ney(
+        docs, bigram_counts, follow, precede, n_types
+    )
+
+
 @query(
     "s16_streaming_interval_join",
     """
@@ -8059,6 +8121,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("s16_streaming_interval_join",
          t("error_id * 1000000 + click_id"),
          f"user_id + 31*{t('gap_us')}"),
+        ("t35_kneser_ney", "doc_id",
+         f"n_bigrams + 31*{q6('avg_kn_logprob')}"),
     ]
 
 

@@ -179,3 +179,58 @@ def test_hashed_classifier_deterministic(spark):
          for r in hashed_classifier_scores(
              docs.repartition(7), "text", "doc_id", "is_t").collect()}
     assert a == b  # partition-layout independent (exact integer state)
+
+
+def test_kneser_ney_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b c")]
+    )
+    model = lm.kneser_ney_model(docs)
+    out = {
+        r["doc_id"]: r
+        for r in lm.score_docs_kneser_ney(docs, *model).collect()
+    }
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 → T=3 types
+    # follow: c(a)=3, N1+(a·)=1;  c(b)=2, N1+(b·)=2
+    # precede: N1+(·b)=1, N1+(·a)=1, N1+(·c)=1
+    D = 0.75
+
+    def p(c_ab, c_a, n1f, n1p, T=3):
+        return (c_ab - D) / c_a + (D * n1f / c_a) * (n1p / T)
+
+    lp_ab = math.log(p(3, 3, 1, 1))
+    lp_ba = math.log(p(1, 2, 2, 1))
+    lp_bc = math.log(p(1, 2, 2, 1))
+    want1 = (lp_ab + lp_ba + lp_ab) / 3
+    want2 = (lp_ab + lp_bc) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_kn_logprob"] - round(want1, 6)) < 2e-6
+    assert abs(out[2]["avg_kn_logprob"] - round(want2, 6)) < 2e-6
+
+
+def test_kneser_ney_normalizes_to_one(spark):
+    """Interpolated KN is a true distribution: for every context a,
+    Σ_{b∈vocab} P(b|a) = (c(a)−D·N1+(a·))/c(a) + (D·N1+(a·)/c(a))·1 = 1
+    exactly (Σ_b N1+(·b) = T by construction)."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the dog sat on a log"),
+            Row(doc_id=3, text="a cat and a dog"),
+        ]
+    )
+    bigram_counts, follow, precede, n_types = lm.kneser_ney_model(docs)
+    bc = {(r["a"], r["b"]): r["c_ab"] for r in bigram_counts.collect()}
+    fl = {r["a"]: (r["c_a"], r["n1f_a"]) for r in follow.collect()}
+    pc = {r["b"]: r["n1p_b"] for r in precede.collect()}
+    T = n_types.collect()[0]["nbt"]
+    assert sum(pc.values()) == T
+    vocab = set(pc) | set(fl)
+    D = 0.75
+    for a, (c_a, n1f) in fl.items():
+        total = 0.0
+        for b in vocab:
+            disc = max(bc.get((a, b), 0) - D, 0.0) / c_a
+            lam = D * n1f / c_a
+            total += disc + lam * (pc.get(b, 0) / T)
+        assert abs(total - 1.0) < 1e-9, (a, total)

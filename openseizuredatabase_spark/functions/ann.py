@@ -227,6 +227,110 @@ def ivf_probe_exact(
     )
 
 
+def pq_train_encode(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    quant: int = 1000,
+    dim: int = 64,
+):
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into ``n_sub``
+    subspaces and cluster each independently with ``k_sub`` codewords —
+    a vector compresses to n_sub small codes (here 4×3 bits vs 64
+    floats), and distances are computed from a tiny lookup table.
+
+    Training is the kmeans_exact recipe run per-subspace in ONE set of
+    relational ops (the subspace id rides along as a group key): integer
+    coordinates, integer distances, lowest-cid tie-breaks, portable
+    floor-division centroid updates — bit-equal on any engine. Per
+    iteration: codebooks are n_sub·k_sub·sub_dim rows (kilobytes) and
+    BROADCAST; assignment and update are each one aggregation.
+
+    Returns (codes (id, sub, cid), codebooks (cid, sub, dim, c)).
+    """
+    from pyspark.sql import Window
+
+    sub_dim = dim // n_sub
+    q = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * quant, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    ).withColumn("sub", F.expr(f"dim div {sub_dim}"))
+    cents = q.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= k_sub)
+    ).select(F.col(id_col).alias("cid"), "sub", "dim", F.col("v").alias("c"))
+    assign = None
+    for _ in range(iters):
+        diff = F.col("v") - F.col("c")
+        dists = (
+            q.join(F.broadcast(cents.drop("sub")), "dim")
+            .groupBy(id_col, "sub", "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "sub", "cid")
+        )
+        sums = (
+            q.join(assign, [id_col, "sub"])
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        s, n = F.col("s"), F.col("n")
+        cents = sums.select(
+            "cid",
+            F.expr(f"dim div {sub_dim}").alias("sub"),
+            "dim",
+            ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
+        )
+    return assign, cents
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_dims: DataFrame,
+    id_col: str = "vec_id",
+    top_k: int = 10,
+):
+    """Asymmetric distance computation: the query stays exact, every
+    database vector is its codes, and dist(q, x) ≈ Σ_sub table[sub,
+    code(x, sub)] where the table is the integer distance from the
+    query's sub-vector to each codeword — n_sub·k_sub cells computed
+    once, BROADCAST, then one equi-join + one sum per candidate. The
+    scan never touches the original vectors: at 100 TB the codes column
+    is ~20× narrower than the embedding column and the ADC join is
+    shuffle-free (broadcast table).
+
+    ``query_dims`` is a (dim, v) frame of the query's quantized coords.
+    """
+    tab = (
+        codebooks.join(query_dims.withColumnRenamed("v", "qv"), "dim")
+        .groupBy("sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("c") - F.col("qv")) * (F.col("c") - F.col("qv"))
+            ).alias("dsub")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(tab), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(F.sum("dsub").cast("long").alias("adc_dist"))
+    )
+    return adc.orderBy("adc_dist", id_col).limit(top_k)
+
+
 def semantic_dedup(
     emb: DataFrame,
     vec_col: str = "embedding",

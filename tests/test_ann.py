@@ -261,3 +261,77 @@ def test_semdedup_scaled_agrees_with_exact(spark, sf_dir):
     assert set(e) == set(s)
     agree = sum(1 for k in e if e[k] == s[k]) / len(e)
     assert agree >= 0.9, f"dup-verdict agreement {agree:.3f}"
+
+
+def test_pq_adc_exact_on_codeword_vectors(spark):
+    """When every database vector IS one of the seed codewords, PQ has
+    zero quantization error and the ADC distance equals the exact
+    integer distance — the identity that pins the whole table-lookup
+    pipeline."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    seeds = rng.uniform(-1, 1, size=(8, 16))
+    rows = [Row(vec_id=0, embedding=rng.uniform(-1, 1, 16).tolist())]
+    # ids 1..8 are the seeds; 9..24 are copies of them
+    for i in range(8):
+        rows.append(Row(vec_id=i + 1, embedding=seeds[i].tolist()))
+    for i in range(16):
+        rows.append(Row(vec_id=9 + i, embedding=seeds[i % 8].tolist()))
+    emb = spark.createDataFrame(rows)
+    # train on the database vectors only — the random query (id 0) would
+    # otherwise join a cluster and drag its centroid off the codeword
+    codes, books = pq_train_encode(
+        emb.filter("vec_id <> 0"), n_sub=4, k_sub=8, iters=2, dim=16
+    )
+    from pyspark.sql import functions as F
+
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select("dim", "v")
+    top = pq_adc_topk(
+        codes.filter(F.col("vec_id") != 0), books, qv, top_k=24
+    ).collect()
+    qvr = {r["dim"]: r["v"] for r in qv.collect()}
+    exact = {}
+    for r in q.filter(F.col("vec_id") != 0).collect():
+        exact.setdefault(r["vec_id"], 0)
+        exact[r["vec_id"]] += (r["v"] - qvr[r["dim"]]) ** 2
+    mismatches = [
+        (r["vec_id"], r["adc_dist"], exact[r["vec_id"]])
+        for r in top
+        if r["adc_dist"] != exact[r["vec_id"]]
+    ]
+    assert mismatches == [], mismatches
+
+
+def test_pq_codes_cover_all_subspaces(spark):
+    """Every encoded vector gets exactly n_sub codes, each in [1, k_sub]."""
+    from pyspark.sql import functions as F
+
+    from openseizuredatabase_spark.functions.ann import pq_train_encode
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes, books = pq_train_encode(emb, n_sub=4, k_sub=8, dim=64)
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cid").alias("lo"),
+        F.max("cid").alias("hi"),
+    )
+    bad = per_vec.filter(
+        (F.col("n") != 4) | (F.col("lo") < 1) | (F.col("hi") > 8)
+    ).count()
+    assert bad == 0

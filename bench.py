@@ -63,6 +63,11 @@ HEADLINE = [
     "p5_perplexity_filter",
     "t33_fertility_stats",
     "t34_hashed_classifier",
+    "t35_kneser_ney",
+    "a16_kmv_distinct",
+    "a17_hll_registers",
+    "a18_countmin_topk",
+    "v8_pq_adc",
 ]
 
 

@@ -264,6 +264,9 @@ def pq_train_encode(
             )
         ).alias("dim", "v"),
     ).withColumn("sub", F.expr(f"dim div {sub_dim}"))
+    # q feeds every iteration plus the encode — pin it once so Lloyd
+    # round N doesn't re-expand the scan+posexplode lineage N times
+    q = q.localCheckpoint(eager=False)
     cents = q.filter(
         (F.col(id_col) >= 1) & (F.col(id_col) <= k_sub)
     ).select(F.col(id_col).alias("cid"), "sub", "dim", F.col("v").alias("c"))
@@ -293,6 +296,9 @@ def pq_train_encode(
             "dim",
             ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
         )
+        # kilobytes per round — truncate so iteration N+1's plan doesn't
+        # replay iterations 1..N (the connected_components discipline)
+        cents = cents.localCheckpoint(eager=False)
     return assign, cents
 
 

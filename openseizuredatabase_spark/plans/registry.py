@@ -31,6 +31,7 @@ from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.hashing import (
+    md5_long,
     md5_long_sql,
     seeded_md5_long,
     seeded_md5_long_sql,
@@ -8004,6 +8005,126 @@ def a18_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.countmin_lookup(cm, top, "t")
 
 
+def _a19_oracle() -> str:
+    from openseizuredatabase_spark.functions import sketches
+
+    k = sketches.KMV_K
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    num = repr(sketches.KMV_NUM)
+    return f"""
+    WITH ha AS (
+        SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'
+    ), hb AS (
+        SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'view'
+    ), ta AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+        ) WHERE rn <= {k}
+    ), tb AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+        ) WHERE rn <= {k}
+    ), tu AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT h FROM ta UNION SELECT h FROM tb)
+        ) WHERE rn <= {k}
+    ), ua AS (
+        SELECT count(*) AS n_in, max(h) AS kth FROM tu
+    ), flags AS (
+        SELECT count(*) AS n_both
+        FROM tu
+        JOIN ta ON tu.h = ta.h
+        JOIN tb ON tu.h = tb.h
+    ), ests AS (
+        SELECT
+            CASE WHEN u.n_in < {k} THEN u.n_in
+                 ELSE CAST(round({num} / u.kth::DOUBLE, 0) AS BIGINT)
+            END AS union_est,
+            f.n_both
+        FROM ua u CROSS JOIN flags f
+    ), exact AS (
+        SELECT (SELECT count(*) FROM ha) AS n_a_exact,
+               (SELECT count(*) FROM hb) AS n_b_exact,
+               (SELECT count(*) FROM ha JOIN hb ON ha.h = hb.h)
+                   AS inter_exact,
+               (SELECT count(*) FROM (SELECT h FROM ha UNION
+                                      SELECT h FROM hb)) AS union_exact
+    )
+    SELECT e.n_a_exact, e.n_b_exact, e.inter_exact, e.union_exact,
+           s.union_est, s.n_both,
+           CAST(round((s.n_both * s.union_est) / {float(k)!r}, 0) AS BIGINT)
+               AS inter_est
+    FROM exact e CROSS JOIN ests s
+    """
+
+
+@query(
+    "a19_kmv_set_ops",
+    _a19_oracle(),
+    "Theta-sketch set algebra from KMV sketches ALONE (the audience-"
+    "overlap primitive): the union sketch is the k smallest of the "
+    "merged hash sets, and because U ⊇ A implies kth(U) ≤ kth(A), any "
+    "union-sketch hash present in A is guaranteed to be in A's sketch — "
+    "so intersection needs only the two k-integer sketches, never the "
+    "raw sets: est∩ = (|{h∈topk(U): h∈A∧h∈B}|/k)·est(U). At 100 TB the "
+    "exact intersection of two distinct-sets is a full co-shuffle of "
+    "both; this is a join of two k-row frames. Exact counts ride along "
+    "so the driver hash pins estimator AND ground truth; all arithmetic "
+    "is integer until one dyadic-literal IEEE division per estimate.",
+)
+def a19_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import sketches
+
+    k = sketches.KMV_K
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    ta = sketches.kmv_topk(a.withColumn("g", F.lit(1)), ["g"], "user_id")
+    tb = sketches.kmv_topk(b.withColumn("g", F.lit(1)), ["g"], "user_id")
+    ta = ta.select("h").localCheckpoint(eager=False)
+    tb = tb.select("h").localCheckpoint(eager=False)
+    w = Window.orderBy("h")
+    tu = (
+        ta.union(tb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .localCheckpoint(eager=False)
+    )
+    ua = tu.agg(F.count(F.lit(1)).alias("n_in"), F.max("h").alias("kth"))
+    flags = (
+        tu.join(ta, "h").join(tb, "h").agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    union_est = F.when(F.col("n_in") < k, F.col("n_in")).otherwise(
+        F.round(F.lit(sketches.KMV_NUM) / F.col("kth").cast("double"), 0)
+        .cast("long")
+    )
+    ests = ua.crossJoin(F.broadcast(flags)).select(
+        union_est.alias("union_est"), "n_both"
+    )
+    ha = a.select(md5_long(F.col("user_id").cast("string")).alias("h")).distinct()
+    hb = b.select(md5_long(F.col("user_id").cast("string")).alias("h")).distinct()
+    ha = ha.localCheckpoint(eager=False)
+    hb = hb.localCheckpoint(eager=False)
+    exact = (
+        ha.agg(F.count(F.lit(1)).alias("n_a_exact"))
+        .crossJoin(hb.agg(F.count(F.lit(1)).alias("n_b_exact")))
+        .crossJoin(ha.join(hb, "h").agg(F.count(F.lit(1)).alias("inter_exact")))
+        .crossJoin(
+            ha.union(hb).distinct().agg(F.count(F.lit(1)).alias("union_exact"))
+        )
+    )
+    inter_est = F.round(
+        (F.col("n_both") * F.col("union_est")) / F.lit(float(k)), 0
+    ).cast("long")
+    return exact.crossJoin(F.broadcast(ests)).select(
+        "n_a_exact", "n_b_exact", "inter_exact", "union_exact",
+        "union_est", "n_both", inter_est.alias("inter_est"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -8249,6 +8370,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_bigrams + 31*{q6('avg_kn_logprob')}"),
         ("v8_pq_adc", "vec_id",
          f"{t('adc_dist')} + 31*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
+        ("a19_kmv_set_ops", "0",
+         "n_a_exact + 31*n_b_exact + 1009*inter_exact + 31063*union_exact"
+         f" + 1000003*{t('union_est')} + 7*n_both + 127*{t('inter_est')}"),
     ]
 
 

@@ -117,3 +117,43 @@ def test_hll_constants_are_dyadic_exact():
     the SQL literal and the Spark literal are the same double."""
     assert sketches.KMV_NUM == (sketches.KMV_K - 1) * (1 << 60)
     assert float(repr(sketches.HLL_NUM)) == sketches.HLL_NUM
+
+
+def test_kmv_theta_intersection_estimate(spark):
+    """Theta-sketch intersection from two KMV sketches alone: on sets
+    A = [0,600), B = [400,1000) (true ∩ = 200, ∪ = 1000) the estimate
+    must land within a 3-sigma-ish band, and every union-sketch hash
+    found in A's sketch must indeed be one of A's k smallest (the
+    kth(U) ≤ kth(A) containment the estimator relies on)."""
+    from pyspark.sql import Window
+
+    a = spark.range(0, 600).select(
+        F.lit(1).alias("g"), F.col("id").alias("v")
+    )
+    b = spark.range(400, 1000).select(
+        F.lit(1).alias("g"), F.col("id").alias("v")
+    )
+    ta = sketches.kmv_topk(a, ["g"], "v").select("h")
+    tb = sketches.kmv_topk(b, ["g"], "v").select("h")
+    k = sketches.KMV_K
+    w = Window.orderBy("h")
+    tu = (
+        ta.union(tb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("h")
+    )
+    kth_u = tu.agg(F.max("h")).collect()[0][0]
+    kth_a = ta.agg(F.max("h")).collect()[0][0]
+    assert kth_u <= kth_a  # containment property
+    union_est = sketches.kmv_estimate(
+        tu.withColumn("g", F.lit(1)).withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+        ),
+        ["g"],
+    ).collect()[0]["kmv_est"]
+    n_both = tu.join(ta, "h").join(tb, "h").count()
+    inter_est = round(n_both * union_est / k)
+    assert 300 <= union_est <= 2500
+    assert 0 <= inter_est <= 620  # true 200; k=16 is a coarse sketch

@@ -68,6 +68,9 @@ HEADLINE = [
     "a17_hll_registers",
     "a18_countmin_topk",
     "v8_pq_adc",
+    "a19_kmv_set_ops",
+    "t36_source_pagerank",
+    "p6_filter_chain",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Iterative graph algorithms with cross-engine-exact integer
+semantics.
+
+Reference basis: the reference has no graph operators; LLM data
+pipelines do — web-graph authority (PageRank / harmonic centrality over
+the host graph) is a standard corpus-quality signal (e.g. Common Crawl
+host rankings consumed by RefinedWeb-style filters). The repo's dedup
+connected-components (operators/dedup.py) covers reachability; this
+module adds the weighted-power-iteration family.
+
+Determinism: ranks are BIGINT micro-units, every redistribution uses
+the portable floor-division identity (x − x % d) / d on positive
+operands, and the damping mix is integer percent arithmetic — so a SQL
+engine unrolling the same iterations reproduces ranks bit-for-bit.
+
+Scale shape per iteration: one equi-join of the edge list with the
+rank frame on the source key and one aggregation by destination —
+the classic distributed power-iteration step. Rank state is one row
+per node (never driver-side); lineage is truncated per round so
+iteration N's plan does not replay rounds 1..N−1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a weighted edge list (u, v, w), fixed ``iters``
+    power iterations in exact integer arithmetic.
+
+    r_{t+1}(v) = (1−d)·scale + d · Σ_{u→v} ⌊r_t(u)·w(u,v) / W(u)⌋
+
+    with d applied as integer percent (⌊damping_pct·Σ/100⌋). Nodes are
+    the edge sources; a symmetric edge list therefore covers every
+    connected node and leaves no dangling mass. Returns (node, w_out,
+    rank_micro).
+    """
+    wout = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    nodes = wout.select(F.col("u").alias("node"), "wu")
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("r")
+    )
+    e = edges.join(wout, "u")
+    base = (scale * (100 - damping_pct)) // 100
+    for _ in range(iters):
+        j = e.join(ranks, e["u"] == ranks["node"])
+        x = F.col("r") * F.col("w")
+        contrib = ((x - (x % F.col("wu"))) / F.col("wu")).cast("long")
+        agg = j.groupBy(F.col("v").alias("node")).agg(
+            F.sum(contrib).cast("long").alias("c")
+        )
+        y = F.lit(damping_pct) * F.coalesce(F.col("c"), F.lit(0))
+        ranks = (
+            nodes.select("node")
+            .join(agg, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + (y - (y % 100)) / 100)
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        # one row per node — truncate so round N+1 doesn't replay 1..N
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.join(nodes, "node")
+        .select("node", F.col("wu").alias("w_out"), F.col("r").alias("rank_micro"))
+    )

@@ -2342,10 +2342,30 @@ def _stream_events(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix=prefix)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
-    arrow_ts = pq.read_schema(src).field("ts").type
-    if getattr(arrow_ts, "unit", None) == "ns":
+    if os.path.isdir(src):
+        # Spark-written layout (e.g. the scale-stress replicas): the
+        # .parquet path IS a directory of part files — stream it
+        # directly and sniff the unit from any one part file.
+        stream_dir = src
+        sample = next(
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        )
+    else:
+        stream_dir = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        sample = src
+    arrow_ts = pq.read_schema(sample).field("ts").type
+    # Arrow reports BOTH int64-nanos and legacy INT96 as timestamp[ns];
+    # only the int64 encoding needs (and survives) the raw-long read —
+    # INT96 (Spark's default writer output) reads natively as Timestamp.
+    pqs = pq.ParquetFile(sample).schema
+    phys = {
+        pqs.column(i).name: pqs.column(i).physical_type
+        for i in range(len(pqs))
+    }
+    if getattr(arrow_ts, "unit", None) == "ns" and phys.get("ts") == "INT64":
         raw_schema = T.StructType(
             [
                 T.StructField(
@@ -6835,6 +6855,36 @@ def p4_scrape_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_shingle_pairs(ss: DataFrame) -> DataFrame:
+    """(src_a < src_b, n_shared) from a distinct (source, shingle) frame:
+    ONE shuffle on the shingle key collects each shingle's bounded
+    sorted source set; pairs explode JVM-side (|sources|², never df²).
+    Shared by t29 (contamination matrix) and t36 (overlap-graph
+    PageRank edges)."""
+    grouped = ss.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                    lambda y: F.struct(
+                        x.alias("src_a"), y.alias("src_b")
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        grouped.select(pair.alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 @query(
     "t29_source_overlap",
     f"""
@@ -6873,28 +6923,7 @@ def p4_scrape_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t29_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
     ss = dedup_ops.shingles(docs, "text", "source", k=5, distinct=True)
-    grouped = ss.groupBy("shingle").agg(
-        F.array_sort(F.collect_set("source")).alias("srcs")
-    )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("srcs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
-                    lambda y: F.struct(
-                        x.alias("src_a"), y.alias("src_b")
-                    ),
-                ),
-            )
-        )
-    )
-    pairs = (
-        grouped.select(pair.alias("p"))
-        .select("p.src_a", "p.src_b")
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    pairs = _source_shingle_pairs(ss)
     tot = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
@@ -8125,6 +8154,181 @@ def a19_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t36_oracle(iters: int = 3) -> str:
+    fdiv = lambda x, d: f"(({x}) - (({x}) % ({d}))) / ({d})"  # noqa: E731
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""c{i} AS (
+        SELECT e.v AS node,
+               sum({fdiv('r.r * e.w', 'wo.wu')})::BIGINT AS c
+        FROM edges e
+        JOIN {prev} r ON e.u = r.node
+        JOIN wout wo ON e.u = wo.u
+        GROUP BY e.v
+    ), r{i} AS (
+        SELECT n.node,
+               (150000 + {fdiv('85 * coalesce(c.c, 0)', '100')})::BIGINT AS r
+        FROM (SELECT u AS node FROM wout) n
+        LEFT JOIN c{i} c ON n.node = c.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH {_SHINGLE_SQL.strip().rstrip()},
+    ss AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared
+        FROM ss a JOIN ss b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src_a AS u, src_b AS v, n_shared AS w FROM pairs
+        UNION ALL
+        SELECT src_b AS u, src_a AS v, n_shared AS w FROM pairs
+    ), wout AS (
+        SELECT u, sum(w)::BIGINT AS wu FROM edges GROUP BY u
+    ), r0 AS (
+        SELECT u AS node, 1000000::BIGINT AS r FROM wout
+    ), {', '.join(its)}
+    SELECT r.node AS source, wo.wu AS w_out, r.r AS rank_micro
+    FROM {prev} r JOIN wout wo ON r.node = wo.u
+    """
+
+
+@query(
+    "t36_source_pagerank",
+    _t36_oracle(),
+    "Source-authority PageRank over the cross-source overlap graph — "
+    "the web-graph centrality signal LLM corpus filters consume (Common "
+    "Crawl host-rank style), computed where the reference has no graph "
+    "operator at all. Edges reuse t29's one-shingle-shuffle pair "
+    "builder (symmetrized, weight = shared shingle types); then 3 fixed "
+    "power iterations in exact BIGINT micro-units — redistribution by "
+    "the portable floor-division identity, damping as integer percent — "
+    "so the SQL oracle unrolling the same rounds reproduces ranks "
+    "bit-for-bit (operators/graph.py integer_pagerank). Per-iteration "
+    "shape: one edge-list/rank-frame equi-join + one aggregation by "
+    "destination, rank state one row per node, lineage truncated per "
+    "round — the billion-node layout, demonstrated small.",
+)
+def t36_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.graph import integer_pagerank
+
+    docs = _ts(spark, sf_dir, "documents")
+    ss = dedup_ops.shingles(docs, "text", "source", k=5, distinct=True)
+    pairs = _source_shingle_pairs(ss)
+    edges = pairs.selectExpr(
+        "src_a AS u", "src_b AS v", "n_shared AS w"
+    ).unionByName(
+        pairs.selectExpr("src_b AS u", "src_a AS v", "n_shared AS w")
+    )
+    return integer_pagerank(edges, iters=3).withColumnRenamed(
+        "node", "source"
+    )
+
+
+def _p6_oracle() -> str:
+    g = QUERIES["t31_gopher_rules"].oracle
+    p = QUERIES["p5_perplexity_filter"].oracle
+    c = QUERIES["t34_hashed_classifier"].oracle
+    ntok = text_fns.token_count_sql("text")
+    return f"""
+    WITH g AS ({g}), p AS ({p}), c AS ({c}),
+    cw AS (
+        SELECT doc_id,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY score, doc_id) AS cpr
+        FROM c
+    ), docs0 AS (
+        SELECT doc_id, source, {ntok} AS n_tok
+        FROM documents WHERE length(trim(text)) > 0
+    ), j AS (
+        SELECT d.source, d.n_tok,
+               coalesce(g.gopher_pass, FALSE) AS gp,
+               (p.doc_id IS NOT NULL) AS pp,
+               coalesce(cw.cpr >= 0.5, FALSE) AS cp
+        FROM docs0 d
+        LEFT JOIN g ON d.doc_id = g.doc_id
+        LEFT JOIN p ON d.doc_id = p.doc_id
+        LEFT JOIN cw ON d.doc_id = cw.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN gp THEN 1 ELSE 0 END)::BIGINT AS n_gopher,
+           sum(CASE WHEN pp THEN 1 ELSE 0 END)::BIGINT AS n_ppl,
+           sum(CASE WHEN cp THEN 1 ELSE 0 END)::BIGINT AS n_clf,
+           sum(CASE WHEN gp AND pp AND cp THEN 1 ELSE 0 END)::BIGINT
+               AS n_pass_all,
+           sum(CASE WHEN gp AND pp AND cp THEN n_tok ELSE 0 END)::BIGINT
+               AS tok_kept
+    FROM j GROUP BY source
+    """
+
+
+@query(
+    "p6_filter_chain",
+    _p6_oracle(),
+    "The full modern pretraining filter chain in ONE lazy plan — the "
+    "composition a pretraining team actually deploys (RefinedWeb/LLaMA "
+    "recipe): Gopher rule screen (t31) ∧ per-source perplexity-quartile "
+    "cut (p5) ∧ TRAINED-classifier score in the per-source top half "
+    "(t34's logistic-GD scores under a percent_rank threshold, the "
+    "fastText-filter shape). Each stage is an independently oracled "
+    "operator; this query oracles the COMPOSITION — left-join alignment "
+    "of three verdicts per document, then a per-source keep/token "
+    "census. Catalyst fuses the three scans of documents; the only "
+    "shuffles are each stage's own aggregations plus one final "
+    "per-source rollup.",
+)
+def p6_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs0 = (
+        _ts(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", "source",
+            text_fns.token_count(F.col("text")).alias("n_tok"),
+        )
+    )
+    g = t31_gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    p = p5_perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("ppl_pass")
+    )
+    c = t34_hashed_classifier(spark, sf_dir)
+    cw = c.select(
+        "doc_id",
+        (
+            F.percent_rank().over(
+                Window.partitionBy("source").orderBy("score", "doc_id")
+            )
+            >= 0.5
+        ).alias("clf_pass"),
+    )
+    j = (
+        docs0.join(g, "doc_id", "left")
+        .join(p, "doc_id", "left")
+        .join(cw, "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            F.coalesce("gopher_pass", F.lit(False)).alias("gp"),
+            F.coalesce("ppl_pass", F.lit(False)).alias("pp"),
+            F.coalesce("clf_pass", F.lit(False)).alias("cp"),
+        )
+    )
+    keep = F.col("gp") & F.col("pp") & F.col("cp")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("gp"), 1).otherwise(0)).alias("n_gopher"),
+        F.sum(F.when(F.col("pp"), 1).otherwise(0)).alias("n_ppl"),
+        F.sum(F.when(F.col("cp"), 1).otherwise(0)).alias("n_clf"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_pass_all"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).alias("tok_kept"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -8373,6 +8577,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("a19_kmv_set_ops", "0",
          "n_a_exact + 31*n_b_exact + 1009*inter_exact + 31063*union_exact"
          f" + 1000003*{t('union_est')} + 7*n_both + 127*{t('inter_est')}"),
+        ("t36_source_pagerank", sc("source"),
+         f"w_out + 31*{t('rank_micro')}"),
+        ("p6_filter_chain", sc("source"),
+         "n_docs + 31*n_gopher + 1009*n_ppl + 31063*n_clf"
+         f" + 1000003*n_pass_all + 7*{t('tok_kept')}"),
     ]
 
 

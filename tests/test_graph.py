@@ -1,0 +1,67 @@
+"""Integer PageRank contracts: structure sensitivity, mass bounds,
+determinism — the properties the t36 oracle (same-formula replay)
+can't establish on its own."""
+
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.operators.graph import integer_pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "u string, v string, w long")
+
+
+def test_star_center_dominates(spark):
+    """Symmetric star: every leaf sends its full rank to the hub, the
+    hub splits its rank across leaves — hub rank must dominate every
+    leaf and leaves must tie exactly (identical integer paths)."""
+    leaves = [f"l{i}" for i in range(5)]
+    rows = []
+    for l in leaves:
+        rows.append(("hub", l, 1))
+        rows.append((l, "hub", 1))
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in integer_pagerank(_edges(spark, rows), iters=3).collect()
+    }
+    leaf_ranks = {out[l] for l in leaves}
+    assert len(leaf_ranks) == 1
+    assert out["hub"] > 3 * leaf_ranks.pop()
+
+
+def test_rank_mass_bounded(spark):
+    """Total rank stays within [n·base, n·scale·(1+eps)]: damping leaks
+    only floor-division remainders (< 1 micro-unit per edge per round)."""
+    rows = [
+        ("a", "b", 2), ("b", "a", 2),
+        ("b", "c", 1), ("c", "b", 1),
+        ("c", "a", 3), ("a", "c", 3),
+    ]
+    out = integer_pagerank(_edges(spark, rows), iters=3).collect()
+    total = sum(r["rank_micro"] for r in out)
+    n = len(out)
+    assert n == 3
+    assert n * 150_000 <= total <= n * 1_000_000 + n
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    rows = [("a", "b", 5), ("b", "a", 5), ("b", "c", 2), ("c", "b", 2)]
+    r1 = sorted(map(tuple, integer_pagerank(_edges(spark, rows)).collect()))
+    r2 = sorted(map(tuple, integer_pagerank(_edges(spark, rows)).collect()))
+    assert r1 == r2
+
+
+def test_heavier_edge_pulls_rank(spark):
+    """b is linked by both a (weight 9) and c (weight 1): a keeps most
+    of its outflow pointed at b vs c's split — b must outrank c and d."""
+    rows = [
+        ("a", "b", 9), ("b", "a", 9),
+        ("a", "c", 1), ("c", "a", 1),
+        ("c", "d", 1), ("d", "c", 1),
+    ]
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in integer_pagerank(_edges(spark, rows), iters=3).collect()
+    }
+    assert out["b"] > out["c"]
+    assert out["b"] > out["d"]

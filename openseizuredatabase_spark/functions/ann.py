@@ -236,6 +236,7 @@ def pq_train_encode(
     iters: int = 2,
     quant: int = 1000,
     dim: int = 64,
+    train_df: DataFrame | None = None,
 ):
     """Product quantization (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search"): split each vector into ``n_sub``
@@ -267,14 +268,33 @@ def pq_train_encode(
     # q feeds every iteration plus the encode — pin it once so Lloyd
     # round N doesn't re-expand the scan+posexplode lineage N times
     q = q.localCheckpoint(eager=False)
-    cents = q.filter(
+    if train_df is None:
+        qt = q
+    else:
+        # production scale path (the t24 sampled-train discipline):
+        # codebook training is the n·k_sub·d term — bound it to a
+        # sample; the full corpus pays only the single encode pass below
+        qt = (
+            train_df.select(
+                F.col(id_col),
+                F.posexplode(
+                    F.transform(
+                        F.col(vec_col).cast("array<double>"),
+                        lambda x: F.round(x * quant, 0).cast("long"),
+                    )
+                ).alias("dim", "v"),
+            )
+            .withColumn("sub", F.expr(f"dim div {sub_dim}"))
+            .localCheckpoint(eager=False)
+        )
+    cents = qt.filter(
         (F.col(id_col) >= 1) & (F.col(id_col) <= k_sub)
     ).select(F.col(id_col).alias("cid"), "sub", "dim", F.col("v").alias("c"))
     assign = None
     for _ in range(iters):
         diff = F.col("v") - F.col("c")
         dists = (
-            q.join(F.broadcast(cents.drop("sub")), "dim")
+            qt.join(F.broadcast(cents.drop("sub")), "dim")
             .groupBy(id_col, "sub", "cid")
             .agg(F.sum(diff * diff).alias("dist"))
         )
@@ -285,7 +305,7 @@ def pq_train_encode(
             .select(id_col, "sub", "cid")
         )
         sums = (
-            q.join(assign, [id_col, "sub"])
+            qt.join(assign, [id_col, "sub"])
             .groupBy("cid", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
         )
@@ -299,6 +319,21 @@ def pq_train_encode(
         # kilobytes per round — truncate so iteration N+1's plan doesn't
         # replay iterations 1..N (the connected_components discipline)
         cents = cents.localCheckpoint(eager=False)
+    if train_df is not None:
+        # single encode pass: assign EVERY corpus vector to the trained
+        # codebooks (same argmin semantics as the training assignment)
+        diff = F.col("v") - F.col("c")
+        dists = (
+            q.join(F.broadcast(cents.drop("sub")), "dim")
+            .groupBy(id_col, "sub", "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "sub", "cid")
+        )
     return assign, cents
 
 

@@ -335,3 +335,38 @@ def test_pq_codes_cover_all_subspaces(spark):
         (F.col("n") != 4) | (F.col("lo") < 1) | (F.col("hi") > 8)
     ).count()
     assert bad == 0
+
+
+def test_pq_sampled_training_encodes_everything(spark):
+    """Scale path: codebooks trained on a bounded sample still encode
+    EVERY corpus vector, and on a corpus whose vectors all appear in the
+    sample the codes match full-train exactly."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import pq_train_encode
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(vec_id=i + 1, embedding=rng.uniform(-1, 1, 16).tolist())
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows)
+    train = emb.filter(F.col("vec_id") <= 20)  # seeds 1..8 included
+    full_codes, _ = pq_train_encode(emb, n_sub=4, k_sub=8, dim=16)
+    samp_codes, _ = pq_train_encode(
+        emb, n_sub=4, k_sub=8, dim=16, train_df=train
+    )
+    n_full = full_codes.count()
+    n_samp = samp_codes.count()
+    assert n_full == n_samp == 40 * 4  # every (vector, subspace) coded
+    # sample == corpus → identical training → identical CODEBOOKS (the
+    # codes themselves differ by design: the sampled path re-assigns
+    # against the FINAL centroids, the default path returns the last
+    # Lloyd assignment — the standard pre-/post-update distinction)
+    _, full_books = pq_train_encode(emb, n_sub=4, k_sub=8, dim=16)
+    _, same_books = pq_train_encode(
+        emb, n_sub=4, k_sub=8, dim=16, train_df=emb
+    )
+    a = sorted(map(tuple, full_books.collect()))
+    b = sorted(map(tuple, same_books.collect()))
+    assert a == b

@@ -8329,6 +8329,446 @@ def p6_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v9_oracle() -> str:
+    d = _EMB_DIM
+    code = (
+        "CASE WHEN vmax > vmin THEN "
+        "round(((v - vmin) * 255.0) / (vmax - vmin))::BIGINT "
+        "ELSE 0 END"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), stats AS (
+        SELECT dim, min(v) AS vmin, max(v) AS vmax FROM q GROUP BY dim
+    ), codes AS (
+        SELECT q.vec_id, q.dim, {code} AS code
+        FROM q JOIN stats USING (dim)
+    ), qc AS (
+        SELECT dim, code AS qcode FROM codes WHERE vec_id = 0
+    ), dist AS (
+        SELECT c.vec_id,
+               sum((c.code - qc.qcode) * (c.code - qc.qcode))::BIGINT
+                   AS sq_dist
+        FROM codes c JOIN qc USING (dim)
+        WHERE c.vec_id <> 0 GROUP BY c.vec_id
+    ), topsq AS (
+        SELECT vec_id, sq_dist FROM dist ORDER BY sq_dist, vec_id LIMIT 10
+    ), qi AS (
+        SELECT vec_id, dim, round(v * 1000)::BIGINT AS vq FROM q
+    ), qv AS (
+        SELECT dim, vq FROM qi WHERE vec_id = 0
+    ), exact AS (
+        SELECT qi.vec_id,
+               sum((qi.vq - qv.vq) * (qi.vq - qv.vq))::BIGINT AS dist
+        FROM qi JOIN qv USING (dim)
+        WHERE qi.vec_id <> 0 GROUP BY qi.vec_id
+    ), ex10 AS (
+        SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, t.sq_dist, (e.vec_id IS NOT NULL) AS in_exact10
+    FROM topsq t LEFT JOIN ex10 e ON t.vec_id = e.vec_id
+    """
+
+
+@query(
+    "v9_sq8_rerank",
+    _v9_oracle(),
+    "Scalar-quantization (int8) ANN screen, cross-engine exact: per "
+    "dimension the corpus min/max train a 64-row codebook (one 64-key "
+    "map-side-combined aggregate — constant state at any corpus size), "
+    "each float32 component maps to round(255·(x−min)/(max−min)) and "
+    "candidate distance is the pure-integer Σ(code−qcode)² — "
+    "order-free, so the value hash pins it exactly. The codes column "
+    "is 8 bits/dim = 4× narrower than the float32 embeddings, so at "
+    "100 TB the screen reads a quarter of the bytes and stays in "
+    "whole-stage codegen; the exact-top-10 membership flag rides along "
+    "so the driver hash also pins recall@10 of the compressed screen "
+    "(complements v8's PQ/ADC path: SQ8 is the higher-recall, "
+    "lower-compression point on the same curve). Replaces brute-force "
+    "float rescans the reference does in pandas (nearest-neighbour "
+    "passes in user_tools analysis scripts).",
+)
+def v9_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    stats = q.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    code = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.round(
+            ((F.col("v") - F.col("vmin")) * 255.0)
+            / (F.col("vmax") - F.col("vmin")),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    codes = q.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", code.alias("code")
+    )
+    qc = codes.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("code").alias("qcode")
+    )
+    diff = F.col("code") - F.col("qcode")
+    topsq = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).alias("sq_dist"))
+        .orderBy("sq_dist", "vec_id")
+        .limit(10)
+    )
+    qi = q.select(
+        "vec_id", "dim", F.round(F.col("v") * 1000, 0).cast("long").alias("vq")
+    )
+    qv = qi.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("vq").alias("qvq")
+    )
+    ediff = F.col("vq") - F.col("qvq")
+    ex10 = (
+        qi.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(ediff * ediff).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_exact10"))
+    )
+    return topsq.join(ex10, "vec_id", "left").select(
+        "vec_id",
+        "sq_dist",
+        F.coalesce("in_exact10", F.lit(False)).alias("in_exact10"),
+    )
+
+
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _t37_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = text_fns.tokens_sql("text")
+    frac = (
+        "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_transform({toks}, x -> lower(x))) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+        SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(dl)::DOUBLE / count(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tf FROM toks
+        WHERE t IN ({terms}) GROUP BY doc_id, t
+    ), dfreq AS (
+        SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
+    ), idf AS (
+        SELECT t, round(ln(1 + (tot.n_docs - df + 0.5) / (df + 0.5)), 6)
+                   AS idf6
+        FROM dfreq CROSS JOIN tot
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(idf.idf6 * {frac} * 1e6)::BIGINT AS term_micro
+        FROM tf
+        JOIN idf ON tf.t = idf.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_hit,
+           sum(term_micro)::BIGINT AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """
+
+
+@query(
+    "t37_bm25_topk",
+    _t37_oracle(),
+    "BM25 full-text retrieval (Robertson/Lucene formulation, k1=1.2 "
+    "b=0.75) — the ranked-search operator a training-data pipeline "
+    "uses for targeted corpus probes (find documents about X) and "
+    "RAG-style chunk retrieval: per-term idf = ln(1+(N−df+0.5)/"
+    "(df+0.5)) rounded to 6 dp (the only libm term), tf saturation and "
+    "length normalization as pure IEEE arithmetic on identical "
+    "inputs, per-term contributions quantized to micro-int so the "
+    "per-doc SUM is order-free — the value hash pins the whole "
+    "ranking. Scale: query terms filter the exploded token stream "
+    "BEFORE its shuffle, so tf is O(matching postings) not O(corpus "
+    "tokens); idf is a |terms|-row broadcast; doc lengths come from "
+    "one map-side-combined agg. At 100 TB this is the "
+    "inverted-index-free scan-side ranking; persisting tf as a "
+    "bucketed postings table makes repeat queries index-fast.",
+)
+def t37_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(text_fns.tokens(F.col("text")), F.lower)
+        ).alias("t"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            6,
+        ).alias("idf6"),
+    )
+    frac = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.col("idf6") * frac * 1e6, 0)
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _cf_expr(z: float) -> str:
+    """Cornish-Fisher quantile expansion from (mean, std, skew, kurt):
+    identical expression TEXT evaluated by Spark and DuckDB — constants
+    pre-folded in Python so both engines parse the same decimal literals
+    and every op is IEEE mult/add on identical (6-dp-rounded) inputs."""
+    c1 = (z * z - 1.0) / 6.0
+    c2 = (z * z * z - 3.0 * z) / 24.0
+    c3 = (2.0 * z * z * z - 5.0 * z) / 36.0
+    return (
+        f"round(mean_value + std_value * ({z!r} + {c1!r} * skewness"
+        f" + {c2!r} * kurtosis - {c3!r} * skewness * skewness), 6)"
+    )
+
+
+def _a20_oracle() -> str:
+    m = QUERIES["a10_moments"].oracle
+    return f"""
+    WITH m AS ({m}), x AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS exact_p50,
+               round(quantile_cont(value, 0.9), 6) AS exact_p90,
+               round(quantile_cont(value, 0.99), 6) AS exact_p99
+        FROM events GROUP BY event_type
+    )
+    SELECT m.event_type,
+           {_cf_expr(0.0)} AS cf_p50,
+           {_cf_expr(1.2815515655446004)} AS cf_p90,
+           {_cf_expr(2.3263478740408408)} AS cf_p99,
+           x.exact_p50, x.exact_p90, x.exact_p99,
+           CAST(round(({_cf_expr(1.2815515655446004)} - x.exact_p90)
+                      * 1000000) AS BIGINT) AS err90_micro
+    FROM m JOIN x ON m.event_type = x.event_type
+    """
+
+
+@query(
+    "a20_moment_quantiles",
+    _a20_oracle(),
+    "Moment-sketch quantiles (the Gan et al. VLDB'18 idea in its "
+    "closed-form Cornish-Fisher variant): per group the ONLY state is "
+    "five exact integer power sums (n, Σx..Σx⁴ — a10's mergeable "
+    "moments), from which p50/p90/p99 are recovered by the CF "
+    "expansion q_p ≈ μ + σ·(z + (z²−1)S/6 + (z³−3z)K/24 − "
+    "(2z³−5z)S²/36). Unlike exact percentile (full sort) or t-digest "
+    "(data-dependent centroid state), the sketch is CONSTANT-size, "
+    "merges across partitions/corpora by integer addition, and "
+    "streams — the 100-TB path for monitoring-grade quantiles in one "
+    "map-side-combined pass. Exact quantile_cont rides along so the "
+    "driver hash pins the approximation error itself (err90_micro), "
+    "not just the estimate; constants are pre-folded in Python so "
+    "both engines evaluate identical literal text.",
+)
+def a20_moment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mom = a10_moments(spark, sf_dir)
+    ex = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("exact_p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("exact_p99"),
+        )
+    )
+    cf90 = _cf_expr(1.2815515655446004)
+    return (
+        mom.join(ex, "event_type")
+        .select(
+            "event_type",
+            F.expr(_cf_expr(0.0)).alias("cf_p50"),
+            F.expr(cf90).alias("cf_p90"),
+            F.expr(_cf_expr(2.3263478740408408)).alias("cf_p99"),
+            "exact_p50",
+            "exact_p90",
+            "exact_p99",
+            F.expr(
+                f"CAST(round(({cf90} - exact_p90) * 1000000) AS BIGINT)"
+            ).alias("err90_micro"),
+        )
+    )
+
+
+_BLOOM_M = 4032  # bits = 64 words x 63 usable bits (sign bit never set)
+_BLOOM_K = 4
+
+
+def _d5_oracle() -> str:
+    fp = md5_long_sql("txt")
+    fpm = md5_long_sql("txt || ' novel'")
+    ph = md5_long_sql("CAST(s.s AS VARCHAR) || ':' || CAST(fp AS VARCHAR)")
+    m, k = _BLOOM_M, _BLOOM_K
+    seeds = ", ".join(str(i) for i in range(k))
+    return f"""
+    WITH docs0 AS (
+        SELECT doc_id, trim(text) AS txt FROM documents
+        WHERE length(trim(text)) > 0
+    ), corpus AS (
+        SELECT DISTINCT {fp} AS fp FROM docs0
+    ), seeds AS (
+        SELECT unnest([{seeds}]) AS s
+    ), pos AS (
+        SELECT {ph} % {m} AS p FROM corpus, seeds s
+    ), words AS (
+        SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)) AS bits
+        FROM pos GROUP BY 1
+    ), probes AS (
+        SELECT doc_id AS probe_id, {fp} AS fp FROM docs0 WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS probe_id, {fpm} AS fp
+        FROM docs0 WHERE doc_id % 5 = 1
+    ), ppos AS (
+        SELECT probe_id, fp, {ph} % {m} AS p FROM probes, seeds s
+    ), hits AS (
+        SELECT probe_id, fp,
+               sum((coalesce(w.bits, 0) >> (p % 63)) & 1)::BIGINT AS n_set
+        FROM ppos LEFT JOIN words w ON w.word = p // 63
+        GROUP BY probe_id, fp
+    )
+    SELECT h.probe_id,
+           (h.n_set = {k}) AS bloom_hit,
+           (c.fp IS NOT NULL) AS true_member,
+           ((h.n_set = {k}) AND c.fp IS NULL) AS is_fp
+    FROM hits h LEFT JOIN corpus c ON h.fp = c.fp
+    """
+
+
+@query(
+    "d5_bloom_screen",
+    _d5_oracle(),
+    "Bloom-filter membership screen for incremental dedup, cross-engine "
+    "exact: corpus fingerprints set k=4 portable-hash bits in an m=4032 "
+    "filter stored as 64 bigint words (63 usable bits each — the sign "
+    "bit is never set, so bit_or/shift semantics agree everywhere); a "
+    "probe batch (known members + mutated non-members) tests all k "
+    "positions and the exact fingerprint set rides along, so the "
+    "driver hash pins both every verdict AND the measured false "
+    "positives (is_fp). Scale: the filter is O(m) constant state built "
+    "by one 64-key map-side-combined bit_or — at 100 TB it broadcasts "
+    "to any probe stage and screens out the (1−fpr) majority of "
+    "probes BEFORE the expensive exact anti-join (t16's broadcast "
+    "batch probe), and filters from disjoint corpora merge by "
+    "word-wise OR. The classic write-side dedup gate the reference's "
+    "pandas isin() screens (osdb loader) cannot scale to.",
+)
+def d5_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, k = _BLOOM_M, _BLOOM_K
+    docs0 = (
+        _ts(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.trim("text").alias("txt"))
+    )
+    corpus = docs0.select(md5_long(F.col("txt")).alias("fp")).distinct()
+    seed = F.explode(
+        F.array(*[F.lit(i) for i in range(k)])
+    ).alias("s")
+    phash = md5_long(
+        F.concat_ws(
+            ":", F.col("s").cast("string"), F.col("fp").cast("string")
+        )
+    )
+    words = (
+        corpus.select("fp", seed)
+        .select((phash % m).alias("p"))
+        .groupBy(F.expr("p div 63").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))")
+            ).alias("bits")
+        )
+    )
+    probes = docs0.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("probe_id"), md5_long(F.col("txt")).alias("fp")
+    ).unionByName(
+        docs0.filter(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + 1000000).alias("probe_id"),
+            md5_long(F.concat(F.col("txt"), F.lit(" novel"))).alias("fp"),
+        )
+    )
+    ppos = probes.select("probe_id", "fp", seed).select(
+        "probe_id", "fp", (phash % m).alias("p")
+    )
+    hit = F.expr(
+        "shiftright(coalesce(bits, CAST(0 AS BIGINT)),"
+        " CAST(p % 63 AS INT)) % 2"
+    )
+    hits = (
+        ppos.join(
+            F.broadcast(words),
+            F.expr("p div 63") == F.col("word"),
+            "left",
+        )
+        .groupBy("probe_id", "fp")
+        .agg(F.sum(hit).alias("n_set"))
+    )
+    mem = corpus.select(F.col("fp").alias("mfp"))
+    return (
+        hits.join(mem, F.col("fp") == F.col("mfp"), "left")
+        .select(
+            "probe_id",
+            (F.col("n_set") == k).alias("bloom_hit"),
+            F.col("mfp").isNotNull().alias("true_member"),
+            ((F.col("n_set") == k) & F.col("mfp").isNull()).alias("is_fp"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -8582,6 +9022,17 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("p6_filter_chain", sc("source"),
          "n_docs + 31*n_gopher + 1009*n_ppl + 31063*n_clf"
          f" + 1000003*n_pass_all + 7*{t('tok_kept')}"),
+        ("v9_sq8_rerank", "vec_id",
+         f"{t('sq_dist')} + 31*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
+        ("t37_bm25_topk", "doc_id", f"n_hit + 31*{t('score_micro')}"),
+        ("a20_moment_quantiles", sc("event_type"),
+         f"{t(q6('cf_p50'))} + 31*{t(q6('cf_p90'))}"
+         f" + 1009*{t(q6('cf_p99'))} + 31063*{t(q6('exact_p90'))}"
+         f" + 7*{t('err90_micro')}"),
+        ("d5_bloom_screen", "probe_id",
+         "(CASE WHEN bloom_hit THEN 1 ELSE 0 END)"
+         " + 31*(CASE WHEN true_member THEN 1 ELSE 0 END)"
+         " + 1009*(CASE WHEN is_fp THEN 1 ELSE 0 END)"),
     ]
 
 

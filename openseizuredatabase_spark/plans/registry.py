@@ -8769,6 +8769,255 @@ def d5_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p7_oracle() -> str:
+    t7 = QUERIES["t7_lsh_candidate_pairs"].oracle
+    t2 = QUERIES["t2_quality_score"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({t7}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), verts AS (
+        SELECT DISTINCT a AS id FROM edges
+    ), reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ), comps AS (
+        SELECT id, min(r) AS comp FROM reach GROUP BY id
+    ), qual AS ({t2}),
+    ranked AS (
+        SELECT c.comp, c.id,
+               coalesce(q.quality, -1.0) AS q,
+               coalesce(q.n_tokens, 0) AS n_tok,
+               row_number() OVER (PARTITION BY c.comp
+                                  ORDER BY coalesce(q.quality, -1.0) DESC,
+                                           c.id) AS rn
+        FROM comps c LEFT JOIN qual q ON c.id = q.doc_id
+    )
+    SELECT comp,
+           count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+           max(CASE WHEN rn = 1 THEN q END) AS best_quality,
+           sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END)::BIGINT
+               AS tokens_saved
+    FROM ranked GROUP BY comp
+    """
+
+
+@query(
+    "p7_canonical_docs",
+    _p7_oracle(),
+    "Canonical-representative selection — the keep-the-best-copy step "
+    "that turns near-dup clusters into a dedup decision a pretraining "
+    "corpus actually ships: connected components over the LSH "
+    "candidate graph (t10's min-label propagation), each member "
+    "scored by the oracled quality model (t2), argmax(quality, tie → "
+    "lowest id) picked per cluster by ONE window, and tokens_saved "
+    "counts what dropping the other members reclaims. Composition of "
+    "two independently-oracled operators; the oracle replays the "
+    "recursive-CTE closure + the same window, so the driver hash pins "
+    "the selection policy end to end. Scale: components converge in "
+    "O(cluster diameter) rounds (near-clique dup groups: 2-3); the "
+    "quality join and window both key on uniform ids; nothing is "
+    "quadratic in corpus size. (The naive alternative — keep minimum "
+    "id, as t10's 'canonical = min id' note — discards the BEST copy "
+    "whenever the lowest-id member is the degraded one; this query is "
+    "the quality-aware fix.)",
+)
+def p7_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = QUERIES["t7_lsh_candidate_pairs"].fn(spark, sf_dir)
+    cc = dedup_ops.connected_components(pairs, "id_a", "id_b")
+    qual = t2_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    j = cc.join(qual, cc["id"] == qual["doc_id"], "left").select(
+        "comp",
+        "id",
+        F.coalesce("quality", F.lit(-1.0)).alias("q"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tok"),
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("q").desc(), F.col("id"))
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("id"))).alias("canonical_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("best_quality"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0)).alias(
+            "tokens_saved"
+        ),
+    )
+
+
+@query(
+    "w13_funnel",
+    """
+    WITH users AS (
+        SELECT DISTINCT user_id FROM events
+    ), s1 AS (
+        SELECT user_id, min(epoch_us(ts))::BIGINT AS t_view_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t_click_us
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t_view_us
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t_purchase_us
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t_click_us
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id, s1.t_view_us, s2.t_click_us, s3.t_purchase_us,
+           (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS stage,
+           (s3.t_purchase_us - s1.t_view_us) AS conv_us
+    FROM users u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    "Ordered-step funnel analysis (view → click → purchase), the "
+    "product-analytics operator the reference's per-user pandas "
+    "summaries approximate serially: each step's timestamp is the "
+    "earliest matching event AT OR AFTER the previous step's — a "
+    "chained conditional-min, not three independent mins, so an early "
+    "purchase before any view correctly does NOT convert. All three "
+    "step aggregations and the final assembly key on user_id: under "
+    "AQE the shuffles reuse one exchange, and every min is map-side "
+    "combined, so at 100 TB the cost is one pass over events plus "
+    "per-user constant state. Timestamps ride as exact integer micros "
+    "so the driver hash pins every step time and the conversion "
+    "latency (conv_us), not just stage counts.",
+)
+def w13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view_us"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") >= F.col("t_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click_us"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") >= F.col("t_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase_us"))
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view_us",
+            "t_click_us",
+            "t_purchase_us",
+            F.when(F.col("t_purchase_us").isNotNull(), 3)
+            .when(F.col("t_click_us").isNotNull(), 2)
+            .when(F.col("t_view_us").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+            (F.col("t_purchase_us") - F.col("t_view_us")).alias("conv_us"),
+        )
+    )
+
+
+@query(
+    "m23_wav_spectrogram",
+    """
+    WITH s AS (
+        SELECT event_id AS media_id,
+               (100 + event_id % 50)::BIGINT AS n, t.t AS t,
+               (((t.t * 17 + event_id * 29) % 2003) - 1001) / 1000.0 AS x
+        FROM events,
+             unnest(generate_series(0, 100 + event_id % 50 - 1)) AS t(t)
+        WHERE event_id < 50
+    ), ep AS (
+        SELECT media_id, t // 32 AS epoch, t % 32 AS i, x
+        FROM s WHERE t // 32 < n // 32
+    ), bins AS (
+        SELECT media_id, epoch, k.k AS k,
+               sum(x * cos(2 * pi() * k.k * i / 32.0)) AS re,
+               sum(x * sin(2 * pi() * k.k * i / 32.0)) AS im
+        FROM ep, unnest(generate_series(1, 16)) AS k(k)
+        GROUP BY media_id, epoch, k.k
+    )
+    SELECT media_id, epoch, k, round(re*re + im*im, 6) AS power
+    FROM bins
+    """,
+    "Audio spectrogram over REAL decoded WAV bytes — the multimodal "
+    "feature-extraction composition (decode → epoch → spectrum) a "
+    "training pipeline runs on audio corpora: deterministic PCM-16 "
+    "clips are RIFF-encoded, decoded back by the stdlib codec "
+    "(multimodal.decode_wav), segmented into 32-sample epochs and "
+    "FFT'd to per-epoch bin powers in ONE Arrow stage (bytes never "
+    "leave executors; numpy rfft per epoch). The oracle replays the "
+    "sample formula and the literal O(N²) DFT in SQL — same spectrum "
+    "the FFT factorizes, 6-dp rounding absorbing the ~1e-13 "
+    "summation difference (c9's established pattern, here composed "
+    "behind a real byte-level codec so a RIFF-parse defect breaks "
+    "the hash too). Scale: embarrassingly parallel per clip; epochs "
+    "× bins output is columnar and shuffle-free.",
+)
+def m23_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 50).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 100 + mid % 50
+                t_idx = np.arange(n, dtype=np.int64)
+                v = ((t_idx * 17 + mid * 29) % 2003) - 1001
+                rows.append((mid, encode_wav(v, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def spectro(batches):
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                x = samples[:, 0].astype(np.float64) / 1000.0
+                for e in range(len(x) // 32):
+                    seg = x[e * 32 : (e + 1) * 32]
+                    sp = np.fft.rfft(seg)
+                    power = np.round(sp.real**2 + sp.imag**2, 6)
+                    for k in range(1, 17):
+                        out.append((int(mid), e, k, float(power[k])))
+            yield pd.DataFrame(
+                out, columns=["media_id", "epoch", "k", "power"]
+            )
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return media.mapInPandas(
+        spectro, "media_id long, epoch long, k long, power double"
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -9033,6 +9282,16 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "(CASE WHEN bloom_hit THEN 1 ELSE 0 END)"
          " + 31*(CASE WHEN true_member THEN 1 ELSE 0 END)"
          " + 1009*(CASE WHEN is_fp THEN 1 ELSE 0 END)"),
+        ("p7_canonical_docs", "comp",
+         f"n_members + 31*canonical_id + 1009*{t(q6('best_quality'))}"
+         f" + 31063*{t('tokens_saved')}"),
+        ("w13_funnel", "user_id",
+         f"stage + 31*{t('coalesce(t_view_us, -1)')}"
+         f" + 1009*{t('coalesce(t_click_us, -1)')}"
+         f" + 31063*{t('coalesce(t_purchase_us, -1)')}"
+         f" + 7*{t('coalesce(conv_us, -1)')}"),
+        ("m23_wav_spectrogram",
+         "media_id * 100000 + epoch * 100 + k", t(q6("power"))),
     ]
 
 

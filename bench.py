@@ -71,6 +71,16 @@ HEADLINE = [
     "a19_kmv_set_ops",
     "t36_source_pagerank",
     "p6_filter_chain",
+    "v9_sq8_rerank",
+    "t37_bm25_topk",
+    "a20_moment_quantiles",
+    "d5_bloom_screen",
+    "p7_canonical_docs",
+    "w13_funnel",
+    "m23_wav_spectrogram",
+    "j9_scd2_history",
+    "p8_chunk_retrieval",
+    "s17_streaming_sliding",
 ]
 
 

@@ -8459,19 +8459,21 @@ def _t37_oracle() -> str:
         "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
     )
     return f"""
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(list_transform({toks}, x -> lower(x))) AS t
+    WITH tarr AS (
+        SELECT doc_id, list_transform({toks}, x -> lower(x)) AS tk
         FROM documents WHERE length(trim(text)) > 0
     ), dl AS (
-        SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+        SELECT doc_id, len(tk)::BIGINT AS dl FROM tarr
     ), tot AS (
         SELECT count(*)::BIGINT AS n_docs,
                sum(dl)::DOUBLE / count(*) AS avgdl
         FROM dl
     ), tf AS (
-        SELECT doc_id, t, count(*)::BIGINT AS tf FROM toks
-        WHERE t IN ({terms}) GROUP BY doc_id, t
+        SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id,
+                   unnest(list_filter(tk, x -> x IN ({terms}))) AS t
+            FROM tarr)
+        GROUP BY doc_id, t
     ), dfreq AS (
         SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
     ), idf AS (
@@ -8515,19 +8517,26 @@ def t37_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    toks = docs.select(
+    tarr = docs.select(
         "doc_id",
-        F.explode(
-            F.transform(text_fns.tokens(F.col("text")), F.lower)
-        ).alias("t"),
+        F.transform(text_fns.tokens(F.col("text")), F.lower).alias("tk"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length from the array size — no explode, no shuffle; the only
+    # row amplification in the whole query is the already-filtered
+    # posting explode below (O(matching postings), not O(corpus tokens))
+    dl = tarr.select("doc_id", F.size("tk").cast("long").alias("dl"))
     tot = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    terms_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
     tf = (
-        toks.filter(F.col("t").isin(*_BM25_TERMS))
+        tarr.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.col("tk"), lambda x: F.array_contains(terms_arr, x))
+            ).alias("t"),
+        )
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -9018,6 +9027,242 @@ def m23_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j9_scd2_history",
+    """
+    WITH log AS (
+        SELECT user_id, event_type AS state, epoch_us(ts)::BIGINT AS us,
+               event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events
+    ), changes AS (
+        SELECT user_id, state, us FROM log
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY us, state) AS version,
+           us AS eff_from_us,
+           lead(us) OVER (PARTITION BY user_id
+                          ORDER BY us, state) AS eff_to_us,
+           (lead(us) OVER (PARTITION BY user_id ORDER BY us, state) IS NULL)
+               AS is_current
+    FROM changes
+    """,
+    "SCD2 dimension-history build — the lakehouse operator that turns "
+    "an append-only change log into a validity-interval dimension "
+    "table (the reference's snapshot-merge J5 keeps only latest-wins; "
+    "this keeps the full history): consecutive duplicate states "
+    "collapse via lag() change detection, then each surviving change "
+    "opens an interval that the next change's lead() closes — "
+    "half-open [eff_from, eff_to), NULL/is_current for the live row. "
+    "Both windows share ONE user_id partitioning, so the whole build "
+    "is a single shuffle + two sorted passes; at 100 TB the log "
+    "partitions by key and each user's history is tiny state. As-of "
+    "lookups against the result are j7's running-max shape; exact "
+    "integer micros pin every boundary in the driver hash.",
+)
+def j9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w_log = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("state").over(w_log))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select("user_id", "state", "us")
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("us", "state")
+    return changes.select(
+        "user_id",
+        "state",
+        F.row_number().over(w_hist).alias("version"),
+        F.col("us").alias("eff_from_us"),
+        F.lead("us").over(w_hist).alias("eff_to_us"),
+        F.lead("us").over(w_hist).isNull().alias("is_current"),
+    )
+
+
+def _p8_oracle() -> str:
+    t21 = QUERIES["t21_doc_chunking"].oracle
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = text_fns.tokens_sql("chunk")
+    frac = "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+    return f"""
+    WITH chunks AS ({t21}),
+    carr AS (
+        SELECT doc_id, chunk_id,
+               list_transform({toks}, x -> lower(x)) AS tk
+        FROM chunks
+    ), dl AS (
+        SELECT doc_id, chunk_id, len(tk)::BIGINT AS dl FROM carr
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_chunks,
+               sum(dl)::DOUBLE / count(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, chunk_id, t, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, chunk_id,
+                   unnest(list_filter(tk, x -> x IN ({terms}))) AS t
+            FROM carr)
+        GROUP BY doc_id, chunk_id, t
+    ), dfreq AS (
+        SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
+    ), idf AS (
+        SELECT t, round(ln(1 + (tot.n_chunks - df + 0.5) / (df + 0.5)), 6)
+                   AS idf6
+        FROM dfreq CROSS JOIN tot
+    ), scored AS (
+        SELECT tf.doc_id, tf.chunk_id,
+               round(idf.idf6 * {frac} * 1e6)::BIGINT AS term_micro
+        FROM tf
+        JOIN idf ON tf.t = idf.t
+        JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+        CROSS JOIN tot
+    )
+    SELECT doc_id, chunk_id, count(*) AS n_hit,
+           sum(term_micro)::BIGINT AS score_micro
+    FROM scored GROUP BY doc_id, chunk_id
+    ORDER BY score_micro DESC, doc_id, chunk_id LIMIT 5
+    """
+
+
+@query(
+    "p8_chunk_retrieval",
+    _p8_oracle(),
+    "RAG retrieval pipeline end to end — context chunking (t21's "
+    "32-token stride-24 windows) composed with BM25 ranking (t37's "
+    "formula, recomputed over CHUNK statistics: chunk-level df/idf "
+    "and chunk-length normalization, which is what makes retrieval "
+    "quality differ from document-level scoring) returning the top-5 "
+    "chunks with (doc_id, chunk_id) provenance. The whole pipeline "
+    "is ONE lazy plan: the chunker is a shuffle-free in-row "
+    "transform, postings filter to query terms before their shuffle, "
+    "idf is a |terms|-row broadcast. The oracle replays t21's chunk "
+    "SQL + the full BM25 computation, so the driver hash pins the "
+    "retrieved context set a downstream LLM would actually see.",
+)
+def p8_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = t21_doc_chunking(spark, sf_dir)
+    carr = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.transform(text_fns.tokens(F.col("chunk")), F.lower).alias("tk"),
+    )
+    dl = carr.select(
+        "doc_id", "chunk_id", F.size("tk").cast("long").alias("dl")
+    )
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        carr.select(
+            "doc_id",
+            "chunk_id",
+            F.explode(
+                F.filter(F.col("tk"), lambda x: F.array_contains(terms_arr, x))
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "chunk_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log(
+                1 + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf6"),
+    )
+    frac = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(F.col("idf6") * frac * 1e6, 0)
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id", "chunk_id")
+        .limit(5)
+    )
+
+
+@query(
+    "s17_streaming_sliding",
+    """
+    WITH off AS (
+        SELECT unnest([0, 1]) AS o
+    )
+    SELECT strftime(date_trunc('day', ts) - o * INTERVAL 1 DAY,
+                    '%Y%m%d')::BIGINT AS win_start,
+           event_type, count(*) AS n
+    FROM events, off
+    GROUP BY 1, 2
+    """,
+    "Sliding-window streaming counts (2-day windows sliding by 1 day) — "
+    "the trailing-window rate monitor s11's tumbling windows can't "
+    "express (a tumbling bucket resets at each boundary; a sliding "
+    "window sees the last 48 h at every daily tick): events replay "
+    "through readStream → watermarked sliding window per event_type "
+    "(streaming/sessionize.sliding_counts) → complete-mode memory "
+    "sink. Each event lands in exactly duration/slide = 2 epoch-"
+    "aligned windows, so the batch oracle is the same grouping with "
+    "each row contributed to day(ts) and day(ts)−1 — emitted as "
+    "integer yyyymmdd keys. State per key is (duration/slide)× "
+    "tumbling's, still constant and watermark-evicted.",
+)
+def s17_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.streaming.sessionize import sliding_counts
+
+    stream = _stream_events(spark, sf_dir, "s17_events_")
+    out = sliding_counts(
+        stream, "ts", ["event_type"], window_duration="2 days", slide="1 day"
+    )
+    name = f"s17_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("bucket_start", "yyyyMMdd").cast("long").alias(
+            "win_start"
+        ),
+        "event_type",
+        "n",
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -9292,6 +9537,14 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 7*{t('coalesce(conv_us, -1)')}"),
         ("m23_wav_spectrogram",
          "media_id * 100000 + epoch * 100 + k", t(q6("power"))),
+        ("j9_scd2_history", "user_id * 1000 + version",
+         f"{sc('state')} + 31*{t('eff_from_us')}"
+         f" + 1009*{t('coalesce(eff_to_us, -1)')}"
+         " + 31063*(CASE WHEN is_current THEN 1 ELSE 0 END)"),
+        ("p8_chunk_retrieval", "doc_id * 1000 + chunk_id",
+         f"n_hit + 31*{t('score_micro')}"),
+        ("s17_streaming_sliding",
+         f"win_start * 1000000 + {sc('event_type')}", "n"),
     ]
 
 

@@ -47,6 +47,32 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    window_duration: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) windowed counts: each event lands in
+    window_duration/slide epoch-aligned windows, so a bucket's count is
+    a trailing-window aggregate rather than a tumbling partition. State
+    per open window is bounded by the watermark exactly as in
+    :func:`windowed_counts` — there are just duration/slide times more
+    open windows, still constant per key."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
 def streaming_distinct(
     stream: DataFrame,
     ts_col: str,

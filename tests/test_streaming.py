@@ -80,6 +80,31 @@ def test_windowed_counts_stream(spark, stream_dir):
     assert [(r.user_id, r.n) for r in rows] == [(1, 6), (2, 6)]
 
 
+def test_sliding_counts_overlap(spark, stream_dir):
+    from openseizuredatabase_spark.streaming.sessionize import sliding_counts
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = sliding_counts(
+        stream, "ts", ["user_id"], window_duration="2 minutes", slide="1 minute"
+    )
+    _run_to_memory(out, "sliding", "complete")
+    rows = spark.sql(
+        "SELECT * FROM sliding ORDER BY user_id, bucket_start"
+    ).collect()
+    # per user: 4 dps in minute 0 (00:00-00:20), 2 dps in minute 2
+    # (02:20-02:25). 2-min windows sliding 1 min → window starting at
+    # -1 min sees the first 4; 00:00 sees 4; 01:00 sees the later 2;
+    # 02:00 sees the later 2. Every event appears in exactly 2 windows.
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert {u: sorted(v) for u, v in per_user.items()} == {
+        1: [2, 2, 4, 4],
+        2: [2, 2, 4, 4],
+    }
+    assert sum(n for v in per_user.values() for n in v) == 2 * 12
+
+
 def test_streaming_alarm_machine_matches_batch(spark, stream_dir):
     settings = OsdSettings(sample_period=5, warn_time=5, alarm_time=10)
     stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)

@@ -81,6 +81,7 @@ HEADLINE = [
     "j9_scd2_history",
     "p8_chunk_retrieval",
     "s17_streaming_sliding",
+    "v10_ivf_pq",
 ]
 
 

@@ -372,6 +372,102 @@ def pq_adc_topk(
     return adc.orderBy("adc_dist", id_col).limit(top_k)
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    n_sub: int = 16,
+    k_sub: int = 32,
+    dim: int = 64,
+    top_k: int = 10,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ search (Jégou et al. 2011 §IV, the IVFADC index FAISS
+    ships as ``IVFx,PQy`` — the production ANN composition): the coarse
+    quantizer (kmeans_exact) routes the query to its ``n_probe``
+    nearest cells, and ONLY those cells' members are scored — from
+    their PQ codes via the broadcast ADC table, never from the raw
+    vectors. The two compressions multiply: the scan touches
+    n_probe/k of the corpus (partition pruning when cluster_id is the
+    lake partition key) AND reads the ~20x narrower codes column — the
+    regime where brute force, IVF-alone (v6), and PQ-alone (v8) are
+    all memory-bound. Codes encode raw vectors, not residuals:
+    residual ADC needs a fresh table per probed cell per query, while
+    raw-vector ADC keeps ONE n_sub*k_sub table and stays cross-engine
+    exact (the recall cost at n_probe=2/64-dim synthetic data is
+    pinned by the oracle's in_exact10 flags).
+
+    Returns (vec_id, cid, adc_dist) for the top_k candidates.
+    """
+    from pyspark.sql import Window
+
+    assign, cents = kmeans_exact(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters, quant=quant
+    )
+    qlit = F.expr(
+        "array("
+        + ", ".join(
+            str(int(round(float(x) * quant))) + "L" for x in query_vec
+        )
+        + ")"
+    )
+    carr = cents.groupBy("cid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("c")))
+        ).alias("cs")
+    )
+    cdist = carr.select(
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("cs"), lambda s: s["c"]),
+                qlit,
+                lambda c, qv: (c - qv) * (c - qv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("cdist"),
+    )
+    wc = Window.orderBy("cdist", "cid")
+    probe = (
+        cdist.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= n_probe)
+        .select("cid")
+    )
+    codes, books = pq_train_encode(
+        emb,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_sub=n_sub,
+        k_sub=k_sub,
+        iters=iters,
+        quant=quant,
+        dim=dim,
+    )
+    cand = (
+        assign.join(F.broadcast(probe), "cid")
+        .filter(F.col(id_col) != 0)
+        .withColumnRenamed("cid", "coarse_cid")
+    )
+    qdims = emb.filter(F.col(id_col) == 0).select(
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * quant, 0).cast("long"),
+            )
+        ).alias("dim", "v")
+    )
+    codes_f = codes.join(cand.select(id_col), id_col)
+    top = pq_adc_topk(codes_f, books, qdims, id_col=id_col, top_k=top_k)
+    return top.join(cand, id_col).select(
+        id_col, F.col("coarse_cid").alias("cid"), "adc_dist"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     vec_col: str = "embedding",

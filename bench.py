@@ -82,6 +82,9 @@ HEADLINE = [
     "p8_chunk_retrieval",
     "s17_streaming_sliding",
     "v10_ivf_pq",
+    "t38_tfidf_keywords",
+    "n7_bootstrap_ci",
+    "d6_cdc_merge",
 ]
 
 

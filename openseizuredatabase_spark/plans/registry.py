@@ -9404,6 +9404,248 @@ def v10_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t38_oracle() -> str:
+    toks = text_fns.tokens_sql("text")
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest(list_transform({toks}, x -> lower(x))) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+        SELECT source, t, count(*)::BIGINT AS n FROM toks GROUP BY source, t
+    ), stot AS (
+        SELECT source, sum(n)::BIGINT AS n_tok FROM tf GROUP BY source
+    ), dfreq AS (
+        SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
+    ), ns AS (
+        SELECT count(*)::BIGINT AS n_sources FROM stot
+    ), scored AS (
+        SELECT tf.source, tf.t, tf.n,
+               round((tf.n / stot.n_tok::DOUBLE)
+                     * round(ln(1 + ns.n_sources / df::DOUBLE), 6), 6)
+                   AS score
+        FROM tf
+        JOIN stot ON tf.source = stot.source
+        JOIN dfreq ON tf.t = dfreq.t
+        CROSS JOIN ns
+    )
+    SELECT source, rank, t, n, score FROM (
+        SELECT source, t, n, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, t) AS rank
+        FROM scored) WHERE rank <= 5
+    """
+
+
+@query(
+    "t38_tfidf_keywords",
+    _t38_oracle(),
+    "Class-based TF-IDF keyword extraction (the BERTopic c-TF-IDF "
+    "shape): each SOURCE is one class document, tokens score "
+    "tf_ratio × smoothed-idf and the top-5 per source become its "
+    "distinguishing vocabulary — the corpus-characterization "
+    "diagnostic a pretraining team runs to see what each feed "
+    "actually contains. The only libm term (ln) is rounded to 6 dp "
+    "before the IEEE multiply, and the ranking tie-breaks on token "
+    "text, so the driver hash pins the keyword lists exactly. Scale: "
+    "one (source, token) shuffle with map-side combine — state is "
+    "O(sources × vocab), independent of corpus row count; the "
+    "per-source top-5 is a tiny window over that aggregate.",
+)
+def t38_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.transform(text_fns.tokens(F.col("text")), F.lower)
+        ).alias("t"),
+    )
+    tf = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    stot = tf.groupBy("source").agg(F.sum("n").alias("n_tok"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ns = stot.agg(F.count(F.lit(1)).alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(stot), "source")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "t",
+            "n",
+            F.round(
+                (F.col("n") / F.col("n_tok").cast("double"))
+                * F.round(
+                    F.log(1 + F.col("n_sources") / F.col("df").cast("double")),
+                    6,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "t")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "t", "n", "score")
+    )
+
+
+def _n7_oracle() -> str:
+    h = md5_long_sql("CAST(event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")
+    return f"""
+    WITH reps AS (
+        SELECT unnest(generate_series(0, 31)) AS b
+    ), sub AS (
+        SELECT e.event_type, b.b,
+               round(e.value * 100)::BIGINT AS c
+        FROM events e, reps b
+        WHERE {h} % 100 < 63
+    ), means AS (
+        SELECT event_type, b,
+               round((sum(c)::DOUBLE / count(*)) / 100, 6) AS m
+        FROM sub GROUP BY event_type, b
+    ), ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type ORDER BY m, b)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nb
+        FROM means
+    ), full_mean AS (
+        SELECT event_type,
+               round((sum(round(value * 100))::DOUBLE / count(*)) / 100, 6)
+                   AS est_mean
+        FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.est_mean,
+           max(CASE WHEN r.rn = 2 THEN r.m END) AS ci_lo,
+           max(CASE WHEN r.rn = r.nb - 1 THEN r.m END) AS ci_hi,
+           max(r.nb) AS n_replicas
+    FROM full_mean f JOIN ranked r ON f.event_type = r.event_type
+    GROUP BY f.event_type, f.est_mean
+    """
+
+
+@query(
+    "n7_bootstrap_ci",
+    _n7_oracle(),
+    "Bootstrap confidence intervals, fully deterministic: 32 "
+    "subsample replicas (each row joins replica b iff "
+    "hash(event_id:b) % 100 < 63 — the e⁻¹ inclusion rate of a "
+    "classic bootstrap, from the portable md5 family, so any engine "
+    "draws the SAME replicas), per-replica means from exact integer "
+    "cent sums + one IEEE division, and the CI = 2nd/31st order "
+    "statistics of the replica means. Gives the detection-metrics "
+    "tier (n3-n6) the uncertainty quantification the reference's "
+    "point summaries lack. Scale: the replica cross-join multiplies "
+    "the scan by B=32 but stays map-side (filter before the single "
+    "(type, b) shuffle); state is B means per group. The driver hash "
+    "pins every replica boundary via the order statistics.",
+)
+def n7_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    reps = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    h = md5_long(
+        F.concat_ws(
+            ":",
+            F.col("event_id").cast("string"),
+            F.col("b").cast("string"),
+        )
+    )
+    sub = (
+        ev.crossJoin(F.broadcast(reps))
+        .filter(h % 100 < 63)
+        .select(
+            "event_type",
+            "b",
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+    )
+    means = sub.groupBy("event_type", "b").agg(
+        F.round(
+            (F.sum("c").cast("double") / F.count(F.lit(1))) / 100, 6
+        ).alias("m")
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "b")
+    wn = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nb"),
+    )
+    full_mean = ev.groupBy("event_type").agg(
+        F.round(
+            (F.sum(F.round(F.col("value") * 100, 0)).cast("double")
+             / F.count(F.lit(1)))
+            / 100,
+            6,
+        ).alias("est_mean")
+    )
+    return (
+        full_mean.join(ranked, "event_type")
+        .groupBy("event_type", "est_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("nb") - 1, F.col("m"))
+            ).alias("ci_hi"),
+            F.max("nb").alias("n_replicas"),
+        )
+    )
+
+
+@query(
+    "d6_cdc_merge",
+    """
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type, round(value * 100)::BIGINT AS value_c,
+               epoch_us(ts)::BIGINT AS us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type AS last_type, value_c AS last_value_c,
+           us AS last_us
+    FROM log WHERE rn = 1 AND op = 'U'
+    """,
+    "CDC merge (the MERGE INTO / upsert-apply lakehouse operator): an "
+    "append-only change stream where 'error' rows are deletes and "
+    "everything else upserts collapses to the live snapshot — "
+    "latest-op-wins per key by (ts, event_id), a deleted key emits NO "
+    "row. Complements j5 (latest-wins union of two snapshots) and j9 "
+    "(full SCD2 history): this is the third of the three standard "
+    "change-application semantics. ONE window on the key = one "
+    "shuffle; at 100 TB the change stream partitions by key and the "
+    "snapshot materializes incrementally (the z1 bucketed layout "
+    "makes the rewrite cluster-local).",
+)
+def d6_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # us is ts in epoch micros (1:1 monotone), so DESC on us == DESC on ts
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    return log.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value_c").alias("last_value_c"),
+        F.col("us").alias("last_us"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -9689,6 +9931,15 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("v10_ivf_pq", "vec_id",
          f"cid + 31*{t('adc_dist')}"
          " + 1009*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
+        ("t38_tfidf_keywords",
+         f"CAST({sc('source')} AS BIGINT) * 100 + rank",
+         f"{sc('t')} + 31*n + 1009*{t(q6('score'))}"),
+        ("n7_bootstrap_ci", sc("event_type"),
+         f"{t(q6('est_mean'))} + 31*{t(q6('ci_lo'))}"
+         f" + 1009*{t(q6('ci_hi'))} + 31063*n_replicas"),
+        ("d6_cdc_merge", "user_id",
+         f"{sc('last_type')} + 31*{t('last_value_c')}"
+         f" + 1009*{t('last_us')}"),
     ]
 
 

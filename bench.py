@@ -85,6 +85,17 @@ HEADLINE = [
     "t38_tfidf_keywords",
     "n7_bootstrap_ci",
     "d6_cdc_merge",
+    "d7_incremental_agg",
+    "w14_compaction_plan",
+    "j10_fuzzy_blocked_join",
+    "t39_intradoc_dedup",
+    "t40_url_canonicalize",
+    "v12_cluster_quality",
+    "z3_zone_map_skipping",
+    "a22_k_anonymity",
+    "t41_triangle_count",
+    "t42_prefix_filter_join",
+    "s18_streaming_enrichment",
 ]
 
 

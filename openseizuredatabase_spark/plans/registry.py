@@ -9646,6 +9646,905 @@ def d6_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-4: lakehouse maintenance + linkage + corpus hygiene
+# (d7 incremental-view maintenance, w14 compaction planner, j10 fuzzy
+# record linkage, t39 intra-doc dedup, t40 URL canonicalization, v12
+# cluster-quality metrics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d7_incremental_agg",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_c,
+           min(epoch_us(ts))::BIGINT AS min_us,
+           max(epoch_us(ts))::BIGINT AS max_us,
+           round((sum(round(value * 100)::BIGINT)::DOUBLE / count(*))
+                 / 100, 6) AS avg_v
+    FROM events GROUP BY event_type
+    """,
+    "Incremental view maintenance (the lakehouse MERGE-refresh shape "
+    "beyond the reference's full-rescan reports): the Spark side keeps "
+    "a BASE aggregate state (count/sum/min/max per key) and merges the "
+    "newly-arrived DELTA batch's state with a full-outer join + "
+    "algebraic combine — the base data is NEVER rescanned. The oracle "
+    "recomputes from scratch, so the check proves merge(state_base, "
+    "state_delta) == direct(full) — the algebraic-aggregate law IVM "
+    "rests on. At 100 TB the base state is a k-row materialized table "
+    "and each refresh touches only the delta partition: refresh cost "
+    "is O(delta), not O(lake).",
+)
+def d7_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_id") % 10 >= 8).alias("is_delta"),
+    )
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_c").alias("sum_c"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+
+    base = _state(ev.filter(~F.col("is_delta"))).alias("b")
+    delta = _state(ev.filter(F.col("is_delta"))).alias("d")
+    bn, dn = F.col("b.n"), F.col("d.n")
+    merged = base.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce(bn, F.lit(0)) + F.coalesce(dn, F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("b.sum_c"), F.lit(0))
+            + F.coalesce(F.col("d.sum_c"), F.lit(0))
+        ).alias("sum_c"),
+        F.least(
+            F.coalesce(F.col("b.min_us"), F.col("d.min_us")),
+            F.coalesce(F.col("d.min_us"), F.col("b.min_us")),
+        ).alias("min_us"),
+        F.greatest(
+            F.coalesce(F.col("b.max_us"), F.col("d.max_us")),
+            F.coalesce(F.col("d.max_us"), F.col("b.max_us")),
+        ).alias("max_us"),
+    )
+    return merged.withColumn(
+        "avg_v",
+        F.round((F.col("sum_c").cast("double") / F.col("n")) / 100, 6),
+    )
+
+
+@query(
+    "w14_compaction_plan",
+    """
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               count(*)::BIGINT AS n_rows,
+               sum(length(props) + 64)::BIGINT AS size_b
+        FROM events GROUP BY 1, 2
+    ), packed AS (
+        SELECT d, n_rows, size_b,
+               (sum(size_b) OVER (PARTITION BY d ORDER BY event_type
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - size_b) AS cum_before
+        FROM files
+    ), binned AS (
+        SELECT d, n_rows, size_b,
+               CAST(floor(cum_before / 4096.0) AS BIGINT) AS bin_id
+        FROM packed
+    )
+    SELECT d, bin_id, count(*)::BIGINT AS n_files,
+           sum(size_b)::BIGINT AS bin_bytes,
+           sum(n_rows)::BIGINT AS bin_rows,
+           (sum(size_b) < 2048) AS undersized
+    FROM binned GROUP BY d, bin_id
+    """,
+    "Small-file compaction planner (the OPTIMIZE / bin-packing step "
+    "every parquet lake needs; beyond the reference, which writes "
+    "one monolithic file): per partition (day), the file inventory "
+    "packs greedily into 4 KiB target bins via an exclusive running "
+    "sum — bin_id = floor(bytes_before / target). ONE window per "
+    "partition key, no shuffle beyond the inventory aggregation; at "
+    "100 TB the inventory is file-level METADATA (millions of rows, "
+    "not the data itself), so the plan costs seconds and the rewrite "
+    "it drives is embarrassingly parallel per bin.",
+)
+def w14_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props") + 64).alias("size_b"),
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = files.select(
+        "d",
+        "n_rows",
+        "size_b",
+        (F.sum("size_b").over(w) - F.col("size_b")).alias("cum_before"),
+    )
+    binned = packed.select(
+        "d",
+        "n_rows",
+        "size_b",
+        F.floor(F.col("cum_before") / 4096.0).cast("long").alias("bin_id"),
+    )
+    return binned.groupBy("d", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_b").alias("bin_bytes"),
+        F.sum("n_rows").alias("bin_rows"),
+        (F.sum("size_b") < 2048).alias("undersized"),
+    )
+
+
+@query(
+    "j10_fuzzy_blocked_join",
+    """
+    WITH c AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+        FROM customer
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.name, b.name) AS lev
+        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 2
+    )
+    SELECT id_a, id_b AS best_id, lev AS best_lev, n_cand FROM (
+        SELECT id_a, id_b, lev,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY lev, id_b) AS rn,
+               CAST(count(*) OVER (PARTITION BY id_a) AS BIGINT) AS n_cand
+        FROM pairs) WHERE rn = 1
+    """,
+    "Blocked fuzzy record linkage (entity resolution — the dedup class "
+    "exact-key D1/D3 can't reach): candidate pairs come from an "
+    "EQUI-join on the blocking key (nation), never the O(n²) cross "
+    "product; edit distance (JVM built-in levenshtein, identical DP "
+    "in DuckDB) screens pairs at <= 2, and a per-record window picks "
+    "the best match (min distance, then lowest id) with the candidate "
+    "count kept for audit. At 100 TB blocking bounds the quadratic "
+    "term to the largest block — a skewed block salts into "
+    "sub-blocks exactly like a14's hot-key treatment.",
+)
+def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(lev <= 2)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            lev.cast("long").alias("lev"),
+        )
+    )
+    wr = Window.partitionBy("id_a").orderBy("lev", "id_b")
+    wn = Window.partitionBy("id_a")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "lev",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_cand"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "id_a",
+            F.col("id_b").alias("best_id"),
+            F.col("lev").alias("best_lev"),
+            "n_cand",
+        )
+    )
+
+
+@query(
+    "t39_intradoc_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {text_fns.tokens_sql('text')} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id, g.i AS idx,
+               array_to_string(
+                   list_slice(tk, g.i*2 + 1, g.i*2 + 2), ' ') AS chunk
+        FROM toks, unnest(generate_series(0,
+             CAST(ceil(len(tk) / 2.0) AS INTEGER) - 1)) AS g(i)
+    ), kept AS (
+        SELECT doc_id, chunk, min(idx) AS first_idx
+        FROM ch GROUP BY doc_id, chunk
+    ), nt AS (
+        SELECT doc_id, CAST(ceil(len(tk) / 2.0) AS BIGINT) AS n_chunks
+        FROM toks
+    )
+    SELECT k.doc_id, t.n_chunks, count(*)::BIGINT AS n_kept,
+           round(1.0 - count(*)::DOUBLE / t.n_chunks, 6) AS rep_ratio,
+           string_agg(k.chunk, ' ' ORDER BY k.first_idx) AS cleaned
+    FROM kept k JOIN nt t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.n_chunks
+    """,
+    "Intra-document repetition removal (the within-doc half of the "
+    "Gopher repetition rules; complements t19's CROSS-document "
+    "boilerplate scrub and t11's repetition stats): each doc splits "
+    "into fixed-size token segments, every repeat of a segment after "
+    "its first occurrence is dropped, and the doc is rebuilt in "
+    "original order. Docs shorter than one segment pass through "
+    "unchanged (the t30 review lesson). Segment size 2 here so the "
+    "synthetic word-soup corpus actually exhibits repeats; the "
+    "segmentation is a pure in-row transform and the dedup+rebuild "
+    "is ONE shuffle on doc_id — per-doc state only, so the operator "
+    "scales with the corpus row count, not pairwise.",
+)
+def t39_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = 2
+    docs = _ts(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", text_fns.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") > 0)
+    n_chunks = F.ceil(F.size("tk") / float(seg)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * seg + 1, seg)),
+    )
+    ch = d.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("idx", "chunk"),
+    )
+    kept = ch.groupBy("doc_id", "n_chunks", "chunk").agg(
+        F.min("idx").alias("first_idx")
+    )
+    return (
+        kept.groupBy("doc_id", "n_chunks")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.struct("first_idx", "chunk"))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_kept").cast("double") / F.col("n_chunks"),
+                6,
+            ).alias("rep_ratio"),
+            F.array_join(
+                F.transform(F.col("ordered"), lambda s: s["chunk"]), " "
+            ).alias("cleaned"),
+        )
+    )
+
+
+def _url_canon_sql() -> str:
+    """Shared canonicalization formula text (DuckDB dialect); the Spark
+    side mirrors it op-for-op in ``t40_url_canonicalize``."""
+    raw = (
+        "concat("
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'"
+        " ELSE 'https://www.' END,"
+        "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,"
+        "'.example.com',"
+        "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+        "'/articles/', CAST(doc_id % 40 AS VARCHAR),"
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+        "'?id=', CAST(doc_id % 7 AS VARCHAR),"
+        "CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=x'"
+        " ELSE '' END,"
+        "CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"
+    )
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, {raw} AS url FROM documents
+    ), nofrag AS (
+        SELECT doc_id, replace(regexp_replace(url, '#.*$', ''),
+                               ':443/', '/') AS u
+        FROM raw
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   replace(concat(
+                       lower(regexp_extract(u, '^[^/]*//[^/:?#]*')),
+                       substr(u,
+                              length(regexp_extract(u, '^[^/]*//[^/:?#]*'))
+                              + 1)), '/?', '?'),
+                   '&utm_[a-z]+=[^&#]*', '', 'g') AS canon_url
+        FROM nofrag
+    )
+    SELECT canon_url, count(*)::BIGINT AS n_urls,
+           min(doc_id) AS first_doc
+    FROM canon GROUP BY canon_url
+    """
+
+
+@query(
+    "t40_url_canonicalize",
+    _url_canon_sql(),
+    "URL canonicalization + canonical-key dedup (the crawl-frontier / "
+    "refetch-collapse step of a web-scale corpus pipeline; beyond the "
+    "reference): raw URLs (synthesized deterministically per doc, the "
+    "c19 pattern, since the corpus has none) normalize by stripping "
+    "the fragment, dropping the default :443 port, lowercasing only "
+    "the scheme+host (path/query case is significant), removing "
+    "utm_* tracking params via the Java∩RE2 regex subset, and "
+    "collapsing the trailing slash — then dedup groups on the "
+    "canonical key. All string ops are JVM-codegen'd; the dedup is "
+    "ONE shuffle on the canonical key, and at crawl scale the key is "
+    "also the natural partition for politeness scheduling.",
+)
+def t40_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://www.")
+        ),
+        F.when(did % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        (did % 40).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit("&utm_source=feed&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    u = F.replace(
+        F.regexp_replace(raw, "#.*$", ""), F.lit(":443/"), F.lit("/")
+    )
+    host = F.regexp_extract(u, "^[^/]*//[^/:?#]*", 0)
+    canon = F.replace(
+        F.concat(
+            F.lower(host), u.substr(F.length(host) + 1, F.length(u))
+        ),
+        F.lit("/?"),
+        F.lit("?"),
+    )
+    # scrub utm params (never first in the synthesis, so '&utm_...' covers
+    # every occurrence — mirrored literally in the oracle's regex)
+    canon = F.regexp_replace(canon, "&utm_[a-z]+=[^&#]*", "")
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "v12_cluster_quality",
+    """
+    WITH q AS (
+        SELECT label, vec_id, g.i - 1 AS dim,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+    ), s AS (
+        SELECT label, dim, sum(v)::BIGINT AS sv, count(*)::BIGINT AS n
+        FROM q GROUP BY label, dim
+    ), c AS (
+        SELECT label, dim,
+               ((sv - (((sv % n) + n) % n)) / n)::BIGINT AS c FROM s
+    ), dist AS (
+        SELECT q.vec_id, q.label,
+               CAST(round(sqrt(sum((q.v - c.c) * (q.v - c.c))::DOUBLE)
+                          * 1000000) AS BIGINT) AS dq
+        FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+        GROUP BY q.vec_id, q.label
+    ), scat AS (
+        SELECT label, count(*)::BIGINT AS n_members,
+               ((sum(dq)::BIGINT
+                 - (((sum(dq)::BIGINT % count(*)) + count(*)) % count(*)))
+                / count(*))::BIGINT AS s_q
+        FROM dist GROUP BY label
+    ), m AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(round(sqrt(sum((a.c - b.c) * (a.c - b.c))::DOUBLE)
+                          * 1000000) AS BIGINT) AS m_q
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ), r AS (
+        SELECT m.la AS lbl,
+               max(round((sa.s_q + sb.s_q)::DOUBLE / m.m_q, 6)) AS db_comp
+        FROM m JOIN scat sa ON sa.label = m.la
+               JOIN scat sb ON sb.label = m.lb
+        GROUP BY m.la
+    )
+    SELECT s.label::BIGINT AS label, s.n_members, s.s_q, r.db_comp
+    FROM scat s JOIN r ON r.lbl = s.label
+    """,
+    "Cluster-quality metrics (Davies-Bouldin components over the "
+    "labeled embedding clusters — the evaluation step after v5/v7 "
+    "clustering or any partitioned ANN build): per-cluster integer "
+    "centroid (v5's portable floor-division), micro-int scatter "
+    "(mean member→centroid distance; sqrt is IEEE correctly rounded "
+    "so the quantized distance is bit-stable cross-engine), pairwise "
+    "centroid separation, and db_comp = max_j (s_i+s_j)/m_ij — the "
+    "classic 'worst neighbor' score per cluster. Centroids are k×dim "
+    "rows and BROADCAST to both the member-distance probe and the "
+    "k² separation join; the only data-scale pass is the one "
+    "(vec, label) aggregation.",
+)
+def v12_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+
+    def _floordiv(s: F.Column, n: F.Column) -> F.Column:
+        return ((s - (((s % n) + n) % n)) / n).cast("long")
+
+    s = q.groupBy("label", "dim").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    c = s.select(
+        "label", "dim", _floordiv(F.col("sv"), F.col("n")).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    dist = (
+        q.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(diff * diff).cast("double")) * 1000000, 0
+            )
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    scat = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        _floordiv(F.sum("dq"), F.count(F.lit(1))).alias("s_q"),
+    )
+    ca, cb = c.alias("ca"), c.alias("cb")
+    cd = F.col("ca.c") - F.col("cb.c")
+    m = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("ca.dim") == F.col("cb.dim"))
+            & (F.col("ca.label") != F.col("cb.label")),
+        )
+        .groupBy(
+            F.col("ca.label").alias("la"), F.col("cb.label").alias("lb")
+        )
+        .agg(
+            F.round(F.sqrt(F.sum(cd * cd).cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("m_q")
+        )
+    )
+    sa = scat.select(
+        F.col("label").alias("la"), F.col("s_q").alias("sa_q")
+    )
+    sb = scat.select(
+        F.col("label").alias("lb"), F.col("s_q").alias("sb_q")
+    )
+    r = (
+        m.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(
+            F.max(
+                F.round(
+                    (F.col("sa_q") + F.col("sb_q")).cast("double")
+                    / F.col("m_q"),
+                    6,
+                )
+            ).alias("db_comp")
+        )
+    )
+    return scat.join(r, scat["label"] == r["lbl"]).select(
+        "label", "n_members", "s_q", "db_comp"
+    )
+
+
+@query(
+    "z3_zone_map_skipping",
+    """
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               count(*)::BIGINT AS n_rows,
+               max(round(value * 100)::BIGINT) AS max_c
+        FROM events GROUP BY 1, 2
+    ), actual AS (
+        SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS rows_matched
+        FROM events WHERE round(value * 100)::BIGINT > 20000 GROUP BY 1
+    )
+    SELECT f.d, count(*)::BIGINT AS n_files,
+           sum(CASE WHEN f.max_c > 20000 THEN 0 ELSE 1 END)::BIGINT
+               AS n_skipped,
+           sum(CASE WHEN f.max_c > 20000 THEN f.n_rows ELSE 0 END)::BIGINT
+               AS rows_scanned,
+           sum(f.n_rows)::BIGINT AS rows_total,
+           coalesce(max(a.rows_matched), 0)::BIGINT AS rows_matched
+    FROM files f LEFT JOIN actual a ON f.d = a.d
+    GROUP BY f.d
+    """,
+    "Zone-map data skipping audit (min/max file statistics — the "
+    "mechanism that makes a 100 TB scan cheap; completes the z1 "
+    "layout + w14 compaction lakehouse maintenance trio): per "
+    "simulated file (day × type), the zone map keeps max(value); a "
+    "predicate `value > 200` (p98.5 of the distribution) must scan "
+    "only files whose max exceeds it. The audit reports files "
+    "skipped, rows avoided, and the true match count per day — the "
+    "exact numbers a table-format OPTIMIZE report shows. Zone maps "
+    "are file-level METADATA: building them is one metadata-sized "
+    "aggregation, and the skip decision never touches data.",
+)
+def z3_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    files = ev.groupBy("d", "event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("value_c").alias("max_c"),
+    )
+    actual = (
+        ev.filter(F.col("value_c") > 20000)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    scan = F.col("max_c") > 20000
+    return (
+        files.join(actual, "d", "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(scan, 0).otherwise(1)).alias("n_skipped"),
+            F.sum(F.when(scan, F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("n_rows").alias("rows_total"),
+            F.coalesce(F.max("rows_matched"), F.lit(0)).alias(
+                "rows_matched"
+            ),
+        )
+    )
+
+
+@query(
+    "a22_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))::BIGINT
+               AS l_div,
+           (count(*) < 5) AS at_risk_k,
+           (count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3)
+               AS at_risk_l
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    "k-anonymity / l-diversity privacy audit (the release gate a "
+    "training-data pipeline runs before publishing user-derived "
+    "tables; pairs with t13's PII scrub): quasi-identifier groups "
+    "(nation × market segment) with fewer than k=5 members are "
+    "re-identifiable, and groups whose sensitive attribute (account "
+    "balance, bucketed to thousands) shows fewer than l=3 distinct "
+    "values leak it even at k. ONE shuffle on the QI key at any "
+    "scale; iterating a generalization ladder just re-runs the same "
+    "metadata-sized aggregation with coarser keys.",
+)
+def a22_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(bucket).alias("l_div"),
+        (F.count(F.lit(1)) < 5).alias("at_risk_k"),
+        (F.count_distinct(bucket) < 3).alias("at_risk_l"),
+    )
+
+
+@query(
+    "t41_triangle_count",
+    """
+    WITH c AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+        FROM customer
+    ), e AS (
+        SELECT a.id AS a, b.id AS b
+        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ), tri AS (
+        SELECT e1.a, e1.b, e2.b AS c3
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pern AS (
+        SELECT id, count(*)::BIGINT AS n_tri FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b AS id FROM tri
+            UNION ALL SELECT c3 AS id FROM tri)
+        GROUP BY id
+    ), deg AS (
+        SELECT id, count(*)::BIGINT AS degree FROM (
+            SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        GROUP BY id
+    )
+    SELECT d.id, d.degree, coalesce(p.n_tri, 0)::BIGINT AS n_tri,
+           round(CASE WHEN d.degree >= 2 THEN
+                 2.0 * coalesce(p.n_tri, 0)
+                 / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN pern p ON d.id = p.id
+    """,
+    "Per-vertex triangle counting + local clustering coefficient "
+    "(the graph-density signal that separates dup CLIQUES from "
+    "dup CHAINS — complements t10's components and t36's PageRank): "
+    "the graph is j10's blocked fuzzy-match pairs at distance <= 1 "
+    "(single-digit name variants form near-cliques). Triangles "
+    "enumerate via the standard two-join wedge-close on the a < b "
+    "oriented edge list — each triangle counted exactly once, cost "
+    "O(Σ deg²) wedges, never O(n³). At 100 TB the edge list "
+    "partitions by vertex and the wedge join is the one shuffle; "
+    "orienting edges low→high id is the classic skew bound.",
+)
+def t41_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    e = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c3"),
+        )
+    )
+    pern = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c3").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return deg.join(pern, "id", "left").select(
+        "id",
+        "degree",
+        n_tri.alias("n_tri"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * n_tri / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coef"),
+    )
+
+
+@query(
+    "t42_prefix_filter_join",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {text_fns.tokens_sql('text')} AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] AS shingle
+        FROM toks, unnest(generate_series(0, len(t) - 5)) AS g(i)
+        WHERE len(t) >= 5
+    ), df AS (
+        SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle
+    ), ranked AS (
+        SELECT s.doc_id, s.shingle,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df, s.shingle) AS rk,
+               CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT)
+                   AS n_sh
+        FROM sh s JOIN df d ON s.shingle = d.shingle
+    ), pref AS (
+        SELECT doc_id, shingle, n_sh FROM ranked
+        WHERE rk <= n_sh - CAST(ceil(n_sh / 2.0) AS BIGINT) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b
+        FROM pref a JOIN pref b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE greatest(a.n_sh, b.n_sh) <= 2 * least(a.n_sh, b.n_sh)
+    ), common AS (
+        SELECT c.id_a, c.id_b, c.n_a, c.n_b,
+               count(*)::BIGINT AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b, c.n_a, c.n_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common::DOUBLE / (n_a + n_b - n_common), 6) AS jac
+    FROM common
+    WHERE n_common::DOUBLE / (n_a + n_b - n_common) >= 0.5
+    """,
+    "Prefix-filtered set-similarity self-join (PPJoin's candidate "
+    "rule — the provably COMPLETE all-pairs technique, vs t5's "
+    "df-cap which drops hot shingles lossily and t7's MinHash which "
+    "is probabilistic): order every doc's 5-shingles by global "
+    "rarity (df asc, shingle asc — one shared canonical order), "
+    "join only on each doc's first |s| − ceil(θ|s|) + 1 prefix "
+    "shingles — any pair with Jaccard >= θ=0.5 MUST share one — "
+    "plus the θ length filter (size ratio <= 2), then verify exact "
+    "Jaccard on the candidates only. The prefix join touches the "
+    "RAREST shingles, so candidate fan-out stays near-linear at "
+    "corpus scale while exactness is guaranteed; the df table and "
+    "per-doc ranking are each one shuffle.",
+)
+def t42_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", text_fns.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 5)
+    idx = F.sequence(F.lit(0), F.size("t") - 5)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i + 1, 5)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    ranked = sh.join(df, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_sh"),
+    )
+    pref = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh")
+        - F.ceil(F.col("n_sh") / 2.0).cast("long")
+        + 1
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .filter(
+            F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
+            <= 2 * F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+            F.col("pa.n_sh").alias("n_a"),
+            F.col("pb.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return common.filter(jac >= 0.5).select(
+        "id_a", "id_b", "n_common", F.round(jac, 6).alias("jac")
+    )
+
+
+@query(
+    "s18_streaming_enrichment",
+    """
+    SELECT strftime(date_trunc('day', e.ts), '%Y%m%d')::BIGINT
+               AS win_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    "Stream-static dimension enrichment (the standard streaming "
+    "lookup-join shape §2.10 was missing): events replay through "
+    "readStream, join a BROADCAST static customer dim per "
+    "micro-batch (user_id = c_custkey; no streaming state for the "
+    "dim side — only the daily windowed aggregation holds "
+    "watermark-evicted state), and count per (day, market segment). "
+    "The batch oracle is the identical join+grouping. At production "
+    "scale the dim refreshes between restarts without touching the "
+    "stream checkpoint, and the broadcast keeps the enrichment "
+    "shuffle-free however wide the stream fans out.",
+)
+def s18_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.streaming.sessionize import (
+        enriched_counts,
+    )
+
+    stream = _stream_events(spark, sf_dir, "s18_events_")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = enriched_counts(
+        stream, dim, "ts", "user_id", ["segment"], window_duration="1 day"
+    )
+    name = f"s18_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("bucket_start", "yyyyMMdd").cast("long").alias(
+            "win_start"
+        ),
+        "segment",
+        "n",
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -9940,6 +10839,36 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("d6_cdc_merge", "user_id",
          f"{sc('last_type')} + 31*{t('last_value_c')}"
          f" + 1009*{t('last_us')}"),
+        ("d7_incremental_agg", sc("event_type"),
+         f"n + 31*{t('sum_c')} + 1009*{t('min_us')}"
+         f" + 31063*{t('max_us')} + 1000003*{t(q6('avg_v'))}"),
+        ("w14_compaction_plan",
+         "(year(d)*10000 + month(d)*100 + day(d)) * 100 + bin_id",
+         f"n_files + 31*{t('bin_bytes')} + 1009*bin_rows"
+         " + 31063*(CASE WHEN undersized THEN 1 ELSE 0 END)"),
+        ("j10_fuzzy_blocked_join", "id_a",
+         "best_id + 31*best_lev + 1009*n_cand"),
+        ("t39_intradoc_dedup", "doc_id",
+         f"n_chunks + 31*n_kept + 1009*{q6('rep_ratio')}"
+         f" + 31063*CAST({sc('cleaned')} AS BIGINT)"),
+        ("t40_url_canonicalize", "first_doc",
+         f"n_urls + 31*{sc('canon_url')}"),
+        ("v12_cluster_quality", "label",
+         f"n_members + 31*{t('s_q')} + 1009*{q6('db_comp')}"),
+        ("z3_zone_map_skipping",
+         "year(d)*10000 + month(d)*100 + day(d)",
+         f"n_files + 31*n_skipped + 1009*{t('rows_scanned')}"
+         f" + 31063*{t('rows_total')} + 1000003*{t('rows_matched')}"),
+        ("a22_k_anonymity",
+         f"c_nationkey * 1000000 + {sc('c_mktsegment')}",
+         "n + 31*l_div + 1009*(CASE WHEN at_risk_k THEN 1 ELSE 0 END)"
+         " + 31063*(CASE WHEN at_risk_l THEN 1 ELSE 0 END)"),
+        ("t41_triangle_count", "id",
+         f"degree + 31*n_tri + 1009*{q6('clustering_coef')}"),
+        ("t42_prefix_filter_join", "id_a * 1000000 + id_b",
+         f"n_common + 31*{q6('jac')}"),
+        ("s18_streaming_enrichment",
+         f"win_start * 1000000 + {sc('segment')}", "n"),
     ]
 
 

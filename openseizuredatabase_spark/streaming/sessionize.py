@@ -73,6 +73,35 @@ def sliding_counts(
     )
 
 
+def enriched_counts(
+    stream: DataFrame,
+    dim: DataFrame,
+    ts_col: str,
+    join_on,
+    group_cols: Sequence[str],
+    window_duration: str = "1 day",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static dimension enrichment → windowed counts.
+
+    The static side joins as a BROADCAST per micro-batch — Structured
+    Streaming keeps NO state for it (only the windowed aggregation holds
+    state, watermark-evicted). This is the standard streaming dimension
+    join: the dim table can be arbitrarily refreshed between restarts
+    without touching the stream's checkpoint."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .join(F.broadcast(dim), join_on, "left")
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
 def streaming_distinct(
     stream: DataFrame,
     ts_col: str,

@@ -96,6 +96,8 @@ HEADLINE = [
     "t41_triangle_count",
     "t42_prefix_filter_join",
     "s18_streaming_enrichment",
+    "z2_hilbert_key",
+    "n8_mcnemar",
 ]
 
 

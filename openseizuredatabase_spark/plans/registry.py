@@ -10545,6 +10545,132 @@ def s18_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _z2_oracle() -> str:
+    from openseizuredatabase_spark.sources.lake import hilbert_sql
+
+    return f"""
+    WITH hq AS (
+        SELECT event_id,
+               ((user_id % 256) + 256) % 256 AS xq,
+               ((CAST(round(value * 100) AS BIGINT) % 256) + 256) % 256
+                   AS yq
+        FROM events
+    ),
+    {hilbert_sql('xq', 'yq', 8)}
+    SELECT event_id, xq, yq, CAST(d8 AS BIGINT) AS hkey FROM h8
+    """
+
+
+@query(
+    "z2_hilbert_key",
+    _z2_oracle(),
+    "Hilbert-curve layout key over the same quantized (user, value) "
+    "plane as z1's Morton key: consecutive Hilbert values are ALWAYS "
+    "grid-adjacent (the kernel variant is verified bijective with "
+    "unit-step adjacency on the full 256×256 grid in "
+    "tests/test_lakehouse_linkage.py), so range-partitioning the lake "
+    "by hkey gives strictly tighter per-file min/max boxes than "
+    "z-order — fewer false-positive files under z3's zone-map "
+    "skipping; the layout modern liquid clustering uses. The unrolled "
+    "8-round xy2d is pure integer CASE/shift expressions — "
+    "whole-stage codegen, zero shuffles, scan-absorbed at any scale "
+    "(sources/lake.hilbert_frame — one projection per round keeps the "
+    "Catalyst tree linear; oracle replays the identical rounds as "
+    "distinctly-named CTE columns).",
+)
+def z2_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.lake import hilbert_frame
+
+    ev = _t(spark, sf_dir, "events")
+    xq = ((F.col("user_id") % 256) + 256) % 256
+    yq = (
+        (F.round(F.col("value") * 100, 0).cast("long") % 256) + 256
+    ) % 256
+    base = ev.select("event_id", xq.alias("xq"), yq.alias("yq"))
+    return hilbert_frame(
+        base, F.col("xq"), F.col("yq"), out_col="hkey", bits=8
+    )
+
+
+@query(
+    "n8_mcnemar",
+    """
+    WITH v AS (
+        SELECT (event_type = 'error') AS truth,
+               (round(value * 100)::BIGINT > 15000) AS det_a,
+               (round(value * 100)::BIGINT > 18000) AS det_b
+        FROM events
+    ), ct AS (
+        SELECT
+            sum(CASE WHEN det_a = truth AND det_b = truth
+                THEN 1 ELSE 0 END)::BIGINT AS both_right,
+            sum(CASE WHEN det_a = truth AND det_b <> truth
+                THEN 1 ELSE 0 END)::BIGINT AS only_a,
+            sum(CASE WHEN det_a <> truth AND det_b = truth
+                THEN 1 ELSE 0 END)::BIGINT AS only_b,
+            sum(CASE WHEN det_a <> truth AND det_b <> truth
+                THEN 1 ELSE 0 END)::BIGINT AS both_wrong,
+            count(*)::BIGINT AS n
+        FROM v
+    )
+    SELECT n, both_right, only_a, only_b, both_wrong,
+           round(CASE WHEN only_a + only_b > 0 THEN
+                 (greatest(abs(only_a - only_b) - 1, 0)
+                  * greatest(abs(only_a - only_b) - 1, 0))::DOUBLE
+                 / (only_a + only_b) ELSE 0.0 END, 6) AS chi2
+    FROM ct
+    """,
+    "McNemar's paired-detector significance test (continuity-"
+    "corrected χ² on the discordant cells — the statistical missing "
+    "piece after n5's threshold sweep / n6's AUC / n2's differential "
+    "report: ARE two detectors' accuracies actually different, or "
+    "within paired noise?): verdict pairs for two operating points "
+    "against the event-type truth reduce to one 2×2 contingency in a "
+    "single map-side-combined aggregation. χ² = (|b−c|−1)²/(b+c) on "
+    "integer cells, one IEEE division — bit-stable cross-engine. At "
+    "100 TB this is a full-scan reduce to FOUR integers; the verdict "
+    "columns come free with any n1-style scoring pass.",
+)
+def n8_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    v = ev.select(
+        (F.col("event_type") == "error").alias("truth"),
+        (vc > 15000).alias("det_a"),
+        (vc > 18000).alias("det_b"),
+    )
+    a_right = F.col("det_a") == F.col("truth")
+    b_right = F.col("det_b") == F.col("truth")
+    ct = v.agg(
+        F.sum(F.when(a_right & b_right, 1).otherwise(0)).alias(
+            "both_right"
+        ),
+        F.sum(F.when(a_right & ~b_right, 1).otherwise(0)).alias("only_a"),
+        F.sum(F.when(~a_right & b_right, 1).otherwise(0)).alias("only_b"),
+        F.sum(F.when(~a_right & ~b_right, 1).otherwise(0)).alias(
+            "both_wrong"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    disc = F.col("only_a") + F.col("only_b")
+    corr = F.greatest(
+        F.abs(F.col("only_a") - F.col("only_b")) - 1, F.lit(0)
+    )
+    return ct.select(
+        "n",
+        "both_right",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.round(
+            F.when(
+                disc > 0, (corr * corr).cast("double") / disc
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chi2"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -10869,6 +10995,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_common + 31*{q6('jac')}"),
         ("s18_streaming_enrichment",
          f"win_start * 1000000 + {sc('segment')}", "n"),
+        ("z2_hilbert_key", "event_id",
+         "xq + 31*yq + 1009*hkey"),
+        ("n8_mcnemar", "n",
+         f"both_right + 31*only_a + 1009*only_b + 31063*both_wrong"
+         f" + 1000003*{q6('chi2')}"),
     ]
 
 

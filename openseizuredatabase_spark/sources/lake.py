@@ -124,6 +124,97 @@ def morton_sql(x: str, y: str, bits: int = 16) -> str:
     return " | ".join(terms)
 
 
+def hilbert_frame(
+    df: DataFrame,
+    x: F.Column,
+    y: F.Column,
+    out_col: str = "hkey",
+    bits: int = 8,
+) -> DataFrame:
+    """Append a Hilbert key column
+    for two pre-quantized non-negative ints < 2^bits: unlike Morton's,
+    CONSECUTIVE key values are always grid-adjacent (verified bijective
+    + unit-step on the full 256x256 grid), so range-partitioning by it
+    yields strictly tighter per-file min/max boxes than z-order — the
+    layout liquid clustering moved to. One named projection chains per
+    xy2d round (within-subsquare s-1-x flip variant), keeping the
+    Catalyst tree linear in ``bits`` — an inline Column unrolling is
+    exponential because every round substitutes the previous round's x
+    AND y twice. Integer CASE/shift built-ins only: codegen'd, no UDF."""
+    cur = df.select("*", x.cast("long").alias("__hx"),
+                    y.cast("long").alias("__hy"),
+                    F.lit(0).cast("long").alias("__hd"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftrightunsigned(F.col("__hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftrightunsigned(F.col("__hy"), i).bitwiseAND(F.lit(1))
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 0, 3)
+            .otherwise(2)
+        )
+        others = [c for c in cur.columns if c not in ("__hx", "__hy", "__hd")]
+        cur = cur.select(
+            *others,
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(s - 1) - F.col("__hy")).otherwise(
+                    F.col("__hy")
+                ),
+            )
+            .otherwise(F.col("__hx"))
+            .alias("__hx"),
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(s - 1) - F.col("__hx")).otherwise(
+                    F.col("__hx")
+                ),
+            )
+            .otherwise(F.col("__hy"))
+            .alias("__hy"),
+            (F.col("__hd") + F.lit(s * s).cast("long") * quad).alias(
+                "__hd"
+            ),
+        )
+    keep = [c for c in cur.columns if c not in ("__hx", "__hy", "__hd")]
+    return cur.select(*keep, F.col("__hd").alias(out_col))
+
+
+def hilbert_sql(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB CTE-chain rendering of :func:`hilbert_frame`. Returns the
+    text of chained CTE bodies ``h0 .. h{bits}`` mapping input columns
+    ``{x}``/``{y}`` (plus carried pass-through ``keep_cols``) to a
+    final ``d{bits}`` — each round gets distinctly-named columns so
+    DuckDB's lateral alias resolution can never bind a self-reference."""
+    rounds = []
+    rounds.append(
+        f"h0 AS (SELECT *, {x} AS x0, {y} AS y0, 0 AS d0 FROM hq)"
+    )
+    for r, i in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << i
+        p = r - 1
+        rx = f"((x{p} >> {i}) & 1)"
+        ry = f"((y{p} >> {i}) & 1)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+        )
+        nx = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - y{p} ELSE y{p} END) ELSE x{p} END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - x{p} ELSE x{p} END) ELSE y{p} END)"
+        )
+        rounds.append(
+            f"h{r} AS (SELECT *, {nx} AS x{r}, {ny} AS y{r},"
+            f" d{p} + {s * s} * {quad} AS d{r} FROM h{p})"
+        )
+    return ",\n    ".join(rounds)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -9816,7 +9816,10 @@ def w14_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sub-blocks exactly like a14's hot-key treatment.",
 )
 def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
+    # spread the small scan: the block join fans every row into ~|block|
+    # levenshtein evaluations, so map parallelism must not collapse to
+    # the file's single split
+    c = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("blk"),
@@ -10307,7 +10310,9 @@ def a22_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orienting edges low→high id is the classic skew bound.",
 )
 def t41_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
+    # spread the small scan (see j10) — the edge generator is the same
+    # block-join fan-out, and it runs once per wedge-close alias
+    c = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("blk"),
@@ -10318,6 +10323,10 @@ def t41_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.id") < F.col("b.id")))
         .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        # the edge list feeds three join aliases; materialize it once
+        # (t5's shingle-frame pattern) instead of re-running the
+        # quadratic block join per alias
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (

@@ -98,6 +98,10 @@ HEADLINE = [
     "s18_streaming_enrichment",
     "z2_hilbert_key",
     "n8_mcnemar",
+    "m24_time_series_cv",
+    "a23_gini",
+    "a24_source_entropy",
+    "d8_erasure_audit",
 ]
 
 

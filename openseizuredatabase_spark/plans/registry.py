@@ -9786,63 +9786,156 @@ def w14_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "j10_fuzzy_blocked_join",
+def _ham18_sql(a: str, b: str) -> str:
+    """Hamming distance over 18 fixed positions as an explicit integer
+    sum (portable — no reliance on an engine hamming builtin)."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN substr({a}, {p}, 1) <> substr({b}, {p}, 1)"
+            " THEN 1 ELSE 0 END)"
+            for p in range(1, 19)
+        )
+        + ")"
+    )
+
+
+def _ham18(a: F.Column, b: F.Column) -> F.Column:
+    out = F.lit(0)
+    for p in range(1, 19):
+        out = out + F.when(
+            F.substring(a, p, 1) != F.substring(b, p, 1), 1
+        ).otherwise(0)
+    return out
+
+
+def _pigeonhole_keys_sql(src: str) -> str:
+    """Interleaved digit-class blocking keys over the 9-digit payload of
+    the fixed-format c_name (positions 10-18): class k holds positions
+    {10+k, 13+k, 16+k}. Hamming <= 2 touches <= 2 of the 3 classes, so
+    every qualifying pair shares at least one untouched class — the
+    pigeonhole/PassJoin candidate rule. Interleaving (not contiguous
+    3-digit segments) matters: sequential ids keep HIGH digits constant,
+    so contiguous segments collapse into a few hot blocks, while every
+    interleaved class contains one of the fastest-varying low digits."""
+    return f"""
+        SELECT id, name, blk, g.i AS cls,
+               concat(substr(name, 10 + g.i, 1),
+                      substr(name, 13 + g.i, 1),
+                      substr(name, 16 + g.i, 1)) AS val
+        FROM {src}, unnest(generate_series(0, 2)) AS g(i)
     """
+
+
+def _pigeonhole_keys(c: DataFrame) -> DataFrame:
+    rows = []
+    for k in range(3):
+        rows.append(
+            c.select(
+                "id",
+                "name",
+                "blk",
+                F.lit(k).alias("cls"),
+                F.concat(
+                    F.substring("name", 10 + k, 1),
+                    F.substring("name", 13 + k, 1),
+                    F.substring("name", 16 + k, 1),
+                ).alias("val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ham_candidates(c: DataFrame, max_dist: int) -> DataFrame:
+    """Distinct (id_a, id_b, dist) pairs with hamming <= max_dist via
+    pigeonhole blocking — never the O(block²) nation join."""
+    k = _pigeonhole_keys(c)
+    ka, kb = k.alias("ka"), k.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.blk") == F.col("kb.blk"))
+            & (F.col("ka.cls") == F.col("kb.cls"))
+            & (F.col("ka.val") == F.col("kb.val"))
+            & (F.col("ka.id") < F.col("kb.id")),
+        )
+        .select(
+            F.col("ka.id").alias("id_a"),
+            F.col("kb.id").alias("id_b"),
+            F.col("ka.name").alias("name_a"),
+            F.col("kb.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = _ham18(F.col("name_a"), F.col("name_b"))
+    return cand.select(
+        "id_a", "id_b", dist.cast("long").alias("dist")
+    ).filter(F.col("dist") <= max_dist)
+
+
+def _j10_oracle() -> str:
+    return f"""
     WITH c AS (
         SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
         FROM customer
+    ), k AS (
+        {_pigeonhole_keys_sql('c')}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.name AS name_a, b.name AS name_b
+        FROM k a JOIN k b ON a.blk = b.blk AND a.cls = b.cls
+              AND a.val = b.val AND a.id < b.id
     ), pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b,
-               levenshtein(a.name, b.name) AS lev
-        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
-        WHERE levenshtein(a.name, b.name) <= 2
+        SELECT id_a, id_b,
+               CAST({_ham18_sql('name_a', 'name_b')} AS BIGINT) AS dist
+        FROM cand
     )
-    SELECT id_a, id_b AS best_id, lev AS best_lev, n_cand FROM (
-        SELECT id_a, id_b, lev,
+    SELECT id_a, id_b AS best_id, dist AS best_dist, n_cand FROM (
+        SELECT id_a, id_b, dist,
                row_number() OVER (PARTITION BY id_a
-                                  ORDER BY lev, id_b) AS rn,
+                                  ORDER BY dist, id_b) AS rn,
                CAST(count(*) OVER (PARTITION BY id_a) AS BIGINT) AS n_cand
-        FROM pairs) WHERE rn = 1
-    """,
-    "Blocked fuzzy record linkage (entity resolution — the dedup class "
-    "exact-key D1/D3 can't reach): candidate pairs come from an "
-    "EQUI-join on the blocking key (nation), never the O(n²) cross "
-    "product; edit distance (JVM built-in levenshtein, identical DP "
-    "in DuckDB) screens pairs at <= 2, and a per-record window picks "
-    "the best match (min distance, then lowest id) with the candidate "
-    "count kept for audit. At 100 TB blocking bounds the quadratic "
-    "term to the largest block — a skewed block salts into "
-    "sub-blocks exactly like a14's hot-key treatment.",
+        FROM pairs WHERE dist <= 2) WHERE rn = 1
+    """
+
+
+@query(
+    "j10_fuzzy_blocked_join",
+    _j10_oracle(),
+    "Pigeonhole-blocked record linkage (entity resolution over "
+    "fixed-format identifiers — the dedup class exact-key D1/D3 can't "
+    "reach): each record emits THREE interleaved digit-class blocking "
+    "keys over the name's 9-digit payload; Hamming <= 2 touches at "
+    "most 2 of the 3 classes, so every qualifying pair shares an "
+    "untouched class — candidates are COMPLETE (the PassJoin "
+    "pigeonhole rule) without ever joining whole nation blocks. A "
+    "naive fixed-key block join grows quadratically as data grows "
+    "(the 30× stress run flagged exactly that shape in this op's "
+    "first version); interleaved classes track the fastest-varying "
+    "digits, so block sizes stay near-constant as the key range "
+    "grows. The Hamming verifier is 18 codegen'd char compares; a "
+    "per-record window picks the best match with the candidate count "
+    "kept for audit.",
 )
 def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread the small scan: the block join fans every row into ~|block|
-    # levenshtein evaluations, so map parallelism must not collapse to
-    # the file's single split
+    # spread the small scan: map parallelism must not collapse to the
+    # file's single split
     c = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("blk"),
     )
-    a, b = c.alias("a"), c.alias("b")
-    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
-    pairs = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .filter(lev <= 2)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            lev.cast("long").alias("lev"),
-        )
-    )
-    wr = Window.partitionBy("id_a").orderBy("lev", "id_b")
+    pairs = _ham_candidates(c, max_dist=2)
+    wr = Window.partitionBy("id_a").orderBy("dist", "id_b")
     wn = Window.partitionBy("id_a")
     return (
         pairs.select(
             "id_a",
             "id_b",
-            "lev",
+            "dist",
             F.row_number().over(wr).alias("rn"),
             F.count(F.lit(1)).over(wn).alias("n_cand"),
         )
@@ -9850,7 +9943,7 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             F.col("id_b").alias("best_id"),
-            F.col("lev").alias("best_lev"),
+            F.col("dist").alias("best_dist"),
             "n_cand",
         )
     )
@@ -10266,17 +10359,28 @@ def a22_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t41_triangle_count",
-    """
+def _t41_oracle_head() -> str:
+    return f"""
     WITH c AS (
         SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
         FROM customer
+    ), k AS (
+        {_pigeonhole_keys_sql('c')}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.name AS name_a, b.name AS name_b
+        FROM k a JOIN k b ON a.blk = b.blk AND a.cls = b.cls
+              AND a.val = b.val AND a.id < b.id
     ), e AS (
-        SELECT a.id AS a, b.id AS b
-        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
-        WHERE levenshtein(a.name, b.name) <= 1
-    ), tri AS (
+        SELECT id_a AS a, id_b AS b FROM cand
+        WHERE {_ham18_sql('name_a', 'name_b')} <= 1
+    )"""
+
+
+@query(
+    "t41_triangle_count",
+    _t41_oracle_head()
+    + """, tri AS (
         SELECT e1.a, e1.b, e2.b AS c3
         FROM e e1 JOIN e e2 ON e1.b = e2.a
         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
@@ -10301,8 +10405,8 @@ def a22_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Per-vertex triangle counting + local clustering coefficient "
     "(the graph-density signal that separates dup CLIQUES from "
     "dup CHAINS — complements t10's components and t36's PageRank): "
-    "the graph is j10's blocked fuzzy-match pairs at distance <= 1 "
-    "(single-digit name variants form near-cliques). Triangles "
+    "the graph is j10's pigeonhole-blocked match pairs at Hamming "
+    "<= 1 (single-digit name variants form near-cliques). Triangles "
     "enumerate via the standard two-join wedge-close on the a < b "
     "oriented edge list — each triangle counted exactly once, cost "
     "O(Σ deg²) wedges, never O(n³). At 100 TB the edge list "
@@ -10310,22 +10414,19 @@ def a22_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orienting edges low→high id is the classic skew bound.",
 )
 def t41_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread the small scan (see j10) — the edge generator is the same
-    # block-join fan-out, and it runs once per wedge-close alias
+    # spread the small scan (see j10) — the edge generator fans out per
+    # blocking class, and it feeds three wedge-close aliases
     c = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("blk"),
     )
-    a, b = c.alias("a"), c.alias("b")
     e = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        _ham_candidates(c, max_dist=1)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         # the edge list feeds three join aliases; materialize it once
         # (t5's shingle-frame pattern) instead of re-running the
-        # quadratic block join per alias
+        # candidate join per alias
         .localCheckpoint(eager=False)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
@@ -10680,6 +10781,248 @@ def n8_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m24_time_series_cv",
+    """
+    WITH v AS (
+        SELECT event_id, epoch_us(ts)::BIGINT AS us FROM events
+    ), w AS (
+        SELECT event_id, us,
+               ((us - (us % 604800000000)) / 604800000000)::BIGINT AS wk
+        FROM v
+    ), b AS (
+        SELECT min(wk) AS w0 FROM w
+    ), f AS (
+        SELECT g.i AS fold FROM unnest(generate_series(1, 3)) AS g(i)
+    )
+    SELECT f.fold,
+           sum(CASE WHEN w.wk <= b.w0 + f.fold - 1
+               THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           sum(CASE WHEN w.wk = b.w0 + f.fold
+               THEN 1 ELSE 0 END)::BIGINT AS n_test,
+           max(CASE WHEN w.wk <= b.w0 + f.fold - 1
+               THEN w.us END)::BIGINT AS train_end_us,
+           min(CASE WHEN w.wk = b.w0 + f.fold
+               THEN w.us END)::BIGINT AS test_start_us
+    FROM w, b, f GROUP BY f.fold
+    """,
+    "Expanding-window time-series cross-validation (the temporally "
+    "sound split m17's modulo k-fold is NOT for forecasting-shaped "
+    "tasks — random folds leak the future into training): fold i "
+    "trains on epoch-weeks [w0, w0+i) and tests on week w0+i, so "
+    "train_end_us < test_start_us by construction (pinned in the "
+    "output). NO global sort: week ids come from integer floor "
+    "division of the timestamp and the only non-scan state is a "
+    "1-row min + a 3-row fold frame, both broadcast — the split "
+    "scales as one conditional aggregation pass however large the "
+    "lake (vs the naive ntile-over-global-order which collapses to "
+    "a single partition).",
+)
+def m24_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wk_us = 604_800_000_000
+    us = F.unix_micros("ts")
+    w = ev.select(
+        "event_id",
+        us.alias("us"),
+        ((us - (us % wk_us)) / wk_us).cast("long").alias("wk"),
+    )
+    b = w.agg(F.min("wk").alias("w0"))
+    f = b.select(
+        "w0", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("fold")
+    )
+    in_train = F.col("wk") <= F.col("w0") + F.col("fold") - 1
+    in_test = F.col("wk") == F.col("w0") + F.col("fold")
+    return (
+        w.crossJoin(F.broadcast(f))
+        .groupBy("fold")
+        .agg(
+            F.sum(F.when(in_train, 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(in_test, 1).otherwise(0)).alias("n_test"),
+            F.max(F.when(in_train, F.col("us"))).alias("train_end_us"),
+            F.min(F.when(in_test, F.col("us"))).alias("test_start_us"),
+        )
+    )
+
+
+@query(
+    "a23_gini",
+    f"""
+    WITH src AS (
+        SELECT source,
+               sum({text_fns.token_count_sql('text')})::BIGINT AS x
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT source, x,
+               row_number() OVER (ORDER BY x, source) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               sum(x) OVER ()::BIGINT AS s
+        FROM src
+    )
+    SELECT max(n) AS n_sources, max(s) AS total_tokens,
+           round((2 * sum(i * x)::BIGINT - (max(n) + 1) * max(s))::DOUBLE
+                 / (max(n) * max(s)), 6) AS gini
+    FROM r
+    """,
+    "Gini concentration of corpus mass across sources (the imbalance "
+    "diagnostic a data-mixing team reads next to t14's mixture "
+    "fractions and t28's Zipf fit — G≈0 means sources contribute "
+    "evenly, G→1 means one source dominates the token budget): the "
+    "sorted-rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) on "
+    "integer token sums, ONE division at the end. The window runs "
+    "over the per-source aggregate — n_sources rows, metadata-sized "
+    "at any corpus scale; the only data pass is the token-count "
+    "aggregation.",
+)
+def a23_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(text_fns.token_count(F.col("text"))).alias("x")
+    )
+    wr = Window.orderBy("x", "source")
+    wa = Window.partitionBy()
+    r = src.select(
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+        F.sum("x").over(wa).alias("s"),
+    )
+    return r.agg(
+        F.max("n").alias("n_sources"),
+        F.max("s").alias("total_tokens"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("x"))
+                - (F.max("n") + 1) * F.max("s")
+            ).cast("double")
+            / (F.max("n") * F.max("s")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "a24_source_entropy",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({text_fns.tokens_sql('text')}) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+        SELECT source, token, count(*)::BIGINT AS n
+        FROM tok GROUP BY source, token
+    ), tot AS (
+        SELECT source, sum(n)::BIGINT AS ns FROM cnt GROUP BY source
+    )
+    SELECT c.source, count(*)::BIGINT AS n_types, max(t.ns) AS n_tokens,
+           sum(CAST(round(-(c.n::DOUBLE / t.ns)
+                          * ln(c.n::DOUBLE / t.ns)
+                          * 1000000) AS BIGINT))::BIGINT AS entropy_micro
+    FROM cnt c JOIN tot t ON c.source = t.source
+    GROUP BY c.source
+    """,
+    "Per-source token Shannon entropy (the vocabulary-diversity "
+    "quality signal next to t28's Zipf slope — low entropy flags "
+    "templated/machine-generated sources): each type's −p·ln p "
+    "contribution quantizes to micro-units BEFORE summation (the "
+    "t25/t35 libm discipline — ln differs across engines by ulps, so "
+    "only rounded terms sum order-free and bit-equal), giving an "
+    "integer entropy in micro-nats. Two shuffles — (source, token) "
+    "counts with map-side combine, then the per-source reduce; "
+    "downstream state is O(sources × vocab).",
+)
+def a24_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.explode(text_fns.tokens(F.col("text"))).alias("token")
+    )
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("ns"))
+    p = F.col("n").cast("double") / F.col("ns")
+    term = F.round(-p * F.log(p) * 1000000, 0).cast("long")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("ns").alias("n_tokens"),
+            F.sum(term).alias("entropy_micro"),
+        )
+    )
+
+
+@query(
+    "d8_erasure_audit",
+    """
+    WITH req AS (
+        SELECT c_custkey AS uid FROM customer WHERE c_custkey % 97 = 0
+    ), ev AS (
+        SELECT e.user_id AS uid, count(*)::BIGINT AS n_event_rows,
+               count(DISTINCT CAST(e.ts AS DATE))::BIGINT AS n_event_days
+        FROM events e JOIN req r ON e.user_id = r.uid
+        GROUP BY e.user_id
+    ), ord AS (
+        SELECT o.o_custkey AS uid, count(*)::BIGINT AS n_order_rows
+        FROM orders o JOIN req r ON o.o_custkey = r.uid
+        GROUP BY o.o_custkey
+    )
+    SELECT req.uid,
+           coalesce(ev.n_event_rows, 0)::BIGINT AS n_event_rows,
+           coalesce(ev.n_event_days, 0)::BIGINT AS n_event_days,
+           coalesce(ord.n_order_rows, 0)::BIGINT AS n_order_rows
+    FROM req LEFT JOIN ev ON ev.uid = req.uid
+             LEFT JOIN ord ON ord.uid = req.uid
+    """,
+    "Right-to-erasure propagation audit (the GDPR/CCPA delete planner "
+    "a lakehouse runs before rewriting: WHICH rows, across WHICH "
+    "tables, touching HOW many day-partitions): the request list "
+    "(synthetic — every 97th customer) BROADCASTS into semi-join "
+    "probes of each fact table; per subject the audit counts rows to "
+    "erase and distinct day-partitions to rewrite — the actual "
+    "erasure cost, since deletion rewrites whole files. Zero-row "
+    "subjects still emit (the audit must PROVE absence, not skip "
+    "it). At 100 TB the probes are broadcast-pruned scans and the "
+    "rewrite parallelizes per partition; with d6's CDC this is the "
+    "compliance half of change application.",
+)
+def d8_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    req = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("uid"))
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .join(F.broadcast(req), F.col("user_id") == F.col("uid"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_event_rows"),
+            F.count_distinct(F.col("ts").cast("date")).alias(
+                "n_event_days"
+            ),
+        )
+        .withColumnRenamed("user_id", "ev_uid")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(req), F.col("o_custkey") == F.col("uid"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_order_rows"))
+        .withColumnRenamed("o_custkey", "o_uid")
+    )
+    return (
+        req.join(ev, req["uid"] == ev["ev_uid"], "left")
+        .join(orders, req["uid"] == orders["o_uid"], "left")
+        .select(
+            "uid",
+            F.coalesce("n_event_rows", F.lit(0)).alias("n_event_rows"),
+            F.coalesce("n_event_days", F.lit(0)).alias("n_event_days"),
+            F.coalesce("n_order_rows", F.lit(0)).alias("n_order_rows"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -10982,7 +11325,7 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_files + 31*{t('bin_bytes')} + 1009*bin_rows"
          " + 31063*(CASE WHEN undersized THEN 1 ELSE 0 END)"),
         ("j10_fuzzy_blocked_join", "id_a",
-         "best_id + 31*best_lev + 1009*n_cand"),
+         "best_id + 31*best_dist + 1009*n_cand"),
         ("t39_intradoc_dedup", "doc_id",
          f"n_chunks + 31*n_kept + 1009*{q6('rep_ratio')}"
          f" + 31063*CAST({sc('cleaned')} AS BIGINT)"),
@@ -11009,6 +11352,15 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("n8_mcnemar", "n",
          f"both_right + 31*only_a + 1009*only_b + 31063*both_wrong"
          f" + 1000003*{q6('chi2')}"),
+        ("m24_time_series_cv", "fold",
+         f"n_train + 31*n_test + 1009*{t('train_end_us')}"
+         f" + 31063*{t('test_start_us')}"),
+        ("a23_gini", "n_sources",
+         f"{t('total_tokens')} + 31*{q6('gini')}"),
+        ("a24_source_entropy", sc("source"),
+         f"n_types + 31*{t('n_tokens')} + 1009*{t('entropy_micro')}"),
+        ("d8_erasure_audit", "uid",
+         "n_event_rows + 31*n_event_days + 1009*n_order_rows"),
     ]
 
 

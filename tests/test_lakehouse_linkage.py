@@ -134,9 +134,44 @@ def test_d7_merge_equals_direct(spark):
 def test_j10_best_match_is_minimal_distance(spark):
     rows = QUERIES["j10_fuzzy_blocked_join"].fn(spark, SF).collect()
     assert len(rows) > 0
-    assert all(0 <= r.best_lev <= 2 for r in rows)
+    assert all(0 <= r.best_dist <= 2 for r in rows)
     assert all(r.n_cand >= 1 for r in rows)
     assert all(r.best_id > r.id_a for r in rows)  # oriented pairs
+
+
+def test_j10_pigeonhole_candidates_are_complete(spark):
+    """The 3-class interleaved blocking must surface EVERY same-nation
+    pair at Hamming <= 2 — compared against the O(block²) brute join."""
+    from openseizuredatabase_spark.plans.registry import (
+        _ham18,
+        _ham_candidates,
+    )
+
+    c = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("blk"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(_ham18(F.col("a.name"), F.col("b.name")) <= 2)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    brute_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in _ham_candidates(c, max_dist=2).collect()
+    }
+    assert got == brute_pairs
+    assert len(got) > 0
 
 
 def test_t39_short_docs_pass_through(spark):

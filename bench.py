@@ -102,6 +102,11 @@ HEADLINE = [
     "a23_gini",
     "a24_source_entropy",
     "d8_erasure_audit",
+    "a25_cohort_retention",
+    "w15_rolling_median",
+    "r3_psi_drift",
+    "t43_lsh_eval",
+    "w16_cusum_changepoint",
 ]
 
 

@@ -9876,13 +9876,27 @@ def _ham_candidates(c: DataFrame, max_dist: int) -> DataFrame:
     ).filter(F.col("dist") <= max_dist)
 
 
+def _reps_sql() -> str:
+    """Exact-duplicate collapse: identical (block, name) records group
+    under their min-id representative BEFORE any fuzzy work — the
+    fuzzy stage's cost then depends on DISTINCT entities, not records
+    (clone-heavy data otherwise forces R² genuine zero-distance pairs
+    through the verifier)."""
+    return """
+        SELECT blk, name, min(id) AS id, count(*)::BIGINT AS grp_n
+        FROM c GROUP BY blk, name
+    """
+
+
 def _j10_oracle() -> str:
     return f"""
     WITH c AS (
         SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
         FROM customer
+    ), reps AS (
+        {_reps_sql()}
     ), k AS (
-        {_pigeonhole_keys_sql('c')}
+        {_pigeonhole_keys_sql('reps')}
     ), cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                a.name AS name_a, b.name AS name_b
@@ -9892,13 +9906,19 @@ def _j10_oracle() -> str:
         SELECT id_a, id_b,
                CAST({_ham18_sql('name_a', 'name_b')} AS BIGINT) AS dist
         FROM cand
+    ), best AS (
+        SELECT id_a AS rep_id, id_b AS best_id, dist AS best_dist,
+               n_cand
+        FROM (
+            SELECT id_a, id_b, dist,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY dist, id_b) AS rn,
+                   CAST(count(*) OVER (PARTITION BY id_a) AS BIGINT)
+                       AS n_cand
+            FROM pairs WHERE dist <= 2) WHERE rn = 1
     )
-    SELECT id_a, id_b AS best_id, dist AS best_dist, n_cand FROM (
-        SELECT id_a, id_b, dist,
-               row_number() OVER (PARTITION BY id_a
-                                  ORDER BY dist, id_b) AS rn,
-               CAST(count(*) OVER (PARTITION BY id_a) AS BIGINT) AS n_cand
-        FROM pairs WHERE dist <= 2) WHERE rn = 1
+    SELECT b.rep_id, r.grp_n, b.best_id, b.best_dist, b.n_cand
+    FROM best b JOIN reps r ON r.id = b.rep_id
     """
 
 
@@ -9907,18 +9927,19 @@ def _j10_oracle() -> str:
     _j10_oracle(),
     "Pigeonhole-blocked record linkage (entity resolution over "
     "fixed-format identifiers — the dedup class exact-key D1/D3 can't "
-    "reach): each record emits THREE interleaved digit-class blocking "
-    "keys over the name's 9-digit payload; Hamming <= 2 touches at "
-    "most 2 of the 3 classes, so every qualifying pair shares an "
-    "untouched class — candidates are COMPLETE (the PassJoin "
-    "pigeonhole rule) without ever joining whole nation blocks. A "
-    "naive fixed-key block join grows quadratically as data grows "
-    "(the 30× stress run flagged exactly that shape in this op's "
-    "first version); interleaved classes track the fastest-varying "
-    "digits, so block sizes stay near-constant as the key range "
-    "grows. The Hamming verifier is 18 codegen'd char compares; a "
-    "per-record window picks the best match with the candidate count "
-    "kept for audit.",
+    "reach), in the two-tier shape production ER uses: exact "
+    "duplicates collapse to min-id representatives FIRST (one hash "
+    "group-by — the 30× stress showed clone-heavy data otherwise "
+    "pushes R² genuine zero-distance pairs through the verifier), "
+    "then each distinct entity emits THREE interleaved digit-class "
+    "blocking keys over the name's 9-digit payload; Hamming <= 2 "
+    "touches at most 2 of the 3 classes, so every qualifying pair "
+    "shares an untouched class — candidates are COMPLETE (the "
+    "PassJoin pigeonhole rule) without ever joining whole nation "
+    "blocks (the fixed-key block join was this op's first stress-"
+    "flagged quadratic). The Hamming verifier is 18 codegen'd char "
+    "compares; a per-entity window picks the best match, with the "
+    "exact-group size and candidate count kept for audit.",
 )
 def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the small scan: map parallelism must not collapse to the
@@ -9928,10 +9949,13 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("blk"),
     )
-    pairs = _ham_candidates(c, max_dist=2)
+    reps = c.groupBy("blk", "name").agg(
+        F.min("id").alias("id"), F.count(F.lit(1)).alias("grp_n")
+    )
+    pairs = _ham_candidates(reps.select("id", "name", "blk"), max_dist=2)
     wr = Window.partitionBy("id_a").orderBy("dist", "id_b")
     wn = Window.partitionBy("id_a")
-    return (
+    best = (
         pairs.select(
             "id_a",
             "id_b",
@@ -9941,12 +9965,15 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select(
-            "id_a",
+            F.col("id_a").alias("rep_id"),
             F.col("id_b").alias("best_id"),
             F.col("dist").alias("best_dist"),
             "n_cand",
         )
     )
+    return best.join(
+        reps.select(F.col("id").alias("rep_id"), "grp_n"), "rep_id"
+    ).select("rep_id", "grp_n", "best_id", "best_dist", "n_cand")
 
 
 @query(
@@ -10364,8 +10391,10 @@ def _t41_oracle_head() -> str:
     WITH c AS (
         SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
         FROM customer
+    ), reps AS (
+        {_reps_sql()}
     ), k AS (
-        {_pigeonhole_keys_sql('c')}
+        {_pigeonhole_keys_sql('reps')}
     ), cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                a.name AS name_a, b.name AS name_b
@@ -10415,14 +10444,17 @@ def _t41_oracle_head() -> str:
 )
 def t41_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the small scan (see j10) — the edge generator fans out per
-    # blocking class, and it feeds three wedge-close aliases
+    # blocking class, and it feeds three wedge-close aliases; vertices
+    # are exact-name representatives (j10's collapse) so clone-heavy
+    # data can't inflate the graph
     c = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("blk"),
     )
+    reps = c.groupBy("blk", "name").agg(F.min("id").alias("id"))
     e = (
-        _ham_candidates(c, max_dist=1)
+        _ham_candidates(reps.select("id", "name", "blk"), max_dist=1)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         # the edge list feeds three join aliases; materialize it once
         # (t5's shingle-frame pattern) instead of re-running the
@@ -11023,6 +11055,363 @@ def d8_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a25_cohort_retention",
+    """
+    WITH v AS (
+        SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us
+        FROM events
+    ), w AS (
+        SELECT user_id, event_type,
+               ((us - (us % 604800000000)) / 604800000000)::BIGINT AS wk
+        FROM v
+    ), coh AS (
+        SELECT user_id, min(wk) AS cwk FROM w
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), cs AS (
+        SELECT cwk, count(*)::BIGINT AS cohort_size FROM coh GROUP BY cwk
+    ), act AS (
+        SELECT DISTINCT user_id, wk AS awk FROM w
+    )
+    SELECT c.cwk AS cohort_wk, a.awk - c.cwk AS offset_wk,
+           count(*)::BIGINT AS n_active,
+           max(s.cohort_size) AS cohort_size,
+           round(count(*)::DOUBLE / max(s.cohort_size), 6) AS retention
+    FROM coh c
+    JOIN act a ON a.user_id = c.user_id AND a.awk >= c.cwk
+    JOIN cs s ON s.cwk = c.cwk
+    GROUP BY c.cwk, a.awk - c.cwk
+    """,
+    "Cohort retention triangle (the product-analytics staple next to "
+    "w13's funnel and d4's weekly counts): users cohort by their "
+    "first signup epoch-week (m24's integer week trick — no calendar "
+    "parsing, no global sort), activity dedups to (user, week), and "
+    "each (cohort, week-offset) cell reports active users and the "
+    "retention fraction against the cohort size. Two shuffles on "
+    "user_id (cohort min + the activity join — AQE reuses the "
+    "exchange) and one on the metadata-sized cohort key; at 100 TB "
+    "the (user, week) dedup is the only data-scale state.",
+)
+def a25_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk_us = 604_800_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = ev.select(
+        "user_id",
+        "event_type",
+        ((us - (us % wk_us)) / wk_us).cast("long").alias("wk"),
+    )
+    coh = (
+        w.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cwk"))
+    )
+    cs = coh.groupBy("cwk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = w.select("user_id", F.col("wk").alias("awk")).distinct()
+    return (
+        coh.join(act, "user_id")
+        .filter(F.col("awk") >= F.col("cwk"))
+        .join(F.broadcast(cs), "cwk")
+        .groupBy(
+            F.col("cwk").alias("cohort_wk"),
+            (F.col("awk") - F.col("cwk")).alias("offset_wk"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.max("cohort_size").alias("cohort_size"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "w15_rolling_median",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+    "Trailing rolling MEDIAN per user (the robust twin of w7's moving "
+    "average — medians shrug off the amplitude spikes that drag a "
+    "mean, which is why monitoring baselines use them): exact "
+    "percentile over a 7-row trailing frame. Spark's percentile and "
+    "DuckDB's quantile_cont share the (n−1)·p interpolation rule, so "
+    "the oracle is bit-stable after the 6-dp rounding contract. ONE "
+    "user-key window shuffle; the frame holds <= 7 values per row, so "
+    "state is constant — at 100 TB this pairs with the same sorted "
+    "layout every other per-user window stage reuses.",
+)
+def w15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr("percentile(value, 0.5)").over(wf), 6
+        ).alias("med7"),
+    )
+
+
+@query(
+    "r3_psi_drift",
+    """
+    WITH v AS (
+        SELECT event_type,
+               least(greatest(
+                   (vc - (((vc % 5000) + 5000) % 5000)) / 5000, 0),
+                   9)::BIGINT AS bin,
+               us
+        FROM (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS vc,
+                     epoch_us(ts)::BIGINT AS us
+              FROM events)
+    ), mid AS (
+        SELECT ((min(us) + max(us)) - (((min(us) + max(us)) % 2) + 2) % 2)
+               / 2 AS m
+        FROM v
+    ), cnt AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN v.us < mid.m THEN 1 ELSE 0 END)::BIGINT
+                   AS n_ref,
+               sum(CASE WHEN v.us >= mid.m THEN 1 ELSE 0 END)::BIGINT
+                   AS n_cur
+        FROM v, mid GROUP BY event_type, bin
+    ), tot AS (
+        SELECT event_type, sum(n_ref)::BIGINT AS t_ref,
+               sum(n_cur)::BIGINT AS t_cur
+        FROM cnt GROUP BY event_type
+    )
+    SELECT c.event_type, count(*)::BIGINT AS n_bins,
+           sum(CAST(round(
+               ((c.n_ref + 1)::DOUBLE / (t.t_ref + 10)
+                - (c.n_cur + 1)::DOUBLE / (t.t_cur + 10))
+               * ln(((c.n_ref + 1)::DOUBLE / (t.t_ref + 10))
+                    / ((c.n_cur + 1)::DOUBLE / (t.t_cur + 10)))
+               * 1000000) AS BIGINT))::BIGINT AS psi_micro
+    FROM cnt c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    """,
+    "Population-stability-index drift monitor (the ML-ops check run "
+    "on every scoring feature before trusting a deployed model; "
+    "complements n5/n6 evaluation and m19 calibration): value "
+    "distributions of the first vs second time half, fixed decile "
+    "bins, add-one smoothing so empty bins stay defined, and PSI = "
+    "Σ(p−q)·ln(p/q) with each term quantized to micro-units before "
+    "the order-free integer sum (the a24/t25 libm discipline). The "
+    "time midpoint is a 1-row broadcast; the bin counts are one "
+    "map-side-combined aggregation over (type, bin) — constant "
+    "state at any scale. PSI > 0.2 conventionally flags drift.",
+)
+def r3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    # exact-divisible floor division (the v5 trick): a double->int cast
+    # of a fractional value TRUNCATES in Spark but ROUNDS in DuckDB, so
+    # the divided value must already be integral in both engines
+    binned = (vc - (((vc % 5000) + 5000) % 5000)) / 5000
+    v = ev.select(
+        "event_type",
+        F.least(F.greatest(binned, F.lit(0)), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        us.alias("us"),
+    )
+    mm = v.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        (
+            (F.col("mn") + F.col("mx"))
+            - (((F.col("mn") + F.col("mx")) % 2) + 2) % 2
+        )
+        / 2
+    ).toDF("m")
+    cnt = v.crossJoin(F.broadcast(mm)).groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("us") < F.col("m"), 1).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(F.col("us") >= F.col("m"), 1).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10)
+    term = F.round((p - q) * F.log(p / q) * 1000000, 0).cast("long")
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(term).alias("psi_micro"),
+        )
+    )
+
+
+def _t43_oracle() -> str:
+    truth = QUERIES["t42_prefix_filter_join"].oracle
+    cand = QUERIES["t7_lsh_candidate_pairs"].oracle
+    return f"""
+    WITH truth AS (
+        SELECT id_a, id_b FROM ({truth})
+    ), cand AS (
+        SELECT id_a, id_b FROM ({cand})
+    ), j AS (
+        SELECT coalesce(t.id_a, c.id_a) AS id_a,
+               (t.id_a IS NOT NULL) AS in_truth,
+               (c.id_a IS NOT NULL) AS in_cand
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT sum(CASE WHEN in_truth THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+           sum(CASE WHEN in_cand THEN 1 ELSE 0 END)::BIGINT AS n_cand,
+           sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)::BIGINT
+               AS n_hit,
+           round(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0
+                     END)::DOUBLE
+                 / sum(CASE WHEN in_cand THEN 1 ELSE 0 END), 6)
+               AS precision_,
+           round(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0
+                     END)::DOUBLE
+                 / sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 6)
+               AS recall_
+    FROM j
+    """
+
+
+@query(
+    "t43_lsh_eval",
+    _t43_oracle(),
+    "LSH retrieval evaluation (closes the dedup-quality loop t32's "
+    "estimator calibration opened): t7's MinHash-band candidate pairs "
+    "are scored against t42's provably complete exact pair set at "
+    "θ=0.5 — precision says how much verification work the bands "
+    "waste, recall says what the probabilistic screen MISSES (the "
+    "number a dedup pipeline must report before anyone trusts it). "
+    "One full-outer join of two already-bounded pair sets reduces to "
+    "five integers; both inputs reuse their scale-audited plans "
+    "unchanged.",
+)
+def t43_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        QUERIES["t42_prefix_filter_join"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(True).alias("in_truth"))
+    )
+    cand = (
+        QUERIES["t7_lsh_candidate_pairs"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(True).alias("in_cand"))
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+        F.coalesce("in_cand", F.lit(False)).alias("in_cand"),
+    )
+    hit = F.sum(
+        F.when(F.col("in_truth") & F.col("in_cand"), 1).otherwise(0)
+    )
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    n_cand = F.sum(F.when(F.col("in_cand"), 1).otherwise(0))
+    return j.agg(
+        n_truth.alias("n_truth"),
+        n_cand.alias("n_cand"),
+        hit.alias("n_hit"),
+        F.round(hit.cast("double") / n_cand, 6).alias("precision_"),
+        F.round(hit.cast("double") / n_truth, 6).alias("recall_"),
+    )
+
+
+@query(
+    "w16_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               count(*)::BIGINT AS x
+        FROM events GROUP BY event_type, d
+    ), tot AS (
+        SELECT event_type, sum(x)::BIGINT AS total,
+               count(*)::BIGINT AS n_days
+        FROM daily GROUP BY event_type
+    ), cum AS (
+        SELECT d.event_type, d.d, t.n_days, t.total,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn,
+               sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cx
+        FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ), stat AS (
+        SELECT event_type, d, n_days,
+               abs(n_days * cx - rn * total) AS s
+        FROM cum
+    )
+    SELECT event_type, n_days, d AS changepoint, s::BIGINT AS max_stat
+    FROM (
+        SELECT event_type, n_days, d, s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY s DESC, d ASC) AS rn2
+        FROM stat) WHERE rn2 = 1
+    """,
+    "CUSUM changepoint detection over the daily count series (the "
+    "monitoring op that answers WHEN the distribution moved, where "
+    "r3's PSI answers WHETHER): the classic cumulative deviation "
+    "S_d = Σ(x_i − μ) is rescaled by n_days so every quantity stays "
+    "an exact integer (n·cumsum − rank·total — same argmax, no "
+    "float), and the changepoint is the day maximizing |S| "
+    "(earliest day wins ties). One per-type window over the "
+    "metadata-sized daily aggregate; the only data pass is the "
+    "daily count itself.",
+)
+def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        "total",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x").over(wc).alias("cx"),
+    )
+    stat = cum.select(
+        "event_type",
+        "d",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("cx") - F.col("rn") * F.col("total")
+        ).alias("s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("d").asc()
+    )
+    return (
+        stat.withColumn("rn2", F.row_number().over(wr))
+        .filter(F.col("rn2") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("d").alias("changepoint"),
+            F.col("s").alias("max_stat"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -11324,8 +11713,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "(year(d)*10000 + month(d)*100 + day(d)) * 100 + bin_id",
          f"n_files + 31*{t('bin_bytes')} + 1009*bin_rows"
          " + 31063*(CASE WHEN undersized THEN 1 ELSE 0 END)"),
-        ("j10_fuzzy_blocked_join", "id_a",
-         "best_id + 31*best_dist + 1009*n_cand"),
+        ("j10_fuzzy_blocked_join", "rep_id",
+         "best_id + 31*best_dist + 1009*n_cand + 31063*grp_n"),
         ("t39_intradoc_dedup", "doc_id",
          f"n_chunks + 31*n_kept + 1009*{q6('rep_ratio')}"
          f" + 31063*CAST({sc('cleaned')} AS BIGINT)"),
@@ -11361,6 +11750,18 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_types + 31*{t('n_tokens')} + 1009*{t('entropy_micro')}"),
         ("d8_erasure_audit", "uid",
          "n_event_rows + 31*n_event_days + 1009*n_order_rows"),
+        ("a25_cohort_retention", "cohort_wk * 1000 + offset_wk",
+         f"n_active + 31*cohort_size + 1009*{q6('retention')}"),
+        ("w15_rolling_median", "event_id",
+         f"user_id + 31*{t(q6('med7'))}"),
+        ("r3_psi_drift", sc("event_type"),
+         f"n_bins + 31*{t('psi_micro')}"),
+        ("t43_lsh_eval", "n_truth",
+         f"n_cand + 31*n_hit + 1009*{q6('precision_')}"
+         f" + 1000003*{q6('recall_')}"),
+        ("w16_cusum_changepoint", sc("event_type"),
+         "n_days + 31*(year(changepoint)*10000 + month(changepoint)*100"
+         f" + day(changepoint)) + 31063*{t('max_stat')}"),
     ]
 
 

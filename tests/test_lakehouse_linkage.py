@@ -136,7 +136,8 @@ def test_j10_best_match_is_minimal_distance(spark):
     assert len(rows) > 0
     assert all(0 <= r.best_dist <= 2 for r in rows)
     assert all(r.n_cand >= 1 for r in rows)
-    assert all(r.best_id > r.id_a for r in rows)  # oriented pairs
+    assert all(r.grp_n >= 1 for r in rows)
+    assert all(r.best_id > r.rep_id for r in rows)  # oriented pairs
 
 
 def test_j10_pigeonhole_candidates_are_complete(spark):

@@ -107,6 +107,7 @@ HEADLINE = [
     "r3_psi_drift",
     "t43_lsh_eval",
     "w16_cusum_changepoint",
+    "r4_dq_audit",
 ]
 
 

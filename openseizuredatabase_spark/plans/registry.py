@@ -11412,6 +11412,143 @@ def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "r4_dq_audit",
+    """
+    WITH ev AS (
+        SELECT 'events.value_nonnull' AS check_name,
+               count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'events.value_in_range', count(*)::BIGINT,
+               sum(CASE WHEN value < 0 OR value > 1000
+                   THEN 1 ELSE 0 END)::BIGINT
+        FROM events
+        UNION ALL
+        SELECT 'events.event_id_unique', count(*)::BIGINT,
+               (count(*) - count(DISTINCT event_id))::BIGINT
+        FROM events
+        UNION ALL
+        SELECT 'events.type_in_domain', count(*)::BIGINT,
+               sum(CASE WHEN event_type NOT IN
+                   ('click', 'view', 'purchase', 'signup', 'error')
+                   THEN 1 ELSE 0 END)::BIGINT
+        FROM events
+        UNION ALL
+        SELECT 'orders.custkey_fk', count(*)::BIGINT,
+               sum(CASE WHEN c.c_custkey IS NULL
+                   THEN 1 ELSE 0 END)::BIGINT
+        FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.orderkey_fk', count(*)::BIGINT,
+               sum(CASE WHEN o.o_orderkey IS NULL
+                   THEN 1 ELSE 0 END)::BIGINT
+        FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'events.props_k_lt_95', count(*)::BIGINT,
+               sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                             AS INTEGER) >= 95
+                   THEN 1 ELSE 0 END)::BIGINT
+        FROM events
+    )
+    SELECT check_name, n_rows, n_violations,
+           (n_violations = 0) AS passed
+    FROM ev
+    """,
+    "Data-quality constraint suite (the Deequ/dbt-test gate a lake "
+    "table passes before anything downstream trusts it; the missing "
+    "audit tier next to r2's row-count audit): completeness (null "
+    "rate), range bounds, key uniqueness (count vs distinct — no "
+    "self-join), domain membership, referential integrity for two "
+    "FK edges (LEFT join + null probe; the dim side broadcasts), and "
+    "one expectation the data genuinely violates (props.k < 95) so "
+    "the red path is exercised, not just the green one. "
+    "Every check is a map-side-combined aggregation emitting "
+    "(violations, pass) — the whole suite is one scan per table plus "
+    "two broadcast joins, and checks merge across partitions by "
+    "addition, so incremental re-validation costs O(new partition) "
+    "exactly like d7's IVM.",
+)
+def r4_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+
+    def _check(name: str, df: DataFrame, viol: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("n_violations"),
+        )
+
+    uniq = ev.agg(
+        F.lit("events.event_id_unique").alias("check_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id"))).alias(
+            "n_violations"
+        ),
+    )
+    domain = ["click", "view", "purchase", "signup", "error"]
+    checks = (
+        _check("events.value_nonnull", ev, F.col("value").isNull())
+        .unionByName(
+            _check(
+                "events.value_in_range",
+                ev,
+                (F.col("value") < 0) | (F.col("value") > 1000),
+            )
+        )
+        .unionByName(uniq)
+        .unionByName(
+            _check(
+                "events.type_in_domain",
+                ev,
+                ~F.col("event_type").isin(domain),
+            )
+        )
+        .unionByName(
+            _check(
+                "orders.custkey_fk",
+                orders.join(
+                    F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"],
+                    "left",
+                ),
+                F.col("c_custkey").isNull(),
+            )
+        )
+        .unionByName(
+            _check(
+                "lineitem.orderkey_fk",
+                li.join(
+                    orders.select("o_orderkey"),
+                    li["l_orderkey"] == F.col("o_orderkey"),
+                    "left",
+                ),
+                F.col("o_orderkey").isNull(),
+            )
+        )
+        .unionByName(
+            _check(
+                "events.props_k_lt_95",
+                ev,
+                F.get_json_object("props", "$.k").cast("int") >= 95,
+            )
+        )
+    )
+    return checks.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -11762,6 +11899,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("w16_cusum_changepoint", sc("event_type"),
          "n_days + 31*(year(changepoint)*10000 + month(changepoint)*100"
          f" + day(changepoint)) + 31063*{t('max_stat')}"),
+        ("r4_dq_audit", sc("check_name"),
+         f"{t('n_rows')} + 31*{t('n_violations')}"
+         " + 1009*(CASE WHEN passed THEN 1 ELSE 0 END)"),
     ]
 
 

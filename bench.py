@@ -108,6 +108,7 @@ HEADLINE = [
     "t43_lsh_eval",
     "w16_cusum_changepoint",
     "r4_dq_audit",
+    "s19_streaming_temporal_join",
 ]
 
 

@@ -11549,6 +11549,104 @@ def r4_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s19_streaming_temporal_join",
+    """
+    WITH log AS (
+        SELECT user_id, event_type AS state, epoch_us(ts)::BIGINT AS us,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events WHERE event_type <> 'purchase'
+    ), changes AS (
+        SELECT user_id, state, us FROM log
+        WHERE prev_state IS NULL OR state <> prev_state
+    ), dim AS (
+        SELECT user_id, state, us AS eff_from_us,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, state) AS eff_to_us
+        FROM changes
+    ), fact AS (
+        SELECT user_id, epoch_us(ts)::BIGINT AS us,
+               strftime(date_trunc('day', ts), '%Y%m%d')::BIGINT AS d
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.d AS day_key, dm.state, count(*)::BIGINT AS n_purchases
+    FROM fact f JOIN dim dm ON f.user_id = dm.user_id
+      AND f.us >= dm.eff_from_us
+      AND (dm.eff_to_us IS NULL OR f.us < dm.eff_to_us)
+    GROUP BY f.d, dm.state
+    """,
+    "Event-time temporal join (the streaming lookup s18's static join "
+    "can't express: WHICH VERSION of the dimension was valid WHEN "
+    "the event happened — joining on the current version silently "
+    "rewrites history): the purchase stream joins the j9-style SCD2 "
+    "state history on user_id + half-open interval containment, then "
+    "counts per (day, state-at-purchase-time). The dim BROADCASTS "
+    "per micro-batch (stream-static joins allow the non-equi "
+    "containment predicate); only the daily aggregation holds "
+    "watermark-evicted state. Purchases preceding any dim version "
+    "drop (inner join — documented). The batch oracle replays the "
+    "identical history build + containment join.",
+)
+def s19_streaming_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    log = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("us"),
+        F.lag("event_type").over(wl).alias("prev_state"),
+    )
+    changes = log.filter(
+        F.col("prev_state").isNull()
+        | (F.col("state") != F.col("prev_state"))
+    ).select("user_id", "state", "us")
+    wd = Window.partitionBy("user_id").orderBy("us", "state")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        F.col("us").alias("eff_from_us"),
+        F.lead("us").over(wd).alias("eff_to_us"),
+    )
+    stream = _stream_events(spark, sf_dir, "s19_events_").filter(
+        F.col("event_type") == "purchase"
+    )
+    fus = F.unix_micros("ts")
+    joined = (
+        stream.withWatermark("ts", "10 minutes")
+        .join(
+            F.broadcast(dim),
+            (F.col("user_id") == F.col("d_user"))
+            & (fus >= F.col("eff_from_us"))
+            & (
+                F.col("eff_to_us").isNull()
+                | (fus < F.col("eff_to_us"))
+            ),
+        )
+        .groupBy(F.window(F.col("ts"), "1 day"), F.col("state"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    name = f"s19_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyyMMdd")
+        .cast("long")
+        .alias("day_key"),
+        "state",
+        "n_purchases",
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -11902,6 +12000,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("r4_dq_audit", sc("check_name"),
          f"{t('n_rows')} + 31*{t('n_violations')}"
          " + 1009*(CASE WHEN passed THEN 1 ELSE 0 END)"),
+        ("s19_streaming_temporal_join",
+         f"day_key * 1000000 + {sc('state')}", "n_purchases"),
     ]
 
 

@@ -109,6 +109,8 @@ HEADLINE = [
     "w16_cusum_changepoint",
     "r4_dq_audit",
     "s19_streaming_temporal_join",
+    "j11_last_touch_attribution",
+    "w17_seasonal_baseline",
 ]
 
 

@@ -11647,6 +11647,142 @@ def s19_streaming_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j11_last_touch_attribution",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us
+        FROM events WHERE event_type IN ('view', 'click')
+    ), p AS (
+        SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us
+        FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               v.event_id AS touch_id, v.us AS touch_us,
+               p.us - v.us AS latency_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.us DESC,
+                                           v.event_id DESC) AS rn
+        FROM p JOIN v ON v.user_id = p.user_id AND v.us <= p.us
+    )
+    SELECT pp.event_id AS purchase_id, pp.user_id,
+           r.touch_id, r.touch_us, r.latency_us
+    FROM p pp LEFT JOIN ranked r
+      ON r.purchase_id = pp.event_id AND r.rn = 1
+    """,
+    "Last-touch attribution — the two-stream backward AS-OF join "
+    "(each purchase matched to the user's most recent preceding "
+    "view/click, j7's shape generalized to two event streams): the "
+    "Spark side uses the UNION TRICK — tag both streams, ONE window "
+    "per user carries the running last-touch forward, so the cost is "
+    "one sort instead of the O(purchases × views)-per-user "
+    "inequality join the ORACLE deliberately replays (correct at "
+    "oracle scale, the exact shape that melts at lake scale — the "
+    "cross-check proves the single-pass rewrite). Purchases with no "
+    "prior touch emit NULLs (left-preserving); ties at equal "
+    "timestamp resolve to the highest event_id in both forms.",
+)
+def j11_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.lit(0).alias("tag"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", us.alias("us"), F.lit(1).alias("tag")
+    )
+    both = v.unionByName(p)
+    # at equal us the view (tag 0) sorts first, so the running last-touch
+    # includes same-instant views — matching the oracle's v.us <= p.us;
+    # event_id breaks residual ties identically on both sides
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col("tag") == 0, F.struct("us", "event_id"))
+    carried = both.select(
+        "user_id",
+        "event_id",
+        "us",
+        "tag",
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("lt.event_id").alias("touch_id"),
+        F.col("lt.us").alias("touch_us"),
+        (F.col("us") - F.col("lt.us")).alias("latency_us"),
+    )
+
+
+@query(
+    "w17_seasonal_baseline",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               ((us - (us % 86400000000)) / 86400000000)::BIGINT AS ed,
+               count(*)::BIGINT AS x
+        FROM (SELECT event_type, epoch_us(ts)::BIGINT AS us FROM events)
+        GROUP BY 1, 2
+    ), dow AS (
+        SELECT event_type, ed, x, ((ed % 7) + 7) % 7 AS dw FROM daily
+    ), base AS (
+        SELECT event_type, dw, sum(x)::BIGINT AS sum_dw,
+               count(*)::BIGINT AS n_dw
+        FROM dow GROUP BY event_type, dw
+    )
+    SELECT d.event_type, d.ed, d.dw, d.x, b.n_dw,
+           (d.x * b.n_dw - b.sum_dw)::BIGINT AS dev_scaled,
+           round((d.x * b.n_dw - b.sum_dw)::DOUBLE / b.sum_dw, 6)
+               AS dev_frac
+    FROM dow d JOIN base b
+      ON d.event_type = b.event_type AND d.dw = b.dw
+    """,
+    "Weekday-seasonal baseline + deviation (the seasonality-aware "
+    "anomaly screen between r3's distribution drift and w16's "
+    "changepoint: Mondays compare against MONDAYS, not the weekly "
+    "mean): weekday comes from epoch-day mod 7 — pure integer, "
+    "immune to the dayofweek() 0-vs-1-origin dialect mismatch — and "
+    "the deviation x·n_dw − Σx_dw is the w16 rescaling trick again, "
+    "exact integers until one final reporting division. The baseline "
+    "is a 7-rows-per-type BROADCAST; the only data pass is the daily "
+    "count aggregation.",
+)
+def w17_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    daily = (
+        ev.select(
+            "event_type",
+            ((us - (us % day_us)) / day_us).cast("long").alias("ed"),
+        )
+        .groupBy("event_type", "ed")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dow = daily.withColumn("dw", ((F.col("ed") % 7) + 7) % 7)
+    base = dow.groupBy("event_type", "dw").agg(
+        F.sum("x").alias("sum_dw"), F.count(F.lit(1)).alias("n_dw")
+    )
+    dev = F.col("x") * F.col("n_dw") - F.col("sum_dw")
+    return dow.join(F.broadcast(base), ["event_type", "dw"]).select(
+        "event_type",
+        "ed",
+        "dw",
+        "x",
+        "n_dw",
+        dev.alias("dev_scaled"),
+        F.round(dev.cast("double") / F.col("sum_dw"), 6).alias(
+            "dev_frac"
+        ),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -12002,6 +12138,14 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 1009*(CASE WHEN passed THEN 1 ELSE 0 END)"),
         ("s19_streaming_temporal_join",
          f"day_key * 1000000 + {sc('state')}", "n_purchases"),
+        ("j11_last_touch_attribution", "purchase_id",
+         "user_id + 31*coalesce(touch_id, -1)"
+         f" + 1009*{t('coalesce(touch_us, -1)')}"
+         f" + 31063*{t('coalesce(latency_us, -1)')}"),
+        ("w17_seasonal_baseline",
+         f"ed * 1000000 + {sc('event_type')}",
+         f"x + 31*dw + 1009*n_dw + 31063*{t('dev_scaled')}"
+         f" + 1000003*{q6('dev_frac')}"),
     ]
 
 

@@ -111,6 +111,8 @@ HEADLINE = [
     "s19_streaming_temporal_join",
     "j11_last_touch_attribution",
     "w17_seasonal_baseline",
+    "p9_dataset_card",
+    "w18_ewma",
 ]
 
 

@@ -11783,6 +11783,113 @@ def w17_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p9_dataset_card",
+    f"""
+    SELECT count(*)::BIGINT AS n_docs,
+           sum({text_fns.token_count_sql('text')})::BIGINT AS n_tokens,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           count(DISTINCT {text_fns.fingerprint_sql('text')})::BIGINT
+               AS n_distinct_fp,
+           round(1.0 - count(DISTINCT {text_fns.fingerprint_sql('text')}
+                 )::DOUBLE / count(*), 6) AS dup_rate,
+           round(sum({text_fns.token_count_sql('text')})::DOUBLE
+                 / count(*), 6) AS mean_tokens
+    FROM documents
+    """,
+    "Dataset card summary (the one-row datasheet a corpus release "
+    "ships with — rows, token budget, source/language breadth, "
+    "exact-dup mass via t4's normalization fingerprint, mean doc "
+    "length): ONE scan computes every statistic; the distincts are "
+    "the only shuffling state and each is bounded by its own "
+    "cardinality (sources/langs are tiny; fingerprints are the "
+    "dedup-rate denominator a t4 pass would materialize anyway). "
+    "At 100 TB the exact fingerprint distinct swaps for a16's KMV "
+    "sketch with the same card schema.",
+)
+def p9_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    fp = text_fns.fingerprint(F.col("text"))
+    tc = text_fns.token_count(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("n_tokens"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(fp).alias("n_distinct_fp"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(fp).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.sum(tc).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+    )
+
+
+def _w18_terms_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for k in range(8):
+        w = f"{1.0 / (1 << (k + 1))!r}"
+        lagv = (
+            "value" if k == 0 else
+            f"lag(value, {k}) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id)"
+        )
+        nums.append(
+            f"(CASE WHEN {lagv} IS NOT NULL THEN {w} * {lagv}"
+            " ELSE 0.0 END)"
+        )
+        dens.append(
+            f"(CASE WHEN {lagv} IS NOT NULL THEN {w} ELSE 0.0 END)"
+        )
+    return " + ".join(nums), " + ".join(dens)
+
+
+def _w18_oracle() -> str:
+    num, den = _w18_terms_sql()
+    return f"""
+    SELECT event_id, user_id,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    """
+
+
+@query(
+    "w18_ewma",
+    _w18_oracle(),
+    "Exponentially weighted moving average per user (the standard "
+    "monitoring smoother between w7's flat window and w15's median): "
+    "α=1/2 over the 8 most recent observations, renormalized over "
+    "the lags actually present at the sequence head. The weights "
+    "are DYADIC (2^-k), so every product is an exact binary scaling "
+    "and the left-associated term sums execute the identical IEEE "
+    "op sequence in both engines — bit-equal before the 6-dp "
+    "reporting round. Eight lags over ONE user-key window (the w6 "
+    "feature-history shape; all eight share a single shuffle+sort); "
+    "truncating the tail at 2^-8 bounds the error at 0.4% of the "
+    "oldest weight — the streaming-state tradeoff made explicit.",
+)
+def w18_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = None, None
+    for k in range(8):
+        wk = 1.0 / (1 << (k + 1))
+        lagv = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        nt = F.when(lagv.isNotNull(), F.lit(wk) * lagv).otherwise(
+            F.lit(0.0)
+        )
+        dt = F.when(lagv.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+        num = nt if num is None else num + nt
+        den = dt if den is None else den + dt
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -12146,6 +12253,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"ed * 1000000 + {sc('event_type')}",
          f"x + 31*dw + 1009*n_dw + 31063*{t('dev_scaled')}"
          f" + 1000003*{q6('dev_frac')}"),
+        ("p9_dataset_card", "n_docs",
+         f"{t('n_tokens')} + 31*n_sources + 1009*n_langs"
+         f" + 31063*n_distinct_fp + 1000003*{q6('dup_rate')}"),
+        ("w18_ewma", "event_id",
+         f"user_id + 31*{t(q6('ewma'))}"),
     ]
 
 

@@ -42,12 +42,27 @@ def integer_pagerank(
     connected node and leaves no dangling mass. Returns (node, w_out,
     rank_micro).
     """
+    # The caller's edge list can carry an expensive lineage (e.g. t36's
+    # shingle pair join); wout, the join below, and every power
+    # iteration all re-execute it unless it is pinned ONCE up front
+    # (the t41 lesson, SCALE.md session 4b). Checkpointing pins the
+    # pre-AQE shuffle partitioning, so re-derive the loop parallelism
+    # from the materialized edge count (what AQE's coalescer would have
+    # done inside a single job): tiny graphs run the per-iteration
+    # joins in one task instead of a full-width shuffle per round, big
+    # graphs keep the cluster-wide layout.
+    edges = edges.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = max(1, min(width, n_edges // 50_000))
+    edges = edges.coalesce(n_part)
     wout = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    e = edges.join(wout, "u")
     nodes = wout.select(F.col("u").alias("node"), "wu")
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("r")
     )
-    e = edges.join(wout, "u")
     base = (scale * (100 - damping_pct)) // 100
     for _ in range(iters):
         j = e.join(ranks, e["u"] == ranks["node"])
@@ -67,8 +82,13 @@ def integer_pagerank(
                 .alias("r"),
             )
         )
-        # one row per node — truncate so round N+1 doesn't replay 1..N
-        ranks = ranks.localCheckpoint(eager=False)
+        # One row per node — truncate so round N+1 doesn't replay 1..N.
+        # With e pinned above, replay is linear (not exponential), so a
+        # small graph skips the per-round materialization job and lets
+        # Catalyst run all rounds as ONE unrolled job; a big graph still
+        # truncates to keep task lineage and plan size bounded.
+        if n_part > 1 or iters > 6:
+            ranks = ranks.localCheckpoint(eager=False)
     return (
         ranks.join(nodes, "node")
         .select("node", F.col("wu").alias("w_out"), F.col("r").alias("rank_micro"))

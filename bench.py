@@ -113,6 +113,11 @@ HEADLINE = [
     "w17_seasonal_baseline",
     "p9_dataset_card",
     "w18_ewma",
+    "n9_cohens_kappa",
+    "n10_bradley_terry",
+    "p10_doremi_weights",
+    "v13_mrl_recall",
+    "w19_stl_decompose",
 ]
 
 

@@ -11890,6 +11890,583 @@ def w18_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n9_cohens_kappa",
+    """
+    WITH v AS (
+        SELECT (round(value * 100)::BIGINT > 15000) AS det_a,
+               (round(value * 100)::BIGINT > 18000) AS det_b
+        FROM events
+    ), ct AS (
+        SELECT
+            sum(CASE WHEN det_a AND det_b THEN 1 ELSE 0 END)::BIGINT
+                AS n11,
+            sum(CASE WHEN det_a AND NOT det_b THEN 1 ELSE 0 END)::BIGINT
+                AS n10,
+            sum(CASE WHEN NOT det_a AND det_b THEN 1 ELSE 0 END)::BIGINT
+                AS n01,
+            sum(CASE WHEN NOT det_a AND NOT det_b THEN 1 ELSE 0 END)
+                ::BIGINT AS n00,
+            count(*)::BIGINT AS n
+        FROM v
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(
+               (n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)))::DOUBLE
+               / (n * n - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))), 6) AS kappa
+    FROM ct
+    """,
+    "Cohen's kappa inter-annotator agreement between n8's two "
+    "operating points — the labeling-pipeline staple McNemar doesn't "
+    "cover (McNemar asks 'are their ERROR rates different', kappa asks "
+    "'do they AGREE beyond chance' — the number a labeling vendor "
+    "contract actually specifies). The 2×2 verdict table is one "
+    "map-side-combined full-scan reduce to four integers; kappa "
+    "collapses to the single-division integer identity "
+    "(n·agree − Σ row·col) / (n² − Σ row·col), so the only IEEE op is "
+    "the final division of two exact int64s (< 2^53 even at the 100× "
+    "stress) before the 6-dp round — bit-stable cross-engine.",
+)
+def n9_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    v = ev.select(
+        (vc > 15000).alias("det_a"), (vc > 18000).alias("det_b")
+    )
+    ct = v.agg(
+        F.sum(F.when(F.col("det_a") & F.col("det_b"), 1).otherwise(0))
+        .cast("long").alias("n11"),
+        F.sum(F.when(F.col("det_a") & ~F.col("det_b"), 1).otherwise(0))
+        .cast("long").alias("n10"),
+        F.sum(F.when(~F.col("det_a") & F.col("det_b"), 1).otherwise(0))
+        .cast("long").alias("n01"),
+        F.sum(F.when(~F.col("det_a") & ~F.col("det_b"), 1).otherwise(0))
+        .cast("long").alias("n00"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chance = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    kappa = (
+        (F.col("n") * (F.col("n11") + F.col("n00")) - chance).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("n") - chance)
+    )
+    return ct.select(
+        "n", "n11", "n10", "n01", "n00", F.round(kappa, 6).alias("kappa")
+    )
+
+
+_BT_SCALE = 100_000_000  # keeps W·SCALE and g·SCALE < 2^53 at 100x
+
+
+def _bt_oracle(iters: int = 3) -> str:
+    fdiv = lambda x, d: f"((({x}) - (({x}) % ({d}))) / ({d}))"  # noqa: E731
+    s = _BT_SCALE
+    its = []
+    prev = "p0"
+    for r in range(1, iters + 1):
+        its.append(f"""s{r} AS (
+        SELECT o.i,
+               sum({fdiv(f'o.g * {s}', 'pa.p + pb.p')})::BIGINT AS sm
+        FROM opp o
+        JOIN {prev} pa ON o.i = pa.i
+        JOIN {prev} pb ON o.j = pb.i
+        GROUP BY o.i
+    ), p{r} AS (
+        SELECT s{r}.i,
+               greatest({fdiv(f'w.n_wins * {s}', f's{r}.sm')}, 1)::BIGINT
+                   AS p
+        FROM s{r} JOIN winsum w ON s{r}.i = w.i
+    )""")
+        prev = f"p{r}"
+    return f"""
+    WITH lagged AS (
+        SELECT event_type, value,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pt,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events
+    ), duels AS (
+        SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS win_t,
+               CASE WHEN value > pv THEN pt ELSE event_type END AS lose_t
+        FROM lagged
+        WHERE pt IS NOT NULL AND pt <> event_type AND pv <> value
+    ), wl AS (
+        SELECT win_t, lose_t, count(*)::BIGINT AS n
+        FROM duels GROUP BY win_t, lose_t
+    ), opp AS (
+        SELECT i, j, sum(n)::BIGINT AS g FROM (
+            SELECT win_t AS i, lose_t AS j, n FROM wl
+            UNION ALL
+            SELECT lose_t AS i, win_t AS j, n FROM wl
+        ) GROUP BY i, j
+    ), winsum AS (
+        SELECT o.i, coalesce(w.nw, 0)::BIGINT AS n_wins
+        FROM (SELECT DISTINCT i FROM opp) o
+        LEFT JOIN (SELECT win_t AS i, sum(n)::BIGINT AS nw
+                   FROM wl GROUP BY win_t) w ON o.i = w.i
+    ), games AS (
+        SELECT i, sum(g)::BIGINT AS n_games FROM opp GROUP BY i
+    ), p0 AS (
+        SELECT i, 1000000::BIGINT AS p FROM winsum
+    ), {', '.join(its)}
+    SELECT w.i AS event_type, w.n_wins, g.n_games,
+           p.p AS strength_micro
+    FROM winsum w JOIN games g ON w.i = g.i
+    JOIN {prev} p ON w.i = p.i
+    """
+
+
+@query(
+    "n10_bradley_terry",
+    _bt_oracle(),
+    "Bradley-Terry preference-strength fit — the RLHF-era aggregation "
+    "(pairwise human preferences → per-item strength, Zermelo's MM "
+    "algorithm) the reference has nothing like. Duels come from one "
+    "per-user window pass (consecutive events; higher value wins — "
+    "the comparisons-stream shape); the duel matrix collapses to "
+    "per-(winner,loser) counts, so every MM iteration runs on "
+    "type-cardinality-sized frames: p'_i = W_i / Σ_j g_ij/(p_i+p_j) "
+    "in exact integer micro-units via the portable floor-division "
+    "identity (all operands positive and < 2^53 even at the 100× "
+    "stress), 3 rounds unrolled — the SQL oracle replays them "
+    "bit-for-bit. At 100 TB the ONLY data-scale stage is the duel "
+    "count (one window shuffle + one combine-heavy groupBy); the "
+    "iteration state is k² count cells, broadcast-sized for any "
+    "realistic item vocabulary.",
+)
+def n10_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _BT_SCALE
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("pt"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    duels = lagged.filter(
+        F.col("pt").isNotNull()
+        & (F.col("pt") != F.col("event_type"))
+        & (F.col("pv") != F.col("value"))
+    ).select(
+        F.when(F.col("value") > F.col("pv"), F.col("event_type"))
+        .otherwise(F.col("pt"))
+        .alias("win_t"),
+        F.when(F.col("value") > F.col("pv"), F.col("pt"))
+        .otherwise(F.col("event_type"))
+        .alias("lose_t"),
+    )
+    # the duel-count matrix feeds every MM round (twice each, through
+    # opp and the weight chain) — pin the k²-row frame so the window
+    # pass over events runs exactly once
+    wl = duels.groupBy("win_t", "lose_t").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    opp = (
+        wl.selectExpr("win_t AS i", "lose_t AS j", "n")
+        .unionByName(wl.selectExpr("lose_t AS i", "win_t AS j", "n"))
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("long").alias("g"))
+    )
+    winsum = (
+        opp.select("i")
+        .distinct()
+        .join(
+            wl.groupBy(F.col("win_t").alias("i")).agg(
+                F.sum("n").cast("long").alias("nw")
+            ),
+            "i",
+            "left",
+        )
+        .select("i", F.coalesce("nw", F.lit(0)).cast("long").alias("n_wins"))
+    )
+    games = opp.groupBy("i").agg(F.sum("g").cast("long").alias("n_games"))
+
+    def fdiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    p = winsum.select("i", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(3):
+        pa = p.selectExpr("i", "p AS p_i")
+        pb = p.selectExpr("i AS j", "p AS p_j")
+        sm = (
+            opp.join(F.broadcast(pa), "i")
+            .join(F.broadcast(pb), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    fdiv(F.col("g") * s, F.col("p_i") + F.col("p_j"))
+                )
+                .cast("long")
+                .alias("sm")
+            )
+        )
+        p = sm.join(winsum, "i").select(
+            "i",
+            F.greatest(
+                fdiv(F.col("n_wins") * s, F.col("sm")), F.lit(1)
+            )
+            .cast("long")
+            .alias("p"),
+        )
+    return (
+        winsum.join(games, "i")
+        .join(p, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            "n_wins",
+            "n_games",
+            F.col("p").alias("strength_micro"),
+        )
+    )
+
+
+def _p10_oracle(iters: int = 3) -> str:
+    fdiv = lambda x, d: f"((({x}) - (({x}) % ({d}))) / ({d}))"  # noqa: E731
+    its = []
+    prev = "w0"
+    for r in range(1, iters + 1):
+        its.append(f"""ref{r} AS (
+        SELECT {fdiv('sum(w.w * d.s_pm * d.loss_milli)',
+                     'sum(w.w * d.s_pm)')}::BIGINT AS ref
+        FROM {prev} w JOIN dom d ON w.source = d.source
+    ), w{r} AS (
+        SELECT w.source,
+               {fdiv('w.w * (1000000 + ' +
+                     fdiv('greatest(d.loss_milli - ref.ref, 0)', '20') +
+                     ')', '1000000')}::BIGINT AS w
+        FROM {prev} w JOIN dom d ON w.source = d.source
+        CROSS JOIN ref{r} ref
+    )""")
+        prev = f"w{r}"
+    return f"""
+    WITH sc AS ({_T18_SQL}),
+    perdoc AS (
+        SELECT d.source,
+               CAST(round(sc.avg_logprob * 1000000) AS BIGINT) AS al
+        FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+    ), src AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               (-sum(al))::BIGINT AS nll
+        FROM perdoc GROUP BY source
+    ), tot AS (
+        SELECT sum(n_docs)::BIGINT AS nd FROM src
+    ), dom AS (
+        SELECT source, n_docs,
+               {fdiv('src.n_docs * 1000', 'tot.nd')}::BIGINT AS s_pm,
+               {fdiv('src.nll', 'src.n_docs * 1000')}::BIGINT
+                   AS loss_milli
+        FROM src CROSS JOIN tot
+    ), w0 AS (
+        SELECT source, 1000::BIGINT AS w FROM dom
+    ), {', '.join(its)}, norm AS (
+        SELECT sum(w)::BIGINT AS sw FROM {prev}
+    )
+    SELECT d.source, d.n_docs, d.s_pm, d.loss_milli,
+           {fdiv('w.w * 1000000', 'norm.sw')}::BIGINT AS weight_micro
+    FROM dom d JOIN {prev} w ON d.source = w.source
+    CROSS JOIN norm
+    """
+
+
+@query(
+    "p10_doremi_weights",
+    _p10_oracle(),
+    "DoReMi-style domain-mixture reweighting (Xie et al. 2023): the "
+    "per-SOURCE sampling weights a pretraining run feeds its data "
+    "loader, fit by multiplicative-weights rounds that upweight "
+    "domains whose loss exceeds the CURRENT mixture's weighted mean — "
+    "a genuine fixed-point iteration (the reference mean moves as the "
+    "weights move), not a closed-form pow. Domain loss is t18's "
+    "per-doc add-1 bigram NLL, quantized per doc to exact micro-units "
+    "before the per-source integer mean (no cross-engine sum-order "
+    "risk); each of the 3 unrolled rounds is two broadcasts over the "
+    "source-cardinality frame with every step in the positive-operand "
+    "floor-division identity (w in milli, shares in per-mille, loss "
+    "in milli-nats keeps every product < 2^53 past the 100× stress). "
+    "Scale shape: ONE corpus-scale scoring pass (t18's plan), then "
+    "metadata-sized iterations — exactly how a 100 TB mixture tuner "
+    "should spend its shuffles.",
+)
+def p10_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        bigram_model,
+        score_docs_bigram,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    bigram_counts, uni, vsize = bigram_model(docs)
+    scored = score_docs_bigram(docs, bigram_counts, uni, vsize)
+    perdoc = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.round(F.col("avg_logprob") * 1_000_000, 0)
+        .cast("long")
+        .alias("al"),
+    )
+    src = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (-F.sum("al")).cast("long").alias("nll"),
+    )
+
+    def fdiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    # src carries the full corpus-scoring lineage and every MW round
+    # references it (directly and through the weight chain) — pin the
+    # source-cardinality frame ONCE so the t18 scoring pass runs once
+    # (the integer_pagerank discipline: truncate when the replay is
+    # cross-referenced, not when Catalyst can reuse one exchange).
+    src = src.localCheckpoint(eager=False)
+    tot = src.agg(F.sum("n_docs").cast("long").alias("nd"))
+    dom = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        fdiv(F.col("n_docs") * 1000, F.col("nd")).alias("s_pm"),
+        fdiv(F.col("nll"), F.col("n_docs") * 1000).alias("loss_milli"),
+    )
+    w = dom.select("source", F.lit(1000).cast("long").alias("w"))
+    for _ in range(3):
+        wd = w.join(dom.select("source", "s_pm", "loss_milli"), "source")
+        ref = wd.agg(
+            fdiv(
+                F.sum(F.col("w") * F.col("s_pm") * F.col("loss_milli")),
+                F.sum(F.col("w") * F.col("s_pm")),
+            ).alias("ref")
+        )
+        w = wd.crossJoin(F.broadcast(ref)).select(
+            "source",
+            fdiv(
+                F.col("w")
+                * (
+                    F.lit(1_000_000)
+                    + fdiv(
+                        F.greatest(
+                            F.col("loss_milli") - F.col("ref"), F.lit(0)
+                        ),
+                        F.lit(20),
+                    )
+                ),
+                F.lit(1_000_000),
+            ).alias("w"),
+        )
+    norm = w.agg(F.sum("w").cast("long").alias("sw"))
+    return (
+        dom.join(w, "source")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "s_pm",
+            "loss_milli",
+            fdiv(F.col("w") * 1_000_000, F.col("sw")).alias(
+                "weight_micro"
+            ),
+        )
+    )
+
+
+def _v13_oracle() -> str:
+    d = _EMB_DIM
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i] * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), qv AS (
+        SELECT dim, v AS qv FROM q WHERE vec_id = 0
+    ), dist AS (
+        SELECT q.vec_id,
+               sum((q.v - qv.qv) * (q.v - qv.qv))::BIGINT AS dist_full,
+               sum(CASE WHEN q.dim < 16
+                   THEN (q.v - qv.qv) * (q.v - qv.qv) ELSE 0 END)::BIGINT
+                   AS dist_pre
+        FROM q JOIN qv USING (dim) WHERE q.vec_id <> 0
+        GROUP BY q.vec_id
+    ), full10 AS (
+        SELECT vec_id, dist_full,
+               row_number() OVER (ORDER BY dist_full, vec_id) AS rank
+        FROM dist ORDER BY dist_full, vec_id LIMIT 10
+    ), pre10 AS (
+        SELECT vec_id FROM dist ORDER BY dist_pre, vec_id LIMIT 10
+    )
+    SELECT f.rank, f.vec_id, f.dist_full,
+           (p.vec_id IS NOT NULL) AS in_prefix10
+    FROM full10 f LEFT JOIN pre10 p ON f.vec_id = p.vec_id
+    """
+
+
+@query(
+    "v13_mrl_recall",
+    _v13_oracle(),
+    "Matryoshka-embedding retrieval evaluation (Kusupati et al. 2022 "
+    "— the truncate-the-embedding trick production vector stores use "
+    "to cut index cost 4×): exact integer top-10 under the FULL "
+    "64-dim L2 vs top-10 under the first-16-dims prefix, reporting "
+    "which full neighbors the truncated index would keep. ONE "
+    "posexplode pass computes both distances (the prefix distance is "
+    "a CASE-guarded partial of the same sum — no second scan); both "
+    "top-10s are TakeOrdered (partial per partition, never a global "
+    "sort). The dims-as-rows layout is the v9/v10 discipline: "
+    "quantized int64 coordinates make both engines' sums bit-equal.",
+)
+def v13_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("v").alias("qv")
+    )
+    diff = F.col("v") - F.col("qv")
+    dist = (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(diff * diff).cast("long").alias("dist_full"),
+            F.sum(F.when(F.col("dim") < 16, diff * diff).otherwise(0))
+            .cast("long")
+            .alias("dist_pre"),
+        )
+    )
+    full10 = (
+        dist.orderBy("dist_full", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "dist_full",
+            F.row_number()
+            .over(Window.orderBy("dist_full", "vec_id"))
+            .alias("rank"),
+        )
+    )
+    pre10 = (
+        dist.orderBy("dist_pre", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_prefix10"))
+    )
+    return full10.join(pre10, "vec_id", "left").select(
+        "rank",
+        "vec_id",
+        "dist_full",
+        F.coalesce("in_prefix10", F.lit(False)).alias("in_prefix10"),
+    )
+
+
+@query(
+    "w19_stl_decompose",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               ((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                / 86400000000)::BIGINT AS ed,
+               count(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ), tr AS (
+        SELECT event_type, ed, x,
+               sum(x) OVER (PARTITION BY event_type ORDER BY ed
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   ::BIGINT AS s_w,
+               count(*) OVER (PARTITION BY event_type ORDER BY ed
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   ::BIGINT AS n_w
+        FROM daily
+    ), det AS (
+        SELECT event_type, ed, ((ed % 7) + 7) % 7 AS dw, x, s_w,
+               7 * x - s_w AS d
+        FROM tr WHERE n_w = 7
+    ), seas AS (
+        SELECT event_type, dw, sum(d)::BIGINT AS sum_d,
+               count(*)::BIGINT AS n_dw
+        FROM det GROUP BY event_type, dw
+    )
+    SELECT det.event_type, det.ed, det.dw, det.x,
+           round(det.s_w / 7.0, 6) AS trend,
+           round(seas.sum_d / (7.0 * seas.n_dw), 6) AS seasonal,
+           round((7 * seas.n_dw * det.x - seas.n_dw * det.s_w
+                  - seas.sum_d) / (7.0 * seas.n_dw), 6) AS residual
+    FROM det JOIN seas
+      ON det.event_type = seas.event_type AND det.dw = seas.dw
+    """,
+    "Classical seasonal decomposition (the moving-average STL "
+    "skeleton): per-type daily counts split into trend (centered "
+    "7-day moving average, defined only on full windows), weekly "
+    "seasonal (per-weekday mean of the detrended series — w17's "
+    "baseline applied AFTER detrending, which is what makes it a "
+    "seasonal component rather than a level) and residual. "
+    "Everything is computed in integer-scaled form (d = 7x − Σ₇x; "
+    "residual scaled by 7·n_dw) with exactly ONE IEEE division per "
+    "reported double — divisions of exact int64s are correctly "
+    "rounded, so both engines agree bit-for-bit before the 6-dp "
+    "round. Scale shape: one groupBy to days (map-side combined), "
+    "one per-type window over the metadata-sized daily frame, one "
+    "7-rows-per-type broadcast join — the w7/w17 layout shared.",
+)
+def w19_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    daily = (
+        ev.select(
+            "event_type",
+            ((us - (us % day_us)) / day_us).cast("long").alias("ed"),
+        )
+        .groupBy("event_type", "ed")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wnd = (
+        Window.partitionBy("event_type")
+        .orderBy("ed")
+        .rowsBetween(-3, 3)
+    )
+    det = (
+        daily.select(
+            "event_type",
+            "ed",
+            "x",
+            F.sum("x").over(wnd).cast("long").alias("s_w"),
+            F.count(F.lit(1)).over(wnd).cast("long").alias("n_w"),
+        )
+        .filter(F.col("n_w") == 7)
+        .withColumn("dw", ((F.col("ed") % 7) + 7) % 7)
+        .withColumn("d", 7 * F.col("x") - F.col("s_w"))
+    )
+    seas = det.groupBy("event_type", "dw").agg(
+        F.sum("d").cast("long").alias("sum_d"),
+        F.count(F.lit(1)).alias("n_dw"),
+    )
+    den = 7.0 * F.col("n_dw")
+    return det.join(F.broadcast(seas), ["event_type", "dw"]).select(
+        "event_type",
+        "ed",
+        "dw",
+        "x",
+        F.round(F.col("s_w") / 7.0, 6).alias("trend"),
+        F.round(F.col("sum_d") / den, 6).alias("seasonal"),
+        F.round(
+            (
+                7 * F.col("n_dw") * F.col("x")
+                - F.col("n_dw") * F.col("s_w")
+                - F.col("sum_d")
+            )
+            / den,
+            6,
+        ).alias("residual"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -12258,6 +12835,21 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 31063*n_distinct_fp + 1000003*{q6('dup_rate')}"),
         ("w18_ewma", "event_id",
          f"user_id + 31*{t(q6('ewma'))}"),
+        ("n9_cohens_kappa", "n",
+         f"{t('n11')} + 31*{t('n10')} + 1009*{t('n01')}"
+         f" + 31063*{t('n00')} + 1000003*{q6('kappa')}"),
+        ("n10_bradley_terry", sc("event_type"),
+         f"{t('n_wins')} + 31*{t('n_games')} + 1009*{t('strength_micro')}"),
+        ("p10_doremi_weights", sc("source"),
+         f"{t('n_docs')} + 31*s_pm + 1009*{t('loss_milli')}"
+         " + 31063*weight_micro"),
+        ("v13_mrl_recall", "rank",
+         f"vec_id + 31*{t('dist_full')}"
+         " + 1009*(CASE WHEN in_prefix10 THEN 1 ELSE 0 END)"),
+        ("w19_stl_decompose",
+         f"ed * 1000000 + {sc('event_type')}",
+         f"x + 31*dw + 1009*{t(q6('trend'))} + 31063*{t(q6('seasonal'))}"
+         f" + 1000003*{t(q6('residual'))}"),
     ]
 
 

@@ -118,6 +118,10 @@ HEADLINE = [
     "p10_doremi_weights",
     "v13_mrl_recall",
     "w19_stl_decompose",
+    "t44_bpe_merge_rounds",
+    "d9_table_diff",
+    "w20_mad_outliers",
+    "m26_knn_label_prop",
 ]
 
 

@@ -12467,6 +12467,578 @@ def w19_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t44_oracle(rounds: int = 2) -> str:
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""n{r} AS (
+        SELECT word, freq, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+               lead(pos) OVER (PARTITION BY word ORDER BY pos) AS npos
+        FROM s{r - 1}
+    ), t{r} AS (
+        SELECT sym AS a, nxt AS b, sum(freq)::BIGINT AS n
+        FROM n{r} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+        ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ), m{r} AS (
+        SELECT word, freq, pos, npos FROM (
+            SELECT word, freq, pos, npos,
+                   row_number() OVER (PARTITION BY word, chain
+                                      ORDER BY pos) AS rnk
+            FROM (
+                SELECT word, freq, pos, npos,
+                       sum(CASE WHEN lpos IS NULL OR lpos <> pos
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY word ORDER BY pos) AS chain
+                FROM (
+                    SELECT n.word, n.freq, n.pos, n.npos,
+                           lag(n.npos) OVER (PARTITION BY n.word
+                                             ORDER BY n.pos) AS lpos
+                    FROM n{r} n
+                    JOIN t{r} t ON n.sym = t.a AND n.nxt = t.b
+                )
+            )
+        ) WHERE rnk % 2 = 1
+    ), s{r} AS (
+        SELECT n.word, n.freq, n.pos,
+               CASE WHEN m.pos IS NOT NULL THEN t.a || t.b
+                    ELSE n.sym END AS sym
+        FROM n{r} n
+        LEFT JOIN m{r} m ON n.word = m.word AND n.pos = m.pos
+        CROSS JOIN t{r} t
+        WHERE NOT EXISTS (SELECT 1 FROM m{r} x
+                          WHERE x.word = n.word AND x.npos = n.pos)
+    ), r{r} AS (
+        SELECT {r}::BIGINT AS rnd, t.a, t.b, t.n AS n_pair,
+               (SELECT count(*)::BIGINT FROM m{r}) AS n_sites,
+               (SELECT coalesce(sum(freq), 0)::BIGINT FROM m{r})
+                   AS corpus_merges,
+               (SELECT sum(freq)::BIGINT FROM s{r}) AS tokens_after
+        FROM t{r} t
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest({text_fns.tokens_sql('text')}) AS word
+        FROM documents WHERE length(trim(text)) > 0
+    ), vocab AS (
+        SELECT word, count(*)::BIGINT AS freq FROM toks GROUP BY word
+    ), s0 AS (
+        SELECT word, freq, g.i::BIGINT AS pos,
+               CASE WHEN g.i <= length(word) THEN substr(word, g.i, 1)
+                    ELSE '</w>' END AS sym
+        FROM vocab, unnest(generate_series(1, length(word) + 1)) AS g(i)
+    ), {', '.join(its)}
+    {sel} ORDER BY rnd
+    """
+
+
+@query(
+    "t44_bpe_merge_rounds",
+    _t44_oracle(),
+    "BPE tokenizer training, two merge rounds ORACLE-PINNED end to end "
+    "— upgrades t17 (round-0 statistics) and the pytest-pinned "
+    "lm.train_bpe driver loop to a fully relational trainer with a "
+    "value-hash oracle. State is the Sennrich (word, freq, pos, sym) "
+    "vocabulary layout, so every round touches vocab-sized data, never "
+    "the corpus. The sequential part of BPE — greedy LEFT-TO-RIGHT "
+    "non-overlapping merge application — becomes relational via the "
+    "chain-parity rule: overlapping candidate sites (possible only for "
+    "(a,a)-shaped pairs) form chains where each site starts at the "
+    "previous site's second symbol; greedy semantics keep exactly the "
+    "odd ranks within each chain (proved against the sequential "
+    "reference by construction: rank-1 merges, rank-2 is consumed, "
+    "rank-3 is free again). Per round: one word-key window pass for "
+    "adjacency, one combine-heavy pair count, a 1-row argmax frame "
+    "(n desc, a, b — deterministic), two window passes over the "
+    "candidate subset, and an anti-join apply; the state is pinned "
+    "between rounds so round N never replays round N−1. The argmax is "
+    "a FRAME, not a driver action — the whole trainer is one lazy "
+    "plan per round at any scale.",
+)
+def t44_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import (
+        _init_symbols,
+        word_vocab,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    state = (
+        _init_symbols(word_vocab(docs))
+        .select(
+            "word",
+            "freq",
+            F.posexplode("syms").alias("pos0", "sym"),
+        )
+        .select(
+            "word", "freq", (F.col("pos0") + 1).alias("pos"), "sym"
+        )
+        .localCheckpoint(eager=False)
+    )
+    reports = []
+    for r in range(1, 3):
+        wv = Window.partitionBy("word").orderBy("pos")
+        n = state.select(
+            "word",
+            "freq",
+            "pos",
+            "sym",
+            F.lead("sym").over(wv).alias("nxt"),
+            F.lead("pos").over(wv).alias("npos"),
+        )
+        top = (
+            n.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        cand = (
+            n.join(
+                F.broadcast(top),
+                (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")),
+            )
+            .select("word", "freq", "pos", "npos")
+            .withColumn("lpos", F.lag("npos").over(wv))
+        )
+        chain = cand.withColumn(
+            "chain",
+            F.sum(
+                F.when(
+                    F.col("lpos").isNull()
+                    | (F.col("lpos") != F.col("pos")),
+                    1,
+                ).otherwise(0)
+            ).over(wv.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        merges = (
+            chain.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("word", "chain").orderBy("pos")
+                ),
+            )
+            .filter(F.col("rnk") % 2 == 1)
+            .select("word", "freq", "pos", "npos")
+            .localCheckpoint(eager=False)
+        )
+        state = (
+            n.join(
+                merges.select("word", F.col("npos").alias("pos")),
+                ["word", "pos"],
+                "left_anti",
+            )
+            .join(
+                merges.select("word", "pos", F.lit(True).alias("__m")),
+                ["word", "pos"],
+                "left",
+            )
+            .crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("__m"), F.concat(F.col("a"), F.col("b"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rep = (
+            top.crossJoin(
+                F.broadcast(
+                    merges.agg(
+                        F.count(F.lit(1)).alias("n_sites"),
+                        F.coalesce(F.sum("freq"), F.lit(0))
+                        .cast("long")
+                        .alias("corpus_merges"),
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    state.agg(
+                        F.sum("freq").cast("long").alias("tokens_after")
+                    )
+                )
+            )
+            .select(
+                F.lit(r).cast("long").alias("rnd"),
+                "a",
+                "b",
+                F.col("n").alias("n_pair"),
+                "n_sites",
+                "corpus_merges",
+                "tokens_after",
+            )
+        )
+        reports.append(rep)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("rnd")
+
+
+def _d9_oracle() -> str:
+    row_h = md5_long_sql(
+        "concat(event_id::VARCHAR, '|', "
+        "coalesce(CAST(round(value * 1000000) AS BIGINT)::VARCHAR, '~'))"
+    )
+    row_h_b = md5_long_sql(
+        "concat(event_id::VARCHAR, '|', "
+        "coalesce(CAST(round((CASE WHEN event_id % 997 = 3 "
+        "THEN value + 1.0 ELSE value END) * 1000000) AS BIGINT)"
+        "::VARCHAR, '~'))"
+    )
+    bkt = lambda h: f"((({h}) % 256) + 256) % 256"  # noqa: E731
+    return f"""
+    WITH a AS (
+        SELECT event_id, {row_h} AS h, {bkt(row_h)} AS bkt
+        FROM events WHERE event_id % 1013 <> 5
+    ), b AS (
+        SELECT event_id, {row_h_b} AS h, {bkt(row_h_b)} AS bkt
+        FROM events WHERE event_id % 1009 <> 7
+    ), da AS (
+        SELECT bkt, count(*)::BIGINT AS n_a,
+               sum(h % 1000003)::BIGINT AS s_a
+        FROM a GROUP BY bkt
+    ), db AS (
+        SELECT bkt, count(*)::BIGINT AS n_b,
+               sum(h % 1000003)::BIGINT AS s_b
+        FROM b GROUP BY bkt
+    ), mism AS (
+        SELECT coalesce(da.bkt, db.bkt) AS bkt,
+               coalesce(n_a, 0)::BIGINT AS n_a,
+               coalesce(n_b, 0)::BIGINT AS n_b
+        FROM da FULL OUTER JOIN db ON da.bkt = db.bkt
+        WHERE coalesce(n_a, -1) <> coalesce(n_b, -1)
+           OR coalesce(s_a, -1) <> coalesce(s_b, -1)
+    ), rows_a AS (
+        SELECT a.* FROM a JOIN mism ON a.bkt = mism.bkt
+    ), rows_b AS (
+        SELECT b.* FROM b JOIN mism ON b.bkt = mism.bkt
+    ), diff AS (
+        SELECT coalesce(ra.bkt, rb.bkt) AS bkt,
+               sum(CASE WHEN rb.event_id IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_only_a,
+               sum(CASE WHEN ra.event_id IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_only_b,
+               sum(CASE WHEN ra.event_id IS NOT NULL
+                        AND rb.event_id IS NOT NULL
+                        AND ra.h <> rb.h THEN 1 ELSE 0 END)::BIGINT
+                   AS n_changed
+        FROM rows_a ra FULL OUTER JOIN rows_b rb
+          ON ra.event_id = rb.event_id
+        GROUP BY 1
+    )
+    SELECT m.bkt, m.n_a, m.n_b, d.n_only_a, d.n_only_b, d.n_changed
+    FROM mism m JOIN diff d ON m.bkt = d.bkt
+    """
+
+
+@query(
+    "d9_table_diff",
+    _d9_oracle(),
+    "Merkle-bucket anti-entropy table reconciliation (the Cassandra "
+    "repair / cross-region replica-verification shape; also the "
+    "data-diff a migration signs off on): two snapshots — the source "
+    "table and a deterministically diverged replica (dropped rows on "
+    "each side + perturbed values, so all three divergence classes "
+    "occur) — each reduce to 256 bucket digests (count + bounded "
+    "hash-sum, map-side combined) in ONE scan per side; only buckets "
+    "whose digests disagree get the row-level full-outer drill-down. "
+    "At 100 TB that second pass touches the mismatched buckets' rows "
+    "ONLY (the bucket filter prunes at the scan), which is the whole "
+    "point of the Merkle exchange: reconciliation cost scales with "
+    "the divergence, not the table. Portable md5_long row hashes; "
+    "value folded to micro-int before hashing.",
+)
+def d9_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vmic = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    vmic_b = F.round(
+        (
+            F.when(
+                F.col("event_id") % 997 == 3, F.col("value") + 1.0
+            ).otherwise(F.col("value"))
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+
+    def side(vm, drop_mod, drop_rem):
+        h = md5_long(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                F.coalesce(vm.cast("string"), F.lit("~")),
+            )
+        )
+        return ev.filter(
+            F.col("event_id") % drop_mod != drop_rem
+        ).select(
+            "event_id",
+            h.alias("h"),
+            (((h % 256) + 256) % 256).alias("bkt"),
+        )
+
+    a = side(vmic, 1013, 5)
+    b = side(vmic_b, 1009, 7)
+
+    def digest(df, n_col, s_col):
+        return df.groupBy("bkt").agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("h") % 1000003).cast("long").alias(s_col),
+        )
+
+    da, db = digest(a, "n_a", "s_a"), digest(b, "n_b", "s_b")
+    mism = (
+        da.join(db, "bkt", "full")
+        .filter(
+            (
+                F.coalesce("n_a", F.lit(-1))
+                != F.coalesce("n_b", F.lit(-1))
+            )
+            | (
+                F.coalesce("s_a", F.lit(-1))
+                != F.coalesce("s_b", F.lit(-1))
+            )
+        )
+        .select(
+            "bkt",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bkts = F.broadcast(mism.select("bkt"))
+    ra = a.join(bkts, "bkt").select(
+        "bkt", F.col("event_id").alias("id_a"), F.col("h").alias("h_a")
+    )
+    rb = b.join(bkts, "bkt").select(
+        F.col("bkt").alias("bkt_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("h").alias("h_b"),
+    )
+    diff = (
+        ra.join(rb, ra["id_a"] == rb["id_b"], "full")
+        .select(
+            F.coalesce("bkt", "bkt_b").alias("bkt"),
+            "id_a",
+            "id_b",
+            "h_a",
+            "h_b",
+        )
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("id_b").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_only_a"),
+            F.sum(F.when(F.col("id_a").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_only_b"),
+            F.sum(
+                F.when(
+                    F.col("id_a").isNotNull()
+                    & F.col("id_b").isNotNull()
+                    & (F.col("h_a") != F.col("h_b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changed"),
+        )
+    )
+    return mism.join(diff, "bkt")
+
+
+@query(
+    "w20_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type, count(*)::BIGINT AS n, m.med, d.mad,
+           sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+               THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+               AS outlier_frac
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+    "Robust outlier screen via median absolute deviation — the "
+    "monitoring cut that survives the heavy tails a mean/stddev "
+    "z-score (a10's moments) drowns in. Three passes over the value "
+    "column, each ONE group-key aggregation with the tiny per-type "
+    "median frame broadcast back (exact interpolated percentile = "
+    "the a12 cross-engine identity; both med and MAD are 6-dp-rounded "
+    "before reuse so every downstream comparison sees bit-identical "
+    "operands). The approx_percentile swap is the 100 TB path, same "
+    "shape.",
+)
+def w20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    j = ev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+    return j.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias(
+            "n_outliers"
+        ),
+        F.round(
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_frac"),
+    ).select(
+        "event_type", "n", "med", "mad", "n_outliers", "outlier_frac"
+    )
+
+
+def _m26_oracle() -> str:
+    d = _EMB_DIM
+    return f"""
+    WITH pr AS (
+        SELECT vec_id AS p_id, label AS true_label,
+               list_transform(embedding, x -> x::DOUBLE) AS pe
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ), co AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS ce
+        FROM embeddings
+    ), terms AS (
+        SELECT pr.p_id, co.vec_id, co.label,
+               sum(round(co.ce[g.i]::DOUBLE * pr.pe[g.i]::DOUBLE
+                         * 1e6)::BIGINT) AS dp,
+               sum(round(co.ce[g.i]::DOUBLE * co.ce[g.i]::DOUBLE
+                         * 1e6)::BIGINT) AS na,
+               sum(round(pr.pe[g.i]::DOUBLE * pr.pe[g.i]::DOUBLE
+                         * 1e6)::BIGINT) AS np
+        FROM pr, co, unnest(generate_series(1, {d})) AS g(i)
+        WHERE co.vec_id <> pr.p_id
+        GROUP BY pr.p_id, co.vec_id, co.label
+    ), sims AS (
+        SELECT p_id, vec_id, label,
+               round(dp / (sqrt(na::DOUBLE) * sqrt(np::DOUBLE)), 6)
+                   AS sim,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY round(dp / (sqrt(na::DOUBLE)
+                                  * sqrt(np::DOUBLE)), 6) DESC, vec_id)
+                   AS rnk
+        FROM terms
+    ), votes AS (
+        SELECT p_id, label, count(*)::BIGINT AS n_votes
+        FROM sims WHERE rnk <= 5 GROUP BY p_id, label
+    ), winner AS (
+        SELECT p_id, label AS pred_label, n_votes,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+    )
+    SELECT w.p_id, pr.true_label, w.pred_label, w.n_votes,
+           (w.pred_label = pr.true_label) AS correct
+    FROM winner w JOIN pr ON w.p_id = pr.p_id
+    WHERE w.vr = 1
+    """
+
+
+@query(
+    "m26_knn_label_prop",
+    _m26_oracle(),
+    "k-NN weak labeling over the embedding table (label propagation — "
+    "how a training-data pipeline extends a small labeled seed to the "
+    "corpus, and the eval harness for embedding quality): a FIXED "
+    "16-probe panel classifies by majority vote of its 5 nearest "
+    "cosine neighbors (v1's quantized-integer dot discipline; "
+    "identical divide-then-round operand order in both engines; ties "
+    "break sim-then-id, vote ties break count-then-label). The probe "
+    "panel is a broadcast — the corpus side streams through ONE "
+    "zip_with dot product per probe with no dim explosion, so the "
+    "scan parallelizes embarrassingly and the per-probe top-5 is a "
+    "partial TakeOrdered, not a global sort. Probe count is absolute "
+    "(not a corpus fraction), so cost stays linear in corpus size — "
+    "the LSH-bucketed variant (v2) is the same plan with a bucket "
+    "equi-join prepended.",
+)
+def m26_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _ts(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    pr = (
+        emb.filter(F.col("vec_id").between(1, 16))
+        .select(
+            F.col("vec_id").alias("p_id"),
+            F.col("label").alias("true_label"),
+            F.col("emb_d").alias("pe"),
+        )
+        .withColumn("np", _quantized_dot(F.col("pe"), F.col("pe")))
+    )
+    j = emb.crossJoin(F.broadcast(pr)).filter(
+        F.col("vec_id") != F.col("p_id")
+    )
+    dp = _quantized_dot(F.col("emb_d"), F.col("pe"))
+    na = _quantized_dot(F.col("emb_d"), F.col("emb_d"))
+    sim = F.round(dp / (F.sqrt(na) * F.sqrt(F.col("np"))), 6)
+    sims = j.select("p_id", "vec_id", "label", sim.alias("sim"))
+    top5 = sims.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("p_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rnk") <= 5)
+    votes = top5.groupBy("p_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    winner = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("p_id").orderBy(
+                F.col("n_votes").desc(), F.col("label")
+            )
+        ),
+    ).filter(F.col("vr") == 1)
+    return winner.join(
+        pr.select("p_id", "true_label"), "p_id"
+    ).select(
+        "p_id",
+        "true_label",
+        F.col("label").alias("pred_label"),
+        "n_votes",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -12850,6 +13422,19 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"ed * 1000000 + {sc('event_type')}",
          f"x + 31*dw + 1009*{t(q6('trend'))} + 31063*{t(q6('seasonal'))}"
          f" + 1000003*{t(q6('residual'))}"),
+        ("t44_bpe_merge_rounds", "rnd",
+         f"{sc('a')} + 31*{sc('b')} + 1009*{t('n_pair')}"
+         f" + 31063*{t('n_sites')} + 1000003*{t('corpus_merges')}"
+         f" + 7*{t('tokens_after')}"),
+        ("d9_table_diff", "bkt",
+         f"{t('n_a')} + 31*{t('n_b')} + 1009*{t('n_only_a')}"
+         f" + 31063*{t('n_only_b')} + 1000003*{t('n_changed')}"),
+        ("w20_mad_outliers", sc("event_type"),
+         f"{t('n')} + 31*{q6('med')} + 1009*{q6('mad')}"
+         f" + 31063*{t('n_outliers')} + 1000003*{q6('outlier_frac')}"),
+        ("m26_knn_label_prop", "p_id",
+         "true_label + 31*pred_label + 1009*n_votes"
+         " + 31063*(CASE WHEN correct THEN 1 ELSE 0 END)"),
     ]
 
 

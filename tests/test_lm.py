@@ -234,3 +234,53 @@ def test_kneser_ney_normalizes_to_one(spark):
             lam = D * n1f / c_a
             total += disc + lam * (pc.get(b, 0) / T)
         assert abs(total - 1.0) < 1e-9, (a, total)
+
+
+def test_t44_relational_merges_match_reference(spark, tmp_path):
+    """The fully-relational t44 trainer (chain-parity greedy merges,
+    argmax-as-frame) must pick the SAME first two merges, and apply
+    them with the same greedy left-to-right semantics, as the
+    sequential reference — including overlapping-candidate chains
+    ((a,a)-shaped pairs), which is where the parity rule earns its
+    keep."""
+    from openseizuredatabase_spark.plans.registry import (
+        t44_bpe_merge_rounds,
+    )
+
+    texts = TEXTS + [
+        "aaaa aaa aa aaaa aaaa aaa",  # overlap chains for pair (a,a)
+        "aaaa aa aaaa",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = {
+        r["rnd"]: r
+        for r in t44_bpe_merge_rounds(spark, sf).collect()
+    }
+    want = _ref_bpe(texts, 2, min_pair_freq=1)
+    assert [(rows[r]["a"], rows[r]["b"]) for r in (1, 2)] == want
+
+    # replay the reference merge application to pin the counts too
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+    for rnd, (a, b) in enumerate(want, start=1):
+        n_sites = 0
+        corpus_merges = 0
+        for w, freq in vocab.items():
+            merged = lm._merge_word(syms[w], a, b)
+            k = len(syms[w]) - len(merged)
+            n_sites += k
+            corpus_merges += k * freq
+            syms[w] = merged
+        tokens_after = sum(
+            len(syms[w]) * freq for w, freq in vocab.items()
+        )
+        assert rows[rnd]["n_sites"] == n_sites
+        assert rows[rnd]["corpus_merges"] == corpus_merges
+        assert rows[rnd]["tokens_after"] == tokens_after

@@ -12691,31 +12691,51 @@ def _d9_oracle() -> str:
     )
     row_h_b = md5_long_sql(
         "concat(event_id::VARCHAR, '|', "
-        "coalesce(CAST(round((CASE WHEN event_id % 997 = 3 "
+        "coalesce(CAST(round((CASE WHEN event_id BETWEEN 301 AND 310 "
         "THEN value + 1.0 ELSE value END) * 1000000) AS BIGINT)"
         "::VARCHAR, '~'))"
     )
-    bkt = lambda h: f"((({h}) % 256) + 256) % 256"  # noqa: E731
+    fdiv = lambda x, d: f"((({x}) - (({x}) % ({d}))) / ({d}))"  # noqa: E731
     return f"""
     WITH a AS (
-        SELECT event_id, {row_h} AS h, {bkt(row_h)} AS bkt
-        FROM events WHERE event_id % 1013 <> 5
+        SELECT event_id, {row_h} AS h,
+               {fdiv('event_id', 256)}::BIGINT AS bkt
+        FROM events WHERE event_id NOT BETWEEN 501 AND 505
     ), b AS (
-        SELECT event_id, {row_h_b} AS h, {bkt(row_h_b)} AS bkt
-        FROM events WHERE event_id % 1009 <> 7
-    ), da AS (
+        SELECT event_id, {row_h_b} AS h,
+               {fdiv('event_id', 256)}::BIGINT AS bkt
+        FROM events WHERE event_id NOT BETWEEN 101 AND 120
+    ), d1a AS (
         SELECT bkt, count(*)::BIGINT AS n_a,
                sum(h % 1000003)::BIGINT AS s_a
         FROM a GROUP BY bkt
-    ), db AS (
+    ), d1b AS (
         SELECT bkt, count(*)::BIGINT AS n_b,
                sum(h % 1000003)::BIGINT AS s_b
         FROM b GROUP BY bkt
+    ), d0a AS (
+        SELECT {fdiv('bkt', 256)}::BIGINT AS sup,
+               sum(n_a)::BIGINT AS n_a, sum(s_a)::BIGINT AS s_a
+        FROM d1a GROUP BY 1
+    ), d0b AS (
+        SELECT {fdiv('bkt', 256)}::BIGINT AS sup,
+               sum(n_b)::BIGINT AS n_b, sum(s_b)::BIGINT AS s_b
+        FROM d1b GROUP BY 1
+    ), mism0 AS (
+        SELECT coalesce(d0a.sup, d0b.sup) AS sup
+        FROM d0a FULL OUTER JOIN d0b ON d0a.sup = d0b.sup
+        WHERE coalesce(d0a.n_a, -1) <> coalesce(d0b.n_b, -1)
+           OR coalesce(d0a.s_a, -1) <> coalesce(d0b.s_b, -1)
     ), mism AS (
-        SELECT coalesce(da.bkt, db.bkt) AS bkt,
+        SELECT coalesce(d1a.bkt, d1b.bkt) AS bkt,
                coalesce(n_a, 0)::BIGINT AS n_a,
                coalesce(n_b, 0)::BIGINT AS n_b
-        FROM da FULL OUTER JOIN db ON da.bkt = db.bkt
+        FROM (SELECT d1a.* FROM d1a JOIN mism0
+              ON {fdiv('d1a.bkt', 256)} = mism0.sup) d1a
+        FULL OUTER JOIN
+             (SELECT d1b.* FROM d1b JOIN mism0
+              ON {fdiv('d1b.bkt', 256)} = mism0.sup) d1b
+          ON d1a.bkt = d1b.bkt
         WHERE coalesce(n_a, -1) <> coalesce(n_b, -1)
            OR coalesce(s_a, -1) <> coalesce(s_b, -1)
     ), rows_a AS (
@@ -12744,19 +12764,24 @@ def _d9_oracle() -> str:
 @query(
     "d9_table_diff",
     _d9_oracle(),
-    "Merkle-bucket anti-entropy table reconciliation (the Cassandra "
+    "Merkle-TREE anti-entropy table reconciliation (the Cassandra "
     "repair / cross-region replica-verification shape; also the "
-    "data-diff a migration signs off on): two snapshots — the source "
-    "table and a deterministically diverged replica (dropped rows on "
-    "each side + perturbed values, so all three divergence classes "
-    "occur) — each reduce to 256 bucket digests (count + bounded "
-    "hash-sum, map-side combined) in ONE scan per side; only buckets "
-    "whose digests disagree get the row-level full-outer drill-down. "
-    "At 100 TB that second pass touches the mismatched buckets' rows "
-    "ONLY (the bucket filter prunes at the scan), which is the whole "
-    "point of the Merkle exchange: reconciliation cost scales with "
-    "the divergence, not the table. Portable md5_long row hashes; "
-    "value folded to micro-int before hashing.",
+    "data-diff a migration signs off on): the source table vs a "
+    "replica with a bounded corruption window (a dropped key range on "
+    "each side + a perturbed range — the three divergence classes a "
+    "replication incident actually produces, LOCAL in the keyspace). "
+    "Each side reduces to 256-row KEY-RANGE leaf digests in one scan "
+    "(count + bounded hash-sum, map-side combined); leaf digests "
+    "re-aggregate to 65536-row super-digests — the Merkle tree as two "
+    "groupBy levels. Comparison walks the tree: only mismatched "
+    "super-ranges have their leaves compared, only mismatched leaves "
+    "get the row-level full-outer drill-down, so reconciliation cost "
+    "scales with the DIVERGENCE, not the table (the first hash-bucket "
+    "design was stress-flagged 7.5×: uniform bucketing smears any "
+    "corruption across every bucket and the drill-down can never "
+    "prune — range leaves are what make the Merkle exchange work). "
+    "Portable md5_long row hashes; value folded to micro-int before "
+    "hashing.",
 )
 def d9_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -12764,14 +12789,18 @@ def d9_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     vmic_b = F.round(
         (
             F.when(
-                F.col("event_id") % 997 == 3, F.col("value") + 1.0
+                F.col("event_id").between(301, 310),
+                F.col("value") + 1.0,
             ).otherwise(F.col("value"))
         )
         * 1_000_000,
         0,
     ).cast("long")
 
-    def side(vm, drop_mod, drop_rem):
+    def fdiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    def side(vm, lo, hi):
         h = md5_long(
             F.concat(
                 F.col("event_id").cast("string"),
@@ -12780,15 +12809,15 @@ def d9_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return ev.filter(
-            F.col("event_id") % drop_mod != drop_rem
+            ~F.col("event_id").between(lo, hi)
         ).select(
             "event_id",
             h.alias("h"),
-            (((h % 256) + 256) % 256).alias("bkt"),
+            fdiv(F.col("event_id"), F.lit(256)).alias("bkt"),
         )
 
-    a = side(vmic, 1013, 5)
-    b = side(vmic_b, 1009, 7)
+    a = side(vmic, 501, 505)
+    b = side(vmic_b, 101, 120)
 
     def digest(df, n_col, s_col):
         return df.groupBy("bkt").agg(
@@ -12796,9 +12825,42 @@ def d9_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("h") % 1000003).cast("long").alias(s_col),
         )
 
-    da, db = digest(a, "n_a", "s_a"), digest(b, "n_b", "s_b")
+    d1a = digest(a, "n_a", "s_a").localCheckpoint(eager=False)
+    d1b = digest(b, "n_b", "s_b").localCheckpoint(eager=False)
+
+    def up(df, n_col, s_col):
+        return df.groupBy(
+            fdiv(F.col("bkt"), F.lit(256)).alias("sup")
+        ).agg(
+            F.sum(n_col).cast("long").alias(n_col),
+            F.sum(s_col).cast("long").alias(s_col),
+        )
+
+    mism0 = (
+        up(d1a, "n_a", "s_a")
+        .join(up(d1b, "n_b", "s_b"), "sup", "full")
+        .filter(
+            (
+                F.coalesce("n_a", F.lit(-1))
+                != F.coalesce("n_b", F.lit(-1))
+            )
+            | (
+                F.coalesce("s_a", F.lit(-1))
+                != F.coalesce("s_b", F.lit(-1))
+            )
+        )
+        .select("sup")
+    )
+    sups = F.broadcast(mism0)
+    l1a = d1a.withColumn("sup", fdiv(F.col("bkt"), F.lit(256))).join(
+        sups, "sup"
+    )
+    l1b = d1b.withColumn("sup", fdiv(F.col("bkt"), F.lit(256))).join(
+        sups, "sup"
+    )
     mism = (
-        da.join(db, "bkt", "full")
+        l1a.drop("sup")
+        .join(l1b.drop("sup"), "bkt", "full")
         .filter(
             (
                 F.coalesce("n_a", F.lit(-1))

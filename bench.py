@@ -122,6 +122,8 @@ HEADLINE = [
     "d9_table_diff",
     "w20_mad_outliers",
     "m26_knn_label_prop",
+    "m27_gbt_stumps",
+    "d10_time_travel",
 ]
 
 

@@ -13101,6 +13101,343 @@ def m26_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m27_oracle(rounds: int = 2) -> str:
+    fdiv = lambda x, d: f"((({x}) - (({x}) % ({d}))) / ({d}))"  # noqa: E731
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""bs{r} AS (
+        SELECT feat, b, sum(res)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (
+            SELECT 'v' AS feat, f1b AS b, res FROM st{r - 1}
+            UNION ALL
+            SELECT 'h' AS feat, f2b AS b, res FROM st{r - 1}
+        ) GROUP BY feat, b
+    ), tot{r} AS (
+        SELECT sum(s)::BIGINT AS st, sum(n)::BIGINT AS nt
+        FROM bs{r} WHERE feat = 'v'
+    ), g{r} AS (
+        SELECT c.feat, c.b, c.sl, c.nl, t.st, t.nt,
+               (c.sl::DOUBLE * c.sl::DOUBLE) / c.nl::DOUBLE
+               + ((t.st - c.sl)::DOUBLE * (t.st - c.sl)::DOUBLE)
+                 / (t.nt - c.nl)::DOUBLE AS gain
+        FROM (SELECT feat, b,
+                     sum(s) OVER (PARTITION BY feat ORDER BY b)
+                         ::BIGINT AS sl,
+                     sum(n) OVER (PARTITION BY feat ORDER BY b)
+                         ::BIGINT AS nl
+              FROM bs{r}) c
+        CROSS JOIN tot{r} t
+        WHERE c.nl > 0 AND c.nl < t.nt
+        ORDER BY gain DESC, c.feat ASC, c.b ASC LIMIT 1
+    ), sp{r} AS (
+        SELECT feat, b, nl AS n_left, (nt - nl)::BIGINT AS n_right,
+               {fdiv('sl', 'nl')}::BIGINT AS pred_l,
+               {fdiv('(st - sl)', '(nt - nl)')}::BIGINT AS pred_r
+        FROM g{r}
+    ), st{r} AS (
+        SELECT s.rid, s.f1b, s.f2b,
+               (s.res - (CASE WHEN (p.feat = 'v' AND s.f1b <= p.b)
+                              OR (p.feat = 'h' AND s.f2b <= p.b)
+                         THEN {fdiv('p.pred_l', 2)}
+                         ELSE {fdiv('p.pred_r', 2)} END))::BIGINT AS res
+        FROM st{r - 1} s CROSS JOIN sp{r} p
+    ), rm{r} AS (
+        SELECT round(sqrt(sum(rk * rk)::DOUBLE / count(*)), 6)
+            AS rmse_milli
+        FROM (SELECT {fdiv('res', 1000)} AS rk FROM st{r})
+    ), r{r} AS (
+        SELECT {r}::BIGINT AS rnd, p.feat, p.b AS split_bucket,
+               p.n_left, p.n_right, p.pred_l AS pred_left,
+               p.pred_r AS pred_right, m.rmse_milli
+        FROM sp{r} p CROSS JOIN rm{r} m
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH mm AS (
+        SELECT min(CAST(round(value * 1000000) AS BIGINT)) AS vmin,
+               max(CAST(round(value * 1000000) AS BIGINT)) AS vmax
+        FROM events WHERE value IS NOT NULL
+    ), st0 AS (
+        SELECT event_id AS rid,
+               {fdiv('(vmic - mm.vmin) * 20', '(mm.vmax - mm.vmin + 1)')}
+                   ::BIGINT AS f1b,
+               {fdiv('us % 86400000000', '3600000000')}::BIGINT AS f2b,
+               (CASE WHEN event_type = 'error' THEN 1000000 ELSE 0 END)
+                   ::BIGINT AS res
+        FROM (SELECT event_id, event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS vmic,
+                     epoch_us(ts)::BIGINT AS us
+              FROM events WHERE value IS NOT NULL)
+        CROSS JOIN mm
+    ), {', '.join(its)}
+    {sel} ORDER BY rnd
+    """
+
+
+@query(
+    "m27_gbt_stumps",
+    _m27_oracle(),
+    "Gradient-boosted decision stumps TRAINED relationally with a "
+    "value-hash oracle (the XGBoost shape, demonstrated exact): L2 "
+    "boosting on the error-indicator target over two features (value "
+    "ventile, hour-of-day), two rounds, shrinkage ½. The split search "
+    "is the histogram trick every production GBT uses: ONE map-side-"
+    "combined groupBy to per-(feature, bucket) residual sums, then "
+    "cumulative sums over the ~44-row bucket frame turn every "
+    "candidate threshold's gain into window arithmetic — no per-"
+    "candidate scan, no crossJoin. Gains compare as IEEE doubles built "
+    "from exact int64s in a fixed operand order (bit-identical cross-"
+    "engine); argmax is a 1-row frame (gain desc, feat, bucket); leaf "
+    "values and the shrinkage halving use truncating integer division "
+    "(consistent for negative residuals in both engines). Residual "
+    "state is corpus-scale and pinned per round; rmse is reported in "
+    "milli-units so its integer square-sum stays in int64 past the "
+    "100× stress.",
+)
+def m27_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def fdiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    vmic = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    us = F.unix_micros("ts")
+    mm = ev.agg(
+        F.min(vmic).alias("vmin"), F.max(vmic).alias("vmax")
+    )
+    state = (
+        ev.select(
+            F.col("event_id").alias("rid"),
+            "event_type",
+            vmic.alias("vmic"),
+            us.alias("us"),
+        )
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "rid",
+            fdiv(
+                (F.col("vmic") - F.col("vmin")) * 20,
+                F.col("vmax") - F.col("vmin") + 1,
+            ).alias("f1b"),
+            fdiv(F.col("us") % 86_400_000_000, F.lit(3_600_000_000)).alias(
+                "f2b"
+            ),
+            F.when(F.col("event_type") == "error", F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("res"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    reports = []
+    for r in range(1, 3):
+        longf = state.select(
+            F.lit("v").alias("feat"), F.col("f1b").alias("b"), "res"
+        ).unionByName(
+            state.select(
+                F.lit("h").alias("feat"), F.col("f2b").alias("b"), "res"
+            )
+        )
+        bs = longf.groupBy("feat", "b").agg(
+            F.sum("res").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        tot = bs.filter(F.col("feat") == "v").agg(
+            F.sum("s").cast("long").alias("st"),
+            F.sum("n").cast("long").alias("nt"),
+        )
+        wc = (
+            Window.partitionBy("feat")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cand = bs.select(
+            "feat",
+            "b",
+            F.sum("s").over(wc).cast("long").alias("sl"),
+            F.sum("n").over(wc).cast("long").alias("nl"),
+        )
+        gain = (
+            F.col("sl").cast("double") * F.col("sl").cast("double")
+        ) / F.col("nl").cast("double") + (
+            (F.col("st") - F.col("sl")).cast("double")
+            * (F.col("st") - F.col("sl")).cast("double")
+        ) / (
+            F.col("nt") - F.col("nl")
+        ).cast(
+            "double"
+        )
+        sp = (
+            cand.crossJoin(F.broadcast(tot))
+            .filter((F.col("nl") > 0) & (F.col("nl") < F.col("nt")))
+            .select("feat", "b", "sl", "nl", "st", "nt", gain.alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("feat"), F.col("b"))
+            .limit(1)
+            .select(
+                "feat",
+                "b",
+                F.col("nl").alias("n_left"),
+                (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+                fdiv(F.col("sl"), F.col("nl")).alias("pred_l"),
+                fdiv(
+                    F.col("st") - F.col("sl"), F.col("nt") - F.col("nl")
+                ).alias("pred_r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        left = (
+            (F.col("feat") == "v") & (F.col("f1b") <= F.col("b"))
+        ) | ((F.col("feat") == "h") & (F.col("f2b") <= F.col("b")))
+        state = (
+            state.crossJoin(F.broadcast(sp))
+            .select(
+                "rid",
+                "f1b",
+                "f2b",
+                (
+                    F.col("res")
+                    - F.when(left, fdiv(F.col("pred_l"), F.lit(2)))
+                    .otherwise(fdiv(F.col("pred_r"), F.lit(2)))
+                )
+                .cast("long")
+                .alias("res"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rk = fdiv(F.col("res"), F.lit(1000))
+        rm = state.select(rk.alias("rk")).agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.col("rk") * F.col("rk")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("rmse_milli")
+        )
+        reports.append(
+            sp.crossJoin(F.broadcast(rm)).select(
+                F.lit(r).cast("long").alias("rnd"),
+                "feat",
+                F.col("b").alias("split_bucket"),
+                "n_left",
+                "n_right",
+                F.col("pred_l").alias("pred_left"),
+                F.col("pred_r").alias("pred_right"),
+                "rmse_milli",
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("rnd")
+
+
+@query(
+    "d10_time_travel",
+    """
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                   AS op,
+               round(value * 100)::BIGINT AS value_c,
+               epoch_us(ts)::BIGINT AS us, event_id
+        FROM events
+    ), span AS (
+        SELECT min(us)::BIGINT AS mn, max(us)::BIGINT AS mx FROM log
+    ), cuts AS (
+        SELECT p.pct,
+               (s.mn + (((s.mx - s.mn) * p.pct
+                 - (((s.mx - s.mn) * p.pct) % 100)) / 100))::BIGINT
+                   AS cut_us
+        FROM (SELECT unnest([25, 50, 75]) AS pct) p CROSS JOIN span s
+    ), ranked AS (
+        SELECT c.pct, c.cut_us, l.user_id, l.op, l.value_c,
+               row_number() OVER (PARTITION BY c.pct, l.user_id
+                                  ORDER BY l.us DESC, l.event_id DESC)
+                   AS rn
+        FROM log l JOIN cuts c ON l.us <= c.cut_us
+    )
+    SELECT pct, cut_us,
+           sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_live,
+           sum(CASE WHEN op = 'U' THEN value_c ELSE 0 END)::BIGINT
+               AS sum_value_c
+    FROM ranked WHERE rn = 1
+    GROUP BY pct, cut_us
+    """,
+    "Time-travel read over the CDC log (the lakehouse 'SELECT ... AS "
+    "OF' / snapshot-isolation query, composing d6's change-application "
+    "semantics): reconstruct the live table at the 25/50/75% points of "
+    "the log's time span — latest op per key at or before each cutoff, "
+    "deletes erasing the key — and report each snapshot's row count "
+    "and value sum. One window pass serves ALL cutoffs (cutoffs ride a "
+    "3-row broadcast into the partition key), so auditing N historical "
+    "snapshots costs one shuffle, not N replays. In a real lake the "
+    "manifest prunes files newer than the cutoff before this plan ever "
+    "scans them; cutoffs are integer floor-division percent points of "
+    "the observed span, so both engines pick identical boundaries.",
+)
+def d10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def fdiv(x, d):
+        return ((x - (x % d)) / d).cast("long")
+
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    span = log.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    cuts = (
+        span.select(
+            F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias(
+                "pct"
+            ),
+            "mn",
+            "mx",
+        )
+        .select(
+            "pct",
+            (
+                F.col("mn")
+                + fdiv((F.col("mx") - F.col("mn")) * F.col("pct"), F.lit(100))
+            )
+            .cast("long")
+            .alias("cut_us"),
+        )
+    )
+    ranked = log.join(
+        F.broadcast(cuts), F.col("us") <= F.col("cut_us")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pct", "user_id").orderBy(
+                F.col("us").desc(), F.col("event_id").desc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("pct", "cut_us")
+        .agg(
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+            F.sum(F.when(F.col("op") == "U", F.col("value_c")).otherwise(0))
+            .cast("long")
+            .alias("sum_value_c"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -13497,6 +13834,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m26_knn_label_prop", "p_id",
          "true_label + 31*pred_label + 1009*n_votes"
          " + 31063*(CASE WHEN correct THEN 1 ELSE 0 END)"),
+        ("m27_gbt_stumps", "rnd",
+         f"{sc('feat')} + 31*split_bucket + 1009*{t('n_left')}"
+         f" + 31063*{t('n_right')} + 7*{t('pred_left')}"
+         f" + 127*{t('pred_right')} + 3*{t(q6('rmse_milli'))}"),
+        ("d10_time_travel", "pct",
+         f"{t('cut_us')} + 31*{t('n_live')} + 1009*{t('sum_value_c')}"),
     ]
 
 

@@ -13414,27 +13414,54 @@ def d10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cut_us"),
         )
     )
-    ranked = log.join(
-        F.broadcast(cuts), F.col("us") <= F.col("cut_us")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("pct", "user_id").orderBy(
-                F.col("us").desc(), F.col("event_id").desc()
-            )
-        ),
+    # one combine-friendly aggregation computes ALL cutoffs' as-of rows:
+    # max over struct(us, event_id, ...) IS the latest-op argmax (struct
+    # comparison is lexicographic), and the per-user partial state is 3
+    # structs — no row multiplication, no window sort (the row_number
+    # variant was stress-flagged 5.9× at 30×; this shape is 3× fewer
+    # shuffled rows and map-side combined). The oracle keeps the naive
+    # per-cutoff window replay, so the strategies genuinely cross-check.
+    wide = cuts.groupBy().pivot("pct", [25, 50, 75]).agg(
+        F.first("cut_us")
     )
-    return (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("pct", "cut_us")
-        .agg(
-            F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
-            .cast("long")
-            .alias("n_live"),
-            F.sum(F.when(F.col("op") == "U", F.col("value_c")).otherwise(0))
-            .cast("long")
-            .alias("sum_value_c"),
-        )
+    j = log.crossJoin(F.broadcast(wide))
+    latest = [
+        F.max(
+            F.when(
+                F.col("us") <= F.col(str(p)),
+                F.struct(
+                    "us",
+                    "event_id",
+                    (F.col("op") == "U").alias("live"),
+                    "value_c",
+                ),
+            )
+        ).alias(f"l{p}")
+        for p in (25, 50, 75)
+    ]
+    per_user = j.groupBy("user_id").agg(*latest)
+    longf = per_user.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pct"), F.col(f"l{p}").alias("l")
+                    )
+                    for p in (25, 50, 75)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.pct").alias("pct"), F.col("e.l").alias("l"))
+    agg = longf.groupBy("pct").agg(
+        F.sum(F.when(F.col("l.live"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_live"),
+        F.sum(F.when(F.col("l.live"), F.col("l.value_c")).otherwise(0))
+        .cast("long")
+        .alias("sum_value_c"),
+    )
+    return agg.join(F.broadcast(cuts), "pct").select(
+        "pct", "cut_us", "n_live", "sum_value_c"
     )
 
 

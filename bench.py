@@ -124,6 +124,8 @@ HEADLINE = [
     "m26_knn_label_prop",
     "m27_gbt_stumps",
     "d10_time_travel",
+    "v14_pca_power_iteration",
+    "t45_rouge1_pairs",
 ]
 
 

@@ -126,6 +126,8 @@ HEADLINE = [
     "d10_time_travel",
     "v14_pca_power_iteration",
     "t45_rouge1_pairs",
+    "n11_welch_ttest",
+    "m28_sample_chi2",
 ]
 
 

@@ -13685,6 +13685,186 @@ def t45_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n11_welch_ttest",
+    """
+    WITH m AS (
+        SELECT
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                ::BIGINT AS na,
+            sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END)
+                ::BIGINT AS sa,
+            sum(CASE WHEN event_type = 'click' THEN vc * vc ELSE 0 END)
+                ::BIGINT AS qa,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                ::BIGINT AS nb,
+            sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END)
+                ::BIGINT AS sb,
+            sum(CASE WHEN event_type = 'view' THEN vc * vc ELSE 0 END)
+                ::BIGINT AS qb
+        FROM (SELECT event_type, round(value * 100)::BIGINT AS vc
+              FROM events WHERE value IS NOT NULL)
+    ), s AS (
+        SELECT na, nb,
+               sa::DOUBLE / na AS ma, sb::DOUBLE / nb AS mb,
+               (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na) / (na - 1)
+                   AS va,
+               (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb) / (nb - 1)
+                   AS vb
+        FROM m
+    )
+    SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(va, 6) AS var_a, round(vb, 6) AS var_b,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           round((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df
+    FROM s
+    """,
+    "Welch's unequal-variance t-test between two event types' value "
+    "distributions — the A/B-experiment readout (the stats family's "
+    "two-sample mean test, alongside n8's paired McNemar and n7's "
+    "bootstrap): ONE conditional full-scan aggregation produces both "
+    "groups' exact integer moments (values in centi-units so the "
+    "square-sum stays in int64 past the 100× stress); mean, variance, "
+    "t and the Welch-Satterthwaite df are then pure IEEE expressions "
+    "over those exact ints in a fixed operand order — bit-identical "
+    "cross-engine before the 6-dp rounds. Means/variances are in "
+    "centi-unit space (t and df are scale-invariant).",
+)
+def n11_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+    m = ev.select(F.col("event_type"), vc.alias("vc")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(is_a, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(is_a, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("qa"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(is_b, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(is_b, F.col("vc") * F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("qb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / F.col("na")
+    ) / (F.col("na") - 1)
+    vb = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    s = m.select(
+        "na", "nb",
+        ma.alias("ma"), mb.alias("mb"), va.alias("va"), vb.alias("vb"),
+    )
+    sea = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    df = (sea * sea) / (
+        (F.col("va") / F.col("na")) * (F.col("va") / F.col("na"))
+        / (F.col("na") - 1)
+        + (F.col("vb") / F.col("nb")) * (F.col("vb") / F.col("nb"))
+        / (F.col("nb") - 1)
+    )
+    return s.select(
+        "na",
+        "nb",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round("va", 6).alias("var_a"),
+        F.round("vb", 6).alias("var_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(sea), 6).alias(
+            "t_stat"
+        ),
+        F.round(df, 6).alias("df"),
+    )
+
+
+def _m28_oracle() -> str:
+    h = seeded_md5_long_sql("event_id::VARCHAR", 41)
+    return f"""
+    WITH base AS (
+        SELECT event_type, (({h}) % 100 < 10) AS in_s
+        FROM events
+    ), per AS (
+        SELECT event_type, count(*)::BIGINT AS n_full,
+               sum(CASE WHEN in_s THEN 1 ELSE 0 END)::BIGINT AS n_sample
+        FROM base GROUP BY event_type
+    ), tot AS (
+        SELECT sum(n_full)::BIGINT AS nf, sum(n_sample)::BIGINT AS ns
+        FROM per
+    )
+    SELECT p.event_type, p.n_full, p.n_sample,
+           (p.n_sample * t.nf - t.ns * p.n_full)::BIGINT AS dev_scaled,
+           round(((p.n_sample * t.nf - t.ns * p.n_full)::DOUBLE
+                  * (p.n_sample * t.nf - t.ns * p.n_full)::DOUBLE)
+                 / (t.ns::DOUBLE * p.n_full::DOUBLE * t.nf::DOUBLE), 6)
+               AS chi2_term
+    FROM per p CROSS JOIN tot t
+    """
+
+
+@query(
+    "m28_sample_chi2",
+    _m28_oracle(),
+    "Sampling-quality audit: chi-squared goodness-of-fit of a 10% "
+    "deterministic hash sample's event-type distribution against the "
+    "full table — the QA gate that certifies a subsample is "
+    "representative before it trains anything (pairs with m13's "
+    "stratified sampler and t20's shuffle; a skewed hash or a "
+    "key-correlated sample shows up here immediately). ONE scan "
+    "computes both the full and sample counts (the sample membership "
+    "is a predicate, not a second pass); each type's deviation "
+    "obs·N − S·exp is EXACT int64 (the w16/w17 rescaling trick) and "
+    "its chi² term is one fixed-order IEEE expression over exact ints "
+    "rounded to 6 dp per row — no cross-row float summation anywhere. "
+    "Portable seeded md5 keeps sample membership identical in both "
+    "engines at any scale.",
+)
+def m28_sample_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    ev = _t(spark, sf_dir, "events")
+    in_s = (
+        seeded_md5_long(F.col("event_id").cast("string"), 41) % 100 < 10
+    )
+    per = (
+        ev.select("event_type", in_s.alias("in_s"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.when(F.col("in_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sample"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_full").cast("long").alias("nf"),
+        F.sum("n_sample").cast("long").alias("ns"),
+    )
+    dev = F.col("n_sample") * F.col("nf") - F.col("ns") * F.col("n_full")
+    term = (dev.cast("double") * dev.cast("double")) / (
+        F.col("ns").cast("double")
+        * F.col("n_full").cast("double")
+        * F.col("nf").cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_full",
+        "n_sample",
+        dev.cast("long").alias("dev_scaled"),
+        F.round(term, 6).alias("chi2_term"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -14040,6 +14220,13 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t45_rouge1_pairs", "doc_a * 1000000 + doc_b",
          f"n_a + 31*n_b + 1009*{t('n_overlap')} + 31063*{q6('p1')}"
          f" + 7*{q6('r1')} + 127*{q6('f1')}"),
+        ("n11_welch_ttest", "na",
+         f"{t('nb')} + 31*{t(q6('mean_a'))} + 1009*{t(q6('mean_b'))}"
+         f" + 31063*{t(q6('var_a'))} + 7*{t(q6('var_b'))}"
+         f" + 127*{t(q6('t_stat'))} + 3*{t(q6('df'))}"),
+        ("m28_sample_chi2", sc("event_type"),
+         f"{t('n_full')} + 31*{t('n_sample')} + 1009*{t('dev_scaled')}"
+         f" + 31063*{q6('chi2_term')}"),
         # round-4 session-5 rotation: the demoted round-3 flagships
         ("t23_substring_dedup", "doc_id",
          f"{t('n_dup_ngrams')} + 31*{t('n_spans')}"

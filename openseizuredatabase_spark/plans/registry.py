@@ -13865,6 +13865,1093 @@ def m28_sample_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 session-6: nonparametric tests, survival, time-series diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n12_ks_test",
+    """
+    WITH pv AS (
+        SELECT round(value * 100)::BIGINT AS vc,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   ::BIGINT AS ca,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   ::BIGINT AS cb
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        GROUP BY vc
+    ), tot AS (
+        SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv
+    ), cum AS (
+        SELECT t.na, t.nb,
+               sum(pv.ca) OVER (ORDER BY pv.vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cca,
+               sum(pv.cb) OVER (ORDER BY pv.vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS ccb
+        FROM pv CROSS JOIN tot t
+    )
+    SELECT na, nb,
+           max(abs(cca * nb - ccb * na))::BIGINT AS d_scaled,
+           round(max(abs(cca * nb - ccb * na))::DOUBLE
+                 / (na::DOUBLE * nb::DOUBLE), 6) AS d_stat,
+           round(1.358 * sqrt((na + nb)::DOUBLE
+                              / (na::DOUBLE * nb::DOUBLE)), 6)
+               AS crit_05,
+           max(abs(cca * nb - ccb * na))::DOUBLE
+               / (na::DOUBLE * nb::DOUBLE)
+               > 1.358 * sqrt((na + nb)::DOUBLE
+                              / (na::DOUBLE * nb::DOUBLE)) AS reject_05
+    FROM cum GROUP BY na, nb
+    """,
+    "Two-sample Kolmogorov-Smirnov test between the click and view "
+    "value distributions (the distribution-shape counterpart of n11's "
+    "mean test — detects ANY drift, not just a mean shift; pairs with "
+    "r3's binned PSI as the exact unbinned alternative). One scan "
+    "reduces the data to per-centi-value counts; the ECDF gap is kept "
+    "as the EXACT integer |ca_cum*nb − cb_cum*na| (the w16 rescaling "
+    "trick — max over integers, no float ECDFs), and D plus the "
+    "critical value at alpha=.05 are single fixed-order IEEE "
+    "expressions over exact ints. The only window runs over the "
+    "distinct-value frame (bounded by the value range x100, metadata-"
+    "sized next to the event scan at any SF).",
+)
+def n12_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    )
+    pv = (
+        ev.select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+            F.col("event_type"),
+        )
+        .groupBy("vc")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    tot = pv.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    wc = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.sum("ca").over(wc).cast("long").alias("cca"),
+        F.sum("cb").over(wc).cast("long").alias("ccb"),
+    )
+    gap = F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double") / (nad * nbd)
+    )
+    return cum.groupBy("na", "nb").agg(
+        F.max(gap).cast("long").alias("d_scaled"),
+        F.round(F.max(gap).cast("double") / (nad * nbd), 6).alias(
+            "d_stat"
+        ),
+        F.round(crit, 6).alias("crit_05"),
+        (F.max(gap).cast("double") / (nad * nbd) > crit).alias(
+            "reject_05"
+        ),
+    )
+
+
+@query(
+    "n13_mannwhitney_u",
+    """
+    WITH pv AS (
+        SELECT round(value * 100)::BIGINT AS vc,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   ::BIGINT AS ca,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   ::BIGINT AS cb
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        GROUP BY vc
+    ), tot AS (
+        SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+               sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                   ::BIGINT AS ties
+        FROM pv
+    ), cum AS (
+        SELECT pv.ca, pv.cb,
+               sum(pv.ca + pv.cb) OVER (ORDER BY pv.vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT - (pv.ca + pv.cb) AS before_n
+        FROM pv
+    ), r AS (
+        SELECT sum(ca * (2 * before_n + ca + cb + 1))::BIGINT AS r2a
+        FROM cum
+    )
+    SELECT t.na, t.nb, t.ties,
+           (r.r2a - t.na * (t.na + 1))::BIGINT AS u2,
+           round(((r.r2a - t.na * (t.na + 1))::DOUBLE
+                  - t.na::DOUBLE * t.nb::DOUBLE)
+                 / (2.0 * sqrt(
+                     t.na::DOUBLE * t.nb::DOUBLE / 12.0
+                     * ((t.na + t.nb + 1)::DOUBLE
+                        - t.ties::DOUBLE
+                          / ((t.na + t.nb)::DOUBLE
+                             * (t.na + t.nb - 1)::DOUBLE)))), 6)
+               AS z_stat
+    FROM r CROSS JOIN tot t
+    """,
+    "Mann-Whitney U rank-sum test (the nonparametric sibling of n11's "
+    "Welch t — medians/stochastic dominance instead of means, robust "
+    "to the heavy-tailed value distributions a mean test misreads). "
+    "Average ranks with ties are kept exact by working in doubled "
+    "units: 2*R_A = sum over distinct values of ca*(2*before + cnt + "
+    "1) — pure int64 — and the tie-corrected variance term sum(t^3 - "
+    "t) is an integer aggregate of the same per-value frame. z is one "
+    "fixed-order IEEE expression over five exact integers. Same "
+    "distinct-value reduction as n12: the data-scale work is a single "
+    "scan-aggregate; the ranking window never sees raw rows.",
+)
+def n13_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    )
+    pv = (
+        ev.select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+            F.col("event_type"),
+        )
+        .groupBy("vc")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    cnt = F.col("ca") + F.col("cb")
+    tot = pv.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(cnt * cnt * cnt - cnt).cast("long").alias("ties"),
+    )
+    wc = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.select(
+        "ca",
+        "cb",
+        (F.sum(cnt).over(wc).cast("long") - cnt).alias("before_n"),
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("ca")
+            * (2 * F.col("before_n") + F.col("ca") + F.col("cb") + 1)
+        )
+        .cast("long")
+        .alias("r2a")
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    var = (
+        nad * nbd / 12.0
+        * (
+            (F.col("na") + F.col("nb") + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (
+                (F.col("na") + F.col("nb")).cast("double")
+                * (F.col("na") + F.col("nb") - 1).cast("double")
+            )
+        )
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        "ties",
+        u2.cast("long").alias("u2"),
+        F.round(
+            (u2.cast("double") - nad * nbd) / (2.0 * F.sqrt(var)), 6
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "n14_acf_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS x
+        FROM events GROUP BY event_type, d
+    ), mu AS (
+        SELECT event_type,
+               round(sum(x)::DOUBLE / count(*))::BIGINT AS m,
+               count(*)::BIGINT AS n_days
+        FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT d.event_type, m.n_days, d.x - m.m AS dv,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d) AS rn
+        FROM daily d JOIN mu m ON d.event_type = m.event_type
+    ), den AS (
+        SELECT event_type, sum(dv * dv)::BIGINT AS den
+        FROM dev GROUP BY event_type
+    ), lags AS (
+        SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+            AS l(lag)
+    ), num AS (
+        SELECT a.event_type, l.lag, a.n_days,
+               sum(a.dv * b.dv)::BIGINT AS num
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.event_type = a.event_type
+                  AND b.rn = a.rn + l.lag
+        GROUP BY a.event_type, l.lag, a.n_days
+    )
+    SELECT n.event_type, n.lag, n.n_days, n.num, d.den,
+           round(n.num::DOUBLE / d.den::DOUBLE, 6) AS acf
+    FROM num n JOIN den d ON n.event_type = d.event_type
+    """,
+    "Autocorrelation function of the per-type daily count series at "
+    "lags 1-7 (the time-series diagnostic behind w17's seasonal "
+    "baseline and w19's decomposition: it MEASURES the weekly "
+    "periodicity they assume). Deviations are taken about the half-"
+    "away-ROUNDED integer mean, so every product d_t*d_{t+k} and both "
+    "sums are exact int64 — the estimator is pinned as 'ACF about the "
+    "rounded mean', identical text in both engines; one IEEE division "
+    "per emitted lag. Lagged alignment is an rn = rn + lag self-join "
+    "on the metadata-sized daily frame (7 lags ride one 7-row values "
+    "table, no variable-offset lead) — the raw event scan happens "
+    "once, in the daily aggregate.",
+)
+def n14_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 0
+        )
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    dev = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "n_days",
+        (F.col("x") - F.col("m")).alias("dv"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = dev.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("dv").alias("dv_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type_b") == F.col("event_type"))
+            & (F.col("rn_b") == F.col("rn") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag", "n_days")
+        .agg(F.sum(F.col("dv") * F.col("dv_b")).cast("long").alias("num"))
+    )
+    return num.join(den, "event_type").select(
+        "event_type",
+        "lag",
+        "n_days",
+        "num",
+        "den",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("acf"),
+    )
+
+
+@query(
+    "a26_kaplan_meier",
+    """
+    WITH subj AS (
+        SELECT user_id,
+               date_diff('day', CAST(min(ts) AS DATE),
+                         CAST(max(ts) AS DATE))::BIGINT AS t_days,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS observed
+        FROM events GROUP BY user_id
+    ), per_t AS (
+        SELECT t_days,
+               sum(observed)::BIGINT AS d,
+               count(*)::BIGINT AS leave_n
+        FROM subj GROUP BY t_days
+    ), tot AS (
+        SELECT sum(leave_n)::BIGINT AS n_subjects FROM per_t
+    ), risk AS (
+        SELECT p.t_days, p.d,
+               t.n_subjects
+               - (sum(p.leave_n) OVER (ORDER BY p.t_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  )::BIGINT - p.leave_n) AS n_risk
+        FROM per_t p CROSS JOIN tot t
+    ), steps AS (
+        SELECT t_days, d, n_risk,
+               CASE WHEN n_risk > d THEN
+                   round(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE)
+                         * 1000000)::BIGINT
+               END AS log_micro
+        FROM risk WHERE d > 0
+    ), cum AS (
+        SELECT t_days, d, n_risk, log_micro,
+               sum(log_micro) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_log
+        FROM steps
+    )
+    SELECT t_days, n_risk, d AS n_events,
+           CASE WHEN log_micro IS NULL THEN NULL ELSE cum_log END
+               AS cum_log_micro,
+           CASE WHEN log_micro IS NULL THEN 0.0
+                ELSE round(exp(cum_log::DOUBLE / 1000000.0), 6)
+           END AS survival
+    FROM cum
+    """,
+    "Kaplan-Meier survival estimator over per-user time-to-purchase "
+    "(duration = days from a user's first to last event, observed = "
+    "the user purchased, else right-censored at last sight) — the "
+    "time-to-event analysis a retention team runs next to a25's "
+    "cohort triangle, with censoring handled correctly instead of "
+    "dropped. The data-scale work is ONE per-user aggregate; risk "
+    "sets n_i come from a cumulative leave-count over the per-day "
+    "frame (bounded by the date span, metadata-sized). The survival "
+    "product uses the a24 libm discipline: each step's ln((n-d)/n) "
+    "is quantized to integer micro-nats BEFORE the order-free "
+    "cumulative sum, so the running product is an exact integer "
+    "state; exp is applied once per emitted row and rounded to 6 dp. "
+    "The terminal step where every remaining subject exits (n_risk "
+    "== d, the curve's drop to zero) is emitted with survival = 0 "
+    "explicitly — the log-space trick cannot represent it.",
+)
+def a26_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        )
+        .cast("long")
+        .alias("t_days"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("observed"),
+    )
+    per_t = subj.groupBy("t_days").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_n"),
+    )
+    tot = per_t.agg(F.sum("leave_n").cast("long").alias("n_subjects"))
+    wc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d",
+        (
+            F.col("n_subjects")
+            - (
+                F.sum("leave_n").over(wc).cast("long")
+                - F.col("leave_n")
+            )
+        ).alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).select(
+        "t_days",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * 1000000,
+                0,
+            ).cast("long"),
+        ).alias("log_micro"),
+    )
+    cum = steps.select(
+        "t_days",
+        "d",
+        "n_risk",
+        "log_micro",
+        F.sum("log_micro").over(wc).cast("long").alias("cum_log"),
+    )
+    return cum.select(
+        "t_days",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(
+            F.col("log_micro").isNotNull(), F.col("cum_log")
+        ).alias("cum_log_micro"),
+        F.when(F.col("log_micro").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("cum_log").cast("double") / 1000000.0), 6)
+        )
+        .alias("survival"),
+    )
+
+
+@query(
+    "t46_association_rules",
+    """
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+        SELECT count(DISTINCT bk)::BIGINT AS n FROM items
+    ), supp AS (
+        SELECT item, count(*)::BIGINT AS c FROM items GROUP BY item
+    ), pair AS (
+        SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS cab
+        FROM items a JOIN items b ON a.bk = b.bk AND a.item < b.item
+        GROUP BY a.item, b.item
+    ), rules AS (
+        SELECT p.ia, p.ib, p.cab, sa.c AS ca, sb.c AS cb,
+               round(p.cab::DOUBLE / sa.c::DOUBLE, 6) AS confidence,
+               round(nb.n::DOUBLE * p.cab::DOUBLE
+                     / (sa.c::DOUBLE * sb.c::DOUBLE), 6) AS lift
+        FROM pair p
+        JOIN supp sa ON p.ia = sa.item
+        JOIN supp sb ON p.ib = sb.item
+        CROSS JOIN nb
+        WHERE p.cab * 1000 >= nb.n
+    )
+    SELECT ia AS item_a, ib AS item_b, cab AS n_ab, ca AS n_a,
+           cb AS n_b, confidence, lift
+    FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, ia, ib)
+                 AS rn
+          FROM rules)
+    WHERE rn <= 20
+    """,
+    "Frequent-itemset association rules (A-priori passes 1-2 / "
+    "market-basket lift) over order baskets of part brands: the "
+    "mining op behind 'users who bought X' recommendations. Baskets "
+    "come from ONE lineitem-part dimension join + distinct; pair "
+    "generation is the within-basket self-join — bounded by the "
+    "25-brand item domain per basket, so candidate volume is "
+    "sum(basket_size^2), never corpus^2 (the same Sigma-deg-squared "
+    "bound as t41's triangles). Supports stay exact integers; the "
+    "0.1% support floor is the integer comparison cab*1000 >= n; "
+    "confidence and lift are one fixed-order IEEE expression each, "
+    "rounded to 6 dp before the deterministic (lift, a, b) top-20 "
+    "ranking over the metadata-sized rule frame.",
+)
+def t46_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+    )
+    nb = items.agg(
+        F.countDistinct("bk").cast("long").alias("n")
+    )
+    supp = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    b = items.select(
+        F.col("bk").alias("bk_b"), F.col("item").alias("ib")
+    )
+    pair = (
+        items.join(
+            b,
+            (F.col("bk_b") == F.col("bk"))
+            & (F.col("item") < F.col("ib")),
+        )
+        .groupBy(F.col("item").alias("ia"), "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    )
+    rules = (
+        pair.join(
+            F.broadcast(supp.select(F.col("item").alias("ia"),
+                                    F.col("c").alias("ca"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("item").alias("ib"),
+                                    F.col("c").alias("cb"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("cab") * 1000 >= F.col("n"))
+        .select(
+            "ia",
+            "ib",
+            "cab",
+            "ca",
+            "cb",
+            F.round(
+                F.col("cab").cast("double") / F.col("ca").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("cab").cast("double")
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift"), "ia", "ib")
+    return (
+        rules.select(
+            "ia", "ib", "cab", "ca", "cb", "confidence", "lift",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("cab").alias("n_ab"),
+            F.col("ca").alias("n_a"),
+            F.col("cb").alias("n_b"),
+            "confidence",
+            "lift",
+        )
+    )
+
+
+def _j12_oracle() -> str:
+    return f"""
+    WITH c AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+        FROM customer
+    ), reps AS (
+        {_reps_sql()}
+    ), k AS (
+        {_pigeonhole_keys_sql('reps')}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.name AS name_a, b.name AS name_b
+        FROM k a JOIN k b ON a.blk = b.blk AND a.cls = b.cls
+              AND a.val = b.val AND a.id < b.id
+    ), pairs AS (
+        SELECT id_a, id_b,
+               CAST({_ham18_sql('name_a', 'name_b')} AS BIGINT)
+                   AS ham_dist,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist
+        FROM cand
+    )
+    SELECT id_a AS rep_id, id_b AS best_id, lev_dist, ham_dist, n_cand
+    FROM (
+        SELECT id_a, id_b, lev_dist, ham_dist,
+               row_number() OVER (PARTITION BY id_a
+                   ORDER BY lev_dist, ham_dist, id_b) AS rn,
+               CAST(count(*) OVER (PARTITION BY id_a) AS BIGINT)
+                   AS n_cand
+        FROM pairs WHERE lev_dist <= 2) WHERE rn = 1
+    """
+
+
+@query(
+    "j12_lev_linkage",
+    _j12_oracle(),
+    "Levenshtein re-scored record linkage over j10's pigeonhole "
+    "candidate set — the PassJoin family's true metric (edit distance "
+    "counts the transposition-shaped slips Hamming double-charges; "
+    "for these fixed-width identifiers lev <= ham always, so every "
+    "Hamming candidate is re-ranked, and the pigeonhole rule keeps "
+    "the candidate set COMPLETE for substitution-class errors, the "
+    "format's failure mode). Both engines run their native dynamic-"
+    "programming levenshtein — an exact integer, no float discipline "
+    "needed. Same two-tier scale shape as j10: exact-dup collapse "
+    "first, 3 interleaved digit-class keys, candidates never touch "
+    "whole blocks; the verifier cost is one O(18^2) DP per candidate "
+    "pair.",
+)
+def j12_lev_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _ts(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("blk"),
+    )
+    reps = c.groupBy("blk", "name").agg(F.min("id").alias("id"))
+    k = _pigeonhole_keys(reps.select("id", "name", "blk"))
+    ka, kb = k.alias("ka"), k.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.blk") == F.col("kb.blk"))
+            & (F.col("ka.cls") == F.col("kb.cls"))
+            & (F.col("ka.val") == F.col("kb.val"))
+            & (F.col("ka.id") < F.col("kb.id")),
+        )
+        .select(
+            F.col("ka.id").alias("id_a"),
+            F.col("kb.id").alias("id_b"),
+            F.col("ka.name").alias("name_a"),
+            F.col("kb.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        _ham18(F.col("name_a"), F.col("name_b"))
+        .cast("long")
+        .alias("ham_dist"),
+        F.levenshtein("name_a", "name_b").cast("long").alias("lev_dist"),
+    ).filter(F.col("lev_dist") <= 2)
+    wr = Window.partitionBy("id_a").orderBy(
+        "lev_dist", "ham_dist", "id_b"
+    )
+    wn = Window.partitionBy("id_a")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "lev_dist",
+            "ham_dist",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n_cand"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias("rep_id"),
+            F.col("id_b").alias("best_id"),
+            "lev_dist",
+            "ham_dist",
+            "n_cand",
+        )
+    )
+
+
+def _a27_oracle() -> str:
+    h = seeded_md5_long_sql("event_type", 73)
+    u = f"((({h}) % 1000000)::DOUBLE + 0.5) / 1000000.0"
+    noise = (
+        f"round(CASE WHEN ({u}) < 0.5 THEN 2.0 * ln(2.0 * ({u})) "
+        f"ELSE -2.0 * ln(2.0 - 2.0 * ({u})) END, 6)"
+    )
+    return f"""
+    WITH per AS (
+        SELECT event_type, count(*)::BIGINT AS true_n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, true_n,
+           {noise} AS noise,
+           round(true_n::DOUBLE + {noise}, 6) AS noisy_n,
+           0.5 AS epsilon
+    FROM per
+    """
+
+
+@query(
+    "a27_dp_noisy_release",
+    _a27_oracle(),
+    "Differentially-private count release (epsilon = 0.5, sensitivity "
+    "1): per-type event counts plus Laplace noise — the governance "
+    "tier's release mechanism, completing a22's k-anonymity audit and "
+    "d8's erasure planner with the actual privatized output. Noise "
+    "is fully deterministic and cross-engine exact: a portable "
+    "seeded md5 of the group key maps to u in (0,1) as an EXACT "
+    "dyadic-free expression, the Laplace inverse CDF "
+    "b*sign*ln(2u-ish) is the one libm call (rounded to 6 dp — the "
+    "a24/t25 discipline), and the noisy count reuses the rounded "
+    "noise so both engines add identical doubles. The scan is one "
+    "map-side-combined count; noise math runs on the group frame "
+    "only. (A production run would swap the audit seed for a secret "
+    "one and drop true_n; the mechanism and accounting are the op.)",
+)
+def a27_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    u = (
+        (seeded_md5_long(F.col("event_type"), 73) % 1000000).cast(
+            "double"
+        )
+        + 0.5
+    ) / 1000000.0
+    noise = F.round(
+        F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(
+            -2.0 * F.log(2.0 - 2.0 * u)
+        ),
+        6,
+    )
+    return per.select(
+        "event_type",
+        "true_n",
+        noise.alias("noise"),
+        F.round(F.col("true_n").cast("double") + noise, 6).alias(
+            "noisy_n"
+        ),
+        F.lit(0.5).alias("epsilon"),
+    )
+
+
+_M29_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _m29_oracle() -> str:
+    h = seeded_md5_long_sql("doc_id::VARCHAR", 57)
+    model_cols = ", ".join(
+        f"sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c_{c}"
+        for c in _M29_LANGS
+    )
+    tot_cols = ", ".join(
+        f"sum(c_{c})::BIGINT AS t_{c}" for c in _M29_LANGS
+    )
+    prior_cols = ", ".join(
+        f"sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS d_{c}"
+        for c in _M29_LANGS
+    )
+    score_cols = ", ".join(
+        f"sum(tk.k * CAST(round(ln((coalesce(m.c_{c}, 0) + 1)"
+        f"::DOUBLE / (t.t_{c} + t.v)::DOUBLE) * 1000000) AS BIGINT))"
+        f"::BIGINT AS s_{c}"
+        for c in _M29_LANGS
+    )
+    full_cols = ", ".join(
+        f"s.s_{c} + CAST(round(ln((p.d_{c} + 1)::DOUBLE"
+        f" / (p.nd + {len(_M29_LANGS)})::DOUBLE) * 1000000) AS BIGINT)"
+        f" AS f_{c}"
+        for c in _M29_LANGS
+    )
+    gmax = "greatest(" + ", ".join(f"f_{c}" for c in _M29_LANGS) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN f_{c} = {gmax} THEN '{c}'" for c in _M29_LANGS
+        )
+        + " END"
+    )
+    return f"""
+    WITH docs2 AS (
+        SELECT doc_id, lang,
+               list_transform({text_fns.tokens_sql('text')},
+                              x -> lower(x)) AS t,
+               (({h}) % 5 = 0) AS is_test
+        FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+        SELECT doc_id, lang, is_test, unnest(t) AS tok FROM docs2
+    ), model AS (
+        SELECT tok, {model_cols}
+        FROM tok WHERE NOT is_test GROUP BY tok
+    ), totals AS (
+        SELECT {tot_cols}, count(*)::BIGINT AS v FROM model
+    ), priors AS (
+        SELECT {prior_cols}, count(*)::BIGINT AS nd
+        FROM docs2 WHERE NOT is_test
+    ), test_k AS (
+        SELECT doc_id, lang, tok, count(*)::BIGINT AS k
+        FROM tok WHERE is_test GROUP BY doc_id, lang, tok
+    ), scored AS (
+        SELECT tk.doc_id, tk.lang, {score_cols}
+        FROM test_k tk
+        LEFT JOIN model m ON tk.tok = m.tok
+        CROSS JOIN totals t
+        GROUP BY tk.doc_id, tk.lang
+    ), fscore AS (
+        SELECT s.doc_id, s.lang, {full_cols}
+        FROM scored s CROSS JOIN priors p
+    )
+    SELECT lang, {pred} AS pred, count(*)::BIGINT AS n
+    FROM fscore GROUP BY lang, pred
+    """
+
+
+@query(
+    "m29_naive_bayes",
+    _m29_oracle(),
+    "Multinomial naive-Bayes language classifier, TRAINED and "
+    "evaluated in-engine (the supervised sibling of t3's stopword "
+    "heuristic, and the third trained model family after t34's "
+    "logistic GD and m27's boosted stumps): an 80/20 portable-hash "
+    "split, add-1 token likelihoods per language, add-1 priors, and "
+    "a held-out confusion matrix. Every log-likelihood is quantized "
+    "to integer micro-nats BEFORE the per-doc sum (the a24/t25 libm "
+    "discipline), so document scores are exact int64 and the argmax "
+    "(ties broken in fixed class order) is an integer comparison — "
+    "the trained model's predictions are value-hash oracled, not "
+    "just its plumbing. Scale shape: ONE token shuffle builds the "
+    "model, ONE token equi-join scores held-out docs (class counts "
+    "ride the model row — no per-class join fan-out); totals and "
+    "priors are 1-row broadcast frames. Empty-text docs are excluded "
+    "from both phases (no tokens to vote with).",
+)
+def m29_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    langs = _M29_LANGS
+    docs = (
+        _ts(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(text_fns.tokens(F.col("text")), F.lower).alias(
+                "t"
+            ),
+            (
+                seeded_md5_long(F.col("doc_id").cast("string"), 57) % 5
+                == 0
+            ).alias("is_test"),
+        )
+    )
+    tok = docs.select(
+        "doc_id", "lang", "is_test", F.explode("t").alias("tok")
+    )
+    model = (
+        tok.filter(~F.col("is_test"))
+        .groupBy("tok")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == c, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c_{c}")
+                for c in langs
+            ]
+        )
+    )
+    totals = model.agg(
+        *[F.sum(f"c_{c}").cast("long").alias(f"t_{c}") for c in langs],
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    priors = (
+        docs.filter(~F.col("is_test"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == c, 1).otherwise(0))
+                .cast("long")
+                .alias(f"d_{c}")
+                for c in langs
+            ],
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+    )
+    test_k = (
+        tok.filter(F.col("is_test"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    lp = {
+        c: F.expr(
+            f"CAST(round(ln(CAST(coalesce(c_{c}, 0) + 1 AS DOUBLE)"
+            f" / CAST(t_{c} + v AS DOUBLE)) * 1000000) AS BIGINT)"
+        )
+        for c in langs
+    }
+    scored = (
+        test_k.join(model, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.sum(F.col("k") * lp[c]).cast("long").alias(f"s_{c}")
+                for c in langs
+            ]
+        )
+    )
+    nlangs = len(langs)
+    full = scored.crossJoin(F.broadcast(priors)).select(
+        "doc_id",
+        "lang",
+        *[
+            (
+                F.col(f"s_{c}")
+                + F.expr(
+                    f"CAST(round(ln(CAST(d_{c} + 1 AS DOUBLE)"
+                    f" / CAST(nd + {nlangs} AS DOUBLE)) * 1000000)"
+                    " AS BIGINT)"
+                )
+            ).alias(f"f_{c}")
+            for c in langs
+        ],
+    )
+    gmax = F.greatest(*[F.col(f"f_{c}") for c in langs])
+    # first matching class wins ties — same fixed order as the oracle's
+    # CASE chain
+    pred = None
+    for c in langs:
+        cond = F.col(f"f_{c}") == gmax
+        pred = (
+            F.when(cond, c) if pred is None else pred.when(cond, c)
+        )
+    return (
+        full.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _m30_moment_exprs() -> dict[str, str]:
+    """Cramer's-rule expressions over the exact integer moments, as
+    dialect-shared text (CAST .. AS DOUBLE parses in both engines).
+    Fixed operand order → bit-identical doubles."""
+    d = {k: f"CAST({k} AS DOUBLE)" for k in (
+        "n", "sx1", "sx2", "s11", "s22", "s12", "sy", "s1y", "s2y",
+        "syy",
+    )}
+    det = (
+        f"{d['n']} * ({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+        f" - {d['sx1']} * ({d['sx1']} * {d['s22']} - {d['s12']} * {d['sx2']})"
+        f" + {d['sx2']} * ({d['sx1']} * {d['s12']} - {d['s11']} * {d['sx2']})"
+    )
+    det0 = (
+        f"{d['sy']} * ({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+        f" - {d['sx1']} * ({d['s1y']} * {d['s22']} - {d['s12']} * {d['s2y']})"
+        f" + {d['sx2']} * ({d['s1y']} * {d['s12']} - {d['s11']} * {d['s2y']})"
+    )
+    det1 = (
+        f"{d['n']} * ({d['s1y']} * {d['s22']} - {d['s12']} * {d['s2y']})"
+        f" - {d['sy']} * ({d['sx1']} * {d['s22']} - {d['s12']} * {d['sx2']})"
+        f" + {d['sx2']} * ({d['sx1']} * {d['s2y']} - {d['s1y']} * {d['sx2']})"
+    )
+    det2 = (
+        f"{d['n']} * ({d['s11']} * {d['s2y']} - {d['s1y']} * {d['s12']})"
+        f" - {d['sx1']} * ({d['sx1']} * {d['s2y']} - {d['s1y']} * {d['sx2']})"
+        f" + {d['sy']} * ({d['sx1']} * {d['s12']} - {d['s11']} * {d['sx2']})"
+    )
+    return {
+        "b0": f"({det0}) / ({det})",
+        "b1": f"({det1}) / ({det})",
+        "b2": f"({det2}) / ({det})",
+    }
+
+
+def _m30_oracle() -> str:
+    e = _m30_moment_exprs()
+    return f"""
+    WITH b AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               round(l_discount * 100)::BIGINT AS x2,
+               round(l_extendedprice)::BIGINT AS y
+        FROM lineitem
+    ), m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+               sum(x1 * x1)::BIGINT AS s11,
+               sum(x2 * x2)::BIGINT AS s22,
+               sum(x1 * x2)::BIGINT AS s12,
+               sum(y)::BIGINT AS sy,
+               sum(x1 * y)::BIGINT AS s1y,
+               sum(x2 * y)::BIGINT AS s2y,
+               sum(y * y)::BIGINT AS syy
+        FROM b
+    ), beta AS (
+        SELECT n, sy, s1y, s2y, syy,
+               {e['b0']} AS b0, {e['b1']} AS b1, {e['b2']} AS b2
+        FROM m
+    )
+    SELECT n,
+           round(b0, 6) AS beta0,
+           round(b1, 6) AS beta1,
+           round(b2, 6) AS beta2,
+           round(1.0 - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+                        - b1 * CAST(s1y AS DOUBLE)
+                        - b2 * CAST(s2y AS DOUBLE))
+                 / (CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE)), 6) AS r2
+    FROM beta
+    """
+
+
+@query(
+    "m30_ols_normal_eq",
+    _m30_oracle(),
+    "Multiple linear regression by normal equations (closed-form OLS "
+    "of dollar-quantized extendedprice on quantity and discount — the "
+    "classic distributed-ML pattern where ONE pass of map-side-"
+    "combined integer moments replaces iterative training; joins "
+    "t34/m27/m29 as the fourth trained-model family, this one with an "
+    "algebraic solution). All ten sufficient statistics are exact "
+    "int64 (y in whole dollars bounds sum(y^2) under int64 past the "
+    "100x stress; x1, x2 are naturally integer); the 3x3 Cramer "
+    "solve and R^2 are fixed-order IEEE expressions generated from "
+    "ONE shared text for both engines. The data never moves: the "
+    "model is 10 numbers, the solve runs on a 1-row frame.",
+)
+def m30_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _m30_moment_exprs()
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    beta = m.select(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        F.expr(e["b0"]).alias("b0"),
+        F.expr(e["b1"]).alias("b1"),
+        F.expr(e["b2"]).alias("b2"),
+    )
+    return beta.select(
+        "n",
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+        F.round(
+            1.0
+            - (
+                F.col("syy").cast("double")
+                - F.col("b0") * F.col("sy").cast("double")
+                - F.col("b1") * F.col("s1y").cast("double")
+                - F.col("b2") * F.col("s2y").cast("double")
+            )
+            / (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double")
+                * F.col("sy").cast("double")
+                / F.col("n").cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would

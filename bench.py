@@ -128,6 +128,16 @@ HEADLINE = [
     "t45_rouge1_pairs",
     "n11_welch_ttest",
     "m28_sample_chi2",
+    "n12_ks_test",
+    "n13_mannwhitney_u",
+    "n14_acf_daily",
+    "a26_kaplan_meier",
+    "t46_association_rules",
+    "j12_lev_linkage",
+    "a27_dp_noisy_release",
+    "m29_naive_bayes",
+    "m30_ols_normal_eq",
+    "v15_dbscan_grid",
 ]
 
 

@@ -14952,6 +14952,199 @@ def m30_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V15_EPS6 = 20000  # eps = 0.02 in micro-units
+_V15_MINPTS = 4
+
+
+def _v15_oracle() -> str:
+    e2 = _V15_EPS6 * _V15_EPS6
+    return f"""
+    WITH RECURSIVE p AS (
+        SELECT vec_id,
+               CAST(round(embedding[1] * 1000000) AS BIGINT) AS x,
+               CAST(round(embedding[2] * 1000000) AS BIGINT) AS y
+        FROM embeddings
+    ), nbr AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM p a JOIN p b
+          ON (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= {e2}
+    ), core AS (
+        SELECT ia AS vec_id FROM nbr GROUP BY ia
+        HAVING count(*) >= {_V15_MINPTS}
+    ), eg AS (
+        SELECT n.ia AS a, n.ib AS b FROM nbr n
+        JOIN core ca ON n.ia = ca.vec_id
+        JOIN core cb ON n.ib = cb.vec_id
+        WHERE n.ia <> n.ib
+    ), reach(id, r) AS (
+        SELECT vec_id, vec_id FROM core
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN eg e ON reach.r = e.a
+    ), comps AS (
+        SELECT id, min(r)::BIGINT AS comp FROM reach GROUP BY id
+    ), border AS (
+        SELECT n.ia AS vec_id, min(c.comp)::BIGINT AS comp
+        FROM nbr n
+        JOIN comps c ON n.ib = c.id
+        WHERE n.ia NOT IN (SELECT vec_id FROM core)
+        GROUP BY n.ia
+    ), core_per AS (
+        SELECT comp AS cluster, count(*)::BIGINT AS n_core
+        FROM comps GROUP BY comp
+    ), border_per AS (
+        SELECT comp AS cluster, count(*)::BIGINT AS n_border
+        FROM border GROUP BY comp
+    ), noise AS (
+        SELECT count(*)::BIGINT AS n FROM p
+        WHERE vec_id NOT IN (SELECT id FROM comps)
+          AND vec_id NOT IN (SELECT vec_id FROM border)
+    )
+    SELECT c.cluster, c.n_core,
+           coalesce(b.n_border, 0)::BIGINT AS n_border,
+           (c.n_core + coalesce(b.n_border, 0))::BIGINT AS n_total
+    FROM core_per c LEFT JOIN border_per b ON c.cluster = b.cluster
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+           CAST(0 AS BIGINT) AS n_border, n AS n_total
+    FROM noise
+    """
+
+
+@query(
+    "v15_dbscan_grid",
+    _v15_oracle(),
+    "Grid-blocked DBSCAN over the embedding table's first two "
+    "dimensions (density clustering with noise — the clustering "
+    "family's answer to what v5's k-means cannot do: arbitrary-shape "
+    "clusters and an explicit outlier verdict; eps=0.02, minPts=4 "
+    "including self). Scale design: the eps-neighborhood graph comes "
+    "from cell-size-eps grid blocking — each point joins only its "
+    "3x3 neighboring cells via a 9-offset EQUI-join (the same "
+    "never-O(n^2) rule as v3's buckets and j10's pigeonholes), and "
+    "the grid guarantees candidate completeness since an eps-ball "
+    "cannot leave adjacent cells. Distances are exact micro-unit "
+    "integers; cores, core-core edges, and min-label components "
+    "(dedup.connected_components, localCheckpoint-truncated rounds) "
+    "are all integer decisions, so the full cluster assignment is "
+    "value-hash oracled against a recursive-CTE closure over the "
+    "naive quadratic join — the oracle deliberately takes the "
+    "rewrite's replaced plan. Border points adopt the min cluster "
+    "among their core neighbors; noise is reported as cluster -1.",
+)
+def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps6 = _V15_EPS6
+    e2 = eps6 * eps6
+    p = _ts(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    cell = lambda c: F.floor(F.col(c).cast("double") / float(eps6)).cast(
+        "long"
+    )
+    pc = p.select(
+        "vec_id", "x", "y", cell("x").alias("cx"), cell("y").alias("cy")
+    )
+    offs = (
+        spark.range(9)
+        .select(
+            (F.col("id") % 3 - 1).cast("long").alias("dx"),
+            (F.floor(F.col("id") / 3) - 1).cast("long").alias("dy"),
+        )
+    )
+    a = pc.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("kx"),
+        (F.col("cy") + F.col("dy")).alias("ky"),
+    )
+    b = pc.select(
+        F.col("vec_id").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    nbr = (
+        a.join(b, ["kx", "ky"])
+        .filter(dx * dx + dy * dy <= F.lit(e2))
+        .select("ia", "ib")
+    )
+    core = (
+        nbr.groupBy("ia")
+        .agg(F.count(F.lit(1)).alias("n_nbr"))
+        .filter(F.col("n_nbr") >= _V15_MINPTS)
+        .select(F.col("ia").alias("vec_id"))
+    )
+    eg = (
+        nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia")
+        .join(core.select(F.col("vec_id").alias("ib")), "ib")
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+        .distinct()
+    )
+    cc = dedup_ops.connected_components(
+        eg, "id_a", "id_b", path_halving=True
+    )
+    singles = core.join(
+        cc.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+    ).select(F.col("vec_id").alias("id"), F.col("vec_id").alias("comp"))
+    comps = cc.unionByName(singles)
+    border = (
+        nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia", "left_anti")
+        .join(
+            comps.select(
+                F.col("id").alias("ib"), F.col("comp")
+            ),
+            "ib",
+        )
+        .groupBy("ia")
+        .agg(F.min("comp").cast("long").alias("comp"))
+    )
+    core_per = comps.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_core")
+    )
+    border_per = border.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_border")
+    )
+    noise = (
+        p.join(comps.select(F.col("id").alias("vec_id")), "vec_id",
+               "left_anti")
+        .join(border.select(F.col("ia").alias("vec_id")), "vec_id",
+              "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.lit(0).cast("long").alias("n_border"),
+            "n_total",
+        )
+    )
+    clusters = (
+        core_per.join(border_per, "cluster", "left")
+        .select(
+            "cluster",
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).cast("long").alias(
+                "n_border"
+            ),
+            (F.col("n_core") + F.coalesce("n_border", F.lit(0)))
+            .cast("long")
+            .alias("n_total"),
+        )
+    )
+    return clusters.unionByName(noise)
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -15358,6 +15551,31 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_members + 31*min_id + 1009*{t('c_sum')}"),
         ("v6_ivf_probe_exact", "vec_id", f"cid + 31*{t('dist')}"),
         ("v7_hierarchical_assign", "n_total", "n_match"),
+        # round-4 session-6 batch
+        ("n12_ks_test", "na",
+         f"nb + 31*{t('d_scaled')} + 1009*{q6('d_stat')}"
+         f" + 31063*{q6('crit_05')}"
+         " + 127*(CASE WHEN reject_05 THEN 1 ELSE 0 END)"),
+        ("n13_mannwhitney_u", "na",
+         f"nb + 31*{t('ties')} + 1009*{t('u2')} + 31063*{q6('z_stat')}"),
+        ("n14_acf_daily", f"CAST({sc('event_type')} AS BIGINT) * 10 + lag",
+         f"n_days + 31*{t('num')} + 1009*{t('den')} + 31063*{q6('acf')}"),
+        ("a26_kaplan_meier", "t_days",
+         f"n_risk + 31*n_events + 1009*{t('coalesce(cum_log_micro, 0)')}"
+         f" + 31063*{q6('survival')}"),
+        ("t46_association_rules", "n_ab * 1000000 + n_a",
+         f"n_b + 31*{q6('confidence')} + 1009*{q6('lift')}"),
+        ("j12_lev_linkage", "rep_id",
+         "best_id + 31*lev_dist + 1009*ham_dist + 31063*n_cand"),
+        ("a27_dp_noisy_release", sc("event_type"),
+         f"true_n + 31*{q6('noise')} + 1009*{q6('noisy_n')}"),
+        ("m29_naive_bayes",
+         f"CAST({sc('lang')} AS BIGINT) * 100000 + {sc('pred')}", "n"),
+        ("m30_ols_normal_eq", "n",
+         f"{q6('beta0')} + 31*{q6('beta1')} + 1009*{q6('beta2')}"
+         f" + 31063*{q6('r2')}"),
+        ("v15_dbscan_grid", "cluster",
+         "n_core + 31*n_border + 1009*n_total"),
     ]
 
 

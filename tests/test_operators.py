@@ -324,6 +324,33 @@ def test_connected_components_long_path_converges(spark):
     assert len(got) == 12
 
 
+def test_connected_components_path_halving_matches(spark):
+    """Pointer-jump variant must produce identical components on the
+    shapes that stress it: a long chain (log-round convergence is the
+    point), a clique, and an isolated pair."""
+    from openseizuredatabase_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(100, 115)]  # 16-node path
+        + [(1, 2), (2, 3), (1, 3)]  # triangle
+        + [(50, 51)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, max_iter=30).collect()
+    }
+    halved = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            pairs, max_iter=30, path_halving=True
+        ).collect()
+    }
+    assert plain == halved
+    assert {halved[i] for i in range(100, 116)} == {100}
+    assert {halved[i] for i in (1, 2, 3)} == {1}
+
+
 def test_stratified_sample_portable_and_layout_stable(spark):
     from openseizuredatabase_spark.operators.splits import stratified_sample
 

@@ -138,6 +138,11 @@ HEADLINE = [
     "m29_naive_bayes",
     "m30_ols_normal_eq",
     "v15_dbscan_grid",
+    "n15_permutation_test",
+    "m31_target_encoding",
+    "w21_interval_coverage",
+    "t47_rake_keywords",
+    "v16_jl_projection",
 ]
 
 

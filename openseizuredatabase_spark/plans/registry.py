@@ -14961,8 +14961,8 @@ def _v15_oracle() -> str:
     return f"""
     WITH RECURSIVE p AS (
         SELECT vec_id,
-               CAST(round(embedding[1] * 1000000) AS BIGINT) AS x,
-               CAST(round(embedding[2] * 1000000) AS BIGINT) AS y
+               CAST(round(embedding[1]::DOUBLE * 1000000) AS BIGINT) AS x,
+               CAST(round(embedding[2]::DOUBLE * 1000000) AS BIGINT) AS y
         FROM embeddings
     ), nbr AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib
@@ -15143,6 +15143,644 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return clusters.unionByName(noise)
+
+
+_N15_R = 32  # permutation replicas
+
+
+def _n15_parts(h: str) -> tuple[str, str, str]:
+    """Shared-text pieces for the permutation test: (replica agg cols,
+    replica diff exprs folded into n_ge, observed diff expr). One
+    60-bit md5 per row supplies all 32 replica labels (bit r of the
+    hash) — one scan, no row explosion. ``h`` is the dialect's
+    rendering of the SAME portable seeded-md5 integer (the only
+    non-shared text)."""
+    aggs, diffs = [], []
+    for r in range(_N15_R):
+        bit = f"(({h} % {2 ** (r + 1)}) >= {2 ** r})"
+        aggs.append(
+            f"sum(CASE WHEN {bit} THEN vc ELSE 0 END) AS s{r}"
+        )
+        aggs.append(
+            f"sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS c{r}"
+        )
+        diffs.append(
+            f"(CASE WHEN abs(round(CAST(s{r} AS DOUBLE)"
+            f" / CAST(c{r} AS DOUBLE)"
+            f" - CAST(st - s{r} AS DOUBLE)"
+            f" / CAST(nt - c{r} AS DOUBLE), 6)) >= abs(obs_diff)"
+            " THEN 1 ELSE 0 END)"
+        )
+    obs = (
+        "round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)"
+    )
+    return ", ".join(aggs), " + ".join(diffs), obs
+
+
+def _n15_oracle() -> str:
+    aggs, n_ge, obs = _n15_parts(
+        f"({seeded_md5_long_sql('event_id::VARCHAR', 97)})"
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_id, event_type, round(value * 100)::BIGINT AS vc
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), m AS (
+        SELECT
+            sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END)
+                ::BIGINT AS sa,
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                ::BIGINT AS na,
+            sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END)
+                ::BIGINT AS sb,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                ::BIGINT AS nb,
+            sum(vc)::BIGINT AS st, count(*)::BIGINT AS nt,
+            {aggs}
+        FROM base
+    ), o AS (
+        SELECT *, {obs} AS obs_diff FROM m
+    )
+    SELECT na, nb, obs_diff,
+           CAST({n_ge} AS BIGINT) AS n_ge,
+           round((1.0 + CAST({n_ge} AS DOUBLE)) / {_N15_R + 1}.0, 6)
+               AS p_value
+    FROM o
+    """
+
+
+@query(
+    "n15_permutation_test",
+    _n15_oracle(),
+    "Permutation test for the click-vs-view mean difference (the "
+    "resampling counterpart of n7's bootstrap CI and the exact-"
+    "inference sibling of n11's parametric t): 32 label permutations, "
+    "p = (1 + #{|diff_perm| >= |diff_obs|}) / 33. All 32 replicas "
+    "ride ONE scan — bit r of a single portable 60-bit md5 labels "
+    "replica r, so the 64 replica aggregates are conditional sums in "
+    "one map-side-combined pass, never a 32x row explosion. Group "
+    "sums stay exact int64 (centi-units); each replica's mean "
+    "difference is a fixed-order IEEE expression rounded to 6 dp "
+    "before the >= comparison, making the count an integer decision. "
+    "The replica formula text is generated once and shared verbatim "
+    "by both engines.",
+)
+def n15_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aggs, n_ge, obs = _n15_parts(
+        "(CAST(conv(substr(md5(concat('97', ':',"
+        " CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+    )
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    agg_exprs = [
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sa"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sb"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("nb"),
+        F.expr("CAST(sum(vc) AS BIGINT)").alias("st"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("nt"),
+    ]
+    # split the shared replica-agg text into individual expressions
+    # (top-level commas only — the CASE bodies contain commas-free text
+    # but the split must still respect parens)
+    rep_exprs = []
+    depth = 0
+    cur = ""
+    for ch in aggs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            rep_exprs.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        rep_exprs.append(cur.strip())
+    for e in rep_exprs:
+        body, alias = e.rsplit(" AS ", 1)
+        agg_exprs.append(F.expr(body).cast("long").alias(alias))
+    m = base.agg(*agg_exprs)
+    o = m.withColumn("obs_diff", F.expr(obs))
+    return o.select(
+        "na",
+        "nb",
+        "obs_diff",
+        F.expr(n_ge).cast("long").alias("n_ge"),
+        F.expr(
+            f"round((1.0 + CAST({n_ge} AS DOUBLE)) / {_N15_R + 1}.0, 6)"
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "m31_target_encoding",
+    """
+    WITH base AS (
+        SELECT c.c_mktsegment AS cat,
+               {h} % 5 AS fold,
+               round(o.o_totalprice)::BIGINT AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT cat, fold, sum(y)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM base GROUP BY cat, fold
+    ), tot AS (
+        SELECT cat, sum(s)::BIGINT AS st, sum(n)::BIGINT AS nt
+        FROM per GROUP BY cat
+    )
+    SELECT p.cat, p.fold, p.n AS n_fold,
+           CASE WHEN t.nt > p.n THEN
+               round(CAST(t.st - p.s AS DOUBLE)
+                     / CAST(t.nt - p.n AS DOUBLE), 6)
+           END AS oof_mean
+    FROM per p JOIN tot t ON p.cat = t.cat
+    """.replace("{h}", seeded_md5_long_sql("o.o_orderkey::VARCHAR", 29)),
+    "Leakage-safe K-fold target encoding (the feature-engineering "
+    "step gradient-boosting pipelines pair with m27: replace a "
+    "category with its out-of-fold target mean, so a row never sees "
+    "its own fold's labels — in-fold means leak the target and "
+    "overfit). Folds come from the portable seeded md5 (m24's CV "
+    "discipline); each (category, fold) encoding is (total - fold) / "
+    "(n_total - n_fold) over exact dollar-int sums — one (cat, fold) "
+    "shuffle of data-scale work, then the per-category totals ride a "
+    "25-row frame. A category confined to a single fold emits NULL "
+    "(no out-of-fold evidence) instead of a leaked or divide-by-zero "
+    "value.",
+)
+def m31_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("cat"),
+        (
+            seeded_md5_long(F.col("o_orderkey").cast("string"), 29) % 5
+        ).alias("fold"),
+        F.round("o_totalprice", 0).cast("long").alias("y"),
+    )
+    per = base.groupBy("cat", "fold").agg(
+        F.sum("y").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = per.groupBy("cat").agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    return per.join(F.broadcast(tot), "cat").select(
+        "cat",
+        "fold",
+        F.col("n").alias("n_fold"),
+        F.when(
+            F.col("nt") > F.col("n"),
+            F.round(
+                (F.col("st") - F.col("s")).cast("double")
+                / (F.col("nt") - F.col("n")).cast("double"),
+                6,
+            ),
+        ).alias("oof_mean"),
+    )
+
+
+@query(
+    "w21_interval_coverage",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts)::BIGINT AS t
+        FROM events
+    ), m AS (
+        SELECT user_id, event_id, t,
+               max(t + 300000000) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               )::BIGINT AS prev_end
+        FROM e
+    ), isl AS (
+        SELECT user_id, t,
+               sum(CASE WHEN prev_end IS NULL OR t > prev_end
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS island
+        FROM m
+    ), per AS (
+        SELECT user_id, island,
+               min(t) AS s, max(t) + 300000000 AS e
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           sum(1)::BIGINT AS n_intervals,
+           sum(e - s)::BIGINT AS covered_us
+    FROM per GROUP BY user_id
+    """,
+    "Per-user activity coverage via interval union (merge overlapping "
+    "[ts, ts+5min) windows — the gaps-and-islands op behind 'how much "
+    "wall-clock was this user active', which a naive count*5min "
+    "overstates wherever events overlap; the W-family's interval "
+    "algebra next to w3's gap repair and d2's gap clustering). "
+    "Islands come from the classic running-max-of-ends rule with a "
+    "(t, event_id) tiebreak so both engines see the same frame even "
+    "on duplicate timestamps; everything is exact epoch-microsecond "
+    "int64. Both windows and both aggregations share ONE user_id "
+    "shuffle — Spark reuses the exchange — and per-user state is the "
+    "user's own events only, so the plan scales with rows, not "
+    "users^2.",
+)
+def w21_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    m = ev.select(
+        "user_id",
+        "event_id",
+        "t",
+        F.max(F.col("t") + 300000000)
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("prev_end"),
+    )
+    isl = m.select(
+        "user_id",
+        "t",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("t") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("island"),
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        F.min("t").alias("s"),
+        (F.max("t") + 300000000).alias("e"),
+    )
+    return per.groupBy("user_id").agg(
+        F.sum(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("covered_us"),
+    )
+
+
+def _t47_stop_sql() -> str:
+    return ", ".join(f"'{w}'" for w in text_fns.STOPWORDS["en"])
+
+
+def _t47_oracle() -> str:
+    stops = _t47_stop_sql()
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, g.i AS idx, lower(t[g.i + 1]) AS tok
+        FROM (
+            SELECT doc_id, {text_fns.tokens_sql('text')} AS t
+            FROM documents WHERE lang = 'en'
+        ), unnest(generate_series(0, len(t) - 1)) AS g(i)
+    ), nonstop AS (
+        SELECT doc_id, idx, tok,
+               idx - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY idx) AS grp
+        FROM toks WHERE tok NOT IN ({stops})
+    ), phrase_tok AS (
+        SELECT doc_id, grp, idx, tok,
+               count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        FROM nonstop
+    ), word AS (
+        SELECT tok, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+        FROM phrase_tok GROUP BY tok
+    ), wscore AS (
+        SELECT tok,
+               CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                          * 1000000) AS BIGINT) AS ws
+        FROM word
+    ), phrases AS (
+        SELECT p.doc_id, p.grp,
+               string_agg(p.tok, ' ' ORDER BY p.idx) AS phrase,
+               count(*)::BIGINT AS n_words,
+               sum(w.ws)::BIGINT AS score_micro
+        FROM phrase_tok p JOIN wscore w ON p.tok = w.tok
+        WHERE p.plen >= 2
+        GROUP BY p.doc_id, p.grp
+    ), agg AS (
+        SELECT phrase, n_words, score_micro,
+               count(*)::BIGINT AS n_occurrences
+        FROM phrases GROUP BY phrase, n_words, score_micro
+    )
+    SELECT phrase, n_words, n_occurrences, score_micro
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY score_micro DESC, phrase) AS rn FROM agg)
+    WHERE rn <= 10
+    """
+
+
+@query(
+    "t47_rake_keywords",
+    _t47_oracle(),
+    "RAKE keyword extraction over the English corpus (Rose et al.'s "
+    "Rapid Automatic Keyword Extraction — the unsupervised "
+    "single-corpus complement of t38's cross-source c-TF-IDF): "
+    "candidate phrases are maximal stopword-free token runs (the "
+    "gaps-and-islands idx − row_number trick, per doc), each word "
+    "scores deg/freq where deg sums the lengths of phrases containing "
+    "it, and a phrase scores the sum of its word scores. Word scores "
+    "are quantized to integer micro-units BEFORE the per-phrase sum "
+    "(order-free), so phrase ranking is an integer decision with a "
+    "deterministic (score, phrase) top-10. Scale shape: one token "
+    "shuffle for islands, one corpus-level word aggregate joined back "
+    "on the token key, one phrase aggregate — multi-word phrases "
+    "only, never a pairwise join.",
+)
+def t47_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stops = [w for w in text_fns.STOPWORDS["en"]]
+    docs = (
+        _ts(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", text_fns.tokens(F.col("text")).alias("t"))
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("t").alias("idx", "tok0")
+    ).select("doc_id", "idx", F.lower("tok0").alias("tok"))
+    wo = Window.partitionBy("doc_id").orderBy("idx")
+    nonstop = toks.filter(~F.col("tok").isin(stops)).select(
+        "doc_id",
+        "idx",
+        "tok",
+        (F.col("idx") - F.row_number().over(wo)).alias("grp"),
+    )
+    wp = Window.partitionBy("doc_id", "grp")
+    phrase_tok = nonstop.select(
+        "doc_id",
+        "grp",
+        "idx",
+        "tok",
+        F.count(F.lit(1)).over(wp).alias("plen"),
+    )
+    word = phrase_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wscore = word.select(
+        "tok",
+        F.round(
+            F.col("deg").cast("double") / F.col("freq").cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("ws"),
+    )
+    phrases = (
+        phrase_tok.filter(F.col("plen") >= 2)
+        .join(wscore, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("idx", "tok")))
+                .getField("tok")
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ws").cast("long").alias("score_micro"),
+        )
+    )
+    agg = phrases.groupBy("phrase", "n_words", "score_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    wr = Window.orderBy(F.desc("score_micro"), "phrase")
+    return (
+        agg.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_micro",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("phrase", "n_words", "n_occurrences", "score_micro")
+    )
+
+
+def _v16_signs() -> list[tuple[int, int, int]]:
+    """Deterministic ±1 JL sign matrix (8 x 64), precomputed from md5 so
+    it is a pure literal in BOTH engines (no dialect-specific hash
+    rendering in the shared plan)."""
+    import hashlib
+
+    out = []
+    for j in range(8):
+        for i in range(64):
+            h = int(
+                hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            out.append((j, i, 1 if h % 2 == 0 else -1))
+    return out
+
+
+def _v16_oracle() -> str:
+    rows = ", ".join(f"({j}, {i}, {s})" for j, i, s in _v16_signs())
+    proj_cols = ", ".join(
+        f"sum(CASE WHEN s.j = {j} THEN s.sgn * x.xq ELSE 0 END)"
+        f"::BIGINT AS y{j}"
+        for j in range(8)
+    )
+    d8 = " + ".join(
+        f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(8)
+    )
+    return f"""
+    WITH signs(j, i, sgn) AS (
+        SELECT * FROM (VALUES {rows})
+    ), x AS (
+        SELECT vec_id, g.i AS i,
+               CAST(round(embedding[g.i + 1]::DOUBLE * 1000000) AS BIGINT) AS xq
+        FROM embeddings, unnest(generate_series(0, 63)) AS g(i)
+    ), y AS (
+        SELECT x.vec_id, {proj_cols}
+        FROM x JOIN signs s ON s.i = x.i
+        GROUP BY x.vec_id
+    ), bkt AS (
+        SELECT vec_id,
+               ({md5_long_sql("'v16:' || vec_id::VARCHAR")}) % 64 AS b,
+               vec_id AS vid
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT vec_id, b,
+                     row_number() OVER (PARTITION BY b
+                                        ORDER BY vec_id) AS rn
+              FROM bkt) a
+        JOIN (SELECT vec_id, b,
+                     row_number() OVER (PARTITION BY b
+                                        ORDER BY vec_id) AS rn
+              FROM bkt) b
+          ON a.b = b.b AND b.rn = a.rn + 1
+    ), d64 AS (
+        SELECT p.id_a, p.id_b,
+               sum((xa.xq - xb.xq) * (xa.xq - xb.xq))::BIGINT AS d64_sq
+        FROM pairs p
+        JOIN x xa ON xa.vec_id = p.id_a
+        JOIN x xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b, d.d64_sq,
+           CAST({d8} AS BIGINT) AS d8_sq,
+           round((CAST({d8} AS DOUBLE) / 8.0)
+                 / (CAST(d.d64_sq AS DOUBLE) / 64.0), 6) AS ratio
+    FROM d64 d
+    JOIN y a ON a.vec_id = d.id_a
+    JOIN y b ON b.vec_id = d.id_b
+    WHERE d.d64_sq > 0
+    """
+
+
+@query(
+    "v16_jl_projection",
+    _v16_oracle(),
+    "Johnson-Lindenstrauss random-sign projection (64-d -> 8-d) with "
+    "a distortion audit — the dimensionality-reduction primitive that "
+    "makes downstream ANN (v2/v8/v10) cheaper, verified by the "
+    "property JL actually promises: squared-distance ratios near 1. "
+    "The +-1 sign matrix is md5-derived but PRECOMPUTED into a "
+    "512-row literal table both engines share verbatim (no dialect "
+    "hash text in the plan); projections are exact integer "
+    "sign-sums of micro-quantized coordinates via one posexplode "
+    "shuffle with the sign table broadcast. The audit pairs each "
+    "vector with its hash-bucket successor (portable buckets, no "
+    "global window, no n^2), computes exact-int d64^2 and d8^2, and "
+    "reports the per-pair dimension-normalized ratio with ONE IEEE "
+    "division rounded to 6 dp.",
+)
+def v16_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import md5_long
+
+    signs = spark.createDataFrame(
+        _v16_signs(), "j int, i int, sgn int"
+    )
+    emb = _ts(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xv")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("xv").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("xq"),
+    )
+    y = (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("j") == j, F.col("sgn") * F.col("xq")
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"y{j}")
+                for j in range(8)
+            ]
+        )
+    )
+    bkt = emb.select(
+        "vec_id",
+        (
+            md5_long(F.concat(F.lit("v16:"), F.col("vec_id").cast("string")))
+            % 64
+        ).alias("b"),
+    )
+    wb = Window.partitionBy("b").orderBy("vec_id")
+    ranked = bkt.select(
+        "vec_id", "b", F.row_number().over(wb).alias("rn")
+    )
+    pairs = (
+        ranked.alias("pa")
+        .join(
+            ranked.alias("pb"),
+            (F.col("pb.b") == F.col("pa.b"))
+            & (F.col("pb.rn") == F.col("pa.rn") + 1),
+        )
+        .select(
+            F.col("pa.vec_id").alias("id_a"),
+            F.col("pb.vec_id").alias("id_b"),
+        )
+    )
+    xa = x.select(
+        F.col("vec_id").alias("id_a"), "i", F.col("xq").alias("xqa")
+    )
+    xb = x.select(
+        F.col("vec_id").alias("id_b2"),
+        F.col("i").alias("ib"),
+        F.col("xq").alias("xqb"),
+    )
+    d64 = (
+        pairs.join(xa, "id_a")
+        .join(
+            xb,
+            (F.col("ib") == F.col("i"))
+            & (F.col("id_b") == F.col("id_b2")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("xqa") - F.col("xqb"))
+                * (F.col("xqa") - F.col("xqb"))
+            )
+            .cast("long")
+            .alias("d64_sq")
+        )
+        .filter(F.col("d64_sq") > 0)
+    )
+    ya = y.select(
+        F.col("vec_id").alias("id_a"),
+        *[F.col(f"y{j}").alias(f"ya{j}") for j in range(8)],
+    )
+    yb = y.select(
+        F.col("vec_id").alias("id_b"),
+        *[F.col(f"y{j}").alias(f"yb{j}") for j in range(8)],
+    )
+    d8 = None
+    for j in range(8):
+        term = (F.col(f"ya{j}") - F.col(f"yb{j}")) * (
+            F.col(f"ya{j}") - F.col(f"yb{j}")
+        )
+        d8 = term if d8 is None else d8 + term
+    return (
+        d64.join(ya, "id_a")
+        .join(yb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "d64_sq",
+            d8.cast("long").alias("d8_sq"),
+            F.round(
+                (d8.cast("double") / 8.0)
+                / (F.col("d64_sq").cast("double") / 64.0),
+                6,
+            ).alias("ratio"),
+        )
+    )
 
 
 def _sig_t(x: str) -> str:
@@ -15576,6 +16214,17 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 31063*{q6('r2')}"),
         ("v15_dbscan_grid", "cluster",
          "n_core + 31*n_border + 1009*n_total"),
+        ("n15_permutation_test", "na",
+         f"nb + 31*{q6('obs_diff')} + 1009*n_ge + 31063*{q6('p_value')}"),
+        ("m31_target_encoding",
+         f"CAST({sc('cat')} AS BIGINT) * 10 + fold",
+         f"n_fold + 31*{q6('coalesce(oof_mean, -1.0)')}"),
+        ("w21_interval_coverage", "user_id",
+         f"n_intervals + 31*{t('covered_us')}"),
+        ("t47_rake_keywords", sc("phrase"),
+         f"n_words + 31*n_occurrences + 1009*{t('score_micro')}"),
+        ("v16_jl_projection", "id_a * 1000000 + id_b",
+         f"{t('d64_sq')} + 31*{t('d8_sq')} + 1009*{q6('ratio')}"),
     ]
 
 

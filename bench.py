@@ -143,6 +143,14 @@ HEADLINE = [
     "w21_interval_coverage",
     "t47_rake_keywords",
     "v16_jl_projection",
+    "n16_anova_f",
+    "n17_spearman_rho",
+    "w22_xcorr_lags",
+    "t48_readability",
+    "n18_fdr_bh",
+    "a21_markov_stationary",
+    "m32_batch_perceptron",
+    "j13_bfs_hops",
 ]
 
 

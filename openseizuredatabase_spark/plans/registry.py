@@ -15783,6 +15783,872 @@ def v16_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _n16_formulas() -> dict[str, str]:
+    """Shared-text final expressions for the one-way ANOVA F — plain
+    arithmetic + CAST + round, valid verbatim in Spark SQL and DuckDB,
+    over identical int64 inputs (k, nt, st, sst, sb_micro), so every
+    IEEE intermediate is bit-identical cross-engine."""
+    ssb = (
+        "(CAST(sb_micro AS DOUBLE) / 1000000.0"
+        " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+    )
+    ssw = "(CAST(sst AS DOUBLE) - CAST(sb_micro AS DOUBLE) / 1000000.0)"
+    return {
+        "ssb": f"round({ssb}, 2)",
+        "ssw": f"round({ssw}, 2)",
+        "f": (
+            f"round(({ssb} / CAST(k - 1 AS DOUBLE))"
+            f" / ({ssw} / CAST(nt - k AS DOUBLE)), 6)"
+        ),
+    }
+
+
+@query(
+    "n16_anova_f",
+    f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT event_type, sum(vc)::BIGINT AS s, count(*)::BIGINT AS n,
+               sum(vc * vc)::BIGINT AS ss
+        FROM base GROUP BY event_type
+    ), tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
+               sum(s)::BIGINT AS st, sum(ss)::BIGINT AS sst,
+               sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+               )::BIGINT AS sb_micro
+        FROM g
+    )
+    SELECT k AS n_groups, nt AS n_total,
+           {_n16_formulas()['ssb']} AS ss_between,
+           {_n16_formulas()['ssw']} AS ss_within,
+           {_n16_formulas()['f']} AS f_stat
+    FROM tot
+    """,
+    "One-way ANOVA F-statistic across event types (the k-group "
+    "generalization of n11's two-sample Welch t: does mean value differ "
+    "across ANY of the k event types). Values quantize to exact "
+    "centi-int64, so the per-group moments (s, n, ss) are order-free "
+    "integer sums in ONE map-side-combined pass. The between-group sum "
+    "of squares needs per-group s^2/n terms whose sum order would be "
+    "engine-dependent in floating point — so each group's term is "
+    "quantized to integer micro-units FIRST and the cross-group sum "
+    "stays integer. The final SSB/SSW/F expressions are shared verbatim "
+    "by both engines over identical int64 inputs (fixed-order IEEE ops "
+    "are bit-identical). Scale shape: one shuffle of k rows; everything "
+    "else is the scan.",
+)
+def n16_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _n16_formulas()
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    g = base.groupBy("event_type").agg(
+        F.sum("vc").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                " / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("sb_micro"),
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        F.expr(fx["ssb"]).alias("ss_between"),
+        F.expr(fx["ssw"]).alias("ss_within"),
+        F.expr(fx["f"]).alias("f_stat"),
+    )
+
+
+_N17_RHO = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "n17_spearman_rho",
+    f"""
+    WITH base AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS qx,
+               CAST(round(l_extendedprice) AS BIGINT) AS qy
+        FROM lineitem
+    ), cx AS (
+        SELECT qx AS v, count(*)::BIGINT AS c FROM base GROUP BY qx
+    ), rx AS (
+        SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + c + 1 AS BIGINT) AS r2
+        FROM cx
+    ), cy AS (
+        SELECT qy AS v, count(*)::BIGINT AS c FROM base GROUP BY qy
+    ), ry AS (
+        SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + c + 1 AS BIGINT) AS r2
+        FROM cy
+    ), j AS (
+        SELECT rx.r2 AS r2x, ry.r2 AS r2y
+        FROM base JOIN rx ON base.qx = rx.v JOIN ry ON base.qy = ry.v
+    ), m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(r2x)::BIGINT AS sx, sum(r2y)::BIGINT AS sy,
+               sum(r2x * r2x)::BIGINT AS sxx,
+               sum(r2y * r2y)::BIGINT AS syy,
+               sum(r2x * r2y)::BIGINT AS sxy
+        FROM j
+    )
+    SELECT n, {_N17_RHO} AS rho
+    FROM m
+    """,
+    "Spearman rank correlation between quantity and extended price over "
+    "lineitem — the tie-aware, outlier-robust dependence measure (n14's "
+    "ACF is Pearson on lags; this is Pearson on RANKS). The scalable "
+    "rank trick: average ranks with ties are computed per DISTINCT "
+    "value (group-count frame bounded by the value domain, not the row "
+    "count), doubled so tie-averages (.5s) stay exact integers "
+    "(r2 = 2*cum_before + cnt + 1), then broadcast-joined back — the "
+    "raw data never sees a global sort or a single-partition window. "
+    "Rank moments are exact int64 (valid to ~1M rows at doubled-rank "
+    "magnitude; production past that switches the moment accumulators "
+    "to 128-bit or mod-P pieces); the closing rho is one shared-text "
+    "fixed-order IEEE expression rounded to 6 dp.",
+)
+def n17_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity", 0).cast("long").alias("qx"),
+        F.round("l_extendedprice", 0).cast("long").alias("qy"),
+    )
+
+    def ranks(col: str) -> DataFrame:
+        c = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return c.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+
+    rx = ranks("qx").withColumnRenamed("r2", "r2x")
+    ry = ranks("qy").withColumnRenamed("r2", "r2y")
+    j = base.join(
+        F.broadcast(rx), base.qx == rx.v
+    ).join(F.broadcast(ry), base.qy == ry.v)
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+    )
+    return m.select("n", F.expr(_N17_RHO).alias("rho"))
+
+
+_W22_R = (
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN"
+    " round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE)), 6) END"
+)
+
+
+@query(
+    "w22_xcorr_lags",
+    f"""
+    WITH e AS (
+        SELECT CAST((epoch_us(ts) - (epoch_us(ts) % 3600000000))
+                    / 3600000000 AS BIGINT) AS h,
+               event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ), s AS (
+        SELECT h,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   ::BIGINT AS nc,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   ::BIGINT AS nv
+        FROM e GROUP BY h
+    ), lags AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6)) t(l)
+    ), j AS (
+        SELECT l.l, a.nc AS x, b.nv AS y
+        FROM s a CROSS JOIN lags l JOIN s b ON b.h = a.h + l.l
+    ), m AS (
+        SELECT l, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy
+        FROM j GROUP BY l
+    )
+    SELECT l AS lag_h, n AS n_hours, {_W22_R} AS r_xy
+    FROM m
+    """,
+    "Cross-correlation between the hourly click series and the hourly "
+    "view series at lags 0..6h — the lead/lag dependence diagnostic "
+    "(does click volume predict view volume an hour later?) that "
+    "completes n14's single-series ACF. Data-scale work is ONE "
+    "conditional-count aggregation to the hourly frame; that frame is "
+    "bounded by the time range, not the row count, so the 7-lag "
+    "self-join and the per-lag Pearson moments run on a small series "
+    "table (integer counts, exact int64 moments). Zero-variance lags "
+    "emit NULL via an exact integer variance guard instead of a NaN "
+    "that the two engines would order differently.",
+)
+def w22_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            (F.unix_micros("ts") - F.unix_micros("ts") % 3600000000)
+            .cast("double")
+            .alias("hus"),
+            "event_type",
+        )
+        .select(
+            (F.col("hus") / 3600000000).cast("long").alias("h"),
+            "event_type",
+        )
+    )
+    s = e.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nv"),
+    )
+    lags = spark.createDataFrame([(i,) for i in range(7)], "l int")
+    a = s.select(F.col("h").alias("ha"), F.col("nc").alias("x"))
+    b = s.select(F.col("h").alias("hb"), F.col("nv").alias("y"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("ha") + F.col("l"))
+        .select("l", "x", "y")
+    )
+    m = j.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("l").alias("lag_h"),
+        F.col("n").alias("n_hours"),
+        F.expr(_W22_R).alias("r_xy"),
+    )
+
+
+_T48_FLESCH = (
+    "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE)"
+    " / CAST(n_sentences AS DOUBLE))"
+    " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+    " / CAST(n_words AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "t48_readability",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lower(text) AS lt
+        FROM documents WHERE lang = 'en'
+    ), c AS (
+        SELECT doc_id,
+               {text_fns.token_count_sql('lt')}::BIGINT AS n_words,
+               CAST(greatest(len(regexp_extract_all(lt, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               len(regexp_extract_all(lt, '[aeiouy]+'))::BIGINT
+                   AS n_syllables
+        FROM d
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           {_T48_FLESCH} AS flesch
+    FROM c WHERE n_words > 0
+    """,
+    "Flesch reading-ease per English document — the classic readability "
+    "screen corpus-quality pipelines run next to t2's heuristics and "
+    "t31's Gopher rules (Flesch 1948: 206.835 - 1.015*(words/sentences) "
+    "- 84.6*(syllables/words)). Sentences are [.!?]+ runs (min 1), "
+    "syllables the standard vowel-group heuristic ([aeiouy]+ runs over "
+    "the lowered text) — both exact integer counts from "
+    "regexp_extract_all, which Java and RE2 evaluate identically on "
+    "this alternation-free pattern. The score is one shared-text "
+    "fixed-order IEEE expression per row; the whole operator is a "
+    "single projection absorbed into the parquet scan — zero shuffles.",
+)
+def t48_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _ts(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.lower("text").alias("lt"))
+    )
+    c = d.select(
+        "doc_id",
+        text_fns.token_count(F.col("lt")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("lt"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(F.regexp_extract_all(F.col("lt"), F.lit("[aeiouy]+"), 0))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return c.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(_T48_FLESCH).alias("flesch"),
+    )
+
+
+_N18_R = 16  # label permutations per group
+
+
+def _n18_parts() -> tuple[str, str, str]:
+    """Shared-text pieces for the grouped permutation tests (n15's
+    machinery, GROUP BY event_type): replica aggregate columns, the
+    folded n_ge count, and the observed-diff expression. All text
+    references base columns only (vc, la, he) so BOTH engines consume
+    it verbatim."""
+    aggs, diffs = [], []
+    for r in range(_N18_R):
+        bit = f"((he % {2 ** (r + 1)}) >= {2 ** r})"
+        aggs.append(
+            f"CAST(sum(CASE WHEN {bit} THEN vc ELSE 0 END) AS BIGINT)"
+            f" AS s{r}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c{r}"
+        )
+        diffs.append(
+            f"(CASE WHEN abs(round(CAST(s{r} AS DOUBLE)"
+            f" / CAST(c{r} AS DOUBLE)"
+            f" - CAST(st - s{r} AS DOUBLE)"
+            f" / CAST(nt - c{r} AS DOUBLE), 6)) >= abs(obs_diff)"
+            " THEN 1 ELSE 0 END)"
+        )
+    obs = (
+        "round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(st - sa AS DOUBLE) / CAST(nt - na AS DOUBLE), 6)"
+    )
+    return ", ".join(aggs), " + ".join(diffs), obs
+
+
+def _n18_oracle() -> str:
+    aggs, n_ge, obs = _n18_parts()
+    hu = seeded_md5_long_sql("user_id::VARCHAR", 53)
+    he = seeded_md5_long_sql("event_id::VARCHAR", 97)
+    return f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+               (({hu}) % 2 = 0) AS la,
+               ({he}) AS he
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN la THEN vc ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN la THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(vc) AS BIGINT) AS st,
+               CAST(count(*) AS BIGINT) AS nt,
+               {aggs}
+        FROM base GROUP BY event_type
+    ), o AS (
+        SELECT *, {obs} AS obs_diff FROM m
+    ), p AS (
+        SELECT event_type, na, nt, obs_diff,
+               CAST({n_ge} AS BIGINT) AS n_ge,
+               round((1.0 + CAST({n_ge} AS DOUBLE)) / {_N18_R + 1}.0, 6)
+                   AS p_value
+        FROM o
+    ), r AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_value, event_type)
+                    AS BIGINT) AS p_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m_tests
+        FROM p
+    ), b AS (
+        SELECT *, round(CAST(p_rank AS DOUBLE) * 0.1
+                        / CAST(m_tests AS DOUBLE), 6) AS bh_crit
+        FROM r
+    ), x AS (
+        SELECT *, max(CASE WHEN p_value <= bh_crit THEN p_rank
+                           ELSE 0 END) OVER () AS kmax
+        FROM b
+    )
+    SELECT event_type, na AS n_a, CAST(nt - na AS BIGINT) AS n_b,
+           obs_diff, n_ge, p_value, p_rank, bh_crit,
+           (p_rank <= kmax) AS rejected
+    FROM x
+    """
+
+
+@query(
+    "n18_fdr_bh",
+    _n18_oracle(),
+    "Benjamini-Hochberg FDR correction over a FAMILY of per-group "
+    "permutation tests — the multiple-comparisons step every screen "
+    "that runs n11/n15 per segment needs before acting on 'significant' "
+    "groups. Per event type: a user-hash split defines the two arms, "
+    "16 label permutations ride bits of ONE portable per-row md5 "
+    "(n15's no-row-explosion trick, here under GROUP BY), and "
+    "p = (1 + #{|d_perm| >= |d_obs|}) / 17 is exact-rational before a "
+    "6 dp round. Then BH at alpha = 0.10: rank p ascending "
+    "((p, event_type) tiebreak), reject ranks <= max{k: p_(k) <= "
+    "0.1 k/m} — windows over the k-row test frame only. The replica "
+    "formula text is generated once and shared verbatim; every "
+    "comparison is between identically-rounded doubles, making each "
+    "reject verdict an integer decision.",
+)
+def n18_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    aggs, n_ge, obs = _n18_parts()
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+            (
+                seeded_md5_long(F.col("user_id").cast("string"), 53) % 2
+                == 0
+            ).alias("la"),
+            seeded_md5_long(F.col("event_id").cast("string"), 97).alias(
+                "he"
+            ),
+        )
+    )
+    agg_exprs = [
+        F.expr(
+            "CAST(sum(CASE WHEN la THEN vc ELSE 0 END) AS BIGINT)"
+        ).alias("sa"),
+        F.expr("CAST(sum(CASE WHEN la THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "na"
+        ),
+        F.expr("CAST(sum(vc) AS BIGINT)").alias("st"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("nt"),
+    ]
+    depth, cur = 0, ""
+    for ch in aggs:
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            body, alias = cur.strip().rsplit(" AS ", 1)
+            agg_exprs.append(F.expr(body).alias(alias))
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        body, alias = cur.strip().rsplit(" AS ", 1)
+        agg_exprs.append(F.expr(body).alias(alias))
+    m = base.groupBy("event_type").agg(*agg_exprs)
+    o = m.withColumn("obs_diff", F.expr(obs))
+    p = o.select(
+        "event_type",
+        "na",
+        "nt",
+        "obs_diff",
+        F.expr(n_ge).cast("long").alias("n_ge"),
+        F.expr(
+            f"round((1.0 + CAST({n_ge} AS DOUBLE)) / {_N18_R + 1}.0, 6)"
+        ).alias("p_value"),
+    )
+    r = p.select(
+        "*",
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY p_value, event_type)"
+            " AS BIGINT)"
+        ).alias("p_rank"),
+        F.expr("CAST(count(*) OVER () AS BIGINT)").alias("m_tests"),
+    )
+    b = r.withColumn(
+        "bh_crit",
+        F.expr(
+            "round(CAST(p_rank AS DOUBLE) * 0.1"
+            " / CAST(m_tests AS DOUBLE), 6)"
+        ),
+    )
+    x = b.withColumn(
+        "kmax",
+        F.expr(
+            "max(CASE WHEN p_value <= bh_crit THEN p_rank ELSE 0 END)"
+            " OVER ()"
+        ),
+    )
+    return x.select(
+        "event_type",
+        F.col("na").alias("n_a"),
+        (F.col("nt") - F.col("na")).cast("long").alias("n_b"),
+        "obs_diff",
+        "n_ge",
+        "p_value",
+        "p_rank",
+        "bh_crit",
+        (F.col("p_rank") <= F.col("kmax")).alias("rejected"),
+    )
+
+
+_A21_ITERS = 6
+
+
+def _a21_oracle() -> str:
+    its = []
+    prev = "pi0"
+    for i in range(1, _A21_ITERS + 1):
+        its.append(
+            f"""pi{i} AS (
+        SELECT p.dst AS state,
+               CAST(round(CAST(sum(r.pi * p.p_micro) AS DOUBLE)
+                          / 1000000.0) AS BIGINT) AS pi
+        FROM p JOIN {prev} r ON p.src = r.state
+        GROUP BY p.dst
+    )"""
+        )
+        prev = f"pi{i}"
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts)::BIGINT AS t, event_type
+        FROM events
+    ), tr AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) AS dst
+        FROM e
+    ), c AS (
+        SELECT src, dst, count(*)::BIGINT AS n
+        FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+    ), w AS (
+        SELECT src, sum(n)::BIGINT AS wt FROM c GROUP BY src
+    ), p AS (
+        SELECT c.src, c.dst,
+               CAST(round(CAST(c.n AS DOUBLE) * 1000000.0
+                          / CAST(w.wt AS DOUBLE)) AS BIGINT) AS p_micro
+        FROM c JOIN w ON c.src = w.src
+    ), k AS (
+        SELECT count(*)::BIGINT AS k FROM w
+    ), pi0 AS (
+        SELECT w.src AS state,
+               CAST(round(1000000.0 / CAST(k.k AS DOUBLE)) AS BIGINT)
+                   AS pi
+        FROM w, k
+    ), {', '.join(its)}
+    SELECT w.src AS state, w.wt AS n_out,
+           CAST(coalesce(f.pi, 0) AS BIGINT) AS pi_micro
+    FROM w LEFT JOIN {prev} f ON w.src = f.state
+    """
+
+
+@query(
+    "a21_markov_stationary",
+    _a21_oracle(),
+    "Event-type Markov chain learned from per-user event sequences "
+    "(lead() over (ts, event_id) — the sequence-mining counterpart of "
+    "w13's funnel), then the stationary distribution via 6 power "
+    "iterations — 'where does a user's session settle'. Transition "
+    "counts are one exact-int shuffle of data-scale work; everything "
+    "after lives on the k x k transition frame (k = distinct event "
+    "types). Probabilities and the pi vector are integer micro-units "
+    "re-quantized after EVERY iteration (one correctly-rounded divide "
+    "per entry), so both engines walk bit-identical states — the t36 "
+    "integer-PageRank discipline applied to a LEARNED chain rather "
+    "than a link graph. The SQL oracle unrolls the same 6 rounds.",
+)
+def a21_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wo).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = c.groupBy("src").agg(F.sum("n").cast("long").alias("wt"))
+    p = (
+        c.join(w, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "CAST(round(CAST(n AS DOUBLE) * 1000000.0"
+                " / CAST(wt AS DOUBLE)) AS BIGINT)"
+            ).alias("p_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = w.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = w.crossJoin(F.broadcast(k)).select(
+        F.col("src").alias("state"),
+        F.expr(
+            "CAST(round(1000000.0 / CAST(k AS DOUBLE)) AS BIGINT)"
+        ).alias("pi"),
+    )
+    for _ in range(_A21_ITERS):
+        pi = (
+            p.join(pi, p.src == pi.state)
+            .groupBy(F.col("dst").alias("state2"))
+            .agg(
+                F.expr(
+                    "CAST(round(CAST(sum(pi * p_micro) AS DOUBLE)"
+                    " / 1000000.0) AS BIGINT)"
+                ).alias("pi")
+            )
+            .withColumnRenamed("state2", "state")
+        )
+    return (
+        w.join(pi, w.src == pi.state, "left")
+        .select(
+            F.col("src").alias("state"),
+            F.col("wt").alias("n_out"),
+            F.coalesce(F.col("pi"), F.lit(0))
+            .cast("long")
+            .alias("pi_micro"),
+        )
+    )
+
+
+_M32_EPOCHS = 6
+
+
+def _m32_step() -> tuple[str, str, str, str]:
+    """Shared epoch text for the batch perceptron: the misclassification
+    predicate and the three weight-update aggregate expressions, all
+    over base columns (y, x1, x2) + the broadcast weight row
+    (a0, a1, a2)."""
+    mis = "y * (a0 + a1 * x1 + a2 * x2) <= 0"
+    upd = lambda xj: (  # noqa: E731
+        f"CAST(max(a{xj[0]}) + coalesce(sum(CASE WHEN {mis}"
+        f" THEN y{xj[1]} ELSE 0 END), 0) AS BIGINT)"
+    )
+    return (
+        mis,
+        upd(("0", "")),
+        upd(("1", " * x1")),
+        upd(("2", " * x2")),
+    )
+
+
+def _m32_oracle() -> str:
+    mis, u0, u1, u2 = _m32_step()
+    its = []
+    prev = "w0"
+    for i in range(1, _M32_EPOCHS + 1):
+        its.append(
+            f"""e{i} AS (
+        SELECT {u0} AS a0, {u1} AS a1, {u2} AS a2
+        FROM base CROSS JOIN {prev}
+    )"""
+        )
+        prev = f"e{i}"
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+               CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2
+        FROM lineitem
+    ), w0 AS (
+        SELECT CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS a1,
+               CAST(0 AS BIGINT) AS a2
+    ), {', '.join(its)}
+    SELECT CAST(max(a0) AS BIGINT) AS a0, CAST(max(a1) AS BIGINT) AS a1,
+           CAST(max(a2) AS BIGINT) AS a2,
+           CAST(coalesce(sum(CASE WHEN {mis} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_mis,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM base CROSS JOIN {prev}
+    """
+
+
+@query(
+    "m32_batch_perceptron",
+    _m32_oracle(),
+    "Full-batch perceptron on integer features (predict returnflag 'R' "
+    "from quantity + discount) — the simplest ITERATIVE distributed "
+    "training loop, and the integer-exact member of the m-family next "
+    "to t34's rounded logistic GD: every weight stays int64 forever "
+    "(w += sum of y*x over misclassified rows), so 6 epochs reproduce "
+    "bit-identically cross-engine with NO rounding discipline at all. "
+    "Each epoch is one map-side-combined aggregate over the data with "
+    "the 1-row weight frame broadcast (never a driver round-trip in "
+    "the plan); the feature frame is localCheckpoint-reused across the "
+    "7 passes. The SQL oracle chains the same 6 epoch CTEs from "
+    "generated shared text. Reference has no trainable-from-scratch "
+    "path at all (nnTraining delegates to frameworks) — this pins the "
+    "engine's iterative-consistency contract.",
+)
+def m32_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mis, u0, u1, u2 = _m32_step()
+    base = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(-1)
+            .alias("y"),
+            F.round("l_quantity", 0).cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("a0"),
+        F.lit(0).cast("long").alias("a1"),
+        F.lit(0).cast("long").alias("a2"),
+    )
+    for _ in range(_M32_EPOCHS):
+        w = base.crossJoin(F.broadcast(w)).agg(
+            F.expr(u0).alias("a0"),
+            F.expr(u1).alias("a1"),
+            F.expr(u2).alias("a2"),
+        )
+    return base.crossJoin(F.broadcast(w)).agg(
+        F.expr("CAST(max(a0) AS BIGINT)").alias("a0"),
+        F.expr("CAST(max(a1) AS BIGINT)").alias("a1"),
+        F.expr("CAST(max(a2) AS BIGINT)").alias("a2"),
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN {mis} THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("n_mis"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_total"),
+    )
+
+
+_J13_ROUNDS = 4
+
+
+def _j13_oracle() -> str:
+    its = []
+    prev = "d0"
+    for i in range(1, _J13_ROUNDS + 1):
+        its.append(
+            f"""d{i} AS (
+        SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM (
+            SELECT node, hop FROM {prev}
+            UNION ALL
+            SELECT e.v AS node, d.hop + 1 AS hop
+            FROM {prev} d JOIN edges e ON e.u = d.node
+        ) GROUP BY node
+    )"""
+        )
+        prev = f"d{i}"
+    return f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), cap AS (
+        SELECT p, s FROM (
+            SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s)
+                   AS rn
+            FROM ps
+        ) WHERE rn <= 8
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM cap a JOIN cap b ON a.p = b.p AND a.s <> b.s
+    ), seeds AS (
+        SELECT min(s) AS node FROM ps
+        UNION
+        SELECT max(s) AS node FROM ps
+    ), d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds
+    ), {', '.join(its)}
+    SELECT node, hop FROM {prev}
+    """
+
+
+@query(
+    "j13_bfs_hops",
+    _j13_oracle(),
+    "Multi-hop BFS shortest distances over the supplier co-part graph "
+    "(suppliers are adjacent when they ship the same part) from two "
+    "deterministic seeds, 4 synchronous frontier rounds — the Pregel "
+    "iteration shape (join frontier to edges, min-combine, repeat) "
+    "that t10's connected components and v15's DBSCAN share, here "
+    "pinned as plain shortest-hops. The edge builder caps suppliers "
+    "per part at 8 (row_number, deterministic) so the per-part pair "
+    "explosion is bounded at 64 regardless of skew — the j10 "
+    "pigeonhole discipline; edges are localCheckpoint-reused across "
+    "rounds and each round is one equi-join + one min aggregate, "
+    "lineage truncated. Hops are exact integers; the SQL oracle "
+    "unrolls the same 4 rounds.",
+)
+def j13_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cap = (
+        ps.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("p").orderBy("s")),
+        )
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    a = cap.select(F.col("p").alias("pa"), F.col("s").alias("u"))
+    b = cap.select(F.col("p").alias("pb"), F.col("s").alias("v"))
+    edges = (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        ps.agg(F.min("s").alias("node"))
+        .unionByName(ps.agg(F.max("s").alias("node")))
+        .distinct()
+    )
+    d = seeds.select("node", F.lit(0).cast("long").alias("hop"))
+    for _ in range(_J13_ROUNDS):
+        nxt = (
+            d.join(edges, d.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        d = (
+            d.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").cast("long").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return d
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -16225,6 +17091,25 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_words + 31*n_occurrences + 1009*{t('score_micro')}"),
         ("v16_jl_projection", "id_a * 1000000 + id_b",
          f"{t('d64_sq')} + 31*{t('d8_sq')} + 1009*{q6('ratio')}"),
+        ("n16_anova_f", "n_groups",
+         f"n_total + 31*{q6('f_stat')}"
+         f" + 1009*{t('CAST(round(ss_between) AS BIGINT)')}"
+         f" + 31063*{t('CAST(round(ss_within) AS BIGINT)')}"),
+        ("n17_spearman_rho", "n", q6("rho")),
+        ("w22_xcorr_lags", "lag_h",
+         f"n_hours + 31*{q6('coalesce(r_xy, -2.0)')}"),
+        ("t48_readability", "doc_id",
+         f"n_words + 31*n_sentences + 1009*n_syllables"
+         f" + 31063*{q6('flesch')}"),
+        ("n18_fdr_bh", sc("event_type"),
+         f"n_a + 31*n_b + 1009*n_ge + 7*p_rank + 13*{q6('p_value')}"
+         f" + 17*{q6('obs_diff')}"
+         " + 127*(CASE WHEN rejected THEN 1 ELSE 0 END)"),
+        ("a21_markov_stationary", sc("state"),
+         "n_out + 31*pi_micro"),
+        ("m32_batch_perceptron", "a0",
+         f"{t('a1')} + 31*{t('a2')} + 1009*n_mis + 31063*n_total"),
+        ("j13_bfs_hops", "node", "hop"),
     ]
 
 

@@ -151,6 +151,10 @@ HEADLINE = [
     "a21_markov_stationary",
     "m32_batch_perceptron",
     "j13_bfs_hops",
+    "m25_mfcc",
+    "j14_kcore",
+    "a28_theil_sen",
+    "n19_friedman",
 ]
 
 

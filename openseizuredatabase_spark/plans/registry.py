@@ -15786,13 +15786,18 @@ def v16_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _n16_formulas() -> dict[str, str]:
     """Shared-text final expressions for the one-way ANOVA F — plain
     arithmetic + CAST + round, valid verbatim in Spark SQL and DuckDB,
-    over identical int64 inputs (k, nt, st, sst, sb_micro), so every
-    IEEE intermediate is bit-identical cross-engine."""
+    over identical int64 inputs (k, nt, st, sst, sb_units), so every
+    IEEE intermediate is bit-identical cross-engine. Group terms are
+    quantized to WHOLE centi^2 units (not micro): s^2/n scales like the
+    sum of squares itself, so unit quantization survives 1000x data
+    where micro units overflowed int64 at 30x (caught by the stress
+    harness); the <=0.5-per-group rounding error is ~1e-13 relative,
+    far inside the 6 dp output round."""
     ssb = (
-        "(CAST(sb_micro AS DOUBLE) / 1000000.0"
+        "(CAST(sb_units AS DOUBLE)"
         " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
     )
-    ssw = "(CAST(sst AS DOUBLE) - CAST(sb_micro AS DOUBLE) / 1000000.0)"
+    ssw = "(CAST(sst AS DOUBLE) - CAST(sb_units AS DOUBLE))"
     return {
         "ssb": f"round({ssb}, 2)",
         "ssw": f"round({ssw}, 2)",
@@ -15817,8 +15822,8 @@ def _n16_formulas() -> dict[str, str]:
         SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
                sum(s)::BIGINT AS st, sum(ss)::BIGINT AS sst,
                sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                              / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
-               )::BIGINT AS sb_micro
+                              / CAST(n AS DOUBLE)) AS BIGINT)
+               )::BIGINT AS sb_units
         FROM g
     )
     SELECT k AS n_groups, nt AS n_total,
@@ -15863,11 +15868,11 @@ def n16_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr(
                 "CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
-                " / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)"
+                " / CAST(n AS DOUBLE)) AS BIGINT)"
             )
         )
         .cast("long")
-        .alias("sb_micro"),
+        .alias("sb_units"),
     )
     return tot.select(
         F.col("k").alias("n_groups"),
@@ -15897,20 +15902,26 @@ _N17_RHO = (
         FROM lineitem
     ), cx AS (
         SELECT qx AS v, count(*)::BIGINT AS c FROM base GROUP BY qx
+    ), tot AS (
+        SELECT sum(c)::BIGINT AS nt FROM cx
     ), rx AS (
-        SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+        SELECT v, CAST(round(CAST(2 * coalesce(sum(c) OVER (ORDER BY v
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) + c + 1 AS BIGINT) AS r2
-        FROM cx
+                   ), 0) + c + 1 AS DOUBLE)
+                   / CAST(2 * tot.nt AS DOUBLE) * 100000.0) AS BIGINT)
+                   AS u
+        FROM cx, tot
     ), cy AS (
         SELECT qy AS v, count(*)::BIGINT AS c FROM base GROUP BY qy
     ), ry AS (
-        SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+        SELECT v, CAST(round(CAST(2 * coalesce(sum(c) OVER (ORDER BY v
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) + c + 1 AS BIGINT) AS r2
-        FROM cy
+                   ), 0) + c + 1 AS DOUBLE)
+                   / CAST(2 * tot.nt AS DOUBLE) * 100000.0) AS BIGINT)
+                   AS u
+        FROM cy, tot
     ), j AS (
-        SELECT rx.r2 AS r2x, ry.r2 AS r2y
+        SELECT rx.u AS r2x, ry.u AS r2y
         FROM base JOIN rx ON base.qx = rx.v JOIN ry ON base.qy = ry.v
     ), m AS (
         SELECT count(*)::BIGINT AS n,
@@ -15928,13 +15939,15 @@ _N17_RHO = (
     "ACF is Pearson on lags; this is Pearson on RANKS). The scalable "
     "rank trick: average ranks with ties are computed per DISTINCT "
     "value (group-count frame bounded by the value domain, not the row "
-    "count), doubled so tie-averages (.5s) stay exact integers "
-    "(r2 = 2*cum_before + cnt + 1), then broadcast-joined back — the "
-    "raw data never sees a global sort or a single-partition window. "
-    "Rank moments are exact int64 (valid to ~1M rows at doubled-rank "
-    "magnitude; production past that switches the moment accumulators "
-    "to 128-bit or mod-P pieces); the closing rho is one shared-text "
-    "fixed-order IEEE expression rounded to 6 dp.",
+    "count), doubled so tie-averages (.5s) stay exact integers, then "
+    "NORMALIZED to [0, 1e5] micro-rank integers (rho is affine-"
+    "invariant; raw doubled-rank second moments are ~n^3 and the 30x "
+    "stress proved they blow int64 past ~2M rows — normalized moments "
+    "are ~n*1e10, safe past 600M rows, at a 1e-5 rank-resolution cost "
+    "three orders below the 6 dp output round) and broadcast-joined "
+    "back — the raw data never sees a global sort or a single-"
+    "partition window. The closing rho is one shared-text fixed-order "
+    "IEEE expression rounded to 6 dp.",
 )
 def n17_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "lineitem").select(
@@ -15946,16 +15959,15 @@ def n17_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = base.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        return c.select(
+        tot = c.agg(F.sum("c").cast("long").alias("nt"))
+        return c.crossJoin(F.broadcast(tot)).select(
             "v",
-            (
-                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
-                + F.col("c")
-                + 1
-            )
-            .cast("long")
-            .alias("r2"),
+            F.expr(
+                "CAST(round(CAST(2 * coalesce(sum(c) OVER (ORDER BY v"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+                "), 0) + c + 1 AS DOUBLE)"
+                " / CAST(2 * nt AS DOUBLE) * 100000.0) AS BIGINT)"
+            ).alias("r2"),
         )
 
     rx = ranks("qx").withColumnRenamed("r2", "r2x")
@@ -16552,6 +16564,50 @@ def m32_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _J13_ROUNDS = 4
 
+# Supplier co-part graph, shared by j13 (BFS) and j14 (k-core): suppliers
+# are adjacent when they ship the same part; suppliers per part capped at
+# 8 (deterministic row_number) so the per-part pair explosion is bounded
+# regardless of part skew — the j10 pigeonhole discipline.
+_COPART_EDGES_SQL = """ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), cap AS (
+        SELECT p, s FROM (
+            SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s)
+                   AS rn
+            FROM ps
+        ) WHERE rn <= 8
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM cap a JOIN cap b ON a.p = b.p AND a.s <> b.s
+    )"""
+
+
+def _copart_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(ps, edges) frames mirroring :data:`_COPART_EDGES_SQL`; edges come
+    localCheckpoint'd for reuse across iteration rounds."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cap = (
+        ps.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("p").orderBy("s")),
+        )
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    a = cap.select(F.col("p").alias("pa"), F.col("s").alias("u"))
+    b = cap.select(F.col("p").alias("pb"), F.col("s").alias("v"))
+    edges = (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return ps, edges
+
 
 def _j13_oracle() -> str:
     its = []
@@ -16569,18 +16625,7 @@ def _j13_oracle() -> str:
         )
         prev = f"d{i}"
     return f"""
-    WITH ps AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-    ), cap AS (
-        SELECT p, s FROM (
-            SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s)
-                   AS rn
-            FROM ps
-        ) WHERE rn <= 8
-    ), edges AS (
-        SELECT DISTINCT a.s AS u, b.s AS v
-        FROM cap a JOIN cap b ON a.p = b.p AND a.s <> b.s
-    ), seeds AS (
+    WITH {_COPART_EDGES_SQL}, seeds AS (
         SELECT min(s) AS node FROM ps
         UNION
         SELECT max(s) AS node FROM ps
@@ -16608,27 +16653,7 @@ def _j13_oracle() -> str:
     "unrolls the same 4 rounds.",
 )
 def j13_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    cap = (
-        ps.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("p").orderBy("s")),
-        )
-        .filter(F.col("rn") <= 8)
-        .drop("rn")
-    )
-    a = cap.select(F.col("p").alias("pa"), F.col("s").alias("u"))
-    b = cap.select(F.col("p").alias("pb"), F.col("s").alias("v"))
-    edges = (
-        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") != F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ps, edges = _copart_edges(spark, sf_dir)
     seeds = (
         ps.agg(F.min("s").alias("node"))
         .unionByName(ps.agg(F.max("s").alias("node")))
@@ -16647,6 +16672,455 @@ def j13_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return d
+
+
+def _m25_filters() -> list[tuple[int, int, int]]:
+    """Mel-spaced triangular filterbank (6 filters x DFT bins 1..16,
+    fs=8000, N=32 → bin k = k*250 Hz) precomputed into integer
+    micro-weight literals both engines share verbatim (the v16 sign-
+    matrix pattern — no libm in either plan for the filter shapes)."""
+    import math
+
+    mel = lambda hz: 2595.0 * math.log10(1.0 + hz / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10 ** (m / 2595.0) - 1.0)  # noqa: E731
+    lo, hi = mel(250.0), mel(4000.0)
+    pts = [imel(lo + (hi - lo) * i / 7.0) for i in range(8)]
+    out = []
+    for f in range(6):
+        a, b, c = pts[f], pts[f + 1], pts[f + 2]
+        for k in range(1, 17):
+            hz = k * 250.0
+            if a <= hz <= b and b > a:
+                w = (hz - a) / (b - a)
+            elif b < hz <= c and c > b:
+                w = (c - hz) / (c - b)
+            else:
+                w = 0.0
+            wm = int(round(w * 1e6))
+            if wm:
+                out.append((f, k, wm))
+    return out
+
+
+def _m25_dct() -> list[tuple[int, int, int]]:
+    """DCT-II basis (4 coefficients x 6 filters) as integer micro
+    literals — cos() evaluated ONCE in Python, never by either engine."""
+    import math
+
+    return [
+        (c, f, int(round(math.cos(math.pi * c * (f + 0.5) / 6.0) * 1e6)))
+        for c in range(4)
+        for f in range(6)
+    ]
+
+
+_M25_LE = (
+    "CAST(round(ln(CAST(eng AS DOUBLE) / 1000000000000.0 + 0.000001)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _m25_oracle() -> str:
+    fb = ", ".join(f"({f}, {k}, {w})" for f, k, w in _m25_filters())
+    dc = ", ".join(f"({c}, {f}, {d})" for c, f, d in _m25_dct())
+    cs = ", ".join(
+        f"CAST(sum(CASE WHEN c = {c} THEN mm ELSE 0 END) AS BIGINT)"
+        f" AS c{c}_micro"
+        for c in range(4)
+    )
+    return f"""
+    WITH spec AS ({QUERIES['m23_wav_spectrogram'].oracle}),
+    p AS (
+        SELECT media_id, epoch, k,
+               CAST(round(power * 1000000) AS BIGINT) AS pm
+        FROM spec
+    ), fb(f, k, w) AS (
+        SELECT * FROM (VALUES {fb})
+    ), e AS (
+        SELECT p.media_id, p.epoch, fb.f,
+               CAST(sum(fb.w * p.pm) AS BIGINT) AS eng
+        FROM p JOIN fb ON p.k = fb.k
+        GROUP BY p.media_id, p.epoch, fb.f
+    ), le AS (
+        SELECT media_id, epoch, f, {_M25_LE} AS lem FROM e
+    ), dct(c, f, d) AS (
+        SELECT * FROM (VALUES {dc})
+    ), m AS (
+        SELECT le.media_id, le.epoch, dct.c,
+               CAST(round(CAST(sum(dct.d * le.lem) AS DOUBLE)
+                          / 1000000.0) AS BIGINT) AS mm
+        FROM le JOIN dct ON le.f = dct.f
+        GROUP BY le.media_id, le.epoch, dct.c
+    )
+    SELECT media_id, epoch, {cs}
+    FROM m GROUP BY media_id, epoch
+    """
+
+
+@query(
+    "m25_mfcc",
+    _m25_oracle(),
+    "MFCC audio features (mel filterbank → log energies → DCT-II) "
+    "composed ON TOP of m23's real decode→spectrogram path — the "
+    "standard audio front-end a multimodal training pipeline feeds to "
+    "models, and deliberately NOT another Arrow kernel: past the "
+    "spectrogram everything is JVM-side codegen (two broadcast joins "
+    "against literal matrices + conditional-sum pivot). The mel "
+    "weights and DCT cosines are precomputed into integer micro "
+    "literals (v16's pattern — no libm for the matrices in either "
+    "engine); filterbank energies are exact int64 dot products; the "
+    "single transcendental (ln) is quantized to micro-nats (m29's "
+    "discipline) before the exact-int DCT. Scale: per-clip parallel, "
+    "output columnar, the two matrix joins broadcast 96- and 24-row "
+    "tables.",
+)
+def m25_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = m23_wav_spectrogram(spark, sf_dir)
+    p = spec.select(
+        "media_id",
+        "epoch",
+        "k",
+        F.round(F.col("power") * 1000000, 0).cast("long").alias("pm"),
+    )
+    fb = spark.createDataFrame(_m25_filters(), "f int, k long, w long")
+    e = (
+        p.join(F.broadcast(fb), "k")
+        .groupBy("media_id", "epoch", "f")
+        .agg(F.sum(F.col("w") * F.col("pm")).cast("long").alias("eng"))
+    )
+    le = e.select(
+        "media_id", "epoch", "f", F.expr(_M25_LE).alias("lem")
+    )
+    dct = spark.createDataFrame(_m25_dct(), "c int, f int, d long")
+    m = (
+        le.join(F.broadcast(dct), "f")
+        .groupBy("media_id", "epoch", "c")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(d * lem) AS DOUBLE)"
+                " / 1000000.0) AS BIGINT)"
+            ).alias("mm")
+        )
+    )
+    return m.groupBy("media_id", "epoch").agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN c = {c} THEN mm ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"c{c}_micro")
+            for c in range(4)
+        ]
+    )
+
+
+_J14_K = 3
+_J14_ROUNDS = 5
+
+
+def _j14_oracle() -> str:
+    its = []
+    prev = "n0"
+    for i in range(1, _J14_ROUNDS + 1):
+        its.append(
+            f"""n{i} AS (
+        SELECT e.u AS node FROM edges e
+        JOIN {prev} a ON e.u = a.node
+        JOIN {prev} b ON e.v = b.node
+        GROUP BY e.u HAVING count(*) >= {_J14_K}
+    )"""
+        )
+        prev = f"n{i}"
+    return f"""
+    WITH {_COPART_EDGES_SQL}, n0 AS (
+        SELECT DISTINCT u AS node FROM edges
+    ), {', '.join(its)}
+    SELECT e.u AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM edges e
+    JOIN {prev} a ON e.u = a.node
+    JOIN {prev} b ON e.v = b.node
+    GROUP BY e.u
+    """
+
+
+@query(
+    "j14_kcore",
+    _j14_oracle(),
+    "K-core decomposition (k=3) of the supplier co-part graph — the "
+    "graph-pruning primitive spam/abuse and community pipelines run "
+    "before expensive per-node work (t41 counts triangles on the full "
+    "graph; this finds the dense backbone). Synchronous peeling: each "
+    "round keeps nodes with >= 3 neighbors INSIDE the surviving set "
+    "(two semi-joins of the edge list against the node set + one "
+    "count-filter), 5 rounds unrolled — the same Pregel shape as "
+    "j13's BFS, with the j10 pigeonhole cap bounding edges per part. "
+    "Everything is exact integer degree arithmetic; the SQL oracle "
+    "unrolls the identical rounds, so a wrong peeling order or a "
+    "missed cascade breaks the hash.",
+)
+def j14_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _copart_edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    for _ in range(_J14_ROUNDS):
+        nodes = (
+            edges.join(nodes.withColumnRenamed("node", "u"), "u")
+            .join(
+                nodes.withColumnRenamed("node", "v"),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _J14_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.join(nodes.withColumnRenamed("node", "u"), "u")
+        .join(nodes.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+@query(
+    "a28_theil_sen",
+    """
+    WITH daily AS (
+        SELECT CAST((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                    / 86400000000 AS BIGINT) AS x,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(round(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+                          / CAST(b.x - a.x AS DOUBLE)) AS BIGINT)
+                   AS slope_micro
+        FROM daily a JOIN daily b ON b.x > a.x
+    ), np AS (
+        SELECT count(*)::BIGINT AS n_pairs FROM pairs
+    ), med AS (
+        SELECT slope_micro FROM (
+            SELECT slope_micro,
+                   row_number() OVER (ORDER BY slope_micro) AS rn
+            FROM pairs
+        ), np
+        WHERE rn = CAST(((np.n_pairs + 1) - ((np.n_pairs + 1) % 2)) / 2
+                        AS BIGINT)
+    ), resid AS (
+        SELECT d.y * 1000000 - m.slope_micro * d.x AS ic
+        FROM daily d, med m
+    ), nd AS (
+        SELECT count(*)::BIGINT AS n_days FROM daily
+    ), imed AS (
+        SELECT ic FROM (
+            SELECT ic, row_number() OVER (ORDER BY ic) AS rn FROM resid
+        ), nd
+        WHERE rn = CAST(((nd.n_days + 1) - ((nd.n_days + 1) % 2)) / 2
+                        AS BIGINT)
+    )
+    SELECT nd.n_days, np.n_pairs,
+           m.slope_micro AS slope_micro,
+           i.ic AS intercept_micro
+    FROM nd, np, med m, imed i
+    """,
+    "Theil-Sen robust trend estimator over the daily click series — "
+    "the outlier-immune alternative to m30's least squares (breakdown "
+    "point 29% vs 0%): slope = median of all pairwise slopes, "
+    "intercept = median of y - slope*x. Data-scale work is ONE "
+    "day-bucket aggregation; the O(d^2) pair frame lives on the DAILY "
+    "series (bounded by the time range, never the row count). Slopes "
+    "quantize to integer micro-units with one correctly-rounded IEEE "
+    "divide each; both medians are lower-medians selected by "
+    "row_number — tie order between equal values is engine-dependent "
+    "but the VALUE at the median position is not, so the result is "
+    "deterministic. Residual medians stay exact int64 (y*1e6 - "
+    "slope_micro*x).",
+)
+def a28_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            (
+                (F.unix_micros("ts") - F.unix_micros("ts") % 86400000000)
+                / 86400000000
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("xb") > F.col("xa")).select(
+        F.expr(
+            "CAST(round(CAST(yb - ya AS DOUBLE) * 1000000.0"
+            " / CAST(xb - xa AS DOUBLE)) AS BIGINT)"
+        ).alias("slope_micro")
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    med = (
+        pairs.select(
+            "slope_micro",
+            F.row_number().over(Window.orderBy("slope_micro")).alias("rn"),
+        )
+        .crossJoin(F.broadcast(np_))
+        .filter(
+            F.col("rn")
+            == F.expr(
+                "CAST(((n_pairs + 1) - ((n_pairs + 1) % 2)) / 2 AS BIGINT)"
+            )
+        )
+        .select("slope_micro")
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("y") * 1000000 - F.col("slope_micro") * F.col("x")).alias(
+            "ic"
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    imed = (
+        resid.select(
+            "ic", F.row_number().over(Window.orderBy("ic")).alias("rn")
+        )
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("rn")
+            == F.expr(
+                "CAST(((n_days + 1) - ((n_days + 1) % 2)) / 2 AS BIGINT)"
+            )
+        )
+        .select(F.col("ic").alias("intercept_micro"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(imed))
+        .select("n_days", "n_pairs", "slope_micro", "intercept_micro")
+    )
+
+
+_N19_Q = (
+    "round(12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)"
+    " * CAST(k + 1 AS DOUBLE)) * (CAST(sr2sq AS DOUBLE) / 4.0)"
+    " - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6)"
+)
+
+
+@query(
+    "n19_friedman",
+    f"""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                    / 86400000000 AS BIGINT) AS day,
+               event_type, count(*)::BIGINT AS val
+        FROM events GROUP BY 1, 2
+    ), kk AS (
+        SELECT count(DISTINCT event_type)::BIGINT AS k FROM events
+    ), blocks AS (
+        SELECT day FROM cell, kk GROUP BY day, kk.k
+        HAVING count(*) = max(kk.k)
+    ), c2 AS (
+        SELECT cell.* FROM cell JOIN blocks ON cell.day = blocks.day
+    ), g AS (
+        SELECT day, val, count(*)::BIGINT AS c
+        FROM c2 GROUP BY day, val
+    ), r AS (
+        SELECT day, val,
+               CAST(2 * coalesce(sum(c) OVER (PARTITION BY day
+                        ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS r2
+        FROM g
+    ), ranked AS (
+        SELECT c2.event_type, r.r2
+        FROM c2 JOIN r ON c2.day = r.day AND c2.val = r.val
+    ), pt AS (
+        SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2sum
+        FROM ranked GROUP BY event_type
+    ), m AS (
+        SELECT CAST(sum(r2sum * r2sum) AS BIGINT) AS sr2sq,
+               CAST(count(*) AS BIGINT) AS k
+        FROM pt
+    ), nn AS (
+        SELECT count(*)::BIGINT AS n FROM blocks
+    )
+    SELECT nn.n AS n_blocks, m.k AS k_treatments,
+           {_N19_Q} AS q_stat
+    FROM m, nn
+    """,
+    "Friedman rank test across event types with days as blocks — the "
+    "repeated-measures nonparametric ANOVA (n16 assumes normality; "
+    "n13 handles two unpaired groups; this handles k MATCHED groups): "
+    "do the k event types keep the same activity ordering day after "
+    "day? Within-block average ranks use the doubled-rank tie algebra "
+    "(n13/n17's discipline) computed per (day, value) GROUP — never a "
+    "per-row window over the raw data — and only complete blocks "
+    "(all k types present) enter, the textbook requirement. Rank sums "
+    "and their squares are exact int64; Q is one shared-text IEEE "
+    "expression on the 1-row moment frame. Scale: one (day, type) "
+    "aggregation of data-scale work; ranks live on the k-per-day "
+    "cell frame.",
+)
+def n19_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            (
+                (F.unix_micros("ts") - F.unix_micros("ts") % 86400000000)
+                / 86400000000
+            )
+            .cast("long")
+            .alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    kk = ev.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    blocks = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("ntypes"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("ntypes") == F.col("k"))
+        .select("day")
+    )
+    c2 = cell.join(F.broadcast(blocks), "day")
+    g = c2.groupBy("day", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "day",
+        "val",
+        (2 * F.coalesce(F.sum("c").over(wd), F.lit(0)) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    ranked = c2.join(r, ["day", "val"]).select("event_type", "r2")
+    pt = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2sum")
+    )
+    m = pt.agg(
+        F.sum(F.col("r2sum") * F.col("r2sum")).cast("long").alias("sr2sq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nn = blocks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            F.expr(_N19_Q).alias("q_stat"),
+        )
+    )
 
 
 def _sig_t(x: str) -> str:
@@ -17110,6 +17584,14 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m32_batch_perceptron", "a0",
          f"{t('a1')} + 31*{t('a2')} + 1009*n_mis + 31063*n_total"),
         ("j13_bfs_hops", "node", "hop"),
+        ("m25_mfcc", "media_id * 1000 + epoch",
+         f"{t('c0_micro')} + 31*{t('c1_micro')} + 1009*{t('c2_micro')}"
+         f" + 31063*{t('c3_micro')}"),
+        ("j14_kcore", "node", "core_deg"),
+        ("a28_theil_sen", "n_days",
+         f"n_pairs + 31*{t('slope_micro')} + 1009*{t('intercept_micro')}"),
+        ("n19_friedman", "n_blocks",
+         f"k_treatments + 31*{q6('q_stat')}"),
     ]
 
 

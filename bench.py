@@ -155,6 +155,9 @@ HEADLINE = [
     "j14_kcore",
     "a28_theil_sen",
     "n19_friedman",
+    "m33_als_rank1",
+    "w23_ohlc_hourly",
+    "t49_pmi_pairs",
 ]
 
 

@@ -17123,6 +17123,322 @@ def n19_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ALS quantized-update text, shared by both engines and both directions
+# (user step sums over a user's items, item step over an item's users):
+# latent = sum(r*other) / sum(other^2), carried as round(x * 1e9 / den)
+# because users quantize to milli-units and items to micro-units
+# (asymmetric: user moments must survive 600M users in int64).
+_M33_UPD = (
+    "CAST(round(CAST(sum(r * {o}) AS DOUBLE) * 1000000000.0"
+    " / CAST(sum({o} * {o}) AS DOUBLE)) AS BIGINT)"
+)
+_M33_ERR = (
+    "(CAST(r AS DOUBLE) - CAST(um AS DOUBLE) * CAST(vm AS DOUBLE)"
+    " / 1000000000.0)"
+)
+
+
+def _m33_oracle() -> str:
+    uu = _M33_UPD.format(o="vm")
+    vv = _M33_UPD.format(o="um")
+    return f"""
+    WITH r AS (
+        SELECT user_id, event_type AS item, count(*)::BIGINT AS r
+        FROM events GROUP BY user_id, event_type
+    ), v0 AS (
+        SELECT DISTINCT event_type AS item,
+               CAST(1000000 AS BIGINT) AS vm
+        FROM events
+    ), u1 AS (
+        SELECT r.user_id, {uu} AS um
+        FROM r JOIN v0 ON r.item = v0.item GROUP BY r.user_id
+    ), v1 AS (
+        SELECT r.item, {vv} AS vm
+        FROM r JOIN u1 ON r.user_id = u1.user_id GROUP BY r.item
+    ), u2 AS (
+        SELECT r.user_id, {uu} AS um
+        FROM r JOIN v1 ON r.item = v1.item GROUP BY r.user_id
+    ), v2 AS (
+        SELECT r.item, {vv} AS vm
+        FROM r JOIN u2 ON r.user_id = u2.user_id GROUP BY r.item
+    ), err AS (
+        SELECT r.item, {_M33_ERR} AS e
+        FROM r JOIN u2 ON r.user_id = u2.user_id
+               JOIN v2 ON r.item = v2.item
+    )
+    SELECT e.item AS event_type, v2.vm AS v_micro,
+           count(*)::BIGINT AS n_users,
+           sum(CAST(round(e.e * e.e * 1000000.0) AS BIGINT))::BIGINT
+               AS sse_micro
+    FROM err e JOIN v2 ON e.item = v2.item
+    GROUP BY e.item, v2.vm
+    """
+
+
+@query(
+    "m33_als_rank1",
+    _m33_oracle(),
+    "Rank-1 ALS matrix factorization of the user x event-type count "
+    "matrix (two full alternations from a uniform item vector) — the "
+    "collaborative-filtering primitive, with the classic ALS "
+    "distribution shape: each half-step is ONE groupBy over the rating "
+    "triples (user step keyed by user, item step by item — the two "
+    "shuffles every distributed ALS pays), latent state never "
+    "materializes a dense matrix. Cross-engine exactness via "
+    "asymmetric quantization: items carry micro-units but users carry "
+    "MILLI-units, because user-side second moments must survive 600M "
+    "users in int64 (the n17 lesson applied at design time); every "
+    "update is integer sums + one correctly-rounded IEEE divide from "
+    "shared text. Emits per-item latent weight + exact SSE census.",
+)
+def m33_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    v = (
+        r.select("item")
+        .distinct()
+        .select("item", F.lit(1000000).cast("long").alias("vm"))
+    )
+    uu, vv = _M33_UPD.format(o="vm"), _M33_UPD.format(o="um")
+    for _ in range(2):
+        u = (
+            r.join(F.broadcast(v), "item")
+            .groupBy("user_id")
+            .agg(F.expr(uu).alias("um"))
+        )
+        v = (
+            r.join(u, "user_id")
+            .groupBy("item")
+            .agg(F.expr(vv).alias("vm"))
+        )
+        u, v = u.localCheckpoint(eager=False), v.localCheckpoint(
+            eager=False
+        )
+    err = (
+        r.join(u, "user_id")
+        .join(F.broadcast(v), "item")
+        .select("item", "vm", F.expr(_M33_ERR).alias("e"))
+    )
+    return err.groupBy(
+        F.col("item").alias("event_type"), F.col("vm").alias("v_micro")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.expr("CAST(round(e * e * 1000000.0) AS BIGINT)"))
+        .cast("long")
+        .alias("sse_micro"),
+    )
+
+
+@query(
+    "w23_ohlc_hourly",
+    """
+    WITH e AS (
+        SELECT CAST((epoch_us(ts) - (epoch_us(ts) % 3600000000))
+                    / 3600000000 AS BIGINT) AS h,
+               epoch_us(ts)::BIGINT AS t, event_id,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), rk AS (
+        SELECT h, vc,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY t, event_id) AS ra,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY t DESC, event_id DESC) AS rd
+        FROM e
+    )
+    SELECT h AS hour_idx,
+           max(CASE WHEN ra = 1 THEN vc END) AS open_c,
+           max(vc) AS high_c,
+           min(vc) AS low_c,
+           max(CASE WHEN rd = 1 THEN vc END) AS close_c,
+           count(*)::BIGINT AS n_events,
+           sum(vc)::BIGINT AS volume_c
+    FROM rk GROUP BY h
+    """,
+    "Hourly OHLC resampling of the event value stream (open/high/low/"
+    "close + volume — the candlestick aggregation every time-series "
+    "store exposes; the reference's dataSummariser draws per-day "
+    "equivalents from pandas loops). Open/close are true FIRST/LAST by "
+    "(ts, event_id) — selected via per-hour row_number windows with a "
+    "deterministic tiebreak, not min/max of value — and both windows "
+    "plus the final aggregate share ONE hour-key exchange. Values "
+    "quantize to exact centi-ints so high/low/volume are integer "
+    "decisions. Per-hour state is O(events in that hour); hours "
+    "partition the data, so skew is bounded by the busiest hour.",
+)
+def w23_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+        .select(
+            ((F.col("t") - F.col("t") % 3600000000) / 3600000000)
+            .cast("long")
+            .alias("h"),
+            "t",
+            "event_id",
+            "vc",
+        )
+    )
+    wa = Window.partitionBy("h").orderBy("t", "event_id")
+    wd = Window.partitionBy("h").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+    rk = e.select(
+        "h",
+        "vc",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return rk.groupBy(F.col("h").alias("hour_idx")).agg(
+        F.max(F.when(F.col("ra") == 1, F.col("vc"))).alias("open_c"),
+        F.max("vc").alias("high_c"),
+        F.min("vc").alias("low_c"),
+        F.max(F.when(F.col("rd") == 1, F.col("vc"))).alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("volume_c"),
+    )
+
+
+_T49_PMI = (
+    "CAST(round(ln(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+    " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+def _t49_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, g.i AS idx, lower(t[g.i + 1]) AS tok
+        FROM (
+            SELECT doc_id, {text_fns.tokens_sql('text')} AS t
+            FROM documents WHERE lang = 'en'
+        ), unnest(generate_series(0, len(t) - 1)) AS g(i)
+        WHERE regexp_matches(lower(t[g.i + 1]), '^[a-z]+$')
+    ), firsts AS (
+        SELECT doc_id, tok, min(idx) AS fidx
+        FROM toks GROUP BY doc_id, tok
+    ), capped AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY fidx, tok) AS rn
+            FROM firsts
+        ) WHERE rn <= 32
+    ), df AS (
+        SELECT tok, count(*)::BIGINT AS n FROM capped GROUP BY tok
+    ), nd AS (
+        SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM capped
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+        FROM capped a JOIN capped b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING count(*) >= 5
+    ), scored AS (
+        SELECT p.tok_a, p.tok_b, p.n_ab, da.n AS n_a, db.n AS n_b,
+               nd.n_docs
+        FROM pairs p
+        JOIN df da ON p.tok_a = da.tok
+        JOIN df db ON p.tok_b = db.tok, nd
+    ), pm AS (
+        SELECT tok_a, tok_b, n_ab, {_T49_PMI} AS pmi_micro
+        FROM scored
+    )
+    SELECT tok_a, tok_b, n_ab, pmi_micro FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY pmi_micro DESC, tok_a, tok_b) AS rn
+        FROM pm
+    ) WHERE rn <= 20
+    """
+
+
+@query(
+    "t49_pmi_pairs",
+    _t49_oracle(),
+    "Pointwise mutual information for document-level token "
+    "co-occurrence (top-20 collocations with support >= 5) — the "
+    "corpus-statistics operator behind phrase mining and word-vector "
+    "preprocessing (t17 counts ADJACENT pairs for BPE; PMI measures "
+    "arbitrary-distance association normalized by marginals). The "
+    "pair generator is strictly bounded: each doc contributes its "
+    "first 32 distinct alphabetic tokens (deterministic first-"
+    "occurrence order), so per-doc pairs are <= 496 and the join is "
+    "linear in documents — never vocabulary^2. PMI's single "
+    "transcendental ln quantizes to micro-nats (m29's discipline); "
+    "support and marginals stay exact int64 and break ranking ties "
+    "deterministically.",
+)
+def t49_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _ts(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", text_fns.tokens(F.col("text")).alias("t"))
+    )
+    toks = (
+        docs.select("doc_id", F.posexplode("t").alias("idx", "tok0"))
+        .select("doc_id", "idx", F.lower("tok0").alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    firsts = toks.groupBy("doc_id", "tok").agg(F.min("idx").alias("fidx"))
+    wdoc = Window.partitionBy("doc_id").orderBy("fidx", "tok")
+    capped = (
+        firsts.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= 32)
+        .select("doc_id", "tok")
+        .localCheckpoint(eager=False)
+    )
+    df_ = capped.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nd = capped.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    a = capped.select("doc_id", F.col("tok").alias("tok_a"))
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(df_.withColumnRenamed("tok", "tok_a")
+                        .withColumnRenamed("n", "n_a")),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(df_.withColumnRenamed("tok", "tok_b")
+                        .withColumnRenamed("n", "n_b")),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nd))
+    )
+    pm = scored.select(
+        "tok_a", "tok_b", "n_ab", F.expr(_T49_PMI).alias("pmi_micro")
+    )
+    wr = Window.orderBy(F.desc("pmi_micro"), "tok_a", "tok_b")
+    return (
+        pm.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select("tok_a", "tok_b", "n_ab", "pmi_micro")
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -17592,6 +17908,14 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_pairs + 31*{t('slope_micro')} + 1009*{t('intercept_micro')}"),
         ("n19_friedman", "n_blocks",
          f"k_treatments + 31*{q6('q_stat')}"),
+        ("m33_als_rank1", sc("event_type"),
+         f"{t('v_micro')} + 31*n_users + 1009*{t('sse_micro')}"),
+        ("w23_ohlc_hourly", "hour_idx",
+         f"{t('open_c')} + 31*{t('high_c')} + 1009*{t('low_c')}"
+         f" + 7*{t('close_c')} + 13*n_events + 17*{t('volume_c')}"),
+        ("t49_pmi_pairs",
+         f"CAST({sc('tok_a')} AS BIGINT) * 100000 + {sc('tok_b')}",
+         f"n_ab + 31*{t('pmi_micro')}"),
     ]
 
 

@@ -158,6 +158,9 @@ HEADLINE = [
     "m33_als_rank1",
     "w23_ohlc_hourly",
     "t49_pmi_pairs",
+    "a29_rfm_segmentation",
+    "w24_stl_anomaly",
+    "d11_deletion_vectors",
 ]
 
 

@@ -17439,6 +17439,354 @@ def t49_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quartile from a cumulative-before count: positions cb+1..cb+cnt share
+# the value, so every tied customer lands in the same bucket — integer
+# floor division rendered portably (DuckDB int division yields DOUBLE).
+_A29_Q = "CAST(1 + ((4 * {cb}) - ((4 * {cb}) % nt)) / nt AS BIGINT)"
+
+
+def _a29_rank_sql(metric: str) -> str:
+    """Shared-text quartile frame for one RFM metric: per DISTINCT value,
+    cumulative count of strictly-smaller rows → quartile 1..4."""
+    cb = (
+        "coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""(
+        SELECT v, {_A29_Q.format(cb=cb)} AS q
+        FROM (SELECT {metric} AS v, count(*)::BIGINT AS c
+              FROM rfm GROUP BY {metric}), nt
+    )"""
+
+
+def _a29_oracle() -> str:
+    return f"""
+    WITH gmax AS (
+        SELECT max(epoch_us(o_orderdate))::BIGINT AS gm FROM orders
+    ), rfm AS (
+        SELECT o_custkey AS c,
+               CAST(((gmax.gm - max(epoch_us(o_orderdate)))
+                     - ((gmax.gm - max(epoch_us(o_orderdate)))
+                        % 86400000000))
+                    / 86400000000 AS BIGINT) AS r_days,
+               count(*)::BIGINT AS f_cnt,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS m_c
+        FROM orders, gmax GROUP BY o_custkey, gmax.gm
+    ), nt AS (
+        SELECT count(*)::BIGINT AS nt FROM rfm
+    ), qr AS {_a29_rank_sql('r_days')}, qf AS {_a29_rank_sql('f_cnt')},
+    qm AS {_a29_rank_sql('m_c')}
+    SELECT rfm.c AS custkey, rfm.r_days, rfm.f_cnt, rfm.m_c,
+           qr.q AS r_q, qf.q AS f_q, qm.q AS m_q,
+           CAST(qr.q * 100 + qf.q * 10 + qm.q AS BIGINT) AS rfm_code
+    FROM rfm
+    JOIN qr ON rfm.r_days = qr.v
+    JOIN qf ON rfm.f_cnt = qf.v
+    JOIN qm ON rfm.m_c = qm.v
+    """
+
+
+@query(
+    "a29_rfm_segmentation",
+    _a29_oracle(),
+    "RFM customer segmentation (recency / frequency / monetary "
+    "quartiles + the 3-digit RFM code) — the classic marketing-"
+    "analytics operator, built on n17's scalable rank machinery: each "
+    "quartile boundary comes from cumulative counts over the DISTINCT-"
+    "value frame (bounded by the metric's domain, never a global "
+    "customer sort or single-partition window), broadcast-joined back, "
+    "and tied customers provably share a bucket because the bucket is "
+    "a pure function of the strictly-smaller count. Recency is exact "
+    "integer days against the global max order date; monetary is "
+    "exact centi-cents; the quartile floor-division is rendered with "
+    "the portable remainder identity (DuckDB integer '/' yields "
+    "DOUBLE). Quartiles are ascending-value (r_q 1 = most recent "
+    "buyers, f_q/m_q 4 = top buyers).",
+)
+def a29_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    gmax = o.agg(
+        F.max(F.unix_micros("o_orderdate")).cast("long").alias("gm")
+    )
+    rfm = (
+        o.crossJoin(F.broadcast(gmax))
+        .groupBy(F.col("o_custkey").alias("c"), "gm")
+        .agg(
+            F.max(F.unix_micros("o_orderdate")).alias("lastus"),
+            F.count(F.lit(1)).cast("long").alias("f_cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0))
+            .cast("long")
+            .alias("m_c"),
+        )
+        .select(
+            "c",
+            (
+                (
+                    (F.col("gm") - F.col("lastus"))
+                    - (F.col("gm") - F.col("lastus")) % 86400000000
+                )
+                / 86400000000
+            )
+            .cast("long")
+            .alias("r_days"),
+            "f_cnt",
+            "m_c",
+        )
+        .localCheckpoint(eager=False)
+    )
+    nt = rfm.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    cb = (
+        "coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND 1 PRECEDING), 0)"
+    )
+
+    def qframe(metric: str) -> DataFrame:
+        g = rfm.groupBy(F.col(metric).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return g.crossJoin(F.broadcast(nt)).select(
+            "v", F.expr(_A29_Q.format(cb=cb)).alias("q")
+        )
+
+    qr = qframe("r_days").withColumnRenamed("q", "r_q")
+    qf = qframe("f_cnt").withColumnRenamed("q", "f_q")
+    qm = qframe("m_c").withColumnRenamed("q", "m_q")
+    return (
+        rfm.join(F.broadcast(qr), rfm.r_days == qr.v)
+        .drop("v")
+        .join(F.broadcast(qf), rfm.f_cnt == qf.v)
+        .drop("v")
+        .join(F.broadcast(qm), rfm.m_c == qm.v)
+        .drop("v")
+        .select(
+            F.col("c").alias("custkey"),
+            "r_days",
+            "f_cnt",
+            "m_c",
+            "r_q",
+            "f_q",
+            "m_q",
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("long")
+            .alias("rfm_code"),
+        )
+    )
+
+
+def _w24_oracle() -> str:
+    return f"""
+    WITH stl AS ({QUERIES['w19_stl_decompose'].oracle}),
+    cnt AS (
+        SELECT event_type, count(*)::BIGINT AS n
+        FROM stl GROUP BY event_type
+    ), med AS (
+        SELECT s.event_type, s.residual AS med FROM (
+            SELECT event_type, residual,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY residual) AS rn
+            FROM stl
+        ) s JOIN cnt ON s.event_type = cnt.event_type
+        WHERE s.rn = CAST(((cnt.n + 1) - ((cnt.n + 1) % 2)) / 2 AS BIGINT)
+    ), dev AS (
+        SELECT stl.event_type, stl.ed, stl.x, stl.residual, med.med,
+               abs(stl.residual - med.med) AS ad
+        FROM stl JOIN med ON stl.event_type = med.event_type
+    ), mad AS (
+        SELECT d.event_type, d.ad AS mad FROM (
+            SELECT event_type, ad,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY ad) AS rn
+            FROM dev
+        ) d JOIN cnt ON d.event_type = cnt.event_type
+        WHERE d.rn = CAST(((cnt.n + 1) - ((cnt.n + 1) % 2)) / 2 AS BIGINT)
+    )
+    SELECT dev.event_type, dev.ed, dev.x, dev.residual,
+           round(dev.med, 6) AS med_resid,
+           round(mad.mad, 6) AS mad_resid
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE dev.ad > 3 * mad.mad
+    """
+
+
+@query(
+    "w24_stl_anomaly",
+    _w24_oracle(),
+    "Seasonal-residual anomaly detection — the composition a "
+    "monitoring stack actually deploys (w19's STL strips trend + "
+    "weekly seasonality so a busy-Saturday spike is NOT an anomaly; "
+    "then w20's robust MAD rule flags days whose residual deviates "
+    "more than 3 MADs from the per-type median). Both medians are "
+    "lower-medians by row_number over the per-type DAILY frame; the "
+    "residuals entering them are already bit-identical cross-engine "
+    "(w19's one-division discipline), and differences/comparisons of "
+    "identical doubles are exact IEEE, so every anomaly verdict is "
+    "deterministic. The oracle composes w19's oracle text verbatim — "
+    "this query is the verified composition, the p6 pattern applied "
+    "to time-series monitoring.",
+)
+def w24_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stl = w19_stl_decompose(spark, sf_dir).localCheckpoint(eager=False)
+    cnt = stl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("event_type").orderBy("residual")
+    med = (
+        stl.select(
+            "event_type",
+            "residual",
+            F.row_number().over(wt).alias("rn"),
+        )
+        .join(F.broadcast(cnt), "event_type")
+        .filter(
+            F.col("rn")
+            == F.expr("CAST(((n + 1) - ((n + 1) % 2)) / 2 AS BIGINT)")
+        )
+        .select("event_type", F.col("residual").alias("med"))
+    )
+    dev = stl.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "ed",
+        "x",
+        "residual",
+        "med",
+        F.abs(F.col("residual") - F.col("med")).alias("ad"),
+    )
+    wa = Window.partitionBy("event_type").orderBy("ad")
+    mad = (
+        dev.select(
+            "event_type", "ad", F.row_number().over(wa).alias("rn")
+        )
+        .join(F.broadcast(cnt), "event_type")
+        .filter(
+            F.col("rn")
+            == F.expr("CAST(((n + 1) - ((n + 1) % 2)) / 2 AS BIGINT)")
+        )
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "ed",
+            "x",
+            "residual",
+            F.round("med", 6).alias("med_resid"),
+            F.round("mad", 6).alias("mad_resid"),
+        )
+    )
+
+
+@query(
+    "d11_deletion_vectors",
+    f"""
+    WITH base AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(l_orderkey % 64 AS BIGINT) AS file_id,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM lineitem
+    ), pos AS (
+        SELECT *, row_number() OVER (PARTITION BY file_id
+                   ORDER BY ok, ln) AS pos
+        FROM base
+    ), dv AS (
+        SELECT file_id, pos FROM pos
+        WHERE ({md5_long_sql("ok::VARCHAR || ':' || ln::VARCHAR")})
+              % 13 = 0
+    ), live AS (
+        SELECT p.file_id, p.price_c
+        FROM pos p LEFT JOIN dv
+          ON p.file_id = dv.file_id AND p.pos = dv.pos
+        WHERE dv.pos IS NULL
+    ), tot AS (
+        SELECT file_id, count(*)::BIGINT AS n_total FROM pos
+        GROUP BY file_id
+    ), del AS (
+        SELECT file_id, count(*)::BIGINT AS n_deleted FROM dv
+        GROUP BY file_id
+    ), lv AS (
+        SELECT file_id, count(*)::BIGINT AS n_live,
+               sum(price_c)::BIGINT AS live_price_c
+        FROM live GROUP BY file_id
+    )
+    SELECT t.file_id, t.n_total,
+           coalesce(d.n_deleted, 0) AS n_deleted,
+           coalesce(l.n_live, 0) AS n_live,
+           coalesce(l.live_price_c, 0) AS live_price_c
+    FROM tot t
+    LEFT JOIN del d ON t.file_id = d.file_id
+    LEFT JOIN lv l ON t.file_id = l.file_id
+    """,
+    "Deletion-vector merge-on-read read path (Iceberg position "
+    "deletes / Delta deletion vectors) — the third lakehouse delete "
+    "mechanism next to d8's key-based erasure and d6's CDC merge: "
+    "rows are addressed by (file, position), the delete vector is a "
+    "separate small relation, and the read path is scan + "
+    "position-anti-join with NO base-file rewrite. Positions are "
+    "synthesized deterministically (row_number per file over the "
+    "stable sort key — the physical-order contract a real format "
+    "gets from the file itself); the reconciliation output proves "
+    "n_live + n_deleted = n_total per file and carries exact "
+    "centi-cent sums so a position off by one breaks the hash. "
+    "Scale: everything keys on file_id — one exchange, per-file "
+    "state bounded by file size exactly as in a real table format.",
+)
+def d11_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import md5_long
+
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        (F.col("l_orderkey") % 64).cast("long").alias("file_id"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_c"),
+    )
+    pos = base.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("file_id").orderBy("ok", "ln")
+        ),
+    ).localCheckpoint(eager=False)
+    dv = pos.filter(
+        md5_long(
+            F.concat_ws(
+                ":", F.col("ok").cast("string"), F.col("ln").cast("string")
+            )
+        )
+        % 13
+        == 0
+    ).select("file_id", "pos")
+    live = pos.join(dv, ["file_id", "pos"], "left_anti").select(
+        "file_id", "price_c"
+    )
+    tot = pos.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    dele = dv.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deleted")
+    )
+    lv = live.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum("price_c").cast("long").alias("live_price_c"),
+    )
+    return (
+        tot.join(dele, "file_id", "left")
+        .join(lv, "file_id", "left")
+        .select(
+            "file_id",
+            "n_total",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias(
+                "n_deleted"
+            ),
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            F.coalesce("live_price_c", F.lit(0))
+            .cast("long")
+            .alias("live_price_c"),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -17916,6 +18264,15 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t49_pmi_pairs",
          f"CAST({sc('tok_a')} AS BIGINT) * 100000 + {sc('tok_b')}",
          f"n_ab + 31*{t('pmi_micro')}"),
+        ("a29_rfm_segmentation", "custkey",
+         f"r_days + 31*f_cnt + 1009*{t('m_c')} + 7*rfm_code"),
+        ("w24_stl_anomaly",
+         f"CAST({sc('event_type')} AS BIGINT) * 100000 + ed",
+         f"x + 31*{q6('residual')} + 1009*{q6('med_resid')}"
+         f" + 31063*{q6('mad_resid')}"),
+        ("d11_deletion_vectors", "file_id",
+         f"n_total + 31*n_deleted + 1009*n_live"
+         f" + 31063*{t('live_price_c')}"),
     ]
 
 

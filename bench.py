@@ -161,6 +161,8 @@ HEADLINE = [
     "a29_rfm_segmentation",
     "w24_stl_anomaly",
     "d11_deletion_vectors",
+    "n20_two_proportion_z",
+    "j15_asof_tolerance",
 ]
 
 

@@ -17787,6 +17787,171 @@ def d11_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N20_Z = (
+    "CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0"
+    " AND (xa + xb) < (na + nb) THEN"
+    " round((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+    " * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+    " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)"
+    " END"
+)
+
+
+@query(
+    "n20_two_proportion_z",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               (({seeded_md5_long_sql('user_id::VARCHAR', 53)}) % 2 = 0)
+                   AS arm_a,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT
+            CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN arm_a AND n_purch > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS xa,
+            CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT)
+                AS nb,
+            CAST(sum(CASE WHEN NOT arm_a AND n_purch > 0 THEN 1 ELSE 0
+                     END) AS BIGINT) AS xb
+        FROM u
+    )
+    SELECT na, xa, nb, xb,
+           CASE WHEN na > 0 THEN round(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE), 6) END AS rate_a,
+           CASE WHEN nb > 0 THEN round(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE), 6) END AS rate_b,
+           {_N20_Z} AS z_stat
+    FROM m
+    """,
+    "Two-proportion z-test on per-user purchase conversion between two "
+    "hash-split arms — THE A/B-test statistic (n11 compares means; "
+    "n15/n18 resample; this is the pooled-variance normal test every "
+    "experimentation platform reports first). Conversion is a per-USER "
+    "property (any purchase), so the unit of analysis is users — one "
+    "user-keyed aggregate, then four exact int64 counts on a 1-row "
+    "frame; the z expression is shared-text fixed-order IEEE over "
+    "identical integers, rounded to 6 dp. The arm split reuses the "
+    "seeded portable md5 (same family as n18's split, so the two "
+    "tests are consistent on the same experiment). Degenerate designs "
+    "(an empty arm — which actually happens at sf0.001's 15 users — "
+    "or 0%/100% pooled conversion, where the variance is 0) emit NULL "
+    "via integer guards instead of a cross-engine div-by-zero "
+    "divergence.",
+)
+def n20_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch")
+        )
+        .select(
+            (
+                seeded_md5_long(F.col("user_id").cast("string"), 53) % 2
+                == 0
+            ).alias("arm_a"),
+            "n_purch",
+        )
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(
+            F.when(F.col("arm_a") & (F.col("n_purch") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("xa"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(
+            F.when(~F.col("arm_a") & (F.col("n_purch") > 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("xb"),
+    )
+    return m.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.expr(
+            "CASE WHEN na > 0 THEN round(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE), 6) END"
+        ).alias("rate_a"),
+        F.expr(
+            "CASE WHEN nb > 0 THEN round(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE), 6) END"
+        ).alias("rate_b"),
+        F.expr(_N20_Z).alias("z_stat"),
+    )
+
+
+@query(
+    "j15_asof_tolerance",
+    """
+    WITH w AS (
+        SELECT event_id, epoch_us(ts)::BIGINT AS t,
+               max(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts)::BIGINT END)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC,
+                         event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS last_signup_us
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN t - last_signup_us <= 3600000000
+                THEN last_signup_us END AS signup_within_1h_us,
+           CASE WHEN t - last_signup_us <= 3600000000
+                THEN t - last_signup_us END AS age_us
+    FROM w
+    """,
+    "Tolerance-bounded as-of join (pandas merge_asof's tolerance= "
+    "semantics; KDB wj): each event joins its user's most recent "
+    "preceding signup ONLY if it happened within the last hour — "
+    "stale matches become NULL rather than silently joining "
+    "arbitrarily old state, the correctness detail that separates a "
+    "real sensor/feature-store lookup from j7's unbounded backward "
+    "scan. Same single-window shape as j7 (running conditional max, "
+    "ONE user-keyed exchange, no range-join explosion); the "
+    "tolerance is an exact integer-microsecond filter applied AFTER "
+    "the window, so the plan cost is identical to the unbounded "
+    "as-of.",
+)
+def j15_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last = F.max(
+        F.when(
+            F.col("event_type") == "signup", F.unix_micros("ts")
+        )
+    ).over(w)
+    base = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        last.alias("last_signup_us"),
+    )
+    ok = F.col("t") - F.col("last_signup_us") <= 3600000000
+    return base.select(
+        "event_id",
+        F.when(ok, F.col("last_signup_us")).alias("signup_within_1h_us"),
+        F.when(ok, F.col("t") - F.col("last_signup_us")).alias("age_us"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -18273,6 +18438,13 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("d11_deletion_vectors", "file_id",
          f"n_total + 31*n_deleted + 1009*n_live"
          f" + 31063*{t('live_price_c')}"),
+        ("n20_two_proportion_z", "na",
+         f"xa + 31*nb + 1009*xb + 7*{q6('coalesce(rate_a, -1.0)')}"
+         f" + 13*{q6('coalesce(rate_b, -1.0)')}"
+         f" + 17*{q6('coalesce(z_stat, -99.0)')}"),
+        ("j15_asof_tolerance", "event_id",
+         f"coalesce({t('signup_within_1h_us')}, -1)"
+         f" + 31*coalesce({t('age_us')}, -1)"),
     ]
 
 

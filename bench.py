@@ -163,6 +163,7 @@ HEADLINE = [
     "d11_deletion_vectors",
     "n20_two_proportion_z",
     "j15_asof_tolerance",
+    "u7_cumulative_uniques",
 ]
 
 

@@ -17952,6 +17952,77 @@ def j15_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "u7_cumulative_uniques",
+    """
+    WITH fs AS (
+        SELECT user_id,
+               min(CAST((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                        / 86400000000 AS BIGINT)) AS first_day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT CAST((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                    / 86400000000 AS BIGINT) AS day,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1
+    ), nf AS (
+        SELECT first_day AS day, count(*)::BIGINT AS n_new
+        FROM fs GROUP BY first_day
+    )
+    SELECT d.day, d.n_events, coalesce(nf.n_new, 0) AS n_new_users,
+           CAST(sum(coalesce(nf.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_unique_users
+    FROM daily d LEFT JOIN nf ON d.day = nf.day
+    """,
+    "Cumulative distinct users per day (total reach / cumulative DAU) "
+    "— the growth-analytics counter that is NOT computable as a "
+    "running count-distinct window at scale. The first-seen trick "
+    "makes it one-pass distributed: distinct-by-day collapses to each "
+    "user's FIRST day (one user-keyed min), cumulative distinct = "
+    "running sum of per-day first-appearance counts — exact integers, "
+    "no growing distinct-set state anywhere. The only window runs on "
+    "the daily frame (time-bounded); data-scale work is two map-side-"
+    "combined aggregations.",
+)
+def u7_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros("ts") % 86400000000)
+            / 86400000000
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    fs = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    nf = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.join(F.broadcast(nf), "day", "left")
+        .select(
+            "day",
+            "n_events",
+            F.coalesce("n_new", F.lit(0)).alias("n_new_users"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_new_users",
+            F.sum("n_new_users").over(w).cast("long").alias(
+                "cum_unique_users"
+            ),
+        )
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -18445,6 +18516,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("j15_asof_tolerance", "event_id",
          f"coalesce({t('signup_within_1h_us')}, -1)"
          f" + 31*coalesce({t('age_us')}, -1)"),
+        ("u7_cumulative_uniques", "day",
+         "n_events + 31*n_new_users + 1009*cum_unique_users"),
     ]
 
 

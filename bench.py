@@ -164,6 +164,9 @@ HEADLINE = [
     "n20_two_proportion_z",
     "j15_asof_tolerance",
     "u7_cumulative_uniques",
+    "j16_pointer_doubling",
+    "t50_shingle_novelty",
+    "n21_runs_test",
 ]
 
 

@@ -18023,6 +18023,238 @@ def u7_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_J16_ROUNDS = 6
+
+
+def _j16_oracle() -> str:
+    return """
+    WITH RECURSIVE nodes AS (
+        SELECT s_suppkey AS node FROM supplier
+    ), walk AS (
+        SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth
+        FROM nodes
+        UNION ALL
+        SELECT node, CAST((cur - (cur % 2)) / 2 AS BIGINT) AS cur,
+               depth + 1
+        FROM walk WHERE cur > 1
+    )
+    SELECT w.node, CAST(w.cur AS BIGINT) AS root,
+           CAST(w.depth AS BIGINT) AS depth
+    FROM walk w
+    JOIN (SELECT node, max(depth) AS md FROM walk GROUP BY node) x
+      ON w.node = x.node AND w.depth = x.md
+    """
+
+
+@query(
+    "j16_pointer_doubling",
+    _j16_oracle(),
+    "Recursive-hierarchy resolution (every node's root + depth in the "
+    "parent(s) = floor(s/2) binary forest over suppliers) via POINTER "
+    "DOUBLING — the log-rounds trick that makes arbitrary-depth "
+    "hierarchy walks (org charts, BOM explosions, reply threads) "
+    "feasible distributed, where a per-level loop would need "
+    "depth-many shuffles: each round self-joins the ancestor frame so "
+    "every node's known ancestor jumps twice as far "
+    "(anc <- anc[anc], dist accumulates), 6 rounds covering depth "
+    "2^6 = 64. Roots hold a zero-cost self-loop fixed point. The "
+    "oracle deliberately uses a DIFFERENT algorithm — a linear "
+    "recursive-CTE parent walk — so the doubling arithmetic itself "
+    "is what gets verified. All exact integers.",
+)
+def j16_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    st = nodes.select(
+        "node",
+        F.when(F.col("node") > 1, ((F.col("node") - F.col("node") % 2) / 2))
+        .otherwise(F.col("node"))
+        .cast("long")
+        .alias("anc"),
+        F.when(F.col("node") > 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(_J16_ROUNDS):
+        jump = st.select(
+            F.col("node").alias("jnode"),
+            F.col("anc").alias("janc"),
+            F.col("dist").alias("jdist"),
+        )
+        st = (
+            st.join(jump, st.anc == F.col("jnode"))
+            .select(
+                "node",
+                F.col("janc").alias("anc"),
+                (F.col("dist") + F.col("jdist")).cast("long").alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return st.select(
+        "node",
+        F.col("anc").alias("root"),
+        F.col("dist").alias("depth"),
+    )
+
+
+def _t50_oracle() -> str:
+    return f"""
+    WITH {_SHINGLE_SQL.strip()},
+    firsts AS (
+        SELECT shingle, min(doc_id) AS first_doc
+        FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               ::BIGINT AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+    FROM sh s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """
+
+
+@query(
+    "t50_shingle_novelty",
+    _t50_oracle(),
+    "Per-document shingle novelty — what fraction of a document's "
+    "5-gram shingles appear for the FIRST time at this doc_id (the "
+    "corpus-order novelty curve from the memorization literature; "
+    "t23/t29 find what repeats, this measures how much each document "
+    "ADDS). One shingle-keyed aggregation assigns every distinct "
+    "shingle its earliest document (min — map-side combined), one "
+    "join back, one per-doc census — the same single-shuffle shape "
+    "as t4's fingerprint dedup, reusing t5's shingle frame text "
+    "verbatim in the oracle. Counts exact int64; the fraction is one "
+    "correctly-rounded IEEE divide.",
+)
+def t50_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    sh = dedup_ops.shingles(docs, "text", "doc_id", k=5, distinct=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1"
+                " ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)"
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+_N21_Z = (
+    "CASE WHEN (np + nm) > 1 AND np > 0 AND nm > 0 THEN"
+    " round((CAST(r AS DOUBLE) - (2.0 * CAST(np AS DOUBLE)"
+    " * CAST(nm AS DOUBLE) / CAST(np + nm AS DOUBLE) + 1.0))"
+    " / sqrt(2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+    " * (2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)"
+    " - CAST(np AS DOUBLE) - CAST(nm AS DOUBLE))"
+    " / (CAST(np + nm AS DOUBLE) * CAST(np + nm AS DOUBLE)"
+    " * CAST(np + nm - 1 AS DOUBLE))), 6) END"
+)
+
+
+@query(
+    "n21_runs_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST((epoch_us(ts) - (epoch_us(ts) % 86400000000))
+                    / 86400000000 AS BIGINT) AS day,
+               count(*)::BIGINT AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), mv AS (
+        SELECT day, y - lag(y) OVER (ORDER BY day) AS d
+        FROM daily
+    ), sgn AS (
+        SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+        FROM mv WHERE d IS NOT NULL AND d <> 0
+    ), runs AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                         OR lag(s) OVER (ORDER BY day) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM sgn
+    ), m AS (
+        SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS np,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nm,
+               CAST(sum(new_run) AS BIGINT) AS r
+        FROM runs
+    )
+    SELECT np AS n_up, nm AS n_down, r AS n_runs, {_N21_Z} AS z_stat
+    FROM m
+    """,
+    "Wald-Wolfowitz runs test on the daily click series' up/down moves "
+    "— the randomness diagnostic (too FEW runs = trending/sticky, too "
+    "MANY = oscillating) completing the time-series toolkit around "
+    "n14's ACF and w16's CUSUM. Signs, run starts (lag-based change "
+    "detection on the time-bounded daily frame), and the three counts "
+    "are exact integers; zero moves drop (ties carry no direction). "
+    "The normal-approximation z is one shared-text fixed-order IEEE "
+    "expression with integer degenerate-case guards (one-sided series "
+    "emit NULL, never a div-by-zero divergence — the n20 lesson).",
+)
+def n21_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            (
+                (F.unix_micros("ts") - F.unix_micros("ts") % 86400000000)
+                / 86400000000
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wd = Window.orderBy("day")
+    mv = daily.select("day", (F.col("y") - F.lag("y").over(wd)).alias("d"))
+    sgn = mv.filter(F.col("d").isNotNull() & (F.col("d") != 0)).select(
+        "day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("s")
+    )
+    runs = sgn.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    m = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("nm"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    return m.select(
+        F.col("np").alias("n_up"),
+        F.col("nm").alias("n_down"),
+        F.col("r").alias("n_runs"),
+        F.expr(_N21_Z).alias("z_stat"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -18518,6 +18750,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 31*coalesce({t('age_us')}, -1)"),
         ("u7_cumulative_uniques", "day",
          "n_events + 31*n_new_users + 1009*cum_unique_users"),
+        ("j16_pointer_doubling", "node", "root + 31*depth"),
+        ("t50_shingle_novelty", "doc_id",
+         f"n_shingles + 31*n_novel + 1009*{q6('novelty_frac')}"),
+        ("n21_runs_test", "n_runs",
+         f"n_up + 31*n_down + 1009*{q6('coalesce(z_stat, -99.0)')}"),
     ]
 
 

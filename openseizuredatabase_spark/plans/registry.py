@@ -18684,60 +18684,24 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m30_ols_normal_eq", "n",
          f"{q6('beta0')} + 31*{q6('beta1')} + 1009*{q6('beta2')}"
          f" + 31063*{q6('r2')}"),
-        ("v15_dbscan_grid", "cluster",
-         "n_core + 31*n_border + 1009*n_total"),
-        ("n15_permutation_test", "na",
-         f"nb + 31*{q6('obs_diff')} + 1009*n_ge + 31063*{q6('p_value')}"),
-        ("m31_target_encoding",
-         f"CAST({sc('cat')} AS BIGINT) * 10 + fold",
-         f"n_fold + 31*{q6('coalesce(oof_mean, -1.0)')}"),
         ("w21_interval_coverage", "user_id",
          f"n_intervals + 31*{t('covered_us')}"),
-        ("t47_rake_keywords", sc("phrase"),
-         f"n_words + 31*n_occurrences + 1009*{t('score_micro')}"),
-        ("v16_jl_projection", "id_a * 1000000 + id_b",
-         f"{t('d64_sq')} + 31*{t('d8_sq')} + 1009*{q6('ratio')}"),
-        ("n16_anova_f", "n_groups",
-         f"n_total + 31*{q6('f_stat')}"
-         f" + 1009*{t('CAST(round(ss_between) AS BIGINT)')}"
-         f" + 31063*{t('CAST(round(ss_within) AS BIGINT)')}"),
-        ("n17_spearman_rho", "n", q6("rho")),
         ("w22_xcorr_lags", "lag_h",
          f"n_hours + 31*{q6('coalesce(r_xy, -2.0)')}"),
         ("t48_readability", "doc_id",
          f"n_words + 31*n_sentences + 1009*n_syllables"
          f" + 31063*{q6('flesch')}"),
-        ("n18_fdr_bh", sc("event_type"),
-         f"n_a + 31*n_b + 1009*n_ge + 7*p_rank + 13*{q6('p_value')}"
-         f" + 17*{q6('obs_diff')}"
-         " + 127*(CASE WHEN rejected THEN 1 ELSE 0 END)"),
-        ("a21_markov_stationary", sc("state"),
-         "n_out + 31*pi_micro"),
-        ("m32_batch_perceptron", "a0",
-         f"{t('a1')} + 31*{t('a2')} + 1009*n_mis + 31063*n_total"),
-        ("j13_bfs_hops", "node", "hop"),
-        ("m25_mfcc", "media_id * 1000 + epoch",
-         f"{t('c0_micro')} + 31*{t('c1_micro')} + 1009*{t('c2_micro')}"
-         f" + 31063*{t('c3_micro')}"),
         ("j14_kcore", "node", "core_deg"),
         ("a28_theil_sen", "n_days",
          f"n_pairs + 31*{t('slope_micro')} + 1009*{t('intercept_micro')}"),
         ("n19_friedman", "n_blocks",
          f"k_treatments + 31*{q6('q_stat')}"),
-        ("m33_als_rank1", sc("event_type"),
-         f"{t('v_micro')} + 31*n_users + 1009*{t('sse_micro')}"),
         ("w23_ohlc_hourly", "hour_idx",
          f"{t('open_c')} + 31*{t('high_c')} + 1009*{t('low_c')}"
          f" + 7*{t('close_c')} + 13*n_events + 17*{t('volume_c')}"),
         ("t49_pmi_pairs",
          f"CAST({sc('tok_a')} AS BIGINT) * 100000 + {sc('tok_b')}",
          f"n_ab + 31*{t('pmi_micro')}"),
-        ("a29_rfm_segmentation", "custkey",
-         f"r_days + 31*f_cnt + 1009*{t('m_c')} + 7*rfm_code"),
-        ("w24_stl_anomaly",
-         f"CAST({sc('event_type')} AS BIGINT) * 100000 + ed",
-         f"x + 31*{q6('residual')} + 1009*{q6('med_resid')}"
-         f" + 31063*{q6('mad_resid')}"),
         ("d11_deletion_vectors", "file_id",
          f"n_total + 31*n_deleted + 1009*n_live"
          f" + 31063*{t('live_price_c')}"),
@@ -18755,6 +18719,42 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_shingles + 31*n_novel + 1009*{q6('novelty_frac')}"),
         ("n21_runs_test", "n_runs",
          f"n_up + 31*n_down + 1009*{q6('coalesce(z_stat, -99.0)')}"),
+        # round-4 session-6 window rotation: the 15 displaced round-1
+        # singles (every column below hash-matched as a full value
+        # oracle for six rounds, so any integer combine over them is
+        # sound).
+        ("j3_top_orders", "o_orderkey", t(q6("revenue"))),
+        ("j2_semi_join_customers", "c_custkey", sc("c_name")),
+        ("j5_snapshot_merge", "event_id",
+         f"user_id + 31*{t(q6('value'))} + 1009*{sc('src')}"),
+        ("f1_include_exclude", "event_id",
+         f"user_id + 31*{sc('event_type')} + 1009*{t(q6('value'))}"),
+        ("d2_gap_clustering", "user_id",
+         f"{sc('event_type')} + 31*{t('cluster_id')}"
+         f" + 1009*{t('rep_event_id')} + 31063*cluster_n"),
+        ("w3_gap_fill", "user_id", t("fill_epoch")),
+        ("w12_topk_per_group",
+         f"CAST({sc('event_type')} AS BIGINT) * 100 + rank",
+         f"event_id + 31*{t(q6('value'))}"),
+        ("a5_event_rollup", "user_id",
+         f"{sc('day')} + 31*pred + 1009*{q6('max_prob')} + 31063*n_dp"),
+        ("a6_confusion_metrics", "ntp",
+         f"nfp + 31*ntn + 1009*nfn + 7*{q6('tpr')} + 13*{q6('tnr')}"
+         f" + 17*{q6('precision')} + 127*{q6('f1')}"),
+        ("a11_per_user_rebucket", sc("cohort"),
+         f"n_errors + 31*n_users + 1009*{t(q6('sum_value'))}"),
+        ("m1_train_test_split", sc("part"), f"n + 31*{t('id_sum')}"),
+        ("m5_noise_augment", "copy_idx",
+         f"n_rows + 31*{t(q6('sig_sum'))}"),
+        ("m6_phase_augment", "eventId",
+         f"n_windows + 31*max_widx + 1009*{sc('phase_id')}"),
+        ("t1_token_stats", sc("lang"),
+         f"n_docs + 31*{t('total_tokens')} + 1009*max_tokens"
+         f" + 7*{t('total_bpe_tokens')} + 13*{q6('avg_tokens')}"
+         f" + 17*{q6('chars_per_token')}"),
+        ("t6_minhash_signatures", "doc_id",
+         f"{t('mh_0')} + 31*{t('mh_1')} + 1009*{t('mh_2')}"
+         f" + 31063*{t('mh_3')}"),
     ]
 
 
@@ -18801,23 +18801,18 @@ QUERIES["x_signatures"] = QuerySpec(
 # locally); rows-only queries (genuinely non-SQL kernels) last.
 _DRIVER_WINDOW = [
     # core round-1 flagships that keep direct slots
-    "a1_pricing_summary", "j3_top_orders", "j2_semi_join_customers",
-    "f7_anti_join_customers", "j5_snapshot_merge", "f1_include_exclude",
-    "d1_unique_event_grouping", "d2_gap_clustering", "w3_gap_fill",
-    "w5_epoch_segmentation", "w7_moving_average", "w12_topk_per_group",
-    "a5_event_rollup", "a6_confusion_metrics", "a11_per_user_rebucket",
-    "m1_train_test_split", "m3_oversample_balance", "m5_noise_augment",
-    "m6_phase_augment", "m9_batch_inference",
-    "t1_token_stats", "t2_quality_score", "t3_lang_id",
-    "t4_fingerprint_dedup", "t5_ngram_jaccard", "t6_minhash_signatures",
+    "a1_pricing_summary",
+    "f7_anti_join_customers",
+    "d1_unique_event_grouping",
+    "w5_epoch_segmentation", "w7_moving_average",
+    "m3_oversample_balance", "m9_batch_inference",
+    "t2_quality_score", "t3_lang_id",
+    "t4_fingerprint_dedup", "t5_ngram_jaccard",
     "v1_cosine_topk", "v2_lsh_buckets", "w10_alarm_state_machine",
     "c9_fft_features",
-    # round-4 session-5 rotation (same discipline as the round-4 one
-    # below it replaces): the newest flagships take direct rows; the 19
-    # round-3 flagships they displace (t23-t33, p3-p5, n2, m15, v5-v7)
-    # move into x_signatures with fresh integer signatures — zero
-    # coverage loss, and the newest work is what the driver checks
-    # directly.
+    # round-4 session-5 rotation: session-4 flagships holding direct
+    # rows (the 19 round-3 flagships they displaced live in
+    # x_signatures with fresh integer signatures).
     "t34_hashed_classifier", "t35_kneser_ney", "t36_source_pagerank",
     "t37_bm25_topk", "v8_pq_adc", "v10_ivf_pq",
     "j10_fuzzy_blocked_join", "t41_triangle_count",
@@ -18825,6 +18820,16 @@ _DRIVER_WINDOW = [
     "p6_filter_chain", "t44_bpe_merge_rounds", "m27_gbt_stumps",
     "n10_bradley_terry", "p10_doremi_weights", "d9_table_diff",
     "m26_knn_label_prop", "d10_time_travel",
+    # round-4 session-6 rotation (same discipline, third application):
+    # the 15 session-6 flagships take direct rows; the 15 long-stable
+    # round-1 singles they displace (j3/j2/j5/f1/d2/w3/w12/a5/a6/a11/
+    # m1/m5/m6/t1/t6) move into x_signatures with fresh integer
+    # signatures — zero coverage loss, newest work checked directly.
+    "v15_dbscan_grid", "n15_permutation_test", "m31_target_encoding",
+    "t47_rake_keywords", "v16_jl_projection", "n16_anova_f",
+    "n17_spearman_rho", "n18_fdr_bh", "m32_batch_perceptron",
+    "m33_als_rank1", "m25_mfcc", "j13_bfs_hops",
+    "a21_markov_stationary", "a29_rfm_segmentation", "w24_stl_anomaly",
     "x_signatures",
 ]
 

@@ -167,6 +167,7 @@ HEADLINE = [
     "j16_pointer_doubling",
     "t50_shingle_novelty",
     "n21_runs_test",
+    "a30_t_closeness",
 ]
 
 

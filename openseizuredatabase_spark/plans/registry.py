@@ -18255,6 +18255,120 @@ def n21_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a30_t_closeness",
+    """
+    WITH base AS (
+        SELECT c_nationkey AS qi1, c_mktsegment AS qi2,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sb
+        FROM customer
+    ), gl AS (
+        SELECT sb, count(*)::BIGINT AS cb FROM base GROUP BY sb
+    ), nn AS (
+        SELECT sum(cb)::BIGINT AS n FROM gl
+    ), grp AS (
+        SELECT qi1, qi2, count(*)::BIGINT AS ng FROM base
+        GROUP BY qi1, qi2
+    ), cell AS (
+        SELECT qi1, qi2, sb, count(*)::BIGINT AS cgb FROM base
+        GROUP BY qi1, qi2, sb
+    ), grid AS (
+        SELECT g.qi1, g.qi2, g.ng, b.sb, b.cb,
+               coalesce(c.cgb, 0) AS cgb
+        FROM grp g CROSS JOIN gl b
+        LEFT JOIN cell c
+          ON c.qi1 = g.qi1 AND c.qi2 = g.qi2 AND c.sb = b.sb
+    ), cum AS (
+        SELECT qi1, qi2, ng, sb,
+               CAST(sum(cgb * nn.n - cb * ng) OVER (
+                   PARTITION BY qi1, qi2 ORDER BY sb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cd,
+               CAST(count(*) OVER (PARTITION BY qi1, qi2) AS BIGINT)
+                   AS m,
+               nn.n AS n
+        FROM grid, nn
+    )
+    SELECT qi1, qi2, max(ng) AS n_rows,
+           round(CAST(sum(abs(cd)) AS DOUBLE)
+                 / (CAST(max(ng) AS DOUBLE) * CAST(max(n) AS DOUBLE)
+                    * CAST(max(m) - 1 AS DOUBLE)), 6) AS t_emd,
+           (round(CAST(sum(abs(cd)) AS DOUBLE)
+                 / (CAST(max(ng) AS DOUBLE) * CAST(max(n) AS DOUBLE)
+                    * CAST(max(m) - 1 AS DOUBLE)), 6) > 0.2)
+               AS at_risk_t
+    FROM cum GROUP BY qi1, qi2
+    """,
+    "t-closeness privacy audit — the third release-gate metric after "
+    "a22's k-anonymity and l-diversity (Li et al.: a group can be "
+    "k-anonymous AND l-diverse yet still leak if its sensitive-value "
+    "DISTRIBUTION diverges from the table's): per quasi-identifier "
+    "group, the Earth-Mover's distance between the group's bucketed "
+    "account-balance distribution and the global one, using the "
+    "ordered-bucket EMD identity (mean of |cumulative differences| / "
+    "(m-1)). Exactness: cumulative differences are computed on the "
+    "COMMON denominator as exact integers (cgb*N - cb*ng), so the "
+    "only float is ONE final shared-text division; the 0.2 threshold "
+    "compares identically-rounded doubles. Scale: two metadata-sized "
+    "aggregations; the dense group x bucket grid is "
+    "|QI groups| x |buckets| — audit-sized, never data-sized.",
+)
+def a30_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi1"),
+        F.col("c_mktsegment").alias("qi2"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("sb"),
+    )
+    gl = base.groupBy("sb").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    nn = gl.agg(F.sum("cb").cast("long").alias("n"))
+    grp = base.groupBy("qi1", "qi2").agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    cell = base.groupBy("qi1", "qi2", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("cgb")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(gl))
+        .join(cell, ["qi1", "qi2", "sb"], "left")
+        .select(
+            "qi1",
+            "qi2",
+            "ng",
+            "sb",
+            "cb",
+            F.coalesce("cgb", F.lit(0)).alias("cgb"),
+        )
+    )
+    wc = (
+        Window.partitionBy("qi1", "qi2")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("qi1", "qi2")
+    cum = grid.crossJoin(F.broadcast(nn)).select(
+        "qi1",
+        "qi2",
+        "ng",
+        "sb",
+        F.sum(F.col("cgb") * F.col("n") - F.col("cb") * F.col("ng"))
+        .over(wc)
+        .cast("long")
+        .alias("cd"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("m"),
+        "n",
+    )
+    emd = (
+        "round(CAST(sum(abs(cd)) AS DOUBLE)"
+        " / (CAST(max(ng) AS DOUBLE) * CAST(max(n) AS DOUBLE)"
+        " * CAST(max(m) - 1 AS DOUBLE)), 6)"
+    )
+    return cum.groupBy("qi1", "qi2").agg(
+        F.max("ng").alias("n_rows"),
+        F.expr(emd).alias("t_emd"),
+        F.expr(f"({emd} > 0.2)").alias("at_risk_t"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -18755,6 +18869,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t6_minhash_signatures", "doc_id",
          f"{t('mh_0')} + 31*{t('mh_1')} + 1009*{t('mh_2')}"
          f" + 31063*{t('mh_3')}"),
+        ("a30_t_closeness",
+         f"qi1 * 1000 + {sc('qi2')}",
+         f"n_rows + 31*{q6('t_emd')}"
+         " + 1009*(CASE WHEN at_risk_t THEN 1 ELSE 0 END)"),
     ]
 
 

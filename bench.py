@@ -168,6 +168,7 @@ HEADLINE = [
     "t50_shingle_novelty",
     "n21_runs_test",
     "a30_t_closeness",
+    "n22_benford_test",
 ]
 
 

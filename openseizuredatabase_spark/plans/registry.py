@@ -18369,6 +18369,105 @@ def a30_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _n22_benford() -> list[tuple[int, int]]:
+    """Benford first-digit probabilities log10(1 + 1/d) as integer
+    micro literals (computed ONCE in Python — no libm in either
+    engine's plan; the v16/m25 literal-table pattern)."""
+    import math
+
+    return [
+        (d, int(round(math.log10(1.0 + 1.0 / d) * 1e6)))
+        for d in range(1, 10)
+    ]
+
+
+_N22_CONTRIB = (
+    "round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)"
+    " * CAST(p_micro AS DOUBLE) / 1000000.0)"
+    " * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)"
+    " * CAST(p_micro AS DOUBLE) / 1000000.0)"
+    " / (CAST(n AS DOUBLE) * CAST(p_micro AS DOUBLE) / 1000000.0), 6)"
+)
+
+
+def _n22_oracle() -> str:
+    rows = ", ".join(f"({d}, {p})" for d, p in _n22_benford())
+    return f"""
+    WITH b(digit, p_micro) AS (
+        SELECT * FROM (VALUES {rows})
+    ), obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*)::BIGINT AS n_obs
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY 1
+    ), nn AS (
+        SELECT sum(n_obs)::BIGINT AS n FROM obs
+    )
+    SELECT b.digit, coalesce(obs.n_obs, 0) AS n_obs, b.p_micro,
+           nn.n AS n_total,
+           {_N22_CONTRIB.replace('n_obs', 'coalesce(obs.n_obs, 0)')
+                        .replace('CAST(n AS', 'CAST(nn.n AS')
+                        .replace('p_micro', 'b.p_micro')} AS chi2_term
+    FROM b LEFT JOIN obs ON b.digit = obs.digit, nn
+    """
+
+
+@query(
+    "n22_benford_test",
+    _n22_oracle(),
+    "Benford's-law first-digit screen over order totals — the "
+    "forensic data-quality test (fabricated or truncated monetary "
+    "data flunks it) that belongs next to r4's DQ suite and m28's "
+    "sample chi2. First digits come from exact integer string "
+    "arithmetic; the Benford expectations log10(1 + 1/d) are "
+    "PRECOMPUTED integer micro literals shared verbatim by both "
+    "engines (no libm in either plan — the v16/m25 pattern), so each "
+    "digit's chi-square term is one shared-text fixed-order IEEE "
+    "expression over exact integers. ONE map-side-combined "
+    "aggregation of data-scale work; digits that never occur still "
+    "emit a row (left join against the literal table) so a "
+    "degenerate distribution can't silently shrink the test.",
+)
+def n22_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = spark.createDataFrame(_n22_benford(), "digit long, p_micro long")
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.round("o_totalprice", 0).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    nn = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    grid = (
+        b.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "p_micro",
+            F.col("n").alias("n_total"),
+        )
+    )
+    return grid.select(
+        "digit",
+        "n_obs",
+        "p_micro",
+        "n_total",
+        F.expr(
+            _N22_CONTRIB.replace("CAST(n AS", "CAST(n_total AS")
+        ).alias("chi2_term"),
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -18873,6 +18972,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"qi1 * 1000 + {sc('qi2')}",
          f"n_rows + 31*{q6('t_emd')}"
          " + 1009*(CASE WHEN at_risk_t THEN 1 ELSE 0 END)"),
+        ("n22_benford_test", "digit",
+         f"n_obs + 31*p_micro + 1009*{t('n_total')}"
+         f" + 31063*{q6('chi2_term')}"),
     ]
 
 

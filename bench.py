@@ -169,6 +169,7 @@ HEADLINE = [
     "n21_runs_test",
     "a30_t_closeness",
     "n22_benford_test",
+    "v17_rrf_fusion",
 ]
 
 

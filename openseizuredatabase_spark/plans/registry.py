@@ -18468,6 +18468,164 @@ def n22_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v17_query_vec() -> list[tuple[int, int]]:
+    """Deterministic ±1 query vector (64-d) as literals (v16's sign
+    pattern) for the RRF vector leg."""
+    import hashlib
+
+    return [
+        (
+            i,
+            1
+            if int(hashlib.md5(f"rrf:{i}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1,
+        )
+        for i in range(64)
+    ]
+
+
+_V17_K = 60  # standard RRF damping constant
+_V17_TERMS = ("data", "model", "sample")
+
+
+def _v17_oracle() -> str:
+    qv = ", ".join(f"({i}, {s})" for i, s in _v17_query_vec())
+    lex_score = " + ".join(
+        f"(len(regexp_extract_all(lower(text), '{w}')))"
+        for w in _V17_TERMS
+    )
+    return f"""
+    WITH qv(i, s) AS (
+        SELECT * FROM (VALUES {qv})
+    ), lex AS (
+        SELECT doc_id, CAST({lex_score} AS BIGINT) AS score
+        FROM documents
+    ), lex_top AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM (SELECT * FROM lex ORDER BY score DESC, doc_id LIMIT 50)
+    ), vx AS (
+        SELECT vec_id AS doc_id, g.i AS i,
+               CAST(round(embedding[g.i + 1]::DOUBLE * 1000000)
+                    AS BIGINT) AS xq
+        FROM embeddings, unnest(generate_series(0, 63)) AS g(i)
+    ), vec AS (
+        SELECT v.doc_id, CAST(sum(qv.s * v.xq) AS BIGINT) AS score
+        FROM vx v JOIN qv ON qv.i = v.i GROUP BY v.doc_id
+    ), vec_top AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM (SELECT * FROM vec ORDER BY score DESC, doc_id LIMIT 50)
+    ), fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.r AS lex_rank, v.r AS vec_rank,
+               CAST(coalesce(CAST(round(1000000.0
+                        / CAST({_V17_K} + l.r AS DOUBLE)) AS BIGINT), 0)
+                    + coalesce(CAST(round(1000000.0
+                        / CAST({_V17_K} + v.r AS DOUBLE)) AS BIGINT), 0)
+                    AS BIGINT) AS rrf_micro
+        FROM lex_top l FULL OUTER JOIN vec_top v
+          ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_micro FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY rrf_micro DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= 10
+    """
+
+
+@query(
+    "v17_rrf_fusion",
+    _v17_oracle(),
+    "Reciprocal-rank fusion of a lexical and a vector ranking — THE "
+    "hybrid-search combiner modern retrieval stacks run over exactly "
+    "the two legs this engine already provides (t37's BM25-style "
+    "lexical scores, v1's cosine ANN): rrf(d) = sum over lists of "
+    "1/(60 + rank_d). Each leg retrieves a top-50 via distributed "
+    "sort-limit (TakeOrdered — never a global single-partition window "
+    "over the corpus) with (score, doc_id) determinism; ranks then "
+    "come from row_number on the 50-row frames. The 1/(60+r) weights "
+    "quantize to integer micro-units per leg BEFORE the order-free "
+    "fusion sum, and docs missing from one list contribute zero from "
+    "it (full outer join) — standard RRF-over-retrieved-lists "
+    "semantics, every tie broken by doc_id in both engines.",
+)
+def v17_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = spark.createDataFrame(_v17_query_vec(), "i int, s long")
+    lex_expr = None
+    for w in _V17_TERMS:
+        term = F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(w), 0)
+        )
+        lex_expr = term if lex_expr is None else lex_expr + term
+    lex = _ts(spark, sf_dir, "documents").select(
+        "doc_id", lex_expr.cast("long").alias("score")
+    )
+
+    def top50(scored: DataFrame) -> DataFrame:
+        top = scored.orderBy(F.desc("score"), "doc_id").limit(50)
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("r")
+        )
+
+    lex_top = top50(lex)
+    vx = (
+        _ts(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.posexplode("embedding").alias("i", "xv"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.round(F.col("xv").cast("double") * 1000000, 0)
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    vec = (
+        vx.join(F.broadcast(qv), "i")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("s") * F.col("xq")).cast("long").alias("score"))
+    )
+    vec_top = top50(vec)
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.expr(
+            f"CAST(round(1000000.0 / CAST({_V17_K} + {c} AS DOUBLE))"
+            " AS BIGINT)"
+        ),
+        F.lit(0),
+    )
+    fused = (
+        lex_top.withColumnRenamed("r", "lex_rank")
+        .join(
+            vec_top.withColumnRenamed("r", "vec_rank"),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (contrib("lex_rank") + contrib("vec_rank"))
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    wr = Window.orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lex_rank", "vec_rank", "rrf_micro")
+    )
+
+
 def _sig_t(x: str) -> str:
     """Bound an unbounded integer term (sums, micros) so the polynomial
     combine below can never overflow int64 in either engine (DuckDB would
@@ -18975,6 +19133,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("n22_benford_test", "digit",
          f"n_obs + 31*p_micro + 1009*{t('n_total')}"
          f" + 31063*{q6('chi2_term')}"),
+        ("v17_rrf_fusion", "doc_id",
+         "coalesce(lex_rank, -1) + 31*coalesce(vec_rank, -1)"
+         " + 1009*rrf_micro"),
     ]
 
 

@@ -195,7 +195,11 @@ def main() -> int:
     for name in HEADLINE:
         spec = QUERIES[name]
         best = None
-        for _ in range(3):  # min of 3 runs: drop cold-cache/JIT/GC noise
+        # min of 2 runs: the first absorbs cold-cache/JIT noise, the
+        # second measures warm. (Was 3 when the headline set had 41
+        # queries; at 151 queries a third pass pushes total wall time
+        # past 10 minutes for ~1% timing gain.)
+        for _ in range(2):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

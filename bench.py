@@ -5,6 +5,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Two tiers (the 151-query flat sweep outgrew both the 10-minute budget
+for min-of-3 and the driver's 2000-char stdout tail capture):
+
+- CORE (the 50 names in ``CORE``): min of 3 timed passes — the round-1
+  20-query comparison set, the round-3 41-query set, and the slowest /
+  most plan-diverse round-4 flagships. These are the cross-round
+  regression signal, so they get the full noise discipline, and ONLY
+  these appear in the stdout ``queries`` dict (keeps the JSON line
+  within the tail capture).
+- EXTENDED (everything else in ``HEADLINE``): one timed pass after one
+  warm-up pass is too expensive at this count, so a single pass —
+  coverage signal, not regression signal. Only their total and count
+  ride the stdout line; per-query extended timings land in
+  ``BENCH_FULL.json`` next to this script.
+
 Each query runs as a full job with a no-op sink (results are materialized
 on executors, never collected to the driver) — measuring engine time, not
 driver serialization.
@@ -17,6 +32,62 @@ import os
 import sys
 import time
 
+
+CORE = [
+    # round-1 comparison set (BENCH_r01 order)
+    "a1_pricing_summary",
+    "j3_top_orders",
+    "j4_interval_containment",
+    "j5_snapshot_merge",
+    "c1_timestamp_cascade",
+    "d1_unique_event_grouping",
+    "d2_gap_clustering",
+    "w3_gap_fill",
+    "w6_feature_history",
+    "a6_confusion_metrics",
+    "a10_moments",
+    "m3_oversample_balance",
+    "t2_quality_score",
+    "t5_ngram_jaccard",
+    "t6_minhash_signatures",
+    "t8_simhash",
+    "v1_cosine_topk",
+    "v2_lsh_buckets",
+    "v3_cosine_near_dup",
+    "w10_alarm_state_machine",
+    # round-3 additions (BENCH_r03 order)
+    "t9_winnow_fingerprint",
+    "n1_dp_detector",
+    "t12_decontamination",
+    "m15_cnn_inference",
+    "n2_differential_report",
+    "m16_rf_inference",
+    "n5_threshold_sweep",
+    "t19_boilerplate_scrub",
+    "p1_llm_prep_pipeline",
+    "t23_substring_dedup",
+    "t24_semantic_dedup",
+    "t25_dsir_importance",
+    "t26_html_extract",
+    "t27_unicode_normalize",
+    "t28_zipf_stats",
+    "t29_source_overlap",
+    "p3_dsir_resample",
+    "p4_scrape_ingest",
+    "t30_substring_scrub",
+    "t31_gopher_rules",
+    "t32_minhash_calibration",
+    # slowest / most plan-diverse round-4 flagships
+    "v15_dbscan_grid",
+    "j12_lev_linkage",
+    "j10_fuzzy_blocked_join",
+    "p6_filter_chain",
+    "v10_ivf_pq",
+    "t41_triangle_count",
+    "t34_hashed_classifier",
+    "v8_pq_adc",
+    "t37_bm25_topk",
+]
 
 HEADLINE = [
     "a1_pricing_summary",
@@ -191,32 +262,61 @@ def main() -> int:
     # JVM/codegen warmup on a trivial job so q1 isn't charged startup cost
     spark.range(1000).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = QUERIES[name]
-        best = None
-        # min of 2 runs: the first absorbs cold-cache/JIT noise, the
-        # second measures warm. (Was 3 when the headline set had 41
-        # queries; at 151 queries a third pass pushes total wall time
-        # past 10 minutes for ~1% timing gain.)
-        for _ in range(2):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    core_set = set(CORE)
+    assert core_set <= set(HEADLINE), sorted(core_set - set(HEADLINE))
 
-    total = round(sum(timings.values()), 3)
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    core_timings: dict[str, float] = {}
+    for name in CORE:
+        # min of 3: the first pass absorbs cold-cache/JIT noise; three
+        # passes on 50 queries stay inside the 10-minute driver budget
+        # and dissolve the machine-noise false alarms that single-run
+        # numbers produced in rounds 2 and 4
+        core_timings[name] = round(min(run_once(name) for _ in range(3)), 3)
+
+    ext_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in core_set:
+            ext_timings[name] = round(run_once(name), 3)
+
+    core_total = round(sum(core_timings.values()), 3)
+    ext_total = round(sum(ext_timings.values()), 3)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {
+                "core": core_timings,
+                "core_passes": 3,
+                "extended": ext_timings,
+                "extended_passes": 1,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    # ONE compact line (the driver captures only the stdout tail):
+    # per-query dict for CORE only; extended rides as total + count,
+    # with per-query numbers in BENCH_FULL.json
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
+                "metric": "core50_min3_total",
+                "value": core_total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": core_timings,
                 "sf": sf,
-            }
+                "extended_total": ext_total,
+                "extended_n": len(ext_timings),
+                "full": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
     return 0

@@ -319,21 +319,25 @@ def pq_train_encode(
         # kilobytes per round — truncate so iteration N+1's plan doesn't
         # replay iterations 1..N (the connected_components discipline)
         cents = cents.localCheckpoint(eager=False)
-    if train_df is not None:
-        # single encode pass: assign EVERY corpus vector to the trained
-        # codebooks (same argmin semantics as the training assignment)
-        diff = F.col("v") - F.col("c")
-        dists = (
-            q.join(F.broadcast(cents.drop("sub")), "dim")
-            .groupBy(id_col, "sub", "cid")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "sub", "cid")
-        )
+    # single encode pass for BOTH paths: assign EVERY corpus vector to
+    # the POST-update codebooks (same argmin semantics as the training
+    # assignment). Without this the default path would return the last
+    # TRAINING assignment — computed against the second-to-last
+    # codebooks — leaving codes inconsistent with the returned books,
+    # and pq_train_encode(train_df=emb) would disagree with
+    # pq_train_encode() on identical data.
+    diff = F.col("v") - F.col("c")
+    dists = (
+        q.join(F.broadcast(cents.drop("sub")), "dim")
+        .groupBy(id_col, "sub", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
+    assign = (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub", "cid")
+    )
     return assign, cents
 
 

@@ -179,18 +179,27 @@ def epoch_feature_dict(
     feats[f"activity_count_{prefix}"] = float(np.sqrt(np.mean(data**2)))
     feats[f"mean_{prefix}"] = float(np.mean(data))
     feats[f"std_{prefix}"] = float(np.std(data))
-    # skew/kurtosis from EXACT power sums rather than centered moments
-    # (identical population formulas; on integer-valued data every
-    # partial sum is exactly representable, so the result is bit-equal
-    # to a SQL replay regardless of summation order — the a10
-    # discipline, extended to the epoch kernel so w5_epoch_moments is
-    # value-hash oracle-able). var**1.5 / var**2 are spelled as
-    # sqrt(var)*var and var*var: IEEE ops only, no libm pow.
+    # skew/kurtosis from power sums of MEAN-SHIFTED data rather than
+    # centered moments. The shift c = floor(mean + 0.5) is an integer,
+    # so on integer-valued (quantized) data every shifted partial sum
+    # is still exactly representable and order-independent — bit-equal
+    # to a SQL replay (the a10 discipline, extended to the epoch kernel
+    # so w5_epoch_moments is value-hash oracle-able). On general FLOAT
+    # data the shift removes the catastrophic cancellation of raw power
+    # sums (a ~1000 mg DC offset with sub-1 std would otherwise lose
+    # ~1e12 of double precision in the s4 term): after shifting, the
+    # residual mean is <=0.5 so every term is O(var^2), and skew/
+    # kurtosis are shift-invariant. floor(x + 0.5) (not Python round,
+    # which is half-even) matches DuckDB/Spark floor() bit-for-bit.
+    # var**1.5 / var**2 are spelled as sqrt(var)*var and var*var: IEEE
+    # ops only, no libm pow.
     n = float(len(data))
-    s1 = float(data.sum())
-    s2 = float((data * data).sum())
-    s3 = float((data * data * data).sum())
-    s4 = float((data * data * data * data).sum())
+    c = math.floor(float(data.sum()) / n + 0.5)
+    d = data - c
+    s1 = float(d.sum())
+    s2 = float((d * d).sum())
+    s3 = float((d * d * d).sum())
+    s4 = float((d * d * d * d).sum())
     m = s1 / n
     var = s2 / n - m * m
     if var > 0:

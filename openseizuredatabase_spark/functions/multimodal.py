@@ -356,8 +356,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """Encode an (n,) or (n, channels) int array as PCM-16 RIFF/WAVE."""
-    s = np.asarray(samples, dtype=np.int16)
+    """Encode an (n,) or (n, channels) int array as PCM-16 RIFF/WAVE.
+
+    Out-of-range samples are clipped to [-32768, 32767] (standard PCM
+    saturation) — a bare int16 cast would silently WRAP them (numpy
+    modular overflow), corrupting the audio while decode_wav round-trips
+    would still "validate" the wrong data.
+    """
+    s = np.clip(
+        np.asarray(samples), -32768, 32767
+    ).astype(np.int16)
     if s.ndim == 1:
         s = s[:, None]
     n_ch = s.shape[1]

@@ -259,6 +259,13 @@ def countmin_lookup(
 ) -> DataFrame:
     """Point-estimate each probe token: min over the d counters it maps
     to. Counters (d·w rows) broadcast; probes keep their other columns.
+
+    Counters are LEFT-joined and missing cells coalesced to 0: the CM
+    estimate is the min over ALL d cells, so a probe token with any
+    empty cell reports that 0 (an inner join would take the min over
+    only the non-empty cells — inflating the estimate past the true CM
+    minimum — and would drop a token mapping to all-empty cells from
+    the output entirely instead of reporting cm_est=0).
     """
     tok = F.col(token_col)
     arr = F.array(
@@ -274,7 +281,7 @@ def countmin_lookup(
         *probe_df.columns, F.col("sb.s").alias("s"),
         F.col("sb.bucket").alias("bucket")
     )
-    joined = probed.join(F.broadcast(counters), ["s", "bucket"])
+    joined = probed.join(F.broadcast(counters), ["s", "bucket"], "left")
     return joined.groupBy(*probe_df.columns).agg(
-        F.min("c").alias("cm_est")
+        F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cm_est")
     )

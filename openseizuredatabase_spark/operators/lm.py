@@ -451,16 +451,36 @@ def hashed_classifier_scores(
 
     Returns ``(id, *keep_cols, n_bigrams, score, pred)`` where score is
     the final 6-dp sigmoid and pred the exact integer test z >= 0.
+
+    Docs with fewer than 2 tokens carry no bigram features, so they are
+    EXCLUDED from training (they would only shift the bias toward the
+    short-doc class balance) but still SCORED through the trained bias
+    weight: they appear in the output with ``n_bigrams = 0`` and the
+    bias-only score σ(w_bias·1e6/1e12) — no input doc silently vanishes.
+    If NO doc has ≥2 tokens there is nothing to train on and the result
+    is empty.
+
+    Integer-overflow bound: each gradient term (p−ym)·x is ≤1e12 in
+    magnitude, so the int64 bucket sum Σ(p−ym)·x wraps once more than
+    ~9.2e6 docs contribute to one bucket (n_docs·1e12 > 2^63). Within
+    that bound the sum is exact and order-free — which is what makes
+    the fit hash-replayable. Beyond it, rescale the feature micro-units
+    (x in 1e3 units lifts the bound to ~9.2e9 docs/bucket at the cost
+    of 3 digits of feature precision) or accumulate the gradient in
+    DECIMAL(38,0); both trade away the cross-engine bit-replay this
+    entry point guarantees, so they are deliberate forks, not defaults.
     """
     from openseizuredatabase_spark.functions.hashing import seeded_md5_long
 
     t = tokens(F.col(text_col))
-    d = docs.select(
+    d_all = docs.select(
         F.col(id_col),
         F.col(target_col).alias("__t"),
         *[F.col(c) for c in keep_cols],
         t.alias("tk"),
-    ).filter(F.size("tk") >= 2)
+    )
+    d = d_all.filter(F.size("tk") >= 2)
+    shorts = d_all.filter(F.size("tk") < 2).select(id_col, *keep_cols)
     bigram = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.size("tk") - 2),
@@ -563,7 +583,7 @@ def hashed_classifier_scores(
         1.0 / (1.0 + F.exp(-(F.col("zr").cast("double") / 1000000000000.0))),
         6,
     )
-    return (
+    main = (
         nt.select(id_col, *keep_cols, F.col("nb").alias("n_bigrams"))
         .join(zf, id_col)
         .select(
@@ -574,3 +594,16 @@ def hashed_classifier_scores(
             (F.col("zr") >= 0).alias("pred"),
         )
     )
+    # bias-only scoring of feature-less (<2-token) docs: z = w_bias·1e6,
+    # one broadcast row against the short-doc ids — nothing vanishes
+    wb = w.filter(F.col("b") == -1).select(
+        (F.col("w") * 1000000).alias("zr")
+    )
+    short_rows = shorts.crossJoin(F.broadcast(wb)).select(
+        id_col,
+        *keep_cols,
+        F.lit(0).cast("long").alias("n_bigrams"),
+        score.alias("score"),
+        (F.col("zr") >= 0).alias("pred"),
+    )
+    return main.unionByName(short_rows)

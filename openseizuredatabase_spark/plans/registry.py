@@ -4008,13 +4008,22 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT eid, 25 * k.k AS st
         FROM counts, unnest(generate_series(0, 1000)) AS k(k)
         WHERE 25 * k.k + 50 <= n
+    ), shifts AS (
+        -- integer mean-shift c = floor(mean + 0.5): matches the
+        -- cancellation-proof kernel in functions/features.py
+        SELECT e.eid, e.st,
+               CAST(floor(sum(q.s)::DOUBLE / 50.0 + 0.5) AS BIGINT) AS c
+        FROM epochs e
+        JOIN seq q ON q.eid = e.eid AND q.rn BETWEEN e.st AND e.st + 49
+        GROUP BY e.eid, e.st
     ), sums AS (
         SELECT e.eid, e.st,
-               sum(q.s)::BIGINT AS s1,
-               sum(q.s * q.s)::BIGINT AS s2,
-               sum(q.s * q.s * q.s)::BIGINT AS s3,
-               sum(q.s * q.s * q.s * q.s)::BIGINT AS s4
+               sum(q.s - sh.c)::BIGINT AS s1,
+               sum((q.s - sh.c) * (q.s - sh.c))::BIGINT AS s2,
+               sum((q.s - sh.c) * (q.s - sh.c) * (q.s - sh.c))::BIGINT AS s3,
+               sum((q.s - sh.c) * (q.s - sh.c) * (q.s - sh.c) * (q.s - sh.c))::BIGINT AS s4
         FROM epochs e
+        JOIN shifts sh ON sh.eid = e.eid AND sh.st = e.st
         JOIN seq q ON q.eid = e.eid AND q.rn BETWEEN e.st AND e.st + 49
         GROUP BY e.eid, e.st
     ), dsums AS (
@@ -4052,11 +4061,14 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extract_epoch_features) over a x100-quantized signal emits "
     "line-length (total variation — exact integer), zero-crossing "
     "rate (exact sign-diff counting), and skewness/kurtosis computed "
-    "from EXACT integer power sums with IEEE-only combining "
-    "(sqrt(v)*v, v*v — no libm pow), so every value is bit-equal to "
-    "the SQL replay. The x100 quantization bounds sum(s^4) at 5e9 — "
-    "exactly representable in float64 AND int64, which is what makes "
-    "the 4th-moment path order-independent.",
+    "from EXACT integer power sums of MEAN-SHIFTED samples (shift "
+    "c = floor(mean + 0.5), an integer, so shifted sums stay exact and "
+    "order-independent while killing the float-path cancellation that "
+    "raw power sums suffer) with IEEE-only combining (sqrt(v)*v, v*v — "
+    "no libm pow), so every value is bit-equal to the SQL replay. The "
+    "x100 quantization bounds the shifted sum(d^4) at ~8e10 — exactly "
+    "representable in float64 AND int64, which is what makes the "
+    "4th-moment path order-independent.",
 )
 def w5_epoch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.features import (
@@ -7571,12 +7583,25 @@ def _t34_oracle(iters: int = 3) -> str:
     parts.append(f""", zf AS (
         SELECT x.doc_id, sum(w{iters}.w * x.x)::BIGINT AS zr
         FROM xt x JOIN w{iters} USING (b) GROUP BY x.doc_id
+    ), shorts AS (
+        -- feature-less (<2-token) docs: excluded from training, scored
+        -- bias-only (z = w_bias*1e6) so no input doc vanishes
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM nt)
+    ), wbias AS (
+        SELECT (w * 1000000)::BIGINT AS zr FROM w{iters} WHERE b = -1
     )
     SELECT nt.doc_id, nt.source, nt.nb AS n_bigrams,
            round(1.0 / (1.0 + exp(-(zf.zr::DOUBLE / 1000000000000.0))), 6)
                AS score,
            (zf.zr >= 0) AS pred
     FROM nt JOIN zf USING (doc_id)
+    UNION ALL
+    SELECT s.doc_id, s.source, 0::BIGINT AS n_bigrams,
+           round(1.0 / (1.0 + exp(-(wbias.zr::DOUBLE / 1000000000000.0))), 6)
+               AS score,
+           (wbias.zr >= 0) AS pred
+    FROM shorts s, wbias
     """)
     return "".join(parts)
 
@@ -7666,6 +7691,19 @@ def _v8_oracle() -> str:
         GROUP BY a.cid, q.dim
     ), c2 AS (
         SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM s2
+    ), d3 AS (
+        -- final encode pass: codes assigned against the POST-update
+        -- codebooks, consistent with what ADC reads (pq_train_encode)
+        SELECT q.vec_id, q.sub, c.cid,
+               sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c2 c ON q.dim = c.dim
+        GROUP BY q.vec_id, q.sub, c.cid
+    ), a3 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d3) WHERE rn = 1
     ), qv AS (
         SELECT dim, v FROM q WHERE vec_id = 0
     ), tab AS (
@@ -7673,7 +7711,7 @@ def _v8_oracle() -> str:
         FROM c2 c JOIN qv ON c.dim = qv.dim GROUP BY c.sub, c.cid
     ), adc AS (
         SELECT a.vec_id, sum(t.dsub)::BIGINT AS adc_dist
-        FROM a2 a JOIN tab t ON t.sub = a.sub AND t.cid = a.cid
+        FROM a3 a JOIN tab t ON t.sub = a.sub AND t.cid = a.cid
         WHERE a.vec_id <> 0 GROUP BY a.vec_id
     ), topadc AS (
         SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
@@ -8000,8 +8038,8 @@ def _a18_oracle() -> str:
         SELECT top.t, top.n_true, s.s, {pbucket} % {w} AS bucket
         FROM top, seeds s
     )
-    SELECT p.t, p.n_true, min(cm.c)::BIGINT AS cm_est
-    FROM probes p JOIN cm ON cm.s = p.s AND cm.bucket = p.bucket
+    SELECT p.t, p.n_true, min(coalesce(cm.c, 0))::BIGINT AS cm_est
+    FROM probes p LEFT JOIN cm ON cm.s = p.s AND cm.bucket = p.bucket
     GROUP BY p.t, p.n_true
     """
 
@@ -9307,6 +9345,19 @@ def _v10_oracle() -> str:
         GROUP BY a.cid, pq.dim
     ), p2 AS (
         SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM ps2
+    ), pd3 AS (
+        -- final encode pass against the POST-update PQ codebooks
+        -- (pq_train_encode's consistent-codes semantics)
+        SELECT pq.vec_id, pq.sub, c.cid,
+               sum((pq.v - c.c) * (pq.v - c.c)) AS dist
+        FROM pq JOIN p2 c ON pq.dim = c.dim
+        GROUP BY pq.vec_id, pq.sub, c.cid
+    ), pa3 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pd3) WHERE rn = 1
     ), qv AS (
         SELECT dim, v FROM q WHERE vec_id = 0
     ), cd AS (
@@ -9325,7 +9376,7 @@ def _v10_oracle() -> str:
         FROM p2 c JOIN qv ON c.dim = qv.dim GROUP BY c.sub, c.cid
     ), adc AS (
         SELECT a.vec_id, sum(t.dsub)::BIGINT AS adc_dist
-        FROM pa2 a
+        FROM pa3 a
         JOIN cand ON a.vec_id = cand.vec_id
         JOIN tab t ON t.sub = a.sub AND t.cid = a.cid
         GROUP BY a.vec_id
@@ -19136,59 +19187,107 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("v17_rrf_fusion", "doc_id",
          "coalesce(lex_rank, -1) + 31*coalesce(vec_rank, -1)"
          " + 1009*rrf_micro"),
+        # round-5 demotions: three long-stable round-1 singles gave up
+        # their direct window slots to the shard bundles below
+        ("d1_unique_event_grouping", "user_id",
+         f"{sc('event_type')} + 31*{t('bucket_start')}"
+         f" + 1009*{t('rep_event_id')} + 31063*n_rows"),
+        ("w7_moving_average", "event_id",
+         f"user_id + 31*coalesce({q6('mov_avg')}, -1)"),
+        ("t4_fingerprint_dedup", "doc_id",
+         "ascii(substr(fp, 1, 1)) * 1000000"
+         " + ascii(substr(fp, 17, 1)) * 1000 + ascii(substr(fp, 32, 1))"
+         " + 7*(CASE WHEN is_dup THEN 1 ELSE 0 END)"),
     ]
 
 
-def _x_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One driver-window row-set covering every past-window oracled query:
-    UNION of each member's (tag, k, v) integer signature rows. Executes as
-    a single Spark job; each member branch keeps its own (already
-    scale-audited) plan."""
-    out = None
-    for name, k, v in _sig_members():
-        part = QUERIES[name].fn(spark, sf_dir).selectExpr(
-            f"'{name}' AS tag",
-            f"CAST({k} AS BIGINT) AS k",
-            f"CAST({v} AS BIGINT) AS v",
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+# The signature coverage is SHARDED into four bundles, each holding a
+# driver-window slot, so one broken member reddens only its table-family
+# shard instead of the whole past-window population (a ~200-member
+# single bundle was a single point of failure: one red member would
+# erase the green signal of every other member with no indication of
+# which one died). Membership is keyed by the query-name prefix, which
+# tracks table family throughout the registry.
+_SIG_SHARD_FAMILIES: dict[str, tuple[str, ...]] = {
+    # filters/joins/dedup/sets/streaming/reports/lakehouse over the
+    # relational (orders/customer/events) tables
+    "x_sig_relational": ("f", "j", "d", "u", "s", "r", "e", "z"),
+    # aggregations and window/time-series operators
+    "x_sig_aggwindow": ("a", "w"),
+    # text analysis, tokenizers/LMs, and end-to-end pipelines over
+    # the documents table
+    "x_sig_text": ("t", "p"),
+    # ML training/inference, stats tests, ANN/vector search, and
+    # signal-conversion kernels
+    "x_sig_mlvector": ("m", "n", "v", "c"),
+}
 
 
-def _x_signatures_oracle() -> str:
-    parts = [
+def _sig_shard_of(member: str) -> str:
+    for shard, letters in _SIG_SHARD_FAMILIES.items():
+        if member[0] in letters:
+            return shard
+    raise KeyError(f"no signature shard for member {member!r}")
+
+
+def _sig_members_for(shard: str) -> list[tuple[str, str, str]]:
+    return [m for m in _sig_members() if _sig_shard_of(m[0]) == shard]
+
+
+def _make_sig_bundle(shard: str) -> QuerySpec:
+    """One driver-window row-set covering every past-window oracled query
+    in this shard's table families: UNION of each member's (tag, k, v)
+    integer signature rows. Executes as a single Spark job; each member
+    branch keeps its own (already scale-audited) plan."""
+
+    def fn(spark: SparkSession, sf_dir: str, _shard: str = shard) -> DataFrame:
+        out = None
+        for name, k, v in _sig_members_for(_shard):
+            part = QUERIES[name].fn(spark, sf_dir).selectExpr(
+                f"'{name}' AS tag",
+                f"CAST({k} AS BIGINT) AS k",
+                f"CAST({v} AS BIGINT) AS v",
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    oracle = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS tag, CAST({k} AS BIGINT) AS k,"
         f" CAST({v} AS BIGINT) AS v FROM ({QUERIES[name].oracle})"
-        for name, k, v in _sig_members()
-    ]
-    return "\nUNION ALL\n".join(parts)
+        for name, k, v in _sig_members_for(shard)
+    )
+    return QuerySpec(
+        fn=fn,
+        oracle=oracle,
+        doc=f"Signature-union shard over the {_SIG_SHARD_FAMILIES[shard]} "
+        "query families, giving every member (an oracled query outside "
+        "the driver's 50-slot check window) a driver-visible green row: "
+        "per member, rows reduce to (tag, k, v) with k/v built from "
+        "integer-only arithmetic (quantized micro-units, bounded by "
+        "%1e9+7, string→ascii*1000+len) evaluated by the same formula "
+        "text in Spark and DuckDB. Full member queries stay registered "
+        "past the window with complete oracles; sharding means one "
+        "broken member reddens only its family's slot.",
+    )
 
 
-QUERIES["x_signatures"] = QuerySpec(
-    fn=_x_signatures,
-    oracle=_x_signatures_oracle(),
-    doc="Signature union giving every oracled query outside the driver's "
-    "50-slot check window a driver-visible green row: per member, rows "
-    "reduce to (tag, k, v) with k/v built from integer-only arithmetic "
-    "(quantized micro-units, bounded by %1e9+7, string→ascii*1000+len) "
-    "evaluated by the same formula text in Spark and DuckDB. Full member "
-    "queries stay registered past the window with complete oracles.",
-)
+for _shard_name in _SIG_SHARD_FAMILIES:
+    QUERIES[_shard_name] = _make_sig_bundle(_shard_name)
 
 
-# Explicit driver-window ordering: the 49 round-1 driver-green singles
-# (w5_epoch_features, rows-only, moves to the tail), then x_signatures as
-# slot 50; remaining oracled queries next (full-fidelity, judge-checkable
-# locally); rows-only queries (genuinely non-SQL kernels) last.
+# Explicit driver-window ordering: 46 flagship singles, then the four
+# x_sig_* signature shards as slots 47-50 (every past-window oracled
+# query is a member of exactly one shard); remaining oracled queries
+# next (full-fidelity, judge-checkable locally); rows-only queries
+# (genuinely non-SQL kernels) last.
 _DRIVER_WINDOW = [
     # core round-1 flagships that keep direct slots
     "a1_pricing_summary",
     "f7_anti_join_customers",
-    "d1_unique_event_grouping",
-    "w5_epoch_segmentation", "w7_moving_average",
+    "w5_epoch_segmentation",
     "m3_oversample_balance", "m9_batch_inference",
     "t2_quality_score", "t3_lang_id",
-    "t4_fingerprint_dedup", "t5_ngram_jaccard",
+    "t5_ngram_jaccard",
     "v1_cosine_topk", "v2_lsh_buckets", "w10_alarm_state_machine",
     "c9_fft_features",
     # round-4 session-5 rotation: session-4 flagships holding direct
@@ -19211,7 +19310,10 @@ _DRIVER_WINDOW = [
     "n17_spearman_rho", "n18_fdr_bh", "m32_batch_perceptron",
     "m33_als_rank1", "m25_mfcc", "j13_bfs_hops",
     "a21_markov_stationary", "a29_rfm_segmentation", "w24_stl_anomaly",
-    "x_signatures",
+    # round-5: the ~210-member x_signatures bundle sharded into four
+    # table-family slots (one broken member reddens only its shard);
+    # d1/w7/t4 demoted to members to free the three extra slots
+    "x_sig_relational", "x_sig_aggwindow", "x_sig_text", "x_sig_mlvector",
 ]
 
 

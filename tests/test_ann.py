@@ -359,17 +359,20 @@ def test_pq_sampled_training_encodes_everything(spark):
     n_full = full_codes.count()
     n_samp = samp_codes.count()
     assert n_full == n_samp == 40 * 4  # every (vector, subspace) coded
-    # sample == corpus → identical training → identical CODEBOOKS (the
-    # codes themselves differ by design: the sampled path re-assigns
-    # against the FINAL centroids, the default path returns the last
-    # Lloyd assignment — the standard pre-/post-update distinction)
-    _, full_books = pq_train_encode(emb, n_sub=4, k_sub=8, dim=16)
-    _, same_books = pq_train_encode(
+    # sample == corpus → identical training → identical codebooks AND
+    # identical codes: both paths run the same final encode pass
+    # against the post-update codebooks, so codes are always consistent
+    # with the returned books
+    full_codes2, full_books = pq_train_encode(emb, n_sub=4, k_sub=8, dim=16)
+    same_codes, same_books = pq_train_encode(
         emb, n_sub=4, k_sub=8, dim=16, train_df=emb
     )
     a = sorted(map(tuple, full_books.collect()))
     b = sorted(map(tuple, same_books.collect()))
     assert a == b
+    ca = sorted(map(tuple, full_codes2.collect()))
+    cb = sorted(map(tuple, same_codes.collect()))
+    assert ca == cb
 
 
 def test_ivf_pq_routes_to_probed_cell_only(spark):

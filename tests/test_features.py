@@ -65,6 +65,32 @@ def test_epoch_feature_dict_sanity():
     assert f["zcr_magnitude"] == pytest.approx(0.4, abs=0.05)  # 2*5Hz/25Hz
 
 
+def test_epoch_moments_stable_under_dc_offset():
+    """Skew/kurtosis must not cancel catastrophically when a large DC
+    offset (e.g. ~1000 milli-g gravity) rides on a tiny AC component —
+    the failure mode of raw (unshifted) power sums. The mean-shift
+    makes every term O(var^2), so the result matches a reference
+    centered-moment computation to float64 precision."""
+    rng = np.random.default_rng(7)
+    x = 1000.0 + 0.3 * rng.standard_normal(125)  # mean≈1000, std≈0.3
+    f = feat.epoch_feature_dict(x, 25.0, "m")
+    d = x - x.mean()
+    m2, m3, m4 = (np.mean(d**2), np.mean(d**3), np.mean(d**4))
+    assert f["skewness_m"] == pytest.approx(m3 / m2**1.5, abs=1e-6)
+    assert f["kurtosis_m"] == pytest.approx(m4 / m2**2 - 3.0, abs=1e-6)
+
+
+def test_epoch_moments_shift_invariant_on_integers():
+    """On integer-quantized data the shifted power sums are exact, so
+    adding any integer offset leaves skew/kurtosis bit-identical."""
+    rng = np.random.default_rng(11)
+    base = np.round(rng.standard_normal(50) * 40)
+    f0 = feat.epoch_feature_dict(base, 25.0, "m")
+    f1 = feat.epoch_feature_dict(base + 977.0, 25.0, "m")
+    assert f0["skewness_m"] == f1["skewness_m"]
+    assert f0["kurtosis_m"] == f1["kurtosis_m"]
+
+
 def test_interp_sparse():
     out = feat.interp_sparse(np.array([60.0, -1.0, 80.0]), 6)
     assert out[0] == 60.0

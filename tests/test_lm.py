@@ -162,6 +162,47 @@ def test_hashed_classifier_learns_separation(spark):
     assert not any(got[100 + i][1] for i in range(20))
 
 
+def test_hashed_classifier_scores_short_docs_bias_only(spark):
+    """Docs with <2 tokens carry no bigram features: they must not
+    train the model, but they DO come back scored through the bias
+    weight (n_bigrams=0) — identical score for every short doc."""
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.operators.lm import (
+        hashed_classifier_scores,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append(Row(doc_id=i, text="alpha beta gamma " * 4, is_t=True))
+        rows.append(Row(doc_id=100 + i, text="omega psi chi " * 4,
+                        is_t=False))
+    rows += [
+        Row(doc_id=900, text="solo", is_t=False),   # 1 token
+        Row(doc_id=901, text="   ", is_t=True),     # 0 tokens
+    ]
+    docs = spark.createDataFrame(rows)
+    out = hashed_classifier_scores(docs, "text", "doc_id", "is_t")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {i for i in range(10)} | {100 + i for i in range(10)} | {900, 901}
+    assert got[900]["n_bigrams"] == 0 and got[901]["n_bigrams"] == 0
+    assert got[900]["score"] == got[901]["score"]  # same bias-only z
+    # short docs must not perturb training: the trained separation holds
+    assert min(got[i]["score"] for i in range(10)) > max(
+        got[100 + i]["score"] for i in range(10)
+    )
+    # and the trained model (long docs only) is byte-identical to one
+    # fit WITHOUT the short docs present
+    base = {
+        r["doc_id"]: r["score"]
+        for r in hashed_classifier_scores(
+            docs.filter("doc_id < 900"), "text", "doc_id", "is_t"
+        ).collect()
+    }
+    for i in list(range(10)) + [100 + i for i in range(10)]:
+        assert got[i]["score"] == base[i]
+
+
 def test_hashed_classifier_deterministic(spark):
     from pyspark.sql import Row
 

@@ -63,7 +63,10 @@ def test_relational_queries_have_no_python_udf(spark, sf_dir):
         "m20_png_decode",
         "m21_png_resize",
         "m22_wav_decode",
-        "x_signatures",
+        "x_sig_relational",
+        "x_sig_aggwindow",
+        "x_sig_text",
+        "x_sig_mlvector",
     }
     for name, spec in QUERIES.items():
         if spec.oracle is None or name in python_by_design:

@@ -2,12 +2,15 @@
 
 The driver's correctness gate checks the first 50 entries of queries():
 every slot must carry an oracle, and every oracled query outside the
-window must be covered by the x_signatures bundle so no SURVEY §2
-operator is invisible to the hard signal.
+window must be covered by exactly one x_sig_* signature shard so no
+SURVEY §2 operator is invisible to the hard signal — and so one broken
+member reddens only its table-family shard, not the whole population.
 """
 
 from openseizuredatabase_spark.plans import registry
 from openseizuredatabase_spark.plans.registry import QUERIES
+
+SHARDS = tuple(registry._SIG_SHARD_FAMILIES)
 
 
 def test_window_is_50_and_fully_oracled():
@@ -19,6 +22,12 @@ def test_window_is_50_and_fully_oracled():
         assert QUERIES[n].oracle is not None, f"{n} in window without oracle"
 
 
+def test_all_four_shards_hold_window_slots():
+    window = list(QUERIES)[:50]
+    for shard in SHARDS:
+        assert shard in window, f"{shard} missing from the driver window"
+
+
 def test_rows_only_queries_sit_past_window():
     names = list(QUERIES)
     rows_only = [n for n in names if QUERIES[n].oracle is None]
@@ -27,13 +36,32 @@ def test_rows_only_queries_sit_past_window():
         assert names.index(n) >= 50, f"rows-only {n} burns a window slot"
 
 
-def test_signature_bundle_covers_every_past_window_oracled_query():
+def test_shards_partition_every_past_window_oracled_query():
+    """Union of the shard member sets == the past-window oracled set,
+    and the shards are pairwise disjoint (each member is owned by
+    exactly one shard, so a break has exactly one place to show up)."""
     names = list(QUERIES)
-    past = {n for n in names[50:] if QUERIES[n].oracle is not None}
+    past = {
+        n
+        for n in names[50:]
+        if QUERIES[n].oracle is not None and n not in SHARDS
+    }
     members = {m for m, _, _ in registry._sig_members()}
     assert members == past, (
         f"uncovered: {sorted(past - members)}; stale: {sorted(members - past)}"
     )
+    seen: dict[str, str] = {}
+    for shard in SHARDS:
+        for m, _, _ in registry._sig_members_for(shard):
+            assert m not in seen, f"{m} in both {seen[m]} and {shard}"
+            seen[m] = shard
+    assert set(seen) == members
+
+
+def test_every_member_maps_to_a_registered_shard():
+    for m, _, _ in registry._sig_members():
+        shard = registry._sig_shard_of(m)
+        assert shard in QUERIES
 
 
 def test_signature_exprs_are_integer_only():
@@ -46,7 +74,12 @@ def test_signature_exprs_are_integer_only():
             assert expr.count("round(") == expr.count("CAST(round("), (m, expr)
 
 
-def test_bundle_oracle_mentions_every_member():
-    sql = QUERIES["x_signatures"].oracle
-    for m, _, _ in registry._sig_members():
-        assert f"'{m}'" in sql
+def test_shard_oracles_mention_exactly_their_members():
+    for shard in SHARDS:
+        sql = QUERIES[shard].oracle
+        mine = {m for m, _, _ in registry._sig_members_for(shard)}
+        for m in mine:
+            assert f"'{m}'" in sql
+        for m, _, _ in registry._sig_members():
+            if m not in mine:
+                assert f"'{m}'" not in sql, f"{m} leaked into {shard}"

@@ -226,6 +226,21 @@ def test_wav_roundtrip():
     assert np.array_equal(s2, stereo)
 
 
+def test_wav_encode_clips_out_of_range():
+    """PCM saturation, not modular wraparound: +40000 must land at
+    32767, not wrap to -25536."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    hot = np.array([40000, -40000, 32767, -32768, 0], dtype=np.int64)
+    s, _ = decode_wav(encode_wav(hot, 8000))
+    assert s[:, 0].tolist() == [32767, -32768, 32767, -32768, 0]
+
+
 def test_wav_decode_rejects_non_pcm():
     import struct
 

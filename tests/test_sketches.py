@@ -112,6 +112,27 @@ def test_countmin_never_underestimates(spark):
     assert 50 <= top.cm_est <= 50 + 30
 
 
+def test_countmin_unseen_probe_reports_zero(spark):
+    """A probe token absent from the stream must still come back, with
+    the true d-way minimum: if any of its d cells is empty the estimate
+    is 0 — not the min over only non-empty cells, and never dropped."""
+    rows = [("x",)] * 5
+    df = spark.createDataFrame(rows, "t string")
+    cm = sketches.countmin_counters(df, "t")
+    # one seen + several unseen probes; with only one distinct seen
+    # token the counter table holds d cells, so almost every unseen
+    # probe hits at least one empty cell
+    probes = spark.createDataFrame(
+        [("x",)] + [(f"unseen{i}",) for i in range(20)], "t string"
+    )
+    est = {r.t: r.cm_est for r in sketches.countmin_lookup(cm, probes, "t").collect()}
+    assert len(est) == 21  # nothing dropped
+    assert est["x"] == 5
+    unseen = [v for k, v in est.items() if k != "x"]
+    # every unseen token maps to >=1 empty cell here → exact zero
+    assert all(v == 0 for v in unseen)
+
+
 def test_hll_constants_are_dyadic_exact():
     """The pre-scaled numerator literals must be exactly representable so
     the SQL literal and the Spark literal are the same double."""

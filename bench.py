@@ -241,6 +241,7 @@ HEADLINE = [
     "a30_t_closeness",
     "n22_benford_test",
     "v17_rrf_fusion",
+    "w5_epoch_oracled",
 ]
 
 

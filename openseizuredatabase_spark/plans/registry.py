@@ -4200,6 +4200,244 @@ def w5_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w5_epoch_oracled_sql() -> str:
+    """Full-pipeline epoch oracle: the SQL twin of (multi-row concat →
+    gravity-removal filtfilt → overlapping epochs → RMS / IIR taps /
+    Welch band powers). The filtfilt replay is two recursive CTEs over
+    the odd-reflection-padded signal (the c13 recurrence, run forward
+    then backward); the Welch replay is the c14 O(N²) DFT twin per
+    epoch. Every coefficient is embedded via repr() of the exact doubles
+    functions/features.butter_coeffs produces."""
+    from openseizuredatabase_spark.functions.features import butter_coeffs
+
+    b, a = butter_coeffs(2, 0.5 / 12.5, "high")
+    bn = [float(v) / float(a[0]) for v in b]
+    an = [float(v) / float(a[0]) for v in a]
+    b0, b1, b2 = (repr(v) for v in bn)
+    a1, a2 = (repr(v) for v in an[1:])
+    yf = f"({b0})*e.x + st.z0"
+    yb = f"({b0})*e.x + st.z0"
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT event_id % 100 AS eid, event_id,
+               round(sin(2 * pi() * (event_id % 5 + 1)::DOUBLE * i / 25.0)
+                     * 64) / 64 AS x,
+               i
+        FROM events, unnest(generate_series(0, 24)) AS g(i)
+        WHERE event_id < 800
+    ), seq AS MATERIALIZED (
+        SELECT eid, x,
+               row_number() OVER (PARTITION BY eid ORDER BY event_id, i) - 1
+                   AS rn
+        FROM base
+    ), counts AS MATERIALIZED (
+        SELECT eid, count(*) AS n FROM seq GROUP BY eid
+    ), ends AS MATERIALIZED (
+        SELECT s.eid,
+               max(CASE WHEN s.rn = 0 THEN s.x END) AS x0,
+               max(CASE WHEN s.rn = c.n - 1 THEN s.x END) AS xl
+        FROM seq s JOIN counts c ON s.eid = c.eid
+        GROUP BY s.eid
+    ), ext AS MATERIALIZED (
+        -- odd-reflection padding, padlen 6 (features.filtfilt):
+        -- ext[j<6] = 2*x[0] - x[6-j]; mid; ext[n+6+m] = 2*x[n-1] - x[n-2-m]
+        SELECT s.eid, 6 - s.rn AS j, 2 * d.x0 - s.x AS x
+        FROM seq s JOIN ends d ON s.eid = d.eid
+        WHERE s.rn BETWEEN 1 AND 6
+        UNION ALL
+        SELECT eid, rn + 6, x FROM seq
+        UNION ALL
+        SELECT s.eid, 2 * c.n + 4 - s.rn AS j, 2 * d.xl - s.x
+        FROM seq s
+        JOIN ends d ON s.eid = d.eid
+        JOIN counts c ON s.eid = c.eid
+        WHERE s.rn BETWEEN c.n - 7 AND c.n - 2
+    ), fwd AS (
+        -- forward lfilter: direct-form II transposed, order 2
+        SELECT eid, j,
+               ({b0})*x AS y,
+               ({b1})*x - ({a1})*(({b0})*x) AS z0,
+               ({b2})*x - ({a2})*(({b0})*x) AS z1
+        FROM ext WHERE j = 0
+        UNION ALL
+        SELECT e.eid, e.j,
+               {yf},
+               ({b1})*e.x + st.z1 - ({a1})*({yf}),
+               ({b2})*e.x - ({a2})*({yf})
+        FROM fwd st
+        JOIN ext e ON e.eid = st.eid AND e.j = st.j + 1
+    ), rev AS MATERIALIZED (
+        -- reverse the forward output (ext length = n + 12)
+        SELECT f.eid, c.n + 11 - f.j AS j, f.y AS x
+        FROM fwd f JOIN counts c ON f.eid = c.eid
+    ), bwd AS (
+        -- backward lfilter over the reversed sequence
+        SELECT eid, j,
+               ({b0})*x AS y,
+               ({b1})*x - ({a1})*(({b0})*x) AS z0,
+               ({b2})*x - ({a2})*(({b0})*x) AS z1
+        FROM rev WHERE j = 0
+        UNION ALL
+        SELECT e.eid, e.j,
+               {yb},
+               ({b1})*e.x + st.z1 - ({a1})*({yb}),
+               ({b2})*e.x - ({a2})*({yb})
+        FROM bwd st
+        JOIN rev e ON e.eid = st.eid AND e.j = st.j + 1
+    ), filt AS MATERIALIZED (
+        -- un-reverse and slice [6 : n+6): original sample rn = i - 6
+        SELECT w.eid, (c.n + 11 - w.j) - 6 AS rn, round(w.y, 6) AS y6,
+               CAST(round(round(w.y, 6) * 1000000) AS BIGINT) AS yq
+        FROM bwd w JOIN counts c ON w.eid = c.eid
+        WHERE (c.n + 11 - w.j) BETWEEN 6 AND c.n + 5
+    ), epochs AS MATERIALIZED (
+        SELECT c.eid, 25 * k.k AS st
+        FROM counts c, unnest(generate_series(0, 1000)) AS k(k)
+        WHERE 25 * k.k + 50 <= c.n
+    ), feats AS (
+        SELECT e.eid, e.st,
+               round(sqrt(sum(q.yq * q.yq)::DOUBLE / 50.0) / 1000000.0, 6)
+                   AS rms_hp,
+               max(CASE WHEN q.rn = e.st THEN q.y6 END) AS tap0,
+               max(CASE WHEN q.rn = e.st + 24 THEN q.y6 END) AS tap24,
+               max(CASE WHEN q.rn = e.st + 49 THEN q.y6 END) AS tap49
+        FROM epochs e
+        JOIN filt q ON q.eid = e.eid AND q.rn BETWEEN e.st AND e.st + 49
+        GROUP BY e.eid, e.st
+    ), win AS MATERIALIZED (
+        -- c14 Welch twin per epoch: constant detrend, Hann(50), density
+        SELECT e.eid, e.st, q.rn - e.st AS m,
+               (q.y6 - avg(q.y6) OVER (PARTITION BY e.eid, e.st))
+                 * (0.5 * (1 - cos(2 * pi() * (q.rn - e.st) / 49.0))) AS xw,
+               0.5 * (1 - cos(2 * pi() * (q.rn - e.st) / 49.0)) AS w
+        FROM epochs e
+        JOIN filt q ON q.eid = e.eid AND q.rn BETWEEN e.st AND e.st + 49
+    ), scale AS MATERIALIZED (
+        SELECT eid, st, 1.0 / (25.0 * sum(w * w)) AS s
+        FROM win GROUP BY eid, st
+    ), bins AS MATERIALIZED (
+        SELECT w.eid, w.st, k.k AS k,
+               sum(w.xw * cos(2 * pi() * k.k * w.m / 50.0)) AS re,
+               sum(w.xw * sin(2 * pi() * k.k * w.m / 50.0)) AS im
+        FROM win w, unnest(generate_series(0, 25)) AS k(k)
+        GROUP BY w.eid, w.st, k.k
+    ), psd AS MATERIALIZED (
+        SELECT b.eid, b.st, b.k * 25.0 / 50.0 AS f,
+               CAST(round(round((b.re*b.re + b.im*b.im) * s.s
+                     * (CASE WHEN b.k = 0 OR b.k = 25 THEN 1.0 ELSE 2.0 END),
+                     6) * 1000000) AS BIGINT) AS q
+        FROM bins b JOIN scale s ON b.eid = s.eid AND b.st = s.st
+    ), bands AS (
+        SELECT eid, st,
+               sum(CASE WHEN f >= 3.0 AND f <= 8.0 THEN q ELSE 0 END)::BIGINT
+                   AS bp_roi_micro,
+               sum(CASE WHEN f >= 0.5 AND f <= 12.5 THEN q ELSE 0 END)::BIGINT
+                   AS bp_spec_micro,
+               sum(CASE WHEN f >= 1.0 AND f <= 4.0 THEN q ELSE 0 END)::BIGINT
+                   AS bp_main_micro
+        FROM psd GROUP BY eid, st
+    )
+    SELECT f.eid AS eventId, f.st::BIGINT AS startSample,
+           f.rms_hp, f.tap0, f.tap24, f.tap49,
+           b.bp_roi_micro, b.bp_spec_micro, b.bp_main_micro
+    FROM feats f JOIN bands b ON f.eid = b.eid AND f.st = b.st
+    """
+
+
+@query(
+    "w5_epoch_oracled",
+    _w5_epoch_oracled_sql(),
+    "W5 full-pipeline epoch features with a VALUE-HASH oracle "
+    "(extractFeatures.py:143-211 composed end-to-end): multi-row signal "
+    "concatenation, C13 gravity-removal filtfilt (functions/features."
+    "high_pass — odd-reflection pad + forward/backward order-2 "
+    "Butterworth, the REAL kernel extract_epoch_features calls), "
+    "overlapping window_len=50/step=25 segmentation, then per epoch: "
+    "RMS from exact integer micro-sums of the filtered signal, the IIR "
+    "output at fixed taps (0/24/49), and C14 Welch band powers "
+    "(functions/features.welch_psd, per-bin 6-dp PSD quantized to "
+    "micro-ints before the band sum — the w5_band_power discipline). "
+    "The oracle replays filtfilt as two recursive CTEs walking the "
+    "identical direct-form-II-transposed recurrence over the identical "
+    "odd-reflection padding (IEEE doubles agree bit-for-bit — the c13 "
+    "proof, applied twice plus exact dyadic padding arithmetic on a "
+    "/64-grid input signal), and Welch as the c14 O(N²) DFT twin per "
+    "epoch. Closes the last rows-only gap in the W5 family: "
+    "concat→filter→segment→features is now hash-checked as ONE "
+    "composition, not just as separate kernels. A pytest ties rms_hp "
+    "to extract_epoch_features' activity_count on the same input.",
+)
+def w5_epoch_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from openseizuredatabase_spark.functions.features import (
+        high_pass,
+        welch_psd,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 800)
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    sig = ev.select(
+        (F.col("event_id") % 100).alias("eventId"),
+        F.col("event_id").alias("ord"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda i: F.round(
+                F.sin(2 * math.pi * freq * i.cast("double") / 25.0) * 64, 0
+            )
+            / 64,
+        ).alias("x"),
+    )
+    out_schema = (
+        "eventId long, startSample long, rms_hp double, tap0 double, "
+        "tap24 double, tap49 double, bp_roi_micro long, "
+        "bp_spec_micro long, bp_main_micro long"
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord", kind="mergesort")
+        s = np.concatenate([np.asarray(v, dtype=float) for v in pdf["x"]])
+        y = high_pass(s, 0.5, 25.0)
+        y6 = np.round(y, 6)
+        yq = np.round(y6 * 1e6).astype(np.int64)
+        fr = np.arange(26) * 0.5  # k * fs / N, exact dyadic
+        rows = []
+        for st in range(0, len(s) - 50 + 1, 25):
+            seg6 = y6[st : st + 50]
+            q = yq[st : st + 50]
+            # identical op order to the SQL: sqrt(int_sum/50)/1e6
+            rms = float(
+                np.round(math.sqrt(float((q * q).sum()) / 50.0) / 1e6, 6)
+            )
+            _, psd = welch_psd(seg6, 25.0)
+            qpsd = np.round(np.round(psd, 6) * 1e6).astype(np.int64)
+
+            def bp(lo: float, hi: float) -> int:
+                return int(qpsd[(fr >= lo) & (fr <= hi)].sum())
+
+            rows.append(
+                {
+                    "eventId": int(pdf["eventId"].iloc[0]),
+                    "startSample": st,
+                    "rms_hp": rms,
+                    "tap0": float(seg6[0]),
+                    "tap24": float(seg6[24]),
+                    "tap49": float(seg6[49]),
+                    "bp_roi_micro": bp(3.0, 8.0),
+                    "bp_spec_micro": bp(0.5, 12.5),
+                    "bp_main_micro": bp(1.0, 4.0),
+                }
+            )
+        cols = [
+            "eventId", "startSample", "rms_hp", "tap0", "tap24", "tap49",
+            "bp_roi_micro", "bp_spec_micro", "bp_main_micro",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return sig.groupBy("eventId").applyInPandas(per_key, out_schema)
+
+
 @query(
     "t11_repetition_stats",
     f"""
@@ -18779,6 +19017,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("w5_epoch_moments", "eventId * 100000 + startSample",
          f"{t('line_length')} + 31*{q6('zcr')} + 1009*{t(q6('skewness'))}"
          f" + 31063*{t(q6('kurtosis'))}"),
+        ("w5_epoch_oracled", "eventId * 100000 + startSample",
+         f"{q6('rms_hp')} + 31*{t(q6('tap0'))} + 1009*{t(q6('tap24'))}"
+         f" + 31063*{t(q6('tap49'))}"
+         f" + 127*{t('bp_roi_micro + bp_spec_micro + bp_main_micro')}"),
         ("w5_band_power",
          f"vec_id * 100000000 + CAST({sc('band')} AS BIGINT) * 1000"
          " + ascii(substr(band, 4, 1))",

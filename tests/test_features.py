@@ -148,3 +148,50 @@ def test_spectral_history_spark(dp_frame, spark):
     assert np.argmax(spec[1:]) + 1 == 25
     # flat event zeroed by the low-movement gate
     assert all(v == 0.0 for v in by_event[3][0].spectrum)
+
+
+def test_w5_epoch_oracled_matches_production_kernel(spark, sf_dir):
+    """The oracled full-pipeline sibling must agree with the production
+    extract_epoch_features path (gravity high-pass ON) on the same
+    input: its integer-quantized RMS is the kernel's
+    activity_count_magnitude up to the 1e-6 signal quantization."""
+    import pyspark.sql.functions as F
+
+    from openseizuredatabase_spark.plans.registry import QUERIES
+
+    out = {
+        (r.eventId, r.startSample): r.rms_hp
+        for r in QUERIES["w5_epoch_oracled"].fn(spark, sf_dir).collect()
+    }
+    assert len(out) > 0
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") < 800)
+    )
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    dp = ev.select(
+        (F.col("event_id") % 100).alias("eventId"),
+        F.timestamp_micros(F.col("event_id") * 1_000_000).alias(
+            "dpTimestamp"
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda i: F.round(
+                F.sin(2 * math.pi * freq * i.cast("double") / 25.0) * 64, 0
+            )
+            / 64,
+        ).alias("rawData"),
+        F.lit(0.0).alias("hr"),
+    )
+    prod = feat.extract_epoch_features(
+        dp, window_len=50, step=25, gravity_cutoff=0.5
+    ).collect()
+    assert len(prod) == len(out)
+    for r in prod:
+        got = out[(r.eventId, r.startSample)]
+        want = r.features["activity_count_magnitude"]
+        assert got == pytest.approx(want, abs=5e-6), (
+            r.eventId,
+            r.startSample,
+        )

@@ -6796,6 +6796,80 @@ def t24_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "v18_pq_sampled_train",
+    None,
+    "Product quantization at the production parameterization "
+    "(ann.pq_train_encode with train_df — the path real corpora use): "
+    "codebooks train on a ~2000-row deterministic hash sample (Lloyd "
+    "training is n_train*k_sub*d per round; the full-corpus term is "
+    "the single encode pass only), then EVERY corpus vector encodes "
+    "against the post-update codebooks. Output packs each vector's "
+    "n_sub codes into one integer (4 bits per subspace). Data-adaptive "
+    "sample rate (row count from parquet footers, no Spark job) → "
+    "rows-only; the exact-path twin v8_pq_adc is value-hash oracled "
+    "and sampled-vs-full agreement is pinned in tests/test_ann.py "
+    "(test_pq_sampled_training_encodes_everything).",
+)
+def v18_pq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import pq_train_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings")
+    frac_pm = max(1, (2000 * 1000) // n_rows)  # per-mille keep rate
+    samp = emb.filter(
+        (F.col("vec_id") <= 8)  # k_sub seed ids must be in the sample
+        | (seeded_md5_long(F.col("vec_id").cast("string"), 13) % 1000
+           < frac_pm)
+    )
+    codes, _ = pq_train_encode(
+        emb, n_sub=4, k_sub=8, dim=_EMB_DIM, train_df=samp
+    )
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(cid AS BIGINT), 4 * sub)"))
+            .alias("packed_code"),
+            F.count(F.lit(1)).alias("n_sub"),
+        )
+    )
+
+
+@query(
+    "v19_hier_assign_scaled",
+    None,
+    "Two-level centroid assignment at its crossover parameterization "
+    "(ann.hierarchical_assign as t24_semdedup_scaled deploys it): "
+    "k grows with the corpus (~625-vector clusters), g ~ sqrt(k) "
+    "minimizes the n*(g + k/g)*d assignment work, and centroids train "
+    "on a ~5000-row deterministic hash sample — the whole clustering "
+    "is O(sample*k*d + n*sqrt(k)*d), sub-linear in n*k where the flat "
+    "path (v7's fixed-k oracle twin) is O(n*k*d). Data-adaptive k → "
+    "rows-only; two-level-vs-flat and sampled-vs-full agreement are "
+    "pinned in tests/test_ann.py.",
+)
+def v19_hier_assign_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import hierarchical_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings")
+    k = max(8, n_rows // 625)
+    g = max(3, int(k**0.5))
+    frac_pm = max(1, (5000 * 1000) // n_rows)
+    samp = emb.filter(
+        (F.col("vec_id") <= k)
+        | (seeded_md5_long(F.col("vec_id").cast("string"), 31) % 1000
+           < frac_pm)
+    )
+    assign, _ = hierarchical_assign(
+        emb, k=k, g=g, iters=2, quant=1000, train_df=samp
+    )
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
 _T25_SQL = f"""
     WITH toks AS (
         SELECT doc_id, source,

@@ -394,3 +394,89 @@ def test_stream_interval_join_pairs(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sij_t").collect()
     }
     assert got == {(10, 20), (11, 22)}
+
+
+def test_alarm_machine_checkpoint_kill_resume(spark, tmp_path_factory):
+    """Crash-recovery proof for the stateful alarm machine: run HALF the
+    stream against a checkpoint, stop the query (the 'kill'), land more
+    data, restart from the same checkpoint, and assert the final
+    emission is identical to a single batch pass over everything. If
+    restart lost the per-key (alarmState, alarmCount) state, the
+    second half would re-walk from IDLE and the escalation sequence
+    would diverge; if offset tracking failed, rows would duplicate or
+    vanish from the exactly-once file sink."""
+    base = dt.datetime(2024, 1, 1)
+    settings = OsdSettings(sample_period=5, warn_time=5, alarm_time=10)
+    in_dir = tmp_path_factory.mktemp("ckpt_in")
+    out_dir = str(tmp_path_factory.mktemp("ckpt_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_state"))
+
+    # first half ends MID-ESCALATION: two True flags leave user 1 at
+    # WARN (count=10) — the resumed half must continue to ALARM
+    first = [
+        Row(user_id=u, ts=base + dt.timedelta(seconds=5 * i), flag=True)
+        for u in (1, 2)
+        for i in range(2)
+    ]
+    second = [
+        Row(user_id=u, ts=base + dt.timedelta(seconds=5 * i), flag=f)
+        for u in (1, 2)
+        for i, f in [(2, True), (3, True), (4, False), (5, False)]
+    ]
+    spark.createDataFrame(first, SCHEMA).write.parquet(
+        str(in_dir), mode="append"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(in_dir))
+        out = streaming_alarm_machine(
+            stream, "user_id", "ts", "flag", settings
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # half 1
+    got_half = {
+        (r.user_id, r.ts): (r.alarmState, r.alarmCount)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got_half) == 4  # only the first half emitted so far
+
+    spark.createDataFrame(second, SCHEMA).write.parquet(
+        str(in_dir), mode="append"
+    )
+    run_once()  # restart from the same checkpoint
+
+    got = {
+        (r.user_id, r.ts): (r.alarmState, r.alarmCount)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 12  # exactly-once: 4 + 8, no dup, no loss
+
+    all_df = spark.createDataFrame(first + second, SCHEMA).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    batch_out = run_state_machine(
+        all_df, ["user_id"], "ts", "flag", "rid", settings
+    )
+    expect = {
+        (r.user_id, r.ts): (r.alarmState, r.alarmCount)
+        for r in all_df.select("user_id", "ts", "rid")
+        .join(batch_out, ["user_id", "rid"])
+        .collect()
+    }
+    assert got == expect
+    # the resumed run continued the escalation: WARN at t=5 (from half
+    # 1's state) then ALARM at t=10 — impossible if state restarted
+    states = [
+        got[(1, base + dt.timedelta(seconds=5 * i))][0] for i in range(6)
+    ]
+    assert states == [0, 1, 2, 2, 1, 0]

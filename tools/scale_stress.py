@@ -37,8 +37,57 @@ KEY_OFFSETS: dict[str, dict[str, int]] = {
 }
 _OFFSET_BASE = 100_000_000  # far above any sf0.1 key
 
+# node-scaled graph mode: the standard replica keeps dimension tables
+# (supplier, customer names, document sources) single-copy, so graph
+# operators see N x the EDGES over a FIXED vertex set - which flatters
+# frontier algorithms (rounds ~ log(diameter) of an unchanged graph).
+# This overlay makes every graph's VERTEX domain grow with the
+# multiplier instead: each replica becomes a disjoint subgraph.
+GRAPH_KEY_OFFSETS: dict[str, dict[str, int]] = {
+    # co-part supplier graph (j13 BFS, j14 k-core): vertices are
+    # l_suppkey, parts are the hyperedges - offset both per copy so
+    # each replica is a disjoint subgraph (vertices x N, edges x N)
+    "lineitem": {"l_partkey": 1, "l_suppkey": 1},
+    # Hamming-variant graph (t41): vertices are per-(nation, name)
+    # representatives - offsetting c_nationkey gives each copy its own
+    # blocking classes, so the vertex set grows x N
+    "customer": {"c_custkey": 1, "c_nationkey": 1},
+    # binary supplier forest (j16): replicate the node table. parent =
+    # floor(s/2) over offset ranges chains copy k into copy k/2, so
+    # the stress graph is ONE forest with N x the vertices and depth
+    # deeper by ~log2(N * offset / max_key) - harder than disjoint
+    # copies for pointer doubling, and still within its 2^6 range
+    "supplier": {"s_suppkey": 1},
+}
 
-def build_replica(spark, src_dir: str, dst_dir: str, n: int) -> None:
+
+def _graph_extra(name: str, rep, n: int):
+    """Per-table extra transforms for node-scaled graph mode (rep
+    carries an int __copy column in [0, n))."""
+    from pyspark.sql import functions as F
+
+    if name == "documents":
+        # per-copy token vocabulary: suffix every token with the copy
+        # id so shingles never match across copies (disjoint source
+        # subgraphs for t36), and suffix the source node label itself
+        rep = rep.withColumn(
+            "text",
+            F.expr(
+                "regexp_replace(text, '(\\S+)',"
+                " concat('$1#', CAST(__copy AS STRING)))"
+            ),
+        )
+        return rep.withColumn(
+            "source",
+            F.concat(F.col("source"), F.lit("#"),
+                     F.col("__copy").cast("string")),
+        )
+    return rep
+
+
+def build_replica(
+    spark, src_dir: str, dst_dir: str, n: int, node_scaled: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from openseizuredatabase_spark.sources.tables import TABLE_NAMES, load_table
@@ -55,8 +104,10 @@ def build_replica(spark, src_dir: str, dst_dir: str, n: int) -> None:
             continue
         shutil.rmtree(dst, ignore_errors=True)
         df = load_table(spark, src_dir, name)
-        key_cols = KEY_OFFSETS.get(name)
-        if key_cols is None:
+        key_cols = dict(KEY_OFFSETS.get(name, {}))
+        if node_scaled:
+            key_cols.update(GRAPH_KEY_OFFSETS.get(name, {}))
+        if not key_cols and not (node_scaled and name == "documents"):
             # dimension table: single copy, FKs in facts stay unoffset
             df.write.mode("overwrite").parquet(dst)
             continue
@@ -71,6 +122,8 @@ def build_replica(spark, src_dir: str, dst_dir: str, n: int) -> None:
                 F.col(col).cast("long")
                 + F.col("__copy").cast("long") * F.lit(_OFFSET_BASE),
             )
+        if node_scaled:
+            rep = _graph_extra(name, rep, n)
         rep.drop("__copy").write.mode("overwrite").parquet(dst)
 
 
@@ -92,9 +145,12 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
 
 
 def main(argv) -> int:
+    node_scaled = "node-scaled" in argv
+    argv = [a for a in argv if a != "node-scaled"]
     n = int(argv[1]) if len(argv) > 1 else 10
     src = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
-    dst = f"/tmp/scale_{os.path.basename(src.rstrip('/'))}_x{n}"
+    suffix = "_nodes" if node_scaled else ""
+    dst = f"/tmp/scale_{os.path.basename(src.rstrip('/'))}_x{n}{suffix}"
 
     from bench import HEADLINE
     from openseizuredatabase_spark.session import get_spark
@@ -121,7 +177,7 @@ def main(argv) -> int:
     spark.range(1000).count()  # JVM warmup
 
     t0 = time.time()
-    build_replica(spark, src, dst, n)
+    build_replica(spark, src, dst, n, node_scaled=node_scaled)
     build_s = round(time.time() - t0, 1)
 
     base = time_queries(spark, src, names)
@@ -133,6 +189,7 @@ def main(argv) -> int:
         rows.append((name, base[name], scaled[name], ratio))
     report = {
         "replicas": n,
+        "node_scaled": node_scaled,
         "build_s": build_s,
         "base_total_s": round(sum(base.values()), 2),
         "scaled_total_s": round(sum(scaled.values()), 2),

@@ -242,6 +242,7 @@ HEADLINE = [
     "n22_benford_test",
     "v17_rrf_fusion",
     "w5_epoch_oracled",
+    "m34_jpeg_decode",
 ]
 
 

@@ -422,3 +422,463 @@ def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> Da
         media.filter((F.col("media_type") == "video") & (n > 0))
         .select("media_id", idx, F.col("meta.format").alias("format"))
     )
+
+
+# --- JPEG: baseline sequential DCT, stdlib-only -----------------------------
+#
+# The dominant real-corpus image format (reference handles images through
+# PIL in dataVisualiser; user_tools/nnTraining2 consumes image-like
+# tensors). Decode covers baseline (SOF0) grayscale and 4:4:4 color with
+# tables read from the file's own DQT/DHT segments, restart markers
+# included; progressive (SOF2), subsampled chroma, 12-bit precision and
+# arithmetic coding fail fast with NotImplementedError — the honest
+# capability guard, like the PNG codec above. The encoder exists to
+# build deterministic test/oracle corpora: IJG-style quality scaling,
+# canonical fixed-length Huffman tables (valid per the spec; tables ride
+# in DHT so the decoder never assumes them).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+_JPEG_QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def _jpeg_scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: q=50 is the base table, q=100 all-ones
+    (lossless transform up to DCT rounding)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _dct_mat() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16.0) * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT_M = _dct_mat()
+
+
+def _canonical_huffman(symbols: "list[int]", length: int):
+    """Fixed-length canonical Huffman table: every symbol gets a code of
+    ``length`` bits (valid while count < 2**length, keeping the all-ones
+    code unused as the spec recommends). Returns (bits16, vals,
+    {sym: (code, length)})."""
+    assert len(symbols) < (1 << length)
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    enc = {s: (i, length) for i, s in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-padding per spec
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter, coef_zz: np.ndarray, dc_prev: int,
+    dc_enc: dict, ac_enc: dict,
+) -> int:
+    dc = int(coef_zz[0])
+    diff = dc - dc_prev
+    s = _dc_category(diff)
+    bw.put(*dc_enc[s])
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            bw.put(*ac_enc[0xF0])  # ZRL
+            run -= 16
+        s = _dc_category(v)
+        bw.put(*ac_enc[(run << 4) | s])
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.put(*ac_enc[0x00])  # EOB
+    return dc
+
+
+def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(a: np.ndarray) -> np.ndarray:
+    y, cb, cr = a[..., 0], a[..., 1] - 128.0, a[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline sequential JFIF JPEG (4:4:4, no subsampling).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (exercises the decoder's resync path)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    comps = a[:, :, None].astype(np.float64) if gray else _rgb_to_ycbcr(
+        a.astype(np.float64)
+    )
+    n_comp = comps.shape[2]
+    qtabs = [_jpeg_scaled_quant(_JPEG_QUANT_LUMA, quality)]
+    if n_comp == 3:
+        qtabs.append(_jpeg_scaled_quant(_JPEG_QUANT_CHROMA, quality))
+    dc_bits, dc_vals, dc_enc = _canonical_huffman(list(range(12)), 5)
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits, ac_vals, ac_enc = _canonical_huffman(ac_syms, 9)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, qt in enumerate(qtabs):
+        zz = qt.reshape(-1)[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(v) for v in zz
+        )
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    for c in range(n_comp):
+        out += struct.pack("BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    # DHT: DC table 0, AC table 0 (shared by every component)
+    for tclass, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (tclass << 4) | 0
+        ) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+    for c in range(n_comp):
+        out += struct.pack("BB", c + 1, 0x00)
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    dc_prev = [0] * n_comp
+    mcu = 0
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    # edge padding: replicate last row/col (the standard approach)
+    pad = np.empty((bh * 8, bwid * 8, n_comp), dtype=np.float64)
+    pad[:h, :w] = comps
+    pad[h:, :w] = comps[h - 1 : h, :]
+    pad[:, w:] = pad[:, w - 1 : w]
+    for by in range(bh):
+        for bx in range(bwid):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw.flush()
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                bw = _BitWriter()
+                dc_prev = [0] * n_comp
+            for c in range(n_comp):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] - 128.0
+                coef = _DCT_M @ blk @ _DCT_M.T
+                qt = qtabs[0 if c == 0 else 1]
+                qc = np.round(coef / qt).astype(np.int64)
+                dc_prev[c] = _encode_block(
+                    bw, qc.reshape(-1)[_ZIGZAG], dc_prev[c], dc_enc, ac_enc
+                )
+            mcu += 1
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt - 0xD0)
+            else:
+                raise EOFError("entropy segment ended")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RSTn marker and reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        while True:
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _RestartMarker(Exception):
+    def __init__(self, n: int):
+        self.n = n
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.get(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (h, w, channels) uint8.
+
+    Stdlib-only: segment walk -> DQT/DHT/SOF0/SOS parse -> Huffman MCU
+    decode (differential DC, run-length AC, restart markers) ->
+    dequantize -> inverse zigzag -> float IDCT -> level shift ->
+    YCbCr->RGB for 3-component files. Baseline 8-bit 4:4:4/grayscale
+    only; progressive, subsampled chroma, 12-bit and arithmetic-coded
+    variants raise NotImplementedError."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, qtab_id)
+    h = w = None
+    restart_interval = 0
+    scan_tables: dict[int, tuple[int, int]] = {}
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", content[pos : pos + 2])
+        seg = content[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = zz
+                qtabs[tid] = qt.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tclass, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                vi = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(tclass, tid)] = table
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, hh, ww, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            h, w = hh, ww
+            for c in range(nc):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (only 4:4:4 / grayscale)"
+                    )
+                comps.append((cid, samp, qid))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cid] = (tids >> 4, tids & 0x0F)
+            pos += seglen
+            break
+        pos += seglen
+    if h is None or not comps:
+        raise ValueError("JPEG missing SOF0 before SOS")
+
+    n_comp = len(comps)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bwid * 8, n_comp), dtype=np.float64)
+    br = _BitReader(content, pos)
+    dc_prev = [0] * n_comp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.sync_restart()
+                dc_prev = [0] * n_comp
+            for ci, (cid, _samp, qid) in enumerate(comps):
+                dct_id, act_id = scan_tables[cid]
+                dc_t = huff[(0, dct_id)]
+                ac_t = huff[(1, act_id)]
+                coef = np.zeros(64, dtype=np.int64)
+                try:
+                    s = _huff_decode(br, dc_t)
+                    diff = _extend(br.get(s), s) if s else 0
+                    dc_prev[ci] += diff
+                    coef[0] = dc_prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_t)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        sz = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("AC coefficient overflow")
+                        coef[k] = _extend(br.get(sz), sz)
+                        k += 1
+                except _RestartMarker:
+                    raise ValueError("unexpected restart marker mid-block")
+                qt = qtabs[qid]
+                raster = np.zeros(64, dtype=np.int64)
+                raster[_ZIGZAG] = coef  # inverse zigzag
+                blk = (raster.reshape(8, 8) * qt).astype(np.float64)
+                pix = _DCT_M.T @ blk @ _DCT_M + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = pix
+            mcu += 1
+    out = out[:h, :w]
+    if n_comp == 3:
+        out = _ycbcr_to_rgb(out)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def jpeg_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-image pixel stats over a binary JPEG column — decode runs on
+    executors in Arrow batches; bytes never reach the driver."""
+    out_schema = (
+        f"{id_col} long, width long, height long, channels long, "
+        "n_px long, px_sum long, px_min long, px_max long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                img = decode_jpeg(bytes(content))
+                hh, ww, ch = img.shape
+                rows.append(
+                    (int(mid), ww, hh, ch, int(img.size),
+                     int(img.sum()), int(img.min()), int(img.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels",
+                    "n_px", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)

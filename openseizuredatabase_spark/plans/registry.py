@@ -3605,6 +3605,76 @@ def m22_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m34_jpeg_decode",
+    """
+    WITH blk AS (
+        SELECT event_id AS media_id,
+               (2 + event_id % 3)::BIGINT AS bw,
+               (2 + event_id % 2)::BIGINT AS bh,
+               (event_id * 31 + by.by * 47 + bx.bx * 23) % 256 AS v
+        FROM events,
+             unnest(generate_series(0, 2 + event_id % 2 - 1)) AS by(by),
+             unnest(generate_series(0, 2 + event_id % 3 - 1)) AS bx(bx)
+        WHERE event_id < 200
+    )
+    SELECT media_id, bw * 8 AS width, bh * 8 AS height,
+           1::BIGINT AS channels, bw * bh * 64 AS n_px,
+           (sum(v) * 64)::BIGINT AS px_sum,
+           min(v)::BIGINT AS px_min, max(v)::BIGINT AS px_max
+    FROM blk GROUP BY media_id, bw, bh
+    """,
+    "REAL JPEG decode (functions/multimodal.decode_jpeg — stdlib-only "
+    "baseline sequential: segment walk, DQT/DHT tables read from the "
+    "file, Huffman MCU decode with differential DC + run-length AC + "
+    "restart-marker resync, dequantize, inverse zigzag, float IDCT). "
+    "The corpus is uniform-8x8-block grayscale images encoded at "
+    "quality=100 with per-image restart intervals: uniform blocks have "
+    "a DC-only spectrum and all-ones quant tables, so the lossy "
+    "pipeline is EXACT on them (DC = 8*(v-128) is integer, ACs are "
+    "zero) and the oracle replays pixel stats straight from the block "
+    "formula — any Huffman, zigzag, dequant, IDCT, addressing or "
+    "restart defect breaks the hash. Lossy-quality behavior, color, "
+    "IDCT-vs-direct-cosine parity and the progressive/subsampled "
+    "NotImplementedError guards are pytest-pinned "
+    "(tests/test_sinks_multimodal.py). Covers the dominant real-corpus "
+    "image format; bytes never touch the driver.",
+)
+def m34_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_jpeg,
+        jpeg_pixel_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh = 2 + mid % 3, 2 + mid % 2
+                img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                for by in range(bh):
+                    for bx in range(bw):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            mid * 31 + by * 47 + bx * 23
+                        ) % 256
+                rows.append(
+                    (mid, encode_jpeg(
+                        img, quality=100, restart_interval=1 + mid % 4
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return jpeg_pixel_stats(media)
+
+
+@query(
     "s1_json_roundtrip",
     """
     SELECT count(*) AS n_events,
@@ -19065,6 +19135,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_bytes + 31*{t(q6('feat_sum'))}"),
         ("m12_frame_sample", "media_id", f"frame_idx + 31*{sc('format')}"),
         ("m20_png_decode", "media_id",
+         "width + 31*height + 1009*channels + 31063*n_px"
+         " + 7*px_sum + 3*px_min + 127*px_max"),
+        ("m34_jpeg_decode", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),
         ("m21_png_resize", "media_id",

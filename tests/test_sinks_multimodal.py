@@ -271,3 +271,111 @@ def test_resize_nearest_matches_index_math():
     for i in range(5):
         for j in range(6):
             assert out[i, j, 0] == img[(i * 12) // 5, (j * 16) // 6, 0]
+
+
+# --- JPEG baseline codec ----------------------------------------------------
+
+
+def test_jpeg_idct_matches_direct_cosine_sum():
+    """The matrix IDCT must agree with the O(N^4) textbook cosine sum —
+    an independent reference for the transform stage."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    coef = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+    fast = mm._DCT_M.T @ coef @ mm._DCT_M
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+                    cv = np.sqrt(1 / 8) if v == 0 else np.sqrt(2 / 8)
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = s
+    assert np.abs(fast - direct).max() < 1e-9
+
+
+def test_jpeg_uniform_blocks_roundtrip_exact():
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    vals = [0, 17, 100, 128, 200, 255]
+    for i, v in enumerate(vals):
+        img[(i // 3) * 8 : (i // 3) * 8 + 8, (i % 3) * 8 : (i % 3) * 8 + 8] = v
+    dec = mm.decode_jpeg(mm.encode_jpeg(img, quality=100))
+    assert dec.shape == (16, 24, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_oriented():
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, (24, 33), dtype=np.uint8)  # non-multiple-of-8
+    d = mm.decode_jpeg(mm.encode_jpeg(x, quality=90))[:, :, 0].astype(int)
+    err = np.abs(d - x.astype(int))
+    assert d.shape == x.shape
+    assert err.max() <= 40 and err.mean() < 8  # q90 on noise
+    # color 4:4:4
+    c = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    dc = mm.decode_jpeg(mm.encode_jpeg(c, quality=95)).astype(int)
+    assert dc.shape == c.shape
+    assert np.abs(dc - c.astype(int)).max() <= 60
+    # a horizontal gradient must come back horizontal (pins the
+    # within-block orientation that a doubly-transposed DCT/IDCT pair
+    # would silently cancel on roundtrip-only checks)
+    g = (np.arange(64) * 4).reshape(1, -1).repeat(16, 0).astype(np.uint8)
+    dg = mm.decode_jpeg(mm.encode_jpeg(g, quality=90))[:, :, 0].astype(int)
+    col_means = dg.mean(axis=0)
+    assert col_means[-1] > col_means[0] + 150
+    assert dg.std(axis=1).mean() > 10 * dg.std(axis=0).mean()
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    plain = mm.decode_jpeg(mm.encode_jpeg(x, quality=85))
+    for ri in (1, 2, 5):
+        withr = mm.decode_jpeg(
+            mm.encode_jpeg(x, quality=85, restart_interval=ri)
+        )
+        assert np.array_equal(plain, withr)
+
+
+def test_jpeg_guards_fail_fast():
+    import numpy as np
+    import pytest as pt
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(mm.encode_jpeg(img))
+    with pt.raises(ValueError):
+        mm.decode_jpeg(b"\x00\x01" + bytes(enc))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    with pt.raises(NotImplementedError):
+        mm.decode_jpeg(prog)
+    # claim 2x2 subsampling in SOF0 (byte at SOF0 + 2(marker)+2(len)+
+    # 6(prec,h,w,nc) + 1(comp id) = sampling byte)
+    sub = bytearray(enc)
+    sub[i + 11] = 0x22
+    with pt.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(sub))

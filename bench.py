@@ -243,6 +243,11 @@ HEADLINE = [
     "v17_rrf_fusion",
     "w5_epoch_oracled",
     "m34_jpeg_decode",
+    "s20_streaming_session_window",
+    "j17_hits",
+    "t51_line_filters",
+    "w25_holt_linear",
+    "m36_gif_frames",
 ]
 
 

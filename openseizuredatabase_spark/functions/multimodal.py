@@ -882,3 +882,222 @@ def jpeg_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             )
 
     return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+# --- GIF: LZW, stdlib-only --------------------------------------------------
+#
+# GIF87a/89a with global color table, multiple image frames (the
+# animation case m12's frame sampler previously only stubbed), and the
+# full variable-width LZW code stream including table growth to 4096
+# and CLEAR resets. LZW is lossless, so deterministic corpora roundtrip
+# exactly — the oracle story is simpler than JPEG's. Interlaced images
+# and local color tables fail fast.
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, width)
+    cur = b""
+    for px in indices.reshape(-1):
+        nxt = cur + bytes([int(px)])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([int(px)])
+    if cur:
+        put(table[cur], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_px: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(w: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < w:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << w) - 1)
+        acc >>= w
+        nbits -= w
+        return v
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < n_px:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid LZW code")
+        out.extend(entry)
+        if prev is not None and code < len(table) - 1:
+            pass  # appended above
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+
+
+def encode_gif(
+    frames: "list[np.ndarray]", palette: np.ndarray
+) -> bytes:
+    """Encode palette-index frames ((h, w) uint8 each, all same size)
+    with a (256, 3) uint8 global color table as a multi-frame GIF89a."""
+    h, w = frames[0].shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    assert pal.shape == (256, 3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    out += pal.tobytes()
+    for fr in frames:
+        assert fr.shape == (h, w)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW min code size
+        stream = _lzw_encode(np.asarray(fr, dtype=np.uint8), 8)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> "tuple[list[np.ndarray], np.ndarray]":
+    """Decode a GIF to (frames, palette): each frame a (h, w) uint8
+    palette-index array, palette (n, 3) uint8. Handles 87a/89a, the
+    global color table, extension blocks (skipped), and multi-frame
+    streams; interlace and local color tables raise
+    NotImplementedError."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            content[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _x, _y, fw, fh, iflags = struct.unpack(
+            "<HHHHB", content[pos + 1 : pos + 10]
+        )
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames")
+        if iflags & 0x80:
+            raise NotImplementedError("local color tables")
+        min_code = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos]:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code, fw * fh)
+        frames.append(idx.reshape(fh, fw))
+    if palette is None:
+        raise NotImplementedError("GIF without a global color table")
+    return frames, palette
+
+
+def gif_frame_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-frame RGB pixel stats over a binary GIF column (one output
+    row per frame — the REAL-codec upgrade of the m12 frame-sample
+    contract); decode runs on executors, bytes never on the driver."""
+    out_schema = (
+        f"{id_col} long, frame_idx long, width long, height long, "
+        "r_sum long, g_sum long, b_sum long, idx_min long, idx_max long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                frames, pal = decode_gif(bytes(content))
+                p64 = pal.astype(np.int64)
+                for fi, fr in enumerate(frames):
+                    counts = np.bincount(fr.reshape(-1), minlength=len(p64))
+                    sums = counts @ p64
+                    rows.append(
+                        (int(mid), fi, fr.shape[1], fr.shape[0],
+                         int(sums[0]), int(sums[1]), int(sums[2]),
+                         int(fr.min()), int(fr.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "idx_min", "idx_max",
+                ],
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)

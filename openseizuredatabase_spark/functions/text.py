@@ -8,7 +8,7 @@ with executors. Each has an exact DuckDB-SQL rendering for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -286,3 +286,61 @@ def normalize_text_sql(expr: str) -> str:
         out = f"replace({out}, {_sql_chr(src)}, {_sql_chr(dst)})"
     out = f"regexp_replace({out}, '{_re2_class(_SPACE_CP)}', ' ', 'g')"
     return f"regexp_replace({out}, '{_re2_class(_DROP_CP)}', '', 'g')"
+
+
+def line_quality_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-level quality filters — the C4 / FineWeb rules that operate
+    on LINES where the Gopher rules (t31) operate on tokens:
+
+    - C4 keeps only lines ending in terminal punctuation → emit the
+      would-survive line count (n_punct_lines);
+    - FineWeb drops docs where >30% of lines end in an ellipsis, >67%
+      of lines are shorter than 30 chars, or too much of the text sits
+      in duplicated lines (here the char-fraction at >20%).
+
+    Everything is in-row JVM column algebra: split once, per-line flags
+    via transform/filter/aggregate, duplicated-line chars via an O(L²)
+    in-row scan (L = lines per doc, corpus-bounded and shuffle-free —
+    cross-doc dup removal is t19's job). One scan, no exchange; ratios
+    round to 6 dp for cross-engine hashing."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    ends_punct = F.size(
+        F.filter(lines, lambda x: x.rlike("[.!?\"']$"))
+    )
+    # ellipsis lines also end in '.', so they are a subset of punct
+    n_ellipsis = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    n_short = F.size(F.filter(lines, lambda x: F.length(x) < 30))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    nd = n.cast("double")
+    frac_ellipsis = F.round(n_ellipsis / nd, 6)
+    frac_short = F.round(n_short / nd, 6)
+    frac_dup = F.round(
+        dup_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6
+    )
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_lines"),
+        ends_punct.cast("long").alias("n_punct_lines"),
+        frac_ellipsis.alias("frac_ellipsis"),
+        frac_short.alias("frac_short"),
+        total_chars.alias("total_chars"),
+        dup_chars.alias("dup_line_chars"),
+        (
+            (frac_ellipsis <= 0.3)
+            & (frac_short <= 0.67)
+            & (frac_dup <= 0.2)
+        ).alias("keep"),
+    )

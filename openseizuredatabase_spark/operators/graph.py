@@ -93,3 +93,68 @@ def integer_pagerank(
         ranks.join(nodes, "node")
         .select("node", F.col("wu").alias("w_out"), F.col("r").alias("rank_micro"))
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") over a directed edge list (u, v, w),
+    fixed ``iters`` rounds in exact integer arithmetic:
+
+        auth(v) = Σ_{u→v} hub(u)·w,  then renormalize to [0, scale]
+        hub(u)  = Σ_{u→v} auth(v)·w, then renormalize
+
+    with renormalization floor(x·scale / max(x)) — the portable
+    floor-division identity, bit-stable on any engine (max instead of
+    the usual L2 norm keeps everything integer; the fixed point is the
+    same principal eigenvector direction).
+
+    Returns (node, role 'hub'|'auth', score_micro) for every edge
+    source and destination.
+
+    Scale shape: each half-step is one edges⋈scores equi-join + one
+    destination-key aggregation (score state is one row per node), plus
+    a 1-row max broadcast — the t36 power-iteration layout. Overflow
+    bound: the pre-normalization product x·scale must stay under 2^63,
+    i.e. max node degree · scale² < 9.2e18 → degree < 9e6 at the
+    default micro scale; drop ``scale`` to 1e4 for hotter graphs (the
+    lm.py gradient-bound discipline)."""
+    edges = edges.localCheckpoint(eager=True)
+
+    def renorm(raw: DataFrame, col: str) -> DataFrame:
+        m = raw.agg(F.max(col).alias("m"))
+        y = F.col(col) * F.lit(scale)
+        return raw.crossJoin(F.broadcast(m)).select(
+            "node",
+            ((y - y % F.col("m")) / F.col("m")).cast("long").alias(col),
+        )
+
+    hubs = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(scale).cast("long").alias("h")
+    )
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hubs, edges["u"] == hubs["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("a"))
+        )
+        auths = renorm(a_raw, "a").localCheckpoint(eager=False)
+        h_raw = (
+            edges.join(auths, edges["v"] == auths["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum(F.col("a") * F.col("w")).cast("long").alias("h"))
+        )
+        hubs = renorm(h_raw, "h").localCheckpoint(eager=False)
+    return hubs.select(
+        F.lit("hub").alias("role"), "node", F.col("h").alias("score_micro")
+    ).unionByName(
+        auths.select(
+            F.lit("auth").alias("role"),
+            "node",
+            F.col("a").alias("score_micro"),
+        )
+    )

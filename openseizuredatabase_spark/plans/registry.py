@@ -3675,6 +3675,78 @@ def m34_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m36_gif_frames",
+    """
+    WITH px AS (
+        SELECT event_id AS media_id, f.f AS frame_idx,
+               (8 + event_id % 5)::BIGINT AS w,
+               (8 + event_id % 4)::BIGINT AS h,
+               (event_id * 31 + f.f * 97 + y.y * 13 + x.x * 7) % 256 AS v
+        FROM events,
+             unnest(generate_series(0, event_id % 3)) AS f(f),
+             unnest(generate_series(0, 8 + event_id % 4 - 1)) AS y(y),
+             unnest(generate_series(0, 8 + event_id % 5 - 1)) AS x(x)
+        WHERE event_id < 200
+    )
+    SELECT media_id, frame_idx::BIGINT AS frame_idx, w AS width,
+           h AS height,
+           sum(v)::BIGINT AS r_sum,
+           sum((v * 3) % 256)::BIGINT AS g_sum,
+           sum((v * 7) % 256)::BIGINT AS b_sum,
+           min(v)::BIGINT AS idx_min, max(v)::BIGINT AS idx_max
+    FROM px GROUP BY media_id, frame_idx, w, h
+    """,
+    "REAL animated-GIF decode (functions/multimodal.decode_gif — "
+    "stdlib-only: GIF89a block walk, global color table, variable-"
+    "width LZW with table growth to 4096 and CLEAR resets, MULTI-FRAME "
+    "streams): deterministic palette-index frames encode through the "
+    "repo's own LZW encoder and decode back to per-FRAME RGB stats — "
+    "the real-codec upgrade of m12's stubbed video frame sampling "
+    "(one output row per frame, 1-3 frames per media id). LZW is "
+    "lossless, so the oracle replays the exact pixel formula with the "
+    "palette mapping applied arithmetically (R=i, G=3i mod 256, "
+    "B=7i mod 256). Interlace and local color tables fail fast — the "
+    "honest capability guard. One mapInPandas stage; bytes never on "
+    "the driver.",
+)
+def m36_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_gif,
+        gif_frame_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, (i * 3) % 256, (i * 7) % 256], axis=1).astype(
+        np.uint8
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 8 + mid % 4
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                frames = [
+                    ((mid * 31 + f * 97 + y * 13 + x * 7) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(1 + mid % 3)
+                ]
+                rows.append((mid, encode_gif(frames, palette)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return gif_frame_stats(media)
+
+
+@query(
     "s1_json_roundtrip",
     """
     SELECT count(*) AS n_events,
@@ -9683,6 +9755,78 @@ def s17_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s20_streaming_session_window",
+    """
+    WITH diffs AS (
+        SELECT user_id, ts, value,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC)) AS gap_s
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN gap_s IS NULL OR gap_s >= 900 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM diffs
+    )
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           (floor(epoch(max(ts))) + 900)::BIGINT AS session_end,
+           count(*) AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+    "Native streaming sessionization (F.session_window — the engine-"
+    "managed merging-interval state D2's batch gap clustering replays "
+    "by hand): events stream through a watermarked "
+    "groupBy(user, session_window(ts, 15 min)) aggregation where the "
+    "runtime itself merges overlapping per-event intervals and evicts "
+    "closed sessions by watermark — the idiomatic Spark form of the "
+    "reference's uniqueEvents/session grouping for LIVE data. "
+    "availableNow replay into a complete-mode memory sink makes the "
+    "emission deterministic; the oracle is the classic gap-and-islands "
+    "rewrite (new session when the gap >= the 900 s window, end = "
+    "last event + gap — session_window's exact semantics). Session "
+    "values aggregate as exact integer cents. State per key is one "
+    "(start, end, counts) tuple per OPEN session, watermark-bounded — "
+    "the 100 TB shape; complete mode here is only the finite-replay "
+    "harness.",
+)
+def s20_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    stream = _stream_events(spark, sf_dir, "s20_events_")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    name = f"s20_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").cast("long").alias("session_start"),
+        F.col("session_window.end").cast("long").alias("session_end"),
+        "n_events",
+        "value_cents",
+    )
+
+
 def _v10_oracle() -> str:
     floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
     sd = _EMB_DIM // 16  # 16 subspaces
@@ -12320,6 +12464,104 @@ def w18_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = dt if den is None else den + dt
     return ev.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@query(
+    "w25_holt_linear",
+    """
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1, 2
+    ), idx AS MATERIALIZED (
+        SELECT event_type, day, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   - 1 AS i
+        FROM daily
+    ), hw AS (
+        SELECT event_type, day, y, i,
+               y AS l, 0.0::DOUBLE AS b, y AS f
+        FROM idx WHERE i = 0
+        UNION ALL
+        SELECT d.event_type, d.day, d.y, d.i,
+               0.5*d.y + 0.5*(st.l + st.b),
+               0.25*((0.5*d.y + 0.5*(st.l + st.b)) - st.l) + 0.75*st.b,
+               st.l + st.b
+        FROM hw st
+        JOIN idx d ON d.event_type = st.event_type AND d.i = st.i + 1
+    )
+    SELECT event_type, strftime(day, '%Y%m%d')::BIGINT AS day_key,
+           y::BIGINT AS n,
+           CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_micro,
+           CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_micro,
+           CAST(floor(f * 1000000 + 0.5) AS BIGINT) AS forecast_micro
+    FROM hw
+    """,
+    "Holt double exponential smoothing (Holt 1957 — level + trend; the "
+    "coupled-recurrence upgrade of w18's single EWMA) over per-type "
+    "daily counts, with the one-step-ahead forecast l+b the anomaly "
+    "monitors (w24) baseline against. The smoothing constants are "
+    "DYADIC (alpha=1/2, beta=1/4), so every recurrence step is exact "
+    "IEEE arithmetic with no libm — the oracle's recursive CTE walks "
+    "the identical expressions and agrees bit-for-bit (the c13 "
+    "discipline applied to a coupled two-state recurrence; outputs "
+    "quantize by floor(x*1e6 + 0.5) because dyadic state makes 6-dp "
+    "ROUND ties common and numpy/DuckDB disagree on tie direction — "
+    "half-up floor arithmetic is identical everywhere). Sequential "
+    "by nature, so it runs per-series in one Arrow stage over the "
+    "ALREADY-AGGREGATED daily frame: the corpus-scale work is the one "
+    "map-side-combined count, state is days x types rows.",
+)
+def w25_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort").reset_index(drop=True)
+        y = pdf["n"].to_numpy(dtype=float)
+        levels, trends, fcasts = [], [], []
+        l, b = y[0], 0.0
+        for ti in range(len(y)):
+            if ti == 0:
+                f = y[0]
+            else:
+                f = l + b
+                l_new = 0.5 * y[ti] + 0.5 * (l + b)
+                b = 0.25 * ((0.5 * y[ti] + 0.5 * (l + b)) - l) + 0.75 * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+            fcasts.append(f)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day_key": pdf["day"].dt.strftime("%Y%m%d").astype("int64"),
+                "n": pdf["n"].astype("int64"),
+                "level_micro": np.floor(
+                    np.asarray(levels) * 1e6 + 0.5
+                ).astype("int64"),
+                "trend_micro": np.floor(
+                    np.asarray(trends) * 1e6 + 0.5
+                ).astype("int64"),
+                "forecast_micro": np.floor(
+                    np.asarray(fcasts) * 1e6 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        smooth,
+        "event_type string, day_key long, n long, level_micro long, "
+        "trend_micro long, forecast_micro long",
     )
 
 
@@ -18532,6 +18774,75 @@ def j16_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _j17_oracle(iters: int = 2) -> str:
+    fdiv = lambda x, d: f"((({x}) - (({x}) % ({d}))) / ({d}))"  # noqa: E731
+    its = []
+    prev_h = "hubs0"
+    prev_a = None
+    for i in range(1, iters + 1):
+        its.append(f"""a{i}r AS (
+        SELECT e.v AS node, sum(h.h * e.w)::BIGINT AS x
+        FROM edges e JOIN {prev_h} h ON e.u = h.node
+        GROUP BY e.v
+    ), a{i}m AS (SELECT max(x) AS m FROM a{i}r),
+    a{i} AS (
+        SELECT node, {fdiv('x * 1000000', 'm')}::BIGINT AS a
+        FROM a{i}r, a{i}m
+    ), h{i}r AS (
+        SELECT e.u AS node, sum(a.a * e.w)::BIGINT AS x
+        FROM edges e JOIN a{i} a ON e.v = a.node
+        GROUP BY e.u
+    ), h{i}m AS (SELECT max(x) AS m FROM h{i}r),
+    h{i} AS (
+        SELECT node, {fdiv('x * 1000000', 'm')}::BIGINT AS h
+        FROM h{i}r, h{i}m
+    )""")
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return f"""
+    WITH edges AS (
+        SELECT o.o_custkey AS u, l.l_suppkey AS v, count(*)::BIGINT AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), hubs0 AS (
+        SELECT DISTINCT u AS node, 1000000::BIGINT AS h FROM edges
+    ), {', '.join(its)}
+    SELECT 'hub' AS role, node, h AS score_micro FROM {prev_h}
+    UNION ALL
+    SELECT 'auth' AS role, node, a AS score_micro FROM {prev_a}
+    """
+
+
+@query(
+    "j17_hits",
+    _j17_oracle(),
+    "HITS hubs/authorities (Kleinberg 1999) over the customer→supplier "
+    "purchase graph (orders⋈lineitem, weight = items bought) — the "
+    "bipartite-centrality companion to t36's PageRank: hubs are "
+    "broad-basket customers, authorities are widely-bought-from "
+    "suppliers. Two power-iteration rounds in exact BIGINT micro-units "
+    "(operators/graph.hits_scores): each half-step is one edge⋈score "
+    "equi-join + one destination-key aggregation, renormalized by "
+    "floor(x·scale/max) via a 1-row broadcast — so the SQL oracle "
+    "unrolling the same rounds reproduces every score bit-for-bit. "
+    "Score state is one row per node; the edge list materializes once "
+    "and every round reuses it. Overflow bound documented on the "
+    "operator (degree < 9e6 at micro scale).",
+)
+def j17_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.graph import hits_scores
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return hits_scores(edges, iters=2)
+
+
 def _t50_oracle() -> str:
     return f"""
     WITH {_SHINGLE_SQL.strip()},
@@ -18587,6 +18898,91 @@ def t50_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+@query(
+    "t51_line_filters",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), segs AS (
+        SELECT doc_id, g.i,
+               CASE WHEN g.i % 5 = 4 THEN 'click here to continue'
+                    ELSE array_to_string(
+                             list_slice(tk, g.i*4 + 1, g.i*4 + 4), ' ')
+                         || (CASE (doc_id + g.i) % 4
+                             WHEN 0 THEN '.' WHEN 1 THEN '...'
+                             WHEN 2 THEN '!' ELSE '' END)
+               END AS line
+        FROM toks,
+             unnest(generate_series(0,
+                 CAST(ceil(len(tk) / 4.0) AS INTEGER) - 1)) AS g(i)
+    ), per_line AS (
+        SELECT doc_id, line, length(line) AS len,
+               CASE WHEN regexp_matches(line, '[.!?"'']$')
+                    THEN 1 ELSE 0 END AS p,
+               CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END AS e,
+               CASE WHEN length(line) < 30 THEN 1 ELSE 0 END AS s,
+               count(*) OVER (PARTITION BY doc_id, line) AS c
+        FROM segs
+    ), agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_lines,
+               sum(p)::BIGINT AS n_punct_lines,
+               round(sum(e) / count(*)::DOUBLE, 6) AS frac_ellipsis,
+               round(sum(s) / count(*)::DOUBLE, 6) AS frac_short,
+               sum(len)::BIGINT AS total_chars,
+               sum(CASE WHEN c > 1 THEN len ELSE 0 END)::BIGINT
+                   AS dup_line_chars
+        FROM per_line GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_punct_lines, frac_ellipsis, frac_short,
+           total_chars, dup_line_chars,
+           (frac_ellipsis <= 0.3 AND frac_short <= 0.67
+            AND round(dup_line_chars
+                      / greatest(total_chars, 1)::DOUBLE, 6) <= 0.2)
+               AS keep
+    FROM agg
+    """,
+    "Line-level corpus filters (the C4 terminal-punctuation rule and "
+    "FineWeb's ellipsis-line / short-line / duplicated-line-chars "
+    "rules — the published recipes t31's token-level Gopher rules do "
+    "not cover): the synthetic corpus has no line structure, so the "
+    "query first builds a deterministic one (4-token lines, rotating "
+    "./.../!/none terminators, every 5th line the classic boilerplate "
+    "string — both engines replay the identical construction), then "
+    "the REAL kernel (functions/text.line_quality_stats) computes "
+    "per-doc line metrics and the keep decision entirely in-row: "
+    "split once, per-line flags via transform/filter/aggregate, "
+    "duplicated-line chars via an in-row O(L²) scan. One codegen'd "
+    "scan, zero exchanges — at 100 TB this filter is scan-bound, the "
+    "shape a line filter must have.",
+)
+def t51_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.text import (
+        line_quality_stats,
+        tokens,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nseg = F.ceil(F.size(toks) / F.lit(4.0)).cast("int")
+    suffixes = F.array(F.lit("."), F.lit("..."), F.lit("!"), F.lit(""))
+    lines = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.when(
+            i % 5 == 4, F.lit("click here to continue")
+        ).otherwise(
+            F.concat(
+                F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
+                F.element_at(suffixes, ((F.col("doc_id") + i) % 4 + 1).cast("int")),
+            )
+        ),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return line_quality_stats(lined)
 
 
 _N21_Z = (
@@ -19140,6 +19536,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m34_jpeg_decode", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),
+        ("m36_gif_frames", "media_id * 10 + frame_idx",
+         "width + 31*height + 1009*idx_min + 31063*idx_max"
+         f" + 7*{t('r_sum')} + 3*{t('g_sum')} + 127*{t('b_sum')}"),
         ("m21_png_resize", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),
@@ -19331,6 +19730,19 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_hit + 31*{t('score_micro')}"),
         ("s17_streaming_sliding",
          f"win_start * 1000000 + {sc('event_type')}", "n"),
+        ("s20_streaming_session_window",
+         "user_id * 10000000000 + session_start",
+         f"n_events + 31*{t('value_cents')} + 1009*{t('session_end')}"),
+        ("j17_hits", f"node * 10 + (CASE WHEN role = 'hub' THEN 1 ELSE 0 END)",
+         "score_micro"),
+        ("t51_line_filters", "doc_id",
+         f"n_lines + 31*n_punct_lines + 1009*{q6('frac_ellipsis')}"
+         f" + 31063*{q6('frac_short')} + 7*{t('total_chars')}"
+         f" + 127*{t('dup_line_chars')}"
+         " + 3*(CASE WHEN keep THEN 1 ELSE 0 END)"),
+        ("w25_holt_linear", f"day_key * 1000 + {sc('event_type')}",
+         f"n + 31*{t('level_micro')} + 1009*{t('trend_micro')}"
+         f" + 31063*{t('forecast_micro')}"),
         ("t38_tfidf_keywords",
          f"CAST({sc('source')} AS BIGINT) * 100 + rank",
          f"{sc('t')} + 31*n + 1009*{t(q6('score'))}"),

@@ -65,3 +65,38 @@ def test_heavier_edge_pulls_rank(spark):
     }
     assert out["b"] > out["c"]
     assert out["b"] > out["d"]
+
+
+def test_hits_star_authority(spark):
+    """A supplier bought by every customer must be the top authority;
+    a customer buying from everyone must be the top hub."""
+    from openseizuredatabase_spark.operators.graph import hits_scores
+
+    # customers 1-3, suppliers 101-103; customer 1 buys everything,
+    # supplier 101 is bought by everyone
+    rows = [(1, 101, 1), (1, 102, 1), (1, 103, 1),
+            (2, 101, 1), (3, 101, 1)]
+    edges = spark.createDataFrame(rows, "u long, v long, w long")
+    out = {(r.role, r.node): r.score_micro
+           for r in hits_scores(edges, iters=2).collect()}
+    auths = {n: s for (role, n), s in out.items() if role == "auth"}
+    hubs = {n: s for (role, n), s in out.items() if role == "hub"}
+    assert max(auths, key=auths.get) == 101
+    assert max(hubs, key=hubs.get) == 1
+    assert auths[101] == 1_000_000 and hubs[1] == 1_000_000  # max-norm
+    # scores are deterministic integers
+    out2 = {(r.role, r.node): r.score_micro
+            for r in hits_scores(edges, iters=2).collect()}
+    assert out == out2
+
+
+def test_hits_weight_sensitivity(spark):
+    """Doubling an edge weight must raise the target's authority
+    relative to an otherwise-identical sibling."""
+    from openseizuredatabase_spark.operators.graph import hits_scores
+
+    rows = [(1, 101, 2), (1, 102, 1), (2, 101, 2), (2, 102, 1)]
+    edges = spark.createDataFrame(rows, "u long, v long, w long")
+    out = {(r.role, r.node): r.score_micro
+           for r in hits_scores(edges, iters=2).collect()}
+    assert out[("auth", 101)] > out[("auth", 102)]

@@ -379,3 +379,55 @@ def test_jpeg_guards_fail_fast():
     sub[i + 11] = 0x22
     with pt.raises(NotImplementedError):
         mm.decode_jpeg(bytes(sub))
+
+
+# --- GIF LZW codec ----------------------------------------------------------
+
+
+def test_gif_multiframe_roundtrip_exact():
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, (i * 3) % 256, (i * 7) % 256], axis=1).astype(
+        np.uint8
+    )
+    frames = [rng.integers(0, 256, (13, 21), dtype=np.uint8) for _ in range(3)]
+    dec, p2 = mm.decode_gif(mm.encode_gif(frames, pal))
+    assert len(dec) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    assert np.array_equal(pal, p2)
+
+
+def test_gif_lzw_table_growth_and_clear():
+    """A large repetitive frame forces the LZW table past every width
+    boundary up to 4096 and through a CLEAR reset — the decoder must
+    still be bit-exact (LZW is lossless)."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    big = (np.arange(200 * 300) % 251).reshape(200, 300).astype(np.uint8)
+    dec, _ = mm.decode_gif(mm.encode_gif([big], pal))
+    assert np.array_equal(dec[0], big)
+
+
+def test_gif_guards_fail_fast():
+    import numpy as np
+    import pytest as pt
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(mm.encode_gif([img], pal))
+    with pt.raises(ValueError):
+        mm.decode_gif(b"NOPE" + bytes(enc))
+    # set the interlace bit in the image descriptor flags: descriptor
+    # starts right after header(6)+LSD(7)+GCT(768), flags at +9
+    enc[6 + 7 + 768 + 9] |= 0x40
+    with pt.raises(NotImplementedError):
+        mm.decode_gif(bytes(enc))

@@ -480,3 +480,36 @@ def test_alarm_machine_checkpoint_kill_resume(spark, tmp_path_factory):
         got[(1, base + dt.timedelta(seconds=5 * i))][0] for i in range(6)
     ]
     assert states == [0, 1, 2, 2, 1, 0]
+
+
+def test_session_window_matches_gap_islands(spark, tmp_path_factory):
+    """Native session_window streaming aggregation must agree with the
+    hand-rolled gap-and-islands batch sessionization (d2's rule) on
+    the same data — merge-on-overlap, end = last event + gap."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, offsets in ((1, [0, 30, 70, 400, 430]), (2, [10, 500])):
+        rows.extend(
+            Row(user_id=u, ts=base + dt.timedelta(seconds=s), flag=True)
+            for s in offsets
+        )
+    path = str(tmp_path_factory.mktemp("sessw"))
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "120 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(agg, "sessw", mode="complete")
+    got = sorted(
+        (r.user_id, r.session_window.start, r.session_window.end, r.n)
+        for r in spark.sql("SELECT * FROM sessw").collect()
+    )
+    td = dt.timedelta
+    assert got == [
+        (1, base, base + td(seconds=190), 3),
+        (1, base + td(seconds=400), base + td(seconds=550), 2),
+        (2, base + td(seconds=10), base + td(seconds=130), 1),
+        (2, base + td(seconds=500), base + td(seconds=620), 1),
+    ]

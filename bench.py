@@ -248,6 +248,11 @@ HEADLINE = [
     "t51_line_filters",
     "w25_holt_linear",
     "m36_gif_frames",
+    "w26_max_drawdown",
+    "m38_auc_exact",
+    "p11_temperature_mixing",
+    "m37_quantile_binning",
+    "s22_stream_upsert",
 ]
 
 

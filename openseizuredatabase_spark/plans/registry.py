@@ -9827,6 +9827,100 @@ def s20_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s22_stream_upsert",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           cents AS last_cents
+    FROM (
+        SELECT user_id, event_type, event_id,
+               round(value * 100)::BIGINT AS cents,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    "Streaming upsert sink via foreachBatch — THE canonical Structured "
+    "Streaming pattern for maintaining a keyed lakehouse table from a "
+    "CDC-ish stream (the streaming twin of d6's batch merge): the "
+    "event stream replays in MULTIPLE micro-batches "
+    "(maxFilesPerTrigger=1 over a multi-file landing), and each batch "
+    "merges into a versioned parquet state table — read previous "
+    "version, union, keep the per-(user, type) latest by (ts, "
+    "event_id), write the next version (never overwrite-in-place "
+    "while readable — the lakehouse snapshot discipline d10 time-"
+    "travels over). The final state must equal one batch pass's "
+    "latest-per-key, which is exactly what the oracle computes — any "
+    "lost batch, duplicate application, or tie-order drift breaks the "
+    "hash. Upsert is conflict-free here (latest-wins is associative), "
+    "so batch arrival order cannot change the result.",
+)
+def s22_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    land = tempfile.mkdtemp(prefix="s22_land_")
+    # three separate appends → ≥3 files → ≥3 micro-batches below
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    state_base = tempfile.mkdtemp(prefix="s22_state_")
+    versions: list[str] = []
+    wl = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(wl))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            latest = (
+                prev.unionByName(latest)
+                .withColumn("__rn", F.row_number().over(wl))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        nxt = f"{state_base}/v{len(versions)}"
+        latest.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"s22_ckpt_{uuid.uuid4().hex[:6]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("cents").alias("last_cents"),
+    )
+
+
 def _v10_oracle() -> str:
     floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
     sd = _EMB_DIM // 16  # 16 subspaces
@@ -13658,6 +13752,272 @@ def w20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("outlier_frac"),
     ).select(
         "event_type", "n", "med", "mad", "n_outliers", "outlier_frac"
+    )
+
+
+@query(
+    "w26_max_drawdown",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               round(value * 100)::BIGINT AS cents
+        FROM events
+    ), peaks AS (
+        SELECT user_id, ts, event_id, cents,
+               max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS peak
+        FROM c
+    ), dd AS (
+        SELECT user_id, event_id, peak - cents AS d,
+               floor(epoch(ts))::BIGINT AS ep
+        FROM peaks
+    )
+    SELECT user_id, d::BIGINT AS max_dd_cents,
+           event_id::BIGINT AS dd_event_id, n
+    FROM (
+        SELECT user_id, d, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY d DESC, ep DESC,
+                                           event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM dd
+    ) WHERE rn = 1
+    """,
+    "Running maximum drawdown per user (the peak-to-trough series "
+    "statistic every monitoring/finance stack ships; over the HR "
+    "stream it is the steepest observed drop from a running peak): "
+    "running max via an ordered window, drawdown = peak - value in "
+    "exact cents, then one aggregation keeping the max and its argmax "
+    "row via a lexicographic max_by struct (deterministic ties by "
+    "time then id — no second pass, no self-join). One exchange on "
+    "the user key; the window sort spills, never buffers.",
+)
+def w26_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.col("ts").cast("long").alias("ep"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = ev.select(
+        "user_id",
+        "event_id",
+        "ep",
+        (F.max("cents").over(w) - F.col("cents")).alias("d"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("d").cast("long").alias("max_dd_cents"),
+        F.max_by(
+            F.col("event_id"), F.struct("d", "ep", "event_id")
+        ).cast("long").alias("dd_event_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "m38_auc_exact",
+    """
+    WITH scored AS (
+        SELECT round(value * 100)::BIGINT AS s,
+               CASE WHEN max(round(value * 100)::BIGINT)
+                         OVER (PARTITION BY user_id) >= 17000
+                    THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grp AS (
+        SELECT s, count(*) AS cnt, sum(y)::BIGINT AS npos
+        FROM scored GROUP BY s
+    ), ranked AS (
+        SELECT s, cnt, npos,
+               sum(cnt) OVER (ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - cnt AS below
+        FROM grp
+    ), sums AS (
+        -- 2*avg_rank for a tie group = 2*below + cnt + 1 (integer)
+        SELECT sum(npos * (2 * below + cnt + 1))::BIGINT AS r2,
+               sum(npos)::BIGINT AS n1,
+               sum(cnt - npos)::BIGINT AS n0
+        FROM ranked
+    )
+    SELECT n1, n0,
+           round((r2 - n1 * (n1 + 1))
+                 / (2.0 * n1::DOUBLE * n0::DOUBLE), 6) AS auc
+    FROM sums
+    """,
+    "Exact AUC-ROC via the rank statistic (AUC = (R1 - n1(n1+1)/2) / "
+    "(n1*n0), the Mann-Whitney identity — the eval metric nnTester's "
+    "threshold sweeps approximate pointwise, computed exactly and "
+    "tie-correctly in one pass): scores quantize to cents, tie groups "
+    "aggregate ONCE (corpus exchange on the score key), average ranks "
+    "come from the doubled-rank integer identity 2r = 2*below+cnt+1 "
+    "(never a fraction), and the final ratio is one double division "
+    "on exact BIGINTs. No per-row ranking window over the corpus — "
+    "rank sums derive from group counts, so the reduce state is one "
+    "row per distinct score.",
+)
+def m38_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        "user_id",
+    )
+    lbl = (
+        F.max("s").over(Window.partitionBy("user_id")) >= 17000
+    ).cast("int")
+    scored = ev.select("s", lbl.alias("y"))
+    grp = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").cast("long").alias("npos")
+    )
+    wo = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grp.select(
+        "s",
+        "cnt",
+        "npos",
+        (F.sum("cnt").over(wo) - F.col("cnt")).alias("below"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).cast("long").alias("r2"),
+        F.sum("npos").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("long").alias("n0"),
+    )
+    return sums.select(
+        "n1",
+        "n0",
+        F.round(
+            (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+            / (2.0 * F.col("n1").cast("double") * F.col("n0").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "p11_temperature_mixing",
+    """
+    WITH src AS (
+        SELECT source, count(*)::BIGINT AS n_docs FROM documents
+        GROUP BY source
+    ), q AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(least(n_docs, 300)::DOUBLE) * 1000000)
+                    AS BIGINT) AS w_micro
+        FROM src
+    ), tot AS (SELECT sum(w_micro)::BIGINT AS wt FROM q)
+    SELECT source, n_docs, w_micro,
+           round(w_micro / wt::DOUBLE, 6) AS mix_frac,
+           (((10000 * w_micro) - ((10000 * w_micro) % wt)) / wt)::BIGINT
+               AS n_samples
+    FROM q, tot
+    """,
+    "Temperature-scaled source mixing (the T5/mT5 examples-"
+    "proportional mixing rule with a size cap: w_s = min(n_s, K)^(1/T),"
+    " here T=2 so the exponent is one IEEE-exact sqrt) — with DSIR "
+    "(p3) and DoReMi (p10) this completes the three standard corpus-"
+    "mixture recipes. Per-source weights quantize to micro-ints BEFORE "
+    "normalizing (a sum of doubles would be aggregation-order-"
+    "dependent; a sum of BIGINTs is not), sample allocations for a "
+    "10k-doc budget come from the portable floor-division identity. "
+    "One map-side-combined count per source — bytes of state at any "
+    "corpus size.",
+)
+def p11_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _ts(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    q = src.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt(F.least(F.col("n_docs"), F.lit(300)).cast("double"))
+            * 1e6,
+            0,
+        ).cast("long").alias("w_micro"),
+    )
+    tot = q.agg(F.sum("w_micro").cast("long").alias("wt"))
+    x = F.lit(10000) * F.col("w_micro")
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        F.round(F.col("w_micro") / F.col("wt").cast("double"), 6).alias(
+            "mix_frac"
+        ),
+        ((x - x % F.col("wt")) / F.col("wt")).cast("long").alias(
+            "n_samples"
+        ),
+    )
+
+
+@query(
+    "m37_quantile_binning",
+    """
+    WITH c AS (
+        SELECT round(value * 100)::BIGINT AS cents, event_id,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), ranked AS (
+        SELECT cents, y,
+               row_number() OVER (ORDER BY cents, event_id) - 1 AS r,
+               count(*) OVER () AS n
+        FROM c
+    )
+    SELECT ((r * 10 - ((r * 10) % n)) / n)::BIGINT AS bin,
+           count(*) AS n_rows,
+           min(cents)::BIGINT AS lo_cents,
+           max(cents)::BIGINT AS hi_cents,
+           sum(y)::BIGINT AS n_target,
+           round(sum(y) / count(*)::DOUBLE, 6) AS target_rate
+    FROM ranked GROUP BY 1
+    """,
+    "Equal-frequency feature binning (the QuantileDiscretizer step of "
+    "every tabular training pipeline, here EXACT instead of sketch-"
+    "approximate): global rank via one ordered window, bin = "
+    "floor(rank*k/n) by the portable floor-division identity "
+    "(approxQuantile's cutpoints are engine-specific; rank arithmetic "
+    "is not), then per-bin extent and target rate for monotonicity/WOE "
+    "inspection. The global sort is the one exchange; at 100 TB the "
+    "production swap is rangepartition+local rank (same algebra, "
+    "sort-based shuffle), which Spark's window already compiles to.",
+)
+def m37_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+    wo = Window.orderBy("cents", "event_id")
+    ranked = ev.select(
+        "cents",
+        "y",
+        (F.row_number().over(wo) - 1).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    x = F.col("r") * 10
+    binned = ranked.select(
+        ((x - x % F.col("n")) / F.col("n")).cast("long").alias("bin"),
+        "cents",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.sum("y").cast("long").alias("n_target"),
+        F.round(
+            F.sum("y") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("target_rate"),
     )
 
 
@@ -19743,6 +20103,19 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("w25_holt_linear", f"day_key * 1000 + {sc('event_type')}",
          f"n + 31*{t('level_micro')} + 1009*{t('trend_micro')}"
          f" + 31063*{t('forecast_micro')}"),
+        ("w26_max_drawdown", "user_id",
+         f"max_dd_cents + 31*{t('dd_event_id')} + 1009*n"),
+        ("m38_auc_exact", "n1 * 1000000 + n0 % 1000000",
+         f"{q6('auc')}"),
+        ("p11_temperature_mixing", sc("source"),
+         f"n_docs + 31*{t('w_micro')} + 1009*{q6('mix_frac')}"
+         " + 31063*n_samples"),
+        ("m37_quantile_binning", "bin",
+         f"n_rows + 31*{t('lo_cents')} + 1009*{t('hi_cents')}"
+         f" + 31063*n_target + 7*{q6('target_rate')}"),
+        ("s22_stream_upsert",
+         f"user_id * 1000 + {sc('event_type')}",
+         f"{t('last_event_id')} + 31*last_cents"),
         ("t38_tfidf_keywords",
          f"CAST({sc('source')} AS BIGINT) * 100 + rank",
          f"{sc('t')} + 31*n + 1009*{t(q6('score'))}"),

@@ -253,6 +253,10 @@ HEADLINE = [
     "p11_temperature_mixing",
     "m37_quantile_binning",
     "s22_stream_upsert",
+    "u8_bag_algebra",
+    "w27_sax_symbols",
+    "t52_llr_collocations",
+    "d12_schema_merge",
 ]
 
 

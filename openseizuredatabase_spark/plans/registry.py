@@ -898,6 +898,59 @@ def u_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchasers.intersect(signups).exceptAll(heavy_err).distinct()
 
 
+@query(
+    "u8_bag_algebra",
+    """
+    WITH a AS (
+        SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+    ), b AS (
+        SELECT user_id, event_type FROM events WHERE event_id % 2 = 1
+    ), ex AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        GROUP BY 1, 2
+    ), ia AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        GROUP BY 1, 2
+    )
+    SELECT 'except_all' AS op, * FROM ex
+    UNION ALL
+    SELECT 'intersect_all' AS op, * FROM ia
+    """,
+    "BAG set algebra (exceptAll / intersectAll — multiset semantics "
+    "the U2-U4 SET operators cannot express: surplus COPIES survive, "
+    "so a user with 5 'view' rows in A and 3 in B keeps exactly 2): "
+    "Spark's native exceptAll/intersectAll compile to the count-"
+    "difference aggregation + generator replication, which is exactly "
+    "the distributed shape (one exchange on the row key, no "
+    "row-at-a-time anti-join). The oracle is ANSI EXCEPT ALL / "
+    "INTERSECT ALL; both sides reduce to per-key multiplicities for "
+    "a stable comparison.",
+)
+def u8_bag_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_type"
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type"
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "*")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "*")
+    )
+    return ex.unionByName(ia)
+
+
 # ---------------------------------------------------------------------------
 # Splits & sampling (M1-M3)
 # ---------------------------------------------------------------------------
@@ -13822,6 +13875,83 @@ def w26_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w27_sax_symbols",
+    """
+    WITH paa AS (
+        -- piecewise aggregate approximation: daily mean in whole cents
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(floor(sum(round(value * 100)::BIGINT)::DOUBLE
+                          / count(*) + 0.5) AS BIGINT) AS pq
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id,
+               count(*)::DOUBLE AS n,
+               sum(pq)::DOUBLE AS s1,
+               sum(pq * pq)::DOUBLE AS s2
+        FROM paa GROUP BY user_id
+    ), z AS (
+        SELECT p.user_id, strftime(p.day, '%Y%m%d')::BIGINT AS day_key,
+               p.pq,
+               (p.pq - s.s1 / s.n)
+                 / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zv
+        FROM paa p JOIN stats s ON p.user_id = s.user_id
+        WHERE s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) > 0
+    )
+    SELECT user_id, day_key, pq AS paa_cents,
+           (CASE WHEN zv < -0.6745 THEN 0
+                 WHEN zv < 0.0 THEN 1
+                 WHEN zv < 0.6745 THEN 2
+                 ELSE 3 END)::BIGINT AS symbol
+    FROM z
+    """,
+    "SAX symbolization (Lin et al. 2003, 'A Symbolic Representation "
+    "of Time Series' — the discretization step of classic time-series "
+    "motif/anomaly mining): daily PAA means in half-up whole cents, "
+    "per-user z-normalization from EXACT integer power sums (the m18 "
+    "discipline — the z value is IEEE div/sqrt on identical integers, "
+    "so the breakpoint comparisons against the N(0,1) quartiles "
+    "±0.6745 decide identically in both engines), alphabet size 4. "
+    "Two map-side-combined aggregations + one broadcast of the "
+    "per-user stats table; state is users × days rows.",
+)
+def w27_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    paa = ev.groupBy("user_id", "day").agg(
+        F.floor(
+            F.sum("cents").cast("double") / F.count(F.lit(1)) + 0.5
+        ).cast("long").alias("pq")
+    )
+    stats = paa.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pq").cast("double").alias("s1"),
+        F.sum(F.col("pq") * F.col("pq")).cast("double").alias("s2"),
+    )
+    m = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - m * m
+    z = (F.col("pq") - m) / F.sqrt(var)
+    sym = (
+        F.when(z < -0.6745, 0)
+        .when(z < 0.0, 1)
+        .when(z < 0.6745, 2)
+        .otherwise(3)
+    )
+    return (
+        paa.join(F.broadcast(stats), "user_id")
+        .filter(var > 0)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyyMMdd").cast("long").alias("day_key"),
+            F.col("pq").alias("paa_cents"),
+            sym.cast("long").alias("symbol"),
+        )
+    )
+
+
+@query(
     "m38_auc_exact",
     """
     WITH scored AS (
@@ -18822,6 +18952,60 @@ def d11_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d12_schema_merge",
+    """
+    SELECT (CASE WHEN event_id % 2 = 1 THEN event_type
+            ELSE '__absent__' END) AS category,
+           count(*) AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum,
+           count(CASE WHEN event_id % 2 = 0 THEN 1 END)::BIGINT
+               AS n_null_category
+    FROM events GROUP BY 1
+    """,
+    "Schema-evolution merge read (the lakehouse add-a-column case "
+    "every long-lived table hits: old files lack the new column, new "
+    "files carry it): two physical parquet generations — v1 written "
+    "WITHOUT `category`, v2 WITH it — load through one "
+    "mergeSchema=true scan that null-fills the missing column for v1 "
+    "rows; the query audits the fill (per-category counts, exact cent "
+    "sums, and the null count which must equal exactly the v1 row "
+    "count). At 100 TB this is a footer-union schema resolution, not "
+    "a data rewrite — the scan stays one pass and old files are never "
+    "touched. The oracle derives the same result from the source "
+    "table (even ids = v1 = absent category).",
+)
+def d12_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="d12_")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "cents"
+    ).write.mode("overwrite").parquet(f"{base}/v1")
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "cents", F.col("event_type").alias("category")
+    ).write.mode("overwrite").parquet(f"{base}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/v1", f"{base}/v2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("category"), F.lit("__absent__")).alias(
+            "category"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.count(F.when(F.col("category").isNull(), 1))
+        .cast("long")
+        .alias("n_null_category"),
+    )
+
+
 _N20_Z = (
     "CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0"
     " AND (xa + xb) < (na + nb) THEN"
@@ -19257,6 +19441,125 @@ def t50_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)"
             ).alias("novelty_frac"),
         )
+    )
+
+
+_T52_XLX = "(CASE WHEN ({x}) > 0 THEN CAST(({x}) AS DOUBLE) * ln(CAST(({x}) AS DOUBLE)) ELSE 0.0 END)"
+
+
+def _t52_llr_expr() -> str:
+    """Dunning LLR from contingency cells a,b2,c3,d2 and total nn —
+    IDENTICAL expression text evaluated by both engines (ln ulp
+    differences are absorbed by the micro-nat rounding, the t49/m29
+    discipline)."""
+    x = _T52_XLX.format
+    return (
+        "CAST(round(2.0 * ("
+        + " + ".join([x(x="a"), x(x="b2"), x(x="c3"), x(x="d2")])
+        + f" - {x(x='a + b2')} - {x(x='c3 + d2')}"
+        + f" - {x(x='a + c3')} - {x(x='b2 + d2')}"
+        + f" + {x(x='nn')}"
+        + ") * 1000000) AS BIGINT)"
+    )
+
+
+@query(
+    "t52_llr_collocations",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+        SELECT tk[g.i + 1] AS w1, tk[g.i + 2] AS w2
+        FROM toks, unnest(generate_series(0, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 2
+    ), counts AS (
+        SELECT w1, w2, count(*)::BIGINT AS k11 FROM bg GROUP BY 1, 2
+    ), m1 AS (
+        SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1
+    ), m2 AS (
+        SELECT w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1
+    ), tot AS (SELECT count(*)::BIGINT AS nn FROM bg
+    ), cells AS (
+        SELECT c.w1, c.w2, c.k11,
+               c.k11 AS a, m1.c1 - c.k11 AS b2, m2.c2 - c.k11 AS c3,
+               tot.nn - m1.c1 - m2.c2 + c.k11 AS d2, tot.nn AS nn
+        FROM counts c
+        JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+        WHERE c.k11 >= 5
+    ), scored AS (
+        SELECT w1, w2, k11, {_t52_llr_expr()} AS llr_micro
+        FROM cells
+    )
+    SELECT w1, w2, k11, llr_micro,
+           rank FROM (
+        SELECT *, row_number() OVER (ORDER BY llr_micro DESC, w1, w2)
+                      AS rank
+        FROM scored
+    ) WHERE rank <= 20
+    """,
+    "Dunning log-likelihood-ratio collocations (Dunning 1993, "
+    "'Accurate Methods for the Statistics of Surprise and "
+    "Coincidence' — THE standard bigram association measure for "
+    "corpus phrase mining; PMI (t49) over-weights rare pairs, LLR "
+    "does not): adjacent bigrams fan out in-row (no self-join), "
+    "marginals are two map-side-combined aggregations broadcast back, "
+    "the 2x2 contingency LLR evaluates from exact BIGINT cells "
+    "through ONE shared expression text whose single transcendental "
+    "(x ln x) quantizes to micro-nats, and the top-20 ranking orders "
+    "by the quantized integer with lexicographic tie-breaks. Corpus "
+    "state: one row per distinct bigram.",
+)
+def t52_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.text import tokens
+
+    docs = _ts(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda x: F.lower(x)).alias(
+            "tk"
+        ),
+    ).filter(F.size("tk") >= 2)
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k11")
+    )
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    tot = bg.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    cells = (
+        counts.filter(F.col("k11") >= 5)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            F.col("k11").alias("a"),
+            (F.col("c1") - F.col("k11")).alias("b2"),
+            (F.col("c2") - F.col("k11")).alias("c3"),
+            (F.col("nn") - F.col("c1") - F.col("c2") + F.col("k11")).alias(
+                "d2"
+            ),
+            "nn",
+        )
+    )
+    scored = cells.select(
+        "w1", "w2", "k11", F.expr(_t52_llr_expr()).alias("llr_micro")
+    )
+    wr = Window.orderBy(F.desc("llr_micro"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select("w1", "w2", "k11", "llr_micro", "rank")
     )
 
 
@@ -20116,6 +20419,16 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("s22_stream_upsert",
          f"user_id * 1000 + {sc('event_type')}",
          f"{t('last_event_id')} + 31*last_cents"),
+        ("u8_bag_algebra",
+         f"user_id * 100000 + CAST({sc('event_type')} AS BIGINT) * 10"
+         " + (CASE WHEN op = 'except_all' THEN 1 ELSE 0 END)",
+         "n"),
+        ("w27_sax_symbols", "user_id * 100000000 + day_key",
+         f"{t('paa_cents')} + 31*symbol"),
+        ("t52_llr_collocations", "rank",
+         f"{sc('w1')} + 31*{sc('w2')} + 1009*k11 + 7*{t('llr_micro')}"),
+        ("d12_schema_merge", sc("category"),
+         f"n + 31*{t('cents_sum')} + 1009*n_null_category"),
         ("t38_tfidf_keywords",
          f"CAST({sc('source')} AS BIGINT) * 100 + rank",
          f"{sc('t')} + 31*n + 1009*{t(q6('score'))}"),

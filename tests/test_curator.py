@@ -78,3 +78,36 @@ def test_edit_join_is_broadcast(spark):
     )
     plan = apply_event_edits(ev, edits)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_check_alarm_states_cli(spark, sf_dir, capsys):
+    """The curator CLI (curator_tools/checkAlarmStates.py:1-92 twin)
+    surfaces every group at or above the severity threshold."""
+    import tools.check_alarm_states as cas
+
+    rows = cas.build(spark, sf_dir, min_severity=3).collect()
+    assert all(r.max_severity >= 3 for r in rows)
+    # threshold 0 covers every group
+    allrows = cas.build(spark, sf_dir, min_severity=0).collect()
+    assert len(allrows) >= len(rows) > 0
+
+
+def test_make_index_cli(spark, sf_dir, tmp_path):
+    """The index CLI (curator_tools/makeIndex.py:1-66 twin) writes a
+    globally time-ordered, fully-quoted CSV index."""
+    import csv
+    import glob
+
+    import tools.make_index as mi
+
+    out = str(tmp_path / "idx")
+    mi.build(spark, sf_dir, out)
+    parts = sorted(glob.glob(f"{out}/part-*"))
+    assert parts
+    times = []
+    for pth in parts:
+        with open(pth) as fh:
+            for row in csv.reader(fh):
+                if row and row[0] != "event_id":
+                    times.append(row[1])
+    assert times == sorted(times) and len(times) > 100

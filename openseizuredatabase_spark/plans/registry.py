@@ -20196,12 +20196,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m20_png_decode", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),
-        ("m34_jpeg_decode", "media_id",
-         "width + 31*height + 1009*channels + 31063*n_px"
-         " + 7*px_sum + 3*px_min + 127*px_max"),
-        ("m36_gif_frames", "media_id * 10 + frame_idx",
-         "width + 31*height + 1009*idx_min + 31063*idx_max"
-         f" + 7*{t('r_sum')} + 3*{t('g_sum')} + 127*{t('b_sum')}"),
         ("m21_png_resize", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),
@@ -20226,10 +20220,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("w5_epoch_moments", "eventId * 100000 + startSample",
          f"{t('line_length')} + 31*{q6('zcr')} + 1009*{t(q6('skewness'))}"
          f" + 31063*{t(q6('kurtosis'))}"),
-        ("w5_epoch_oracled", "eventId * 100000 + startSample",
-         f"{q6('rms_hp')} + 31*{t(q6('tap0'))} + 1009*{t(q6('tap24'))}"
-         f" + 31063*{t(q6('tap49'))}"
-         f" + 127*{t('bp_roi_micro + bp_spec_micro + bp_main_micro')}"),
         ("w5_band_power",
          f"vec_id * 100000000 + CAST({sc('band')} AS BIGINT) * 1000"
          " + ascii(substr(band, 4, 1))",
@@ -20393,16 +20383,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_hit + 31*{t('score_micro')}"),
         ("s17_streaming_sliding",
          f"win_start * 1000000 + {sc('event_type')}", "n"),
-        ("s20_streaming_session_window",
-         "user_id * 10000000000 + session_start",
-         f"n_events + 31*{t('value_cents')} + 1009*{t('session_end')}"),
-        ("j17_hits", f"node * 10 + (CASE WHEN role = 'hub' THEN 1 ELSE 0 END)",
-         "score_micro"),
-        ("t51_line_filters", "doc_id",
-         f"n_lines + 31*n_punct_lines + 1009*{q6('frac_ellipsis')}"
-         f" + 31063*{q6('frac_short')} + 7*{t('total_chars')}"
-         f" + 127*{t('dup_line_chars')}"
-         " + 3*(CASE WHEN keep THEN 1 ELSE 0 END)"),
         ("w25_holt_linear", f"day_key * 1000 + {sc('event_type')}",
          f"n + 31*{t('level_micro')} + 1009*{t('trend_micro')}"
          f" + 31063*{t('forecast_micro')}"),
@@ -20416,17 +20396,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m37_quantile_binning", "bin",
          f"n_rows + 31*{t('lo_cents')} + 1009*{t('hi_cents')}"
          f" + 31063*n_target + 7*{q6('target_rate')}"),
-        ("s22_stream_upsert",
-         f"user_id * 1000 + {sc('event_type')}",
-         f"{t('last_event_id')} + 31*last_cents"),
         ("u8_bag_algebra",
          f"user_id * 100000 + CAST({sc('event_type')} AS BIGINT) * 10"
          " + (CASE WHEN op = 'except_all' THEN 1 ELSE 0 END)",
          "n"),
         ("w27_sax_symbols", "user_id * 100000000 + day_key",
          f"{t('paa_cents')} + 31*symbol"),
-        ("t52_llr_collocations", "rank",
-         f"{sc('w1')} + 31*{sc('w2')} + 1009*k11 + 7*{t('llr_micro')}"),
         ("d12_schema_merge", sc("category"),
          f"n + 31*{t('cents_sum')} + 1009*n_null_category"),
         ("t38_tfidf_keywords",
@@ -20685,6 +20660,31 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "ascii(substr(fp, 1, 1)) * 1000000"
          " + ascii(substr(fp, 17, 1)) * 1000 + ascii(substr(fp, 32, 1))"
          " + 7*(CASE WHEN is_dup THEN 1 ELSE 0 END)"),
+        # round-5 rotation: eight stable session-5 flagships demoted so
+        # the round-5 flagships (full-pipeline epoch oracle, JPEG/GIF
+        # codecs, session windows, upsert sink, HITS, line filters,
+        # LLR) take direct window slots
+        ("d6_cdc_merge", "user_id",
+         f"{sc('last_type')} + 31*{t('last_value_c')} + 1009*{t('last_us')}"),
+        ("d7_incremental_agg", sc("event_type"),
+         f"n + 31*{t('sum_c')} + 1009*{t('min_us')} + 31063*{t('max_us')}"
+         f" + 7*{q6('avg_v')}"),
+        ("j9_scd2_history", "user_id * 100 + version",
+         f"{sc('state')} + 31*{t('eff_from_us')} + 1009*{t('eff_to_us')}"
+         " + 7*(CASE WHEN is_current THEN 1 ELSE 0 END)"),
+        ("t44_bpe_merge_rounds", "rnd",
+         f"{sc('a')} + 31*{sc('b')} + 1009*n_pair + 31063*n_sites"
+         f" + 7*{t('corpus_merges')} + 3*{t('tokens_after')}"),
+        ("m27_gbt_stumps", "rnd",
+         f"{sc('feat')} + 31*split_bucket + 1009*n_left + 31063*n_right"
+         f" + 7*{t('pred_left')} + 3*{t('pred_right')}"
+         f" + 127*{q6('rmse_milli')}"),
+        ("n10_bradley_terry", sc("event_type"),
+         f"n_wins + 31*n_games + 1009*{t('strength_micro')}"),
+        ("d9_table_diff", "bkt",
+         "n_a + 31*n_b + 1009*n_only_a + 31063*n_only_b + 7*n_changed"),
+        ("d10_time_travel", "pct",
+         f"{t('cut_us')} + 31*n_live + 1009*{t('sum_value_c')}"),
     ]
 
 
@@ -20783,10 +20783,10 @@ _DRIVER_WINDOW = [
     "t34_hashed_classifier", "t35_kneser_ney", "t36_source_pagerank",
     "t37_bm25_topk", "v8_pq_adc", "v10_ivf_pq",
     "j10_fuzzy_blocked_join", "t41_triangle_count",
-    "d6_cdc_merge", "d7_incremental_agg", "j9_scd2_history",
-    "p6_filter_chain", "t44_bpe_merge_rounds", "m27_gbt_stumps",
-    "n10_bradley_terry", "p10_doremi_weights", "d9_table_diff",
-    "m26_knn_label_prop", "d10_time_travel",
+    "w5_epoch_oracled", "m34_jpeg_decode", "m36_gif_frames",
+    "p6_filter_chain", "s20_streaming_session_window", "s22_stream_upsert",
+    "j17_hits", "p10_doremi_weights", "t51_line_filters",
+    "m26_knn_label_prop", "t52_llr_collocations",
     # round-4 session-6 rotation (same discipline, third application):
     # the 15 session-6 flagships take direct rows; the 15 long-stable
     # round-1 singles they displace (j3/j2/j5/f1/d2/w3/w12/a5/a6/a11/

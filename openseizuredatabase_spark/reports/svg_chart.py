@@ -216,3 +216,71 @@ def spectrogram_svg(
             f'fill="rgb({red},{green},{blue})"/>\n'
         )
     return _frame(title, "time slice", "freq bin", "".join(body))
+
+
+def histogram_svg(
+    values: Sequence[float],
+    n_bins: int = 20,
+    title: str = "",
+    x_label: str = "",
+    y_label: str = "count",
+) -> str:
+    """Histogram — the dataVisualiser per-feature distribution plotter
+    (the skewness-distribution figure of user_tools/dataVisualiser's
+    plotters) as SVG: fixed equal-width bins over [min, max], rendered
+    through the bar renderer. Binning is driver-side over an already
+    bounded value list (cap enforced); the heavy reduction to those
+    values happened in DataFrame stages."""
+    _check_cap(len(values))
+    if not values:
+        return _frame(title, x_label, y_label, "")
+    lo, hi = min(values), max(values)
+    span = (hi - lo) or 1.0
+    counts = [0] * n_bins
+    for v in values:
+        b = min(int((v - lo) / span * n_bins), n_bins - 1)
+        counts[b] += 1
+    labels = [f"{lo + span * (i + 0.5) / n_bins:.3g}" for i in range(n_bins)]
+    return bar_chart_svg(labels, counts, title, x_label, y_label)
+
+
+def scatter_svg(
+    points: Sequence[tuple[float, float]],
+    title: str = "",
+    x_label: str = "",
+    y_label: str = "",
+    labels: Sequence[str] | None = None,
+) -> str:
+    """Scatter plot — the dataVisualiser std-vs-max per-event figure as
+    SVG: one circle per (x, y) with optional per-point group labels
+    colored by the shared palette."""
+    _check_cap(len(points))
+    if not points:
+        return _frame(title, x_label, y_label, "")
+    sx, *_ = _scale([p[0] for p in points], _ML, _W - _MR)
+    sy, ylo, yhi = _scale([p[1] for p in points], _H - _MB, _MT)
+    names = list(dict.fromkeys(labels)) if labels else []
+    body = []
+    for i, (x, y) in enumerate(points):
+        color = (
+            _PALETTE[names.index(labels[i]) % len(_PALETTE)]
+            if labels
+            else _PALETTE[0]
+        )
+        body.append(
+            f'<circle cx="{sx(x):.1f}" cy="{sy(y):.1f}" r="2.5" '
+            f'fill="{color}" fill-opacity="0.7"/>\n'
+        )
+    for i, name in enumerate(names[: len(_PALETTE)]):
+        body.append(
+            f'<text x="{_W - _MR - 4}" y="{_MT + 14 * (i + 1)}" '
+            f'text-anchor="end" font-size="11" '
+            f'fill="{_PALETTE[i % len(_PALETTE)]}">{escape(name)}</text>\n'
+        )
+    for frac, val in ((0.0, ylo), (1.0, yhi)):
+        ypx = (_H - _MB) + frac * (_MT - (_H - _MB))
+        body.append(
+            f'<text x="{_ML - 6}" y="{ypx:.1f}" text-anchor="end" '
+            f'font-size="10">{val:g}</text>\n'
+        )
+    return _frame(title, x_label, y_label, "".join(body))

@@ -330,3 +330,43 @@ def test_spectrogram_svg_empty_and_zero(spark):
     )
     svg = spectrogram_svg(zeros)
     assert svg.count('fill="rgb(') == 2  # all-floor values still render
+
+
+def test_histogram_svg_bins_and_validity():
+    """Histogram twin of the dataVisualiser skewness-distribution
+    plotter: correct bin mass, valid XML."""
+    import xml.etree.ElementTree as ET
+
+    from openseizuredatabase_spark.reports.svg_chart import histogram_svg
+
+    vals = [0.0] * 5 + [1.0] * 3 + [10.0] * 2
+    svg = histogram_svg(vals, n_bins=10, title="skewness dist")
+    root = ET.fromstring(svg)
+    rects = [
+        e for e in root.iter("{http://www.w3.org/2000/svg}rect")
+        if e.get("fill") != "white"
+    ]
+    heights = [float(r.get("height")) for r in rects]
+    assert len(rects) == 10
+    # bin 0 holds 5 values, the top bin 2 — 2.5x the height
+    assert heights[0] == max(heights)
+    assert abs(heights[0] / heights[-1] - 2.5) < 0.01
+    assert sum(1 for h in heights if h > 0) == 3
+
+
+def test_scatter_svg_points_and_groups():
+    """Scatter twin of the std-vs-max per-event plotter: one circle per
+    point, group legend, valid XML."""
+    import xml.etree.ElementTree as ET
+
+    from openseizuredatabase_spark.reports.svg_chart import scatter_svg
+
+    pts = [(1.0, 2.0), (2.0, 4.0), (3.0, 1.0)]
+    svg = scatter_svg(pts, labels=["seizure", "normal", "seizure"],
+                      title="std vs max")
+    root = ET.fromstring(svg)
+    circles = list(root.iter("{http://www.w3.org/2000/svg}circle"))
+    assert len(circles) == 3
+    fills = {c.get("fill") for c in circles}
+    assert len(fills) == 2  # two groups, two colors
+    assert "seizure" in svg and "normal" in svg

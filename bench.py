@@ -257,6 +257,9 @@ HEADLINE = [
     "w27_sax_symbols",
     "t52_llr_collocations",
     "d12_schema_merge",
+    "d13_vacuum_plan",
+    "j18_allen_relations",
+    "t53_greedy_decode",
 ]
 
 
@@ -285,7 +288,13 @@ def main() -> int:
         t0 = time.time()
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # untimed between-pass hygiene: dead localCheckpoint blocks from
+        # the completed pass otherwise wait for an async GC cycle and
+        # accumulate across the ~180-query session (the 100x stress OOM)
+        for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+            r.unpersist()
+        return dt
 
     core_timings: dict[str, float] = {}
     for name in CORE:

@@ -19006,6 +19006,237 @@ def d12_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d13_vacuum_plan",
+    """
+    WITH files AS (
+        SELECT l_orderkey % 64 AS file_id, count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    ), meta AS (
+        SELECT file_id, n_rows,
+               (file_id % 5)::BIGINT AS added_snap,
+               CASE WHEN file_id % 3 = 0
+                    THEN (file_id % 5) + 1 + (file_id % 4)
+                    ELSE NULL END AS removed_snap
+        FROM files
+    )
+    SELECT (CASE WHEN removed_snap IS NULL THEN 'live'
+                 WHEN removed_snap <= 6 THEN 'vacuum'
+                 ELSE 'retained' END) AS status,
+           count(*) AS n_files,
+           sum(n_rows)::BIGINT AS n_rows,
+           min(file_id)::BIGINT AS min_file,
+           max(file_id)::BIGINT AS max_file
+    FROM meta GROUP BY 1
+    """,
+    "VACUUM planning (the lakehouse retention sweep that pairs with "
+    "d10 time travel and d11 deletion vectors): given per-file "
+    "(added_snap, removed_snap) lineage and a retention floor "
+    "(snapshots >= 6 of current 8 must stay reconstructable), a "
+    "removed file is safe to delete iff NO retained snapshot "
+    "references it — i.e. removed_snap <= floor; removed-but-"
+    "referenced files are 'retained', never-removed files are 'live'. "
+    "File row counts come from the real data (one aggregation); the "
+    "lineage metadata is synthesized deterministically from file ids "
+    "(both engines replay it), exactly how a manifest table would "
+    "broadcast. At 100 TB this plan touches manifests only — the "
+    "query shape is one file-count aggregation + pure metadata CASE "
+    "logic, no data rewrite.",
+)
+def d13_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 64).alias("file_id")
+    )
+    files = li.groupBy("file_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    added = (F.col("file_id") % 5).cast("long")
+    removed = F.when(
+        F.col("file_id") % 3 == 0,
+        added + 1 + (F.col("file_id") % 4),
+    )
+    status = (
+        F.when(removed.isNull(), "live")
+        .when(removed <= 6, "vacuum")
+        .otherwise("retained")
+    )
+    return files.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("file_id").cast("long").alias("min_file"),
+        F.max("file_id").cast("long").alias("max_file"),
+    )
+
+
+@query(
+    "j18_allen_relations",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   + 60 * (event_id % 7 + 1) AS e
+        FROM events
+    ), pairs AS (
+        SELECT user_id,
+               lag(s) OVER w AS s1, lag(e) OVER w AS e1,
+               s AS s2, e AS e2
+        FROM iv
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    )
+    SELECT user_id,
+           (CASE WHEN e1 < s2 THEN 'precedes'
+                 WHEN e1 = s2 THEN 'meets'
+                 WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                 WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                 WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+                 WHEN e2 < e1 THEN 'contains'
+                 WHEN e2 = e1 THEN 'finished_by'
+                 ELSE 'overlaps' END) AS relation,
+           count(*) AS n
+    FROM pairs WHERE s1 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "Allen interval-algebra classification (Allen 1983, 'Maintaining "
+    "Knowledge about Temporal Intervals' — the temporal-join "
+    "vocabulary; j8's range join finds WHICH intervals interact, this "
+    "names HOW): consecutive per-user intervals (start = event time, "
+    "deterministic duration) classify into the 8 relations possible "
+    "under start-ordering (precedes/meets/overlaps/starts/started_by/"
+    "contains/finished_by/equals) with exact integer endpoint "
+    "comparisons. One lag window per user key — adjacent-pair "
+    "classification is linear, never the O(n^2) all-pairs relation "
+    "matrix.",
+)
+def j18_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long") + 60 * (F.col("event_id") % 7 + 1)
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    p = ev.select(
+        "user_id",
+        F.lag("s").over(w).alias("s1"),
+        F.lag("e").over(w).alias("e1"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    ).filter(F.col("s1").isNotNull())
+    rel = (
+        F.when(F.col("e1") < F.col("s2"), "precedes")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "equals",
+        )
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")),
+            "starts",
+        )
+        .when(F.col("s1") == F.col("s2"), "started_by")
+        .when(F.col("e2") < F.col("e1"), "contains")
+        .when(F.col("e2") == F.col("e1"), "finished_by")
+        .otherwise("overlaps")
+    )
+    return p.groupBy("user_id", rel.alias("relation")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _t53_oracle(steps: int = 8) -> str:
+    sel = []
+    for k in range(1, steps + 1):
+        sel.append(
+            f"s{k} AS (SELECT p.seed_rank, {k} AS step, n.b AS token"
+            f" FROM s{k - 1} p JOIN nxt n ON n.a = p.token)"
+        )
+    union = "\n    UNION ALL\n    ".join(
+        ["SELECT seed_rank, step, token FROM s0"]
+        + [f"SELECT seed_rank, step, token FROM s{k}"
+           for k in range(1, steps + 1)]
+    )
+    joins = ", ".join(sel)
+    return f"""
+    WITH toks AS (
+        SELECT list_transform({_TOKS_SQL}, x -> lower(x)) AS tk
+        FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+        SELECT tk[g.i + 1] AS a, tk[g.i + 2] AS b
+        FROM toks, unnest(generate_series(0, len(tk) - 2)) AS g(i)
+        WHERE len(tk) >= 2
+    ), nxt AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a
+                                      ORDER BY count(*) DESC, b) AS rn
+            FROM bg GROUP BY a, b
+        ) WHERE rn = 1
+    ), uni AS (
+        SELECT tok.t AS t, count(*) AS c FROM toks,
+             unnest(tk) AS tok(t) GROUP BY 1
+    ), seeds AS (
+        SELECT t, row_number() OVER (ORDER BY c DESC, t) AS seed_rank
+        FROM uni QUALIFY seed_rank <= 5
+    ), s0 AS (
+        SELECT seed_rank, 0 AS step, t AS token FROM seeds
+    ), {joins}
+    {union}
+    """
+
+
+@query(
+    "t53_greedy_decode",
+    _t53_oracle(),
+    "Greedy LM decoding as pure dataflow (the argmax-continuation walk "
+    "of t18's corpus bigram model — deterministic text generation "
+    "without a driver loop over tokens): the transition table keeps "
+    "only each token's argmax continuation (count-desc, lexicographic "
+    "tie-break), the 5 most frequent tokens seed 5 chains, and 8 "
+    "decode steps unroll as 8 broadcast equi-joins against the "
+    "kilobyte transition frame — generation cost is independent of "
+    "corpus size once the model aggregation (one shuffle) is done. "
+    "Chains that reach a continuation-free token simply stop emitting "
+    "(inner join). The oracle unrolls the identical 8 joins.",
+)
+def t53_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators.lm import bigram_model
+
+    docs = _ts(spark, sf_dir, "documents")
+    bigram_counts, uni, _ = bigram_model(docs)
+    wa = Window.partitionBy("a").orderBy(F.desc("c_ab"), "b")
+    # pin the transition table once: the 9-branch union below would
+    # otherwise replay the full model aggregation per branch
+    nxt = F.broadcast(
+        bigram_counts.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    ws = Window.orderBy(F.desc("c_a"), "t")
+    seeds = (
+        uni.withColumn("seed_rank", F.row_number().over(ws))
+        .filter(F.col("seed_rank") <= 5)
+        .select("seed_rank", F.col("t").alias("token"))
+        .localCheckpoint(eager=False)
+    )
+    out = seeds.select(
+        "seed_rank", F.lit(0).alias("step"), "token"
+    )
+    cur = out
+    for k in range(1, 9):
+        cur = (
+            cur.join(nxt, cur["token"] == F.col("a"))
+            .select(
+                "seed_rank",
+                F.lit(k).alias("step"),
+                F.col("b").alias("token"),
+            )
+        )
+        out = out.unionByName(cur)
+    return out
+
+
 _N20_Z = (
     "CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0"
     " AND (xa + xb) < (na + nb) THEN"
@@ -20404,6 +20635,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"{t('paa_cents')} + 31*symbol"),
         ("d12_schema_merge", sc("category"),
          f"n + 31*{t('cents_sum')} + 1009*n_null_category"),
+        ("d13_vacuum_plan", sc("status"),
+         f"n_files + 31*{t('n_rows')} + 1009*min_file + 31063*max_file"),
+        ("j18_allen_relations",
+         f"user_id * 100000 + {sc('relation')}", "n"),
+        ("t53_greedy_decode", "seed_rank * 100 + step", sc("token")),
         ("t38_tfidf_keywords",
          f"CAST({sc('source')} AS BIGINT) * 100 + rank",
          f"{sc('t')} + 31*n + 1009*{t(q6('score'))}"),

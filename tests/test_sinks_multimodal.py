@@ -431,3 +431,19 @@ def test_gif_guards_fail_fast():
     enc[6 + 7 + 768 + 9] |= 0x40
     with pt.raises(NotImplementedError):
         mm.decode_gif(bytes(enc))
+
+
+def test_jpeg_extremal_checkerboard_exact_at_q100():
+    """The +-128 checkerboard maximizes DCT AC magnitude (~837) — the
+    worst case for the AC Huffman size categories (must stay <= 10)
+    and, at quality 100 with all-ones quant, still roundtrips with
+    small bounded error through the float transform."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    cb = np.zeros((8, 8), dtype=np.uint8)
+    cb[::2, ::2] = 255
+    cb[1::2, 1::2] = 255
+    dec = mm.decode_jpeg(mm.encode_jpeg(cb, quality=100))
+    assert np.abs(dec[:, :, 0].astype(int) - cb.astype(int)).max() <= 1

@@ -127,6 +127,19 @@ def build_replica(
         rep.drop("__copy").write.mode("overwrite").parquet(dst)
 
 
+def drop_persisted(spark) -> None:
+    """Between-query storage hygiene: a long-lived harness session
+    accumulates localCheckpoint blocks from COMPLETED queries — their
+    DataFrames are dead but the blocks only free on a driver GC cycle
+    (async ContextCleaner), and at 100x replica scale three
+    checkpoint-heavy queries in one JVM exhausted the heap before GC
+    ran. A production pipeline gets this cleanup for free at
+    job-process boundaries; a shared benchmark JVM must do it
+    explicitly."""
+    for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+        r.unpersist()
+
+
 def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
     from openseizuredatabase_spark.plans.registry import QUERIES
 
@@ -140,6 +153,7 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
             ).save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            drop_persisted(spark)  # untimed: frees dead checkpoint blocks
         out[name] = round(best, 3)
     return out
 

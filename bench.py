@@ -260,6 +260,9 @@ HEADLINE = [
     "d13_vacuum_plan",
     "j18_allen_relations",
     "t53_greedy_decode",
+    "n23_cramers_v",
+    "a31_weighted_median",
+    "z4_locality_eval",
 ]
 
 

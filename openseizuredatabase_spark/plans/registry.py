@@ -11459,6 +11459,230 @@ def z2_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n23_cramers_v",
+    """
+    WITH obs AS (
+        SELECT event_type AS r, (user_id % 4)::BIGINT AS c,
+               count(*)::BIGINT AS o
+        FROM events GROUP BY 1, 2
+    ), rt AS (SELECT r, sum(o)::BIGINT AS nr FROM obs GROUP BY r),
+    ct AS (SELECT c, sum(o)::BIGINT AS nc FROM obs GROUP BY c),
+    tot AS (SELECT sum(o)::BIGINT AS n,
+                   count(DISTINCT r)::BIGINT AS kr,
+                   count(DISTINCT c)::BIGINT AS kc
+            FROM obs),
+    terms AS (
+        SELECT CAST(round(
+                 (o - (nr * nc)::DOUBLE / n)
+                 * (o - (nr * nc)::DOUBLE / n)
+                 / ((nr * nc)::DOUBLE / n) * 1000000) AS BIGINT)
+                   AS term_micro
+        FROM obs JOIN rt USING (r) JOIN ct USING (c), tot
+    )
+    SELECT t.n, t.kr, t.kc,
+           round(s.chi2_micro / 1000000.0, 6) AS chi2,
+           round(sqrt(s.chi2_micro / 1000000.0
+                      / (t.n * least(t.kr - 1, t.kc - 1))), 6)
+               AS cramers_v
+    FROM (SELECT sum(term_micro)::BIGINT AS chi2_micro FROM terms) s, tot t
+    """,
+    "Chi-squared independence test + Cramér's V effect size over the "
+    "(event_type x user-cohort) contingency table — the categorical-"
+    "association audit every EDA/data-quality pass runs (m28's chi2 is "
+    "GOODNESS-OF-FIT against fixed probabilities; this tests "
+    "independence of two observed factors and normalizes to [0,1]): "
+    "observed/expected from exact integer marginals, per-cell terms "
+    "quantized to micro-units BEFORE the sum (each cell's double is "
+    "IEEE-identical cross-engine; the SUM must be order-free), V by "
+    "one sqrt on the quantized total. One contingency aggregation + "
+    "kilobyte marginal broadcasts.",
+)
+def n23_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("r"),
+        (F.col("user_id") % 4).cast("long").alias("c"),
+    )
+    obs = ev.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = obs.groupBy("r").agg(F.sum("o").cast("long").alias("nr"))
+    ct = obs.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("kr"),
+        F.countDistinct("c").cast("long").alias("kc"),
+    )
+    e = (F.col("nr") * F.col("nc")).cast("double") / F.col("n")
+    term = F.round(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1e6, 0
+    ).cast("long")
+    terms = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term_micro"))
+    )
+    s = terms.agg(F.sum("term_micro").cast("long").alias("chi2_micro"))
+    chi2 = F.col("chi2_micro") / 1e6
+    dof = F.col("n") * F.least(F.col("kr") - 1, F.col("kc") - 1)
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "kr",
+        "kc",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / dof), 6).alias("cramers_v"),
+    )
+
+
+@query(
+    "a31_weighted_median",
+    """
+    WITH w AS (
+        SELECT event_type, round(value * 100)::BIGINT AS cents,
+               (event_id % 5 + 1)::BIGINT AS wt, event_id
+        FROM events
+    ), cum AS (
+        SELECT event_type, cents, wt,
+               sum(wt) OVER (PARTITION BY event_type
+                             ORDER BY cents, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw,
+               sum(wt) OVER (PARTITION BY event_type) AS tw
+        FROM w
+    )
+    SELECT event_type, min(cents)::BIGINT AS wmedian_cents,
+           min(tw)::BIGINT AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY event_type
+    """,
+    "Weighted median per group (the robust-center statistic sample "
+    "weighting demands — percentile()/median() are unweighted): sort "
+    "by value within the group key, running weight via one ordered "
+    "window, median = the first value whose doubled cumulative weight "
+    "reaches the total — ALL integer comparisons, no interpolation "
+    "ambiguity cross-engine. One exchange on the group key; the window "
+    "sort spills. Deterministic ties by (cents, event_id).",
+)
+def a31_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_id") % 5 + 1).cast("long").alias("wt"),
+        "event_id",
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("cents", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = ev.select(
+        "event_type",
+        "cents",
+        F.sum("wt").over(wo).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+def _z4_oracle() -> str:
+    from openseizuredatabase_spark.sources.lake import hilbert_sql, morton_sql
+
+    return f"""
+    WITH hq AS (
+        SELECT event_id,
+               ((user_id % 256) + 256) % 256 AS xq,
+               ((CAST(round(value * 100) AS BIGINT) % 256) + 256) % 256
+                   AS yq
+        FROM events
+    ),
+    {hilbert_sql('xq', 'yq', 8)},
+    keys AS (
+        SELECT h8.event_id, h8.xq, h8.yq,
+               CAST(d8 AS BIGINT) AS hkey,
+               CAST({morton_sql('h8.xq', 'h8.yq', 8)} AS BIGINT) AS zkey
+        FROM h8
+    ), blocks AS (
+        SELECT (xq // 16) * 16 + (yq // 16) AS blk,
+               max(hkey) - min(hkey) AS h_spread,
+               max(zkey) - min(zkey) AS z_spread,
+               count(*) AS n
+        FROM keys GROUP BY 1
+    )
+    SELECT 'hilbert' AS scheme, count(*) AS n_blocks,
+           sum(h_spread)::BIGINT AS spread_sum,
+           max(h_spread)::BIGINT AS spread_max
+    FROM blocks
+    UNION ALL
+    SELECT 'zorder', count(*), sum(z_spread)::BIGINT,
+           max(z_spread)::BIGINT
+    FROM blocks
+    """
+
+
+@query(
+    "z4_locality_eval",
+    _z4_oracle(),
+    "Layout-key locality evaluation — the measurement that justifies "
+    "z2's Hilbert choice over z1's Morton for lake clustering: for "
+    "every 16x16 tile of the quantized (user, value) plane (a zone-map "
+    "file's worth of co-located rows), the spread max(key)-min(key) of "
+    "each scheme's keys over the tile's ACTUAL data. A tighter spread "
+    "means range-partitioning by that key packs the tile into fewer "
+    "files, i.e. fewer false-positive files under z3's min/max "
+    "skipping; Hilbert's unit-step adjacency wins and this query "
+    "quantifies by how much ON REAL data rather than by citation. "
+    "Pure integer key arithmetic (both curves are unrolled CASE/shift "
+    "expressions, z1/z2's kernels reused verbatim) + one tile "
+    "aggregation — scan-bound.",
+)
+def z4_locality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.lake import (
+        hilbert_frame,
+        morton_key,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    xq = ((F.col("user_id") % 256) + 256) % 256
+    yq = (
+        (F.round(F.col("value") * 100, 0).cast("long") % 256) + 256
+    ) % 256
+    base = ev.select("event_id", xq.alias("xq"), yq.alias("yq"))
+    keyed = hilbert_frame(
+        base, F.col("xq"), F.col("yq"), out_col="hkey", bits=8
+    ).withColumn(
+        "zkey", morton_key(F.col("xq"), F.col("yq"), bits=8).cast("long")
+    )
+    blocks = keyed.groupBy(
+        ((F.col("xq") / 16).cast("long") * 16
+         + (F.col("yq") / 16).cast("long")).alias("blk")
+    ).agg(
+        (F.max("hkey") - F.min("hkey")).alias("h_spread"),
+        (F.max("zkey") - F.min("zkey")).alias("z_spread"),
+    )
+    h = blocks.agg(
+        F.lit("hilbert").alias("scheme"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("h_spread").cast("long").alias("spread_sum"),
+        F.max("h_spread").cast("long").alias("spread_max"),
+    )
+    z = blocks.agg(
+        F.lit("zorder").alias("scheme"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("z_spread").cast("long").alias("spread_sum"),
+        F.max("z_spread").cast("long").alias("spread_max"),
+    )
+    return h.unionByName(z)
+
+
+@query(
     "n8_mcnemar",
     """
     WITH v AS (
@@ -20640,6 +20864,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("j18_allen_relations",
          f"user_id * 100000 + {sc('relation')}", "n"),
         ("t53_greedy_decode", "seed_rank * 100 + step", sc("token")),
+        ("n23_cramers_v", "n",
+         f"kr + 31*kc + 1009*{q6('chi2')} + 31063*{q6('cramers_v')}"),
+        ("a31_weighted_median", sc("event_type"),
+         f"{t('wmedian_cents')} + 31*{t('total_weight')}"),
+        ("z4_locality_eval", sc("scheme"),
+         f"n_blocks + 31*{t('spread_sum')} + 1009*{t('spread_max')}"),
         ("t38_tfidf_keywords",
          f"CAST({sc('source')} AS BIGINT) * 100 + rank",
          f"{sc('t')} + 31*n + 1009*{t(q6('score'))}"),

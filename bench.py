@@ -291,13 +291,17 @@ def main() -> int:
         t0 = time.time()
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        # untimed between-pass hygiene: dead localCheckpoint blocks from
-        # the completed pass otherwise wait for an async GC cycle and
-        # accumulate across the ~180-query session (the 100x stress OOM)
+        return time.time() - t0
+
+    def drop_persisted() -> None:
+        # per-QUERY hygiene, BLOCKING and outside every timed window:
+        # dead localCheckpoint blocks otherwise wait for an async GC
+        # cycle and accumulate across the ~180-query session (the 100x
+        # stress OOM). Per-PASS non-blocking unpersist was tried and
+        # rejected: the async block-removal churn lands inside the NEXT
+        # pass's timed window and inflated every query ~35%.
         for r in spark.sparkContext._jsc.getPersistentRDDs().values():
             r.unpersist()
-        return dt
 
     core_timings: dict[str, float] = {}
     for name in CORE:
@@ -306,11 +310,13 @@ def main() -> int:
         # and dissolve the machine-noise false alarms that single-run
         # numbers produced in rounds 2 and 4
         core_timings[name] = round(min(run_once(name) for _ in range(3)), 3)
+        drop_persisted()
 
     ext_timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in core_set:
             ext_timings[name] = round(run_once(name), 3)
+            drop_persisted()
 
     core_total = round(sum(core_timings.values()), 3)
     ext_total = round(sum(ext_timings.values()), 3)

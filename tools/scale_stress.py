@@ -137,7 +137,7 @@ def drop_persisted(spark) -> None:
     job-process boundaries; a shared benchmark JVM must do it
     explicitly."""
     for r in spark.sparkContext._jsc.getPersistentRDDs().values():
-        r.unpersist()
+        r.unpersist()  # blocking: completes before the next timed pass
 
 
 def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
@@ -153,7 +153,7 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
             ).save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            drop_persisted(spark)  # untimed: frees dead checkpoint blocks
+            drop_persisted(spark)  # untimed, blocking: frees dead checkpoint blocks
         out[name] = round(best, 3)
     return out
 

@@ -447,3 +447,26 @@ def test_jpeg_extremal_checkerboard_exact_at_q100():
     cb[1::2, 1::2] = 255
     dec = mm.decode_jpeg(mm.encode_jpeg(cb, quality=100))
     assert np.abs(dec[:, :, 0].astype(int) - cb.astype(int)).max() <= 1
+
+
+def test_codec_edge_shapes_roundtrip():
+    """Edge geometries (1x1, single row/column, non-multiple-of-8) must
+    survive both codecs: JPEG via replicate-padding with the original
+    crop back, GIF exactly (LZW is lossless)."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(1)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:, 0] = np.arange(256)
+    for shape in [(1, 1), (1, 9), (9, 1), (3, 3), (7, 13), (16, 2)]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = mm.decode_jpeg(mm.encode_jpeg(x, quality=92))[:, :, 0]
+        assert d.shape == x.shape
+        assert np.abs(d.astype(int) - x.astype(int)).max() <= 40
+        g, _ = mm.decode_gif(mm.encode_gif([x], pal))
+        assert np.array_equal(g[0], x)
+        c = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        dc = mm.decode_jpeg(mm.encode_jpeg(c, quality=92))
+        assert dc.shape == c.shape

@@ -11505,6 +11505,10 @@ def n23_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ev.groupBy("r", "c").agg(
         F.count(F.lit(1)).cast("long").alias("o")
     )
+    # the ~20-row contingency table feeds four downstream branches
+    # (marginals, totals, terms) — pin it so the corpus aggregation
+    # runs once instead of once per branch
+    obs = obs.localCheckpoint(eager=False)
     rt = obs.groupBy("r").agg(F.sum("o").cast("long").alias("nr"))
     ct = obs.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
     tot = obs.agg(

@@ -263,6 +263,7 @@ HEADLINE = [
     "n23_cramers_v",
     "a31_weighted_median",
     "z4_locality_eval",
+    "n24_mann_kendall",
 ]
 
 

@@ -11539,6 +11539,122 @@ def n23_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n24_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.y > a.y THEN 1
+                        WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type
+    ), nn AS (
+        SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               sum(t * (t - 1) / 2)::BIGINT AS n1,
+               sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_var
+        FROM (SELECT event_type, y, count(*)::BIGINT AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY event_type
+    )
+    SELECT p.event_type, n.n, p.s,
+           round(p.s / sqrt((n.n * (n.n - 1) / 2 - t.n1)::DOUBLE
+                            * (n.n * (n.n - 1) / 2)::DOUBLE), 6)
+               AS tau_b,
+           round((CASE WHEN p.s > 0 THEN p.s - 1
+                       WHEN p.s < 0 THEN p.s + 1
+                       ELSE 0 END)
+                 / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                         - t.tie_var)::DOUBLE / 18.0), 6) AS z_stat
+    FROM pairs p JOIN nn n USING (event_type)
+    JOIN ties t USING (event_type)
+    """,
+    "Mann-Kendall trend test + Kendall's tau-b (Mann 1945 / Kendall "
+    "1938 — the standard nonparametric monotone-trend detector for "
+    "environmental/ops time series; pairs with n17's Spearman rho as "
+    "the second classic rank correlation): per-type daily counts, "
+    "S = sum of pairwise sign(y_j - y_i) over the ~30-day frame via a "
+    "day-ordered self-join that is quadratic only in DAYS (never in "
+    "events — the corpus term is the one daily aggregation), tau-b "
+    "with exact tie counts, and the continuity-corrected normal z "
+    "with the tie-corrected variance. Every statistic derives from "
+    "exact BIGINTs through one IEEE sqrt/divide.",
+)
+def n24_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)  # feeds three branches below
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tie_groups = daily.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ties = tie_groups.groupBy("event_type").agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("long").alias("tie_var"),
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    tau = F.col("s") / F.sqrt(
+        (n0 - F.col("n1")).cast("double") * n0.cast("double")
+    )
+    sc_ = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_var")
+    ).cast("double") / 18.0
+    return (
+        s.join(nn, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            F.round(tau, 6).alias("tau_b"),
+            F.round(sc_ / F.sqrt(var), 6).alias("z_stat"),
+        )
+    )
+
+
+@query(
     "a31_weighted_median",
     """
     WITH w AS (
@@ -20870,6 +20986,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("t53_greedy_decode", "seed_rank * 100 + step", sc("token")),
         ("n23_cramers_v", "n",
          f"kr + 31*kc + 1009*{q6('chi2')} + 31063*{q6('cramers_v')}"),
+        ("n24_mann_kendall", sc("event_type"),
+         f"n + 31*{t('s')} + 1009*{q6('tau_b')} + 31063*{q6('z_stat')}"),
         ("a31_weighted_median", sc("event_type"),
          f"{t('wmedian_cents')} + 31*{t('total_weight')}"),
         ("z4_locality_eval", sc("scheme"),

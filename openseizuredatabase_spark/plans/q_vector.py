@@ -1,0 +1,1823 @@
+"""Similarity-search / ANN queries over `embeddings` (V*).
+
+Split out of plans/registry.py (round 6); statements moved verbatim.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openseizuredatabase_spark.operators import aggregates as agg_ops
+from openseizuredatabase_spark.operators import dedup as dedup_ops
+from openseizuredatabase_spark.operators import filters as filter_ops
+from openseizuredatabase_spark.operators import joins as join_ops
+from openseizuredatabase_spark.operators import splits as split_ops
+from openseizuredatabase_spark.operators import windows as window_ops
+from openseizuredatabase_spark.functions import text as text_fns
+from openseizuredatabase_spark.functions.text import bpe_token_count_sql
+from openseizuredatabase_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+    seeded_md5_long,
+    seeded_md5_long_sql,
+)
+from openseizuredatabase_spark.sources.lake import morton_sql
+from openseizuredatabase_spark.sources import tables
+from openseizuredatabase_spark.sources.tables import (
+    load_table,
+    spread_small_scan,
+    table_meta,
+)
+
+from openseizuredatabase_spark.plans._core import (  # noqa: F401
+    QUERIES,
+    QuerySpec,
+    query,
+    _t,
+    _ts,
+)
+from openseizuredatabase_spark.plans.q_shared import (  # noqa: F401
+    _EMB_DIM,
+    _quantized_dot,
+    _v5_ctes,
+)
+
+_QDOT = "round(e.embedding[{i}]::DOUBLE * q.qe[{i}]::DOUBLE * 1e6)::BIGINT"
+_QNRM_A = "round(e.embedding[{i}]::DOUBLE * e.embedding[{i}]::DOUBLE * 1e6)::BIGINT"
+_QNRM_Q = "round(q.qe[{i}]::DOUBLE * q.qe[{i}]::DOUBLE * 1e6)::BIGINT"
+
+
+@query(
+    "v1_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+        FROM embeddings WHERE vec_id = 0
+    ), terms AS (
+        SELECT e.vec_id,
+               sum({_QDOT.format(i='i')}) AS dp,
+               sum({_QNRM_A.format(i='i')}) AS na,
+               sum({_QNRM_Q.format(i='i')}) AS nq
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+              FROM embeddings) e,
+             q, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na::DOUBLE) * sqrt(nq::DOUBLE)), 6) AS cosine_sim
+    FROM terms WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    "Brute-force cosine top-k vs a query vector (ANN baseline): "
+    "zip_with/aggregate JVM-side; quantized-integer accumulation for "
+    "engine-independent results. The scan is embarrassingly parallel; "
+    "top-k is a tiny final reduce.",
+)
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _ts(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    # single-row query-parameter lookup (NOT a data-path collect): a
+    # local Arrow read with predicate pushdown, memoized — no Spark job
+    # runs to fetch a one-row parameterization
+    qvec = [
+        float(x)
+        for x in tables.lookup_param_row(
+            sf_dir, "embeddings", "vec_id", 0, "embedding"
+        )
+    ]
+    # one sql-parsed literal array, not 64 F.lit py4j calls
+    qlit = F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in qvec) + ")"
+    )
+    dp = _quantized_dot(F.col("emb_d"), qlit)
+    na = _quantized_dot(F.col("emb_d"), F.col("emb_d"))
+    # the query self-norm is a constant over the already-fetched qvec:
+    # compute it driver-side (no extra Spark job). Decimal(repr(v))
+    # HALF_UP reproduces Spark's Round-on-double exactly (BigDecimal
+    # .valueOf uses the same shortest-decimal representation as repr).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nq_val = sum(
+        int(Decimal(repr(x * x * 1e6)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for x in (float(v) for v in qvec)
+    )
+    nq = F.lit(int(nq_val)).cast("long")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                dp / (F.sqrt(na.cast("double")) * F.sqrt(nq.cast("double"))), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _v2_oracle() -> str:
+    """LSH bucket histogram oracle: planes rendered as literal arrays."""
+    from openseizuredatabase_spark.functions.vectors import hyperplane
+
+    n_bits = 8
+    plane_rows = []
+    for j in range(n_bits):
+        comps = hyperplane(42, j, _EMB_DIM)
+        arr = "[" + ", ".join(repr(c) for c in comps) + "]"
+        plane_rows.append(f"({j}, {arr}::DOUBLE[])")
+    return f"""
+    WITH planes(j, p) AS (VALUES {', '.join(plane_rows)}),
+    bits AS (
+        SELECT e.vec_id, pl.j,
+               CASE WHEN (
+                   SELECT sum(round(e.embedding[i]::DOUBLE * pl.p[i] * 1e6)::BIGINT)
+                   FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+               ) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes pl
+    ), buckets AS (
+        SELECT vec_id, sum(bit * (2 ** (7 - j)))::BIGINT AS bucket
+        FROM bits GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """
+
+
+@query(
+    "v2_lsh_buckets",
+    _v2_oracle(),
+    "Random-hyperplane LSH bucketing (8-bit signatures, planes derived "
+    "deterministically from md5): the scale path for ANN — candidate "
+    "generation becomes an equi-join on bucket instead of O(n²).",
+)
+def v2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.vectors import hyperplane
+
+    emb = _ts(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    # ONE pass over the embedding accumulating all 8 projections in an
+    # array accumulator (vs 8 independent aggregate walks: ~20% faster
+    # warm, 2x faster cold from the smaller codegen). The quantized
+    # per-term integers are identical either way, so the oracle's
+    # per-bit sums match exactly.
+    planes = [hyperplane(42, j, _EMB_DIM) for j in range(8)]
+    # ONE sql-parsed literal array instead of 512 F.lit py4j round trips
+    # (~0.3 s off every plan build; repr(float) round-trips exactly and
+    # the D suffix keeps each element DoubleType, same as F.lit)
+    flat = F.expr(
+        "array(" + ", ".join(f"{c!r}D" for p in planes for c in p) + ")"
+    )
+    acc0 = F.expr("array(" + ", ".join(["0L"] * 8) + ")")
+    sums = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_EMB_DIM - 1)),
+        acc0,
+        lambda acc, i: F.transform(
+            acc,
+            lambda s, j: s
+            + F.round(
+                F.element_at(F.col("emb_d"), i + 1)
+                * F.element_at(flat, j * _EMB_DIM + i + 1)
+                * 1e6,
+                0,
+            ).cast("long"),
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            sums,
+            F.array(*[F.lit(1 << (7 - j)) for j in range(8)]),
+            lambda s, w: F.when(s >= 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        emb.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "v3_cosine_near_dup",
+    f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, emb,
+               (SELECT sum(round(emb[i]::DOUBLE * emb[i]::DOUBLE * 1e6)::BIGINT)
+                FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)) AS nsq
+        FROM e
+    ), grp AS (
+        SELECT vec_id, emb, nsq,
+               vec_id % greatest(16, (SELECT count(*) FROM embeddings) // 128)
+                   AS bucket
+        FROM norms
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (SELECT sum(round(a.emb[i]::DOUBLE * b.emb[i]::DOUBLE * 1e6)::BIGINT)
+                FROM unnest(generate_series(1, {_EMB_DIM})) AS g(i)) AS dp,
+               a.nsq AS na, b.nsq AS nb
+        FROM grp a JOIN grp b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(dp / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) AS cosine_sim
+    FROM pairs
+    WHERE dp / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) >= 0.3
+    """,
+    "Embedding-cosine near-dup detection: bucketed candidate generation "
+    "(id-mod partitioning keeps the oracle deterministic; production path "
+    "uses the v2 LSH buckets) + exact quantized-dot rerank ≥ threshold. "
+    "The bucket count scales with table size (max(16, n/128)) so the "
+    "per-bucket pairwise rerank stays O(n·128), not O(n²/const) — the "
+    "difference between a linear and a quadratic plan at lake scale.",
+)
+def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-bucket applyInPandas: numpy computes the SAME quantized sums
+    # (per-term round(x*y*1e6) then integer-exact summation), ~10x faster
+    # than interpreted zip_with/aggregate lambdas over every pair
+    import numpy as np
+    import pandas as pd
+
+    # bucket count tracks table size: ~128 vectors per bucket keeps the
+    # within-bucket pairwise rerank linear in n. The row count comes from
+    # parquet FOOTER metadata (local file read via table_meta) — no Spark
+    # job runs for sizing; at lake scale the same number comes from table
+    # catalog statistics.
+    n_rows, _ = table_meta(sf_dir, "embeddings")
+    modulus = max(16, n_rows // 128)
+    emb0 = _ts(spark, sf_dir, "embeddings")
+    emb = emb0.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % modulus).alias("bucket"),
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["emb"].to_numpy())
+        nsq = np.round(mat * mat * 1e6).sum(axis=1)
+        order = np.argsort(ids)
+        ids, mat, nsq = ids[order], mat[order], nsq[order]
+        rows = []
+        for i in range(len(ids) - 1):
+            dps = np.round(mat[i] * mat[i + 1 :] * 1e6).sum(axis=1)
+            sims = dps / (np.sqrt(nsq[i]) * np.sqrt(nsq[i + 1 :]))
+            keep = sims >= 0.3
+            for j_rel in np.flatnonzero(keep):
+                rows.append((ids[i], ids[i + 1 + j_rel], round(sims[j_rel], 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine_sim"])
+
+    return emb.groupBy("bucket").applyInPandas(
+        per_bucket, "id_a long, id_b long, cosine_sim double"
+    )
+
+
+def _v5_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """, members AS (
+        SELECT cid, count(*) AS n_members, min(vec_id) AS min_id
+        FROM a2 GROUP BY cid
+    ), csum AS (
+        SELECT cid, sum(c)::BIGINT AS c_sum FROM c2 GROUP BY cid
+    )
+    SELECT m.cid, m.n_members, m.min_id, c.c_sum
+    FROM members m JOIN csum c ON m.cid = c.cid
+    """
+    )
+
+
+def _v6_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """, qv AS (
+        SELECT dim, v FROM q WHERE vec_id = 0
+    ), cd AS (
+        SELECT c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS cdist
+        FROM c2 c JOIN qv USING (dim) GROUP BY c.cid
+    ), probe AS (
+        SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS rn
+            FROM cd) WHERE rn <= 2
+    ), cand AS (
+        SELECT a.vec_id, a.cid FROM a2 a JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> 0
+    ), dists AS (
+        SELECT c.vec_id, c.cid,
+               sum((q.v - qv.v) * (q.v - qv.v))::BIGINT AS dist
+        FROM cand c
+        JOIN q ON q.vec_id = c.vec_id
+        JOIN qv ON q.dim = qv.dim
+        GROUP BY c.vec_id, c.cid
+    )
+    SELECT vec_id, cid, dist FROM dists ORDER BY dist, vec_id LIMIT 10
+    """
+    )
+
+
+@query(
+    "v6_ivf_probe_exact",
+    _v6_oracle(),
+    "IVF ANN probe over the deterministic quantizer (the v4 search re-"
+    "expressed oracle-exact): rank centroids by integer distance to the "
+    "query, keep the 2 nearest, rerank only those clusters' members by "
+    "exact integer distance, lowest-id tie-breaks. At lake scale "
+    "cluster_id is the partition key, so the probe filter IS partition "
+    "pruning — the scan touches n_probe/k of the corpus; the rerank is "
+    "candidates x dim integer ops plus one TakeOrdered.",
+)
+def v6_ivf_probe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import ivf_probe_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = tables.lookup_param_row(
+        sf_dir, "embeddings", "vec_id", 0, "embedding"
+    )
+    return ivf_probe_exact(
+        emb, qvec, k=8, iters=2, n_probe=2, top_k=10
+    )
+
+
+@query(
+    "v5_kmeans_exact",
+    _v5_oracle(),
+    "Deterministic distributed KMeans (2 Lloyd rounds) — the IVF coarse "
+    "quantizer (functions/ann.build_ivf's role) re-expressed with "
+    "CROSS-ENGINE EXACT integer semantics: quantized coordinates, "
+    "integer squared distances, lowest-id tie-breaks, portable "
+    "floor-division centroid updates. MLlib KMeans is float/engine-"
+    "specific (v4 stays rows-only); this variant makes the clustering "
+    "itself value-hash-checkable. Per round: broadcast k x dim "
+    "centroids, one map-side join, two partial-combined aggregations — "
+    "the classic distributed Lloyd step, nothing driver-side.",
+)
+def v5_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import kmeans_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_exact(emb, k=8, iters=2, quant=1000)
+    members = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_id"),
+    )
+    csum = cents.groupBy("cid").agg(F.sum("c").alias("c_sum"))
+    return members.join(csum, "cid").select(
+        "cid", "n_members", "min_id", "c_sum"
+    )
+
+
+@query(
+    "v18_pq_sampled_train",
+    None,
+    "Product quantization at the production parameterization "
+    "(ann.pq_train_encode with train_df — the path real corpora use): "
+    "codebooks train on a ~2000-row deterministic hash sample (Lloyd "
+    "training is n_train*k_sub*d per round; the full-corpus term is "
+    "the single encode pass only), then EVERY corpus vector encodes "
+    "against the post-update codebooks. Output packs each vector's "
+    "n_sub codes into one integer (4 bits per subspace). Data-adaptive "
+    "sample rate (row count from parquet footers, no Spark job) → "
+    "rows-only; the exact-path twin v8_pq_adc is value-hash oracled "
+    "and sampled-vs-full agreement is pinned in tests/test_ann.py "
+    "(test_pq_sampled_training_encodes_everything).",
+)
+def v18_pq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import pq_train_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings")
+    frac_pm = max(1, (2000 * 1000) // n_rows)  # per-mille keep rate
+    samp = emb.filter(
+        (F.col("vec_id") <= 8)  # k_sub seed ids must be in the sample
+        | (seeded_md5_long(F.col("vec_id").cast("string"), 13) % 1000
+           < frac_pm)
+    )
+    codes, _ = pq_train_encode(
+        emb, n_sub=4, k_sub=8, dim=_EMB_DIM, train_df=samp
+    )
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(cid AS BIGINT), 4 * sub)"))
+            .alias("packed_code"),
+            F.count(F.lit(1)).alias("n_sub"),
+        )
+    )
+
+
+@query(
+    "v19_hier_assign_scaled",
+    None,
+    "Two-level centroid assignment at its crossover parameterization "
+    "(ann.hierarchical_assign as t24_semdedup_scaled deploys it): "
+    "k grows with the corpus (~625-vector clusters), g ~ sqrt(k) "
+    "minimizes the n*(g + k/g)*d assignment work, and centroids train "
+    "on a ~5000-row deterministic hash sample — the whole clustering "
+    "is O(sample*k*d + n*sqrt(k)*d), sub-linear in n*k where the flat "
+    "path (v7's fixed-k oracle twin) is O(n*k*d). Data-adaptive k → "
+    "rows-only; two-level-vs-flat and sampled-vs-full agreement are "
+    "pinned in tests/test_ann.py.",
+)
+def v19_hier_assign_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import hierarchical_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings")
+    k = max(8, n_rows // 625)
+    g = max(3, int(k**0.5))
+    frac_pm = max(1, (5000 * 1000) // n_rows)
+    samp = emb.filter(
+        (F.col("vec_id") <= k)
+        | (seeded_md5_long(F.col("vec_id").cast("string"), 31) % 1000
+           < frac_pm)
+    )
+    assign, _ = hierarchical_assign(
+        emb, k=k, g=g, iters=2, quant=1000, train_df=samp
+    )
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
+def _v7_oracle() -> str:
+    return (
+        _v5_ctes()
+        + """
+    , seeds AS (
+        SELECT cid AS gid, dim, c AS cg FROM c2 WHERE cid <= 3
+    ), cgd AS (
+        SELECT c2.cid, s.gid,
+               sum((c2.c - s.cg) * (c2.c - s.cg)) AS d
+        FROM c2 JOIN seeds s USING (dim) GROUP BY c2.cid, s.gid
+    ), cgrp AS (
+        SELECT cid, gid FROM (
+            SELECT cid, gid, row_number() OVER (
+                PARTITION BY cid ORDER BY d, gid) AS rn
+            FROM cgd) WHERE rn = 1
+    ), vgd AS (
+        SELECT q.vec_id, s.gid,
+               sum((q.v - s.cg) * (q.v - s.cg)) AS d
+        FROM q JOIN seeds s USING (dim) GROUP BY q.vec_id, s.gid
+    ), vg AS (
+        SELECT vec_id, gid FROM (
+            SELECT vec_id, gid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, gid) AS rn
+            FROM vgd) WHERE rn = 1
+    ), cand AS (
+        SELECT c2.cid, c2.dim, c2.c, g.gid
+        FROM c2 JOIN cgrp g ON c2.cid = g.cid
+    ), fd AS (
+        SELECT q.vec_id, cd.cid,
+               sum((q.v - cd.c) * (q.v - cd.c)) AS d
+        FROM q
+        JOIN vg ON q.vec_id = vg.vec_id
+        JOIN cand cd ON cd.gid = vg.gid AND cd.dim = q.dim
+        GROUP BY q.vec_id, cd.cid
+    ), ap AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM fd) WHERE rn = 1
+    )
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN ap.cid = a2.cid THEN 1 ELSE 0 END)::BIGINT
+               AS n_match
+    FROM ap JOIN a2 ON ap.vec_id = a2.vec_id
+    """
+    )
+
+
+@query(
+    "v7_hierarchical_assign",
+    _v7_oracle(),
+    "Two-level centroid assignment (ann.hierarchical_assign) vs the "
+    "flat Lloyd assignment, as an agreement summary — the production "
+    "remedy for n*k*d assignment work when k scales with the corpus "
+    "(t24's regime): k centroids group under g=3 coarse centers (a "
+    "centroid-table-only pass), each vector picks a coarse group "
+    "(n*g*d) then the exact argmin among ONLY that group's centroids "
+    "(n*k/g*d expected) — O(n*sqrt(k)*d) total at g~sqrt(k). Integer "
+    "semantics throughout, so approximation error is purely geometric "
+    "and the agreement count is bit-stable; the oracle replays BOTH "
+    "assignment paths in SQL.",
+)
+def v7_hierarchical_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.ann import (
+        hierarchical_assign,
+        kmeans_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx, _ = hierarchical_assign(emb, k=8, g=3, iters=2, quant=1000)
+    exact, _ = kmeans_exact(emb, k=8, iters=2, quant=1000)
+    j = approx.withColumnRenamed("cid", "cid_a").join(
+        exact.withColumnRenamed("cid", "cid_e"), "vec_id"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("cid_a") == F.col("cid_e"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
+def _v8_oracle() -> str:
+    floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
+    d = _EMB_DIM
+    sd = d // 16  # 16 subspaces
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim, (g.i - 1) // {sd} AS sub,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), c0 AS (
+        SELECT vec_id AS cid, sub, dim, v AS c FROM q
+        WHERE vec_id BETWEEN 1 AND 32
+    ), d1 AS (
+        SELECT q.vec_id, q.sub, c.cid,
+               sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c0 c ON q.dim = c.dim
+        GROUP BY q.vec_id, q.sub, c.cid
+    ), a1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ), s1 AS (
+        SELECT a.cid, q.dim, sum(q.v) AS s, count(*) AS n
+        FROM q JOIN a1 a ON q.vec_id = a.vec_id AND q.sub = a.sub
+        GROUP BY a.cid, q.dim
+    ), c1 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM s1
+    ), d2 AS (
+        SELECT q.vec_id, q.sub, c.cid,
+               sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c1 c ON q.dim = c.dim
+        GROUP BY q.vec_id, q.sub, c.cid
+    ), a2 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d2) WHERE rn = 1
+    ), s2 AS (
+        SELECT a.cid, q.dim, sum(q.v) AS s, count(*) AS n
+        FROM q JOIN a2 a ON q.vec_id = a.vec_id AND q.sub = a.sub
+        GROUP BY a.cid, q.dim
+    ), c2 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM s2
+    ), d3 AS (
+        -- final encode pass: codes assigned against the POST-update
+        -- codebooks, consistent with what ADC reads (pq_train_encode)
+        SELECT q.vec_id, q.sub, c.cid,
+               sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c2 c ON q.dim = c.dim
+        GROUP BY q.vec_id, q.sub, c.cid
+    ), a3 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d3) WHERE rn = 1
+    ), qv AS (
+        SELECT dim, v FROM q WHERE vec_id = 0
+    ), tab AS (
+        SELECT c.sub, c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS dsub
+        FROM c2 c JOIN qv ON c.dim = qv.dim GROUP BY c.sub, c.cid
+    ), adc AS (
+        SELECT a.vec_id, sum(t.dsub)::BIGINT AS adc_dist
+        FROM a3 a JOIN tab t ON t.sub = a.sub AND t.cid = a.cid
+        WHERE a.vec_id <> 0 GROUP BY a.vec_id
+    ), topadc AS (
+        SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    ), exact AS (
+        SELECT q.vec_id, sum((q.v - qv.v) * (q.v - qv.v))::BIGINT AS dist
+        FROM q JOIN qv ON q.dim = qv.dim
+        WHERE q.vec_id <> 0 GROUP BY q.vec_id
+    ), ex10 AS (
+        SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, t.adc_dist, (e.vec_id IS NOT NULL) AS in_exact10
+    FROM topadc t LEFT JOIN ex10 e ON t.vec_id = e.vec_id
+    """
+
+
+@query(
+    "v8_pq_adc",
+    _v8_oracle(),
+    "Product-quantization ANN (Jégou et al. 2011) with asymmetric "
+    "distance computation, cross-engine exact end to end: 16 subspaces "
+    "× 32 integer codewords trained by the per-subspace kmeans_exact "
+    "recipe (functions/ann.py pq_train_encode), then dist(q,x) ≈ "
+    "Σ_sub table[sub, code(x,sub)] where the 512-cell query table "
+    "broadcasts and the ADC pass is one equi-join + one sum over the "
+    "CODES column — the original vectors are never rescanned, which at "
+    "100 TB is a ~20× narrower read than the embedding column (the "
+    "memory-bound regime IVF probes can't reach). Output rides the "
+    "exact top-10 membership flag, so the driver hash pins recall@10 "
+    "of the compressed index, not just its distances. (The synthetic "
+    "near-uniform embeddings are PQ's adversarial case — distance "
+    "concentration — so the measured recall@10 = 5 with 80-bit codes "
+    "is the honest ceiling here, vs 1-2 for 12-bit codes; clustered "
+    "real-embedding corpora sit far above it.)",
+)
+def v8_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = ann.pq_train_encode(emb, n_sub=16, k_sub=32, dim=_EMB_DIM)
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select("dim", "v")
+    top = ann.pq_adc_topk(
+        codes.filter(F.col("vec_id") != 0), books, qv
+    )
+    qvr = qv.withColumnRenamed("v", "qv")
+    diff = F.col("v") - F.col("qv")
+    ex10 = (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvr), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_exact10"))
+    )
+    return top.join(ex10, "vec_id", "left").select(
+        "vec_id",
+        "adc_dist",
+        F.coalesce("in_exact10", F.lit(False)).alias("in_exact10"),
+    )
+
+
+def _v9_oracle() -> str:
+    d = _EMB_DIM
+    code = (
+        "CASE WHEN vmax > vmin THEN "
+        "round(((v - vmin) * 255.0) / (vmax - vmin))::BIGINT "
+        "ELSE 0 END"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), stats AS (
+        SELECT dim, min(v) AS vmin, max(v) AS vmax FROM q GROUP BY dim
+    ), codes AS (
+        SELECT q.vec_id, q.dim, {code} AS code
+        FROM q JOIN stats USING (dim)
+    ), qc AS (
+        SELECT dim, code AS qcode FROM codes WHERE vec_id = 0
+    ), dist AS (
+        SELECT c.vec_id,
+               sum((c.code - qc.qcode) * (c.code - qc.qcode))::BIGINT
+                   AS sq_dist
+        FROM codes c JOIN qc USING (dim)
+        WHERE c.vec_id <> 0 GROUP BY c.vec_id
+    ), topsq AS (
+        SELECT vec_id, sq_dist FROM dist ORDER BY sq_dist, vec_id LIMIT 10
+    ), qi AS (
+        SELECT vec_id, dim, round(v * 1000)::BIGINT AS vq FROM q
+    ), qv AS (
+        SELECT dim, vq FROM qi WHERE vec_id = 0
+    ), exact AS (
+        SELECT qi.vec_id,
+               sum((qi.vq - qv.vq) * (qi.vq - qv.vq))::BIGINT AS dist
+        FROM qi JOIN qv USING (dim)
+        WHERE qi.vec_id <> 0 GROUP BY qi.vec_id
+    ), ex10 AS (
+        SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, t.sq_dist, (e.vec_id IS NOT NULL) AS in_exact10
+    FROM topsq t LEFT JOIN ex10 e ON t.vec_id = e.vec_id
+    """
+
+
+@query(
+    "v9_sq8_rerank",
+    _v9_oracle(),
+    "Scalar-quantization (int8) ANN screen, cross-engine exact: per "
+    "dimension the corpus min/max train a 64-row codebook (one 64-key "
+    "map-side-combined aggregate — constant state at any corpus size), "
+    "each float32 component maps to round(255·(x−min)/(max−min)) and "
+    "candidate distance is the pure-integer Σ(code−qcode)² — "
+    "order-free, so the value hash pins it exactly. The codes column "
+    "is 8 bits/dim = 4× narrower than the float32 embeddings, so at "
+    "100 TB the screen reads a quarter of the bytes and stays in "
+    "whole-stage codegen; the exact-top-10 membership flag rides along "
+    "so the driver hash also pins recall@10 of the compressed screen "
+    "(complements v8's PQ/ADC path: SQ8 is the higher-recall, "
+    "lower-compression point on the same curve). Replaces brute-force "
+    "float rescans the reference does in pandas (nearest-neighbour "
+    "passes in user_tools analysis scripts).",
+)
+def v9_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    stats = q.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    code = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.round(
+            ((F.col("v") - F.col("vmin")) * 255.0)
+            / (F.col("vmax") - F.col("vmin")),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    codes = q.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", code.alias("code")
+    )
+    qc = codes.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("code").alias("qcode")
+    )
+    diff = F.col("code") - F.col("qcode")
+    topsq = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).alias("sq_dist"))
+        .orderBy("sq_dist", "vec_id")
+        .limit(10)
+    )
+    qi = q.select(
+        "vec_id", "dim", F.round(F.col("v") * 1000, 0).cast("long").alias("vq")
+    )
+    qv = qi.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("vq").alias("qvq")
+    )
+    ediff = F.col("vq") - F.col("qvq")
+    ex10 = (
+        qi.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(ediff * ediff).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_exact10"))
+    )
+    return topsq.join(ex10, "vec_id", "left").select(
+        "vec_id",
+        "sq_dist",
+        F.coalesce("in_exact10", F.lit(False)).alias("in_exact10"),
+    )
+
+
+def _v10_oracle() -> str:
+    floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
+    sd = _EMB_DIM // 16  # 16 subspaces
+    return (
+        _v5_ctes()
+        + f""", pq AS (
+        SELECT vec_id, dim, dim // {sd} AS sub, v FROM q
+    ), p0 AS (
+        SELECT vec_id AS cid, sub, dim, v AS c FROM pq
+        WHERE vec_id BETWEEN 1 AND 32
+    ), pd1 AS (
+        SELECT pq.vec_id, pq.sub, c.cid,
+               sum((pq.v - c.c) * (pq.v - c.c)) AS dist
+        FROM pq JOIN p0 c ON pq.dim = c.dim
+        GROUP BY pq.vec_id, pq.sub, c.cid
+    ), pa1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pd1) WHERE rn = 1
+    ), ps1 AS (
+        SELECT a.cid, pq.dim, sum(pq.v) AS s, count(*) AS n
+        FROM pq JOIN pa1 a ON pq.vec_id = a.vec_id AND pq.sub = a.sub
+        GROUP BY a.cid, pq.dim
+    ), p1 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM ps1
+    ), pd2 AS (
+        SELECT pq.vec_id, pq.sub, c.cid,
+               sum((pq.v - c.c) * (pq.v - c.c)) AS dist
+        FROM pq JOIN p1 c ON pq.dim = c.dim
+        GROUP BY pq.vec_id, pq.sub, c.cid
+    ), pa2 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pd2) WHERE rn = 1
+    ), ps2 AS (
+        SELECT a.cid, pq.dim, sum(pq.v) AS s, count(*) AS n
+        FROM pq JOIN pa2 a ON pq.vec_id = a.vec_id AND pq.sub = a.sub
+        GROUP BY a.cid, pq.dim
+    ), p2 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM ps2
+    ), pd3 AS (
+        -- final encode pass against the POST-update PQ codebooks
+        -- (pq_train_encode's consistent-codes semantics)
+        SELECT pq.vec_id, pq.sub, c.cid,
+               sum((pq.v - c.c) * (pq.v - c.c)) AS dist
+        FROM pq JOIN p2 c ON pq.dim = c.dim
+        GROUP BY pq.vec_id, pq.sub, c.cid
+    ), pa3 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pd3) WHERE rn = 1
+    ), qv AS (
+        SELECT dim, v FROM q WHERE vec_id = 0
+    ), cd AS (
+        SELECT c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS cdist
+        FROM c2 c JOIN qv USING (dim) GROUP BY c.cid
+    ), probe AS (
+        SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY cdist, cid) AS rn
+            FROM cd) WHERE rn <= 2
+    ), cand AS (
+        SELECT a.vec_id, a.cid AS coarse FROM a2 a
+        JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> 0
+    ), tab AS (
+        SELECT c.sub, c.cid, sum((c.c - qv.v) * (c.c - qv.v)) AS dsub
+        FROM p2 c JOIN qv ON c.dim = qv.dim GROUP BY c.sub, c.cid
+    ), adc AS (
+        SELECT a.vec_id, sum(t.dsub)::BIGINT AS adc_dist
+        FROM pa3 a
+        JOIN cand ON a.vec_id = cand.vec_id
+        JOIN tab t ON t.sub = a.sub AND t.cid = a.cid
+        GROUP BY a.vec_id
+    ), topadc AS (
+        SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    ), exact AS (
+        SELECT q.vec_id, sum((q.v - qv.v) * (q.v - qv.v))::BIGINT AS dist
+        FROM q JOIN qv USING (dim)
+        WHERE q.vec_id <> 0 GROUP BY q.vec_id
+    ), ex10 AS (
+        SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, c.coarse AS cid, t.adc_dist,
+           (e.vec_id IS NOT NULL) AS in_exact10
+    FROM topadc t
+    JOIN cand c ON t.vec_id = c.vec_id
+    LEFT JOIN ex10 e ON t.vec_id = e.vec_id
+    """
+    )
+
+
+@query(
+    "v10_ivf_pq",
+    _v10_oracle(),
+    "IVF-PQ search (IVFADC, Jégou et al. 2011 §IV — FAISS's "
+    "``IVFx,PQy``, the production ANN index): v6's coarse quantizer "
+    "routes the query to its 2 nearest cells and v8's PQ/ADC scores "
+    "ONLY those cells' members from their codes — the two "
+    "compressions multiply, so at 100 TB the scan touches n_probe/k "
+    "of the corpus (partition pruning when cluster_id keys the lake "
+    "layout) AND reads the ~20x narrower codes column. The oracle "
+    "composes the full v5 kmeans CTEs with the full per-subspace PQ "
+    "training CTEs and replays routing + ADC end to end; exact-top-10 "
+    "membership flags ride along so the driver hash pins the recall "
+    "of the COMPOSED index, which is what a user actually deploys "
+    "(functions/ann.ivf_pq_topk).",
+)
+def v10_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = tables.lookup_param_row(
+        sf_dir, "embeddings", "vec_id", 0, "embedding"
+    )
+    top = ann.ivf_pq_topk(
+        emb, qvec, k=8, iters=2, n_probe=2, n_sub=16, k_sub=32,
+        dim=_EMB_DIM,
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("v").alias("qv")
+    )
+    diff = F.col("v") - F.col("qv")
+    ex10 = (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_exact10"))
+    )
+    return top.join(ex10, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        "adc_dist",
+        F.coalesce("in_exact10", F.lit(False)).alias("in_exact10"),
+    )
+
+
+@query(
+    "v12_cluster_quality",
+    """
+    WITH q AS (
+        SELECT label, vec_id, g.i - 1 AS dim,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+    ), s AS (
+        SELECT label, dim, sum(v)::BIGINT AS sv, count(*)::BIGINT AS n
+        FROM q GROUP BY label, dim
+    ), c AS (
+        SELECT label, dim,
+               ((sv - (((sv % n) + n) % n)) / n)::BIGINT AS c FROM s
+    ), dist AS (
+        SELECT q.vec_id, q.label,
+               CAST(round(sqrt(sum((q.v - c.c) * (q.v - c.c))::DOUBLE)
+                          * 1000000) AS BIGINT) AS dq
+        FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+        GROUP BY q.vec_id, q.label
+    ), scat AS (
+        SELECT label, count(*)::BIGINT AS n_members,
+               ((sum(dq)::BIGINT
+                 - (((sum(dq)::BIGINT % count(*)) + count(*)) % count(*)))
+                / count(*))::BIGINT AS s_q
+        FROM dist GROUP BY label
+    ), m AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(round(sqrt(sum((a.c - b.c) * (a.c - b.c))::DOUBLE)
+                          * 1000000) AS BIGINT) AS m_q
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ), r AS (
+        SELECT m.la AS lbl,
+               max(round((sa.s_q + sb.s_q)::DOUBLE / m.m_q, 6)) AS db_comp
+        FROM m JOIN scat sa ON sa.label = m.la
+               JOIN scat sb ON sb.label = m.lb
+        GROUP BY m.la
+    )
+    SELECT s.label::BIGINT AS label, s.n_members, s.s_q, r.db_comp
+    FROM scat s JOIN r ON r.lbl = s.label
+    """,
+    "Cluster-quality metrics (Davies-Bouldin components over the "
+    "labeled embedding clusters — the evaluation step after v5/v7 "
+    "clustering or any partitioned ANN build): per-cluster integer "
+    "centroid (v5's portable floor-division), micro-int scatter "
+    "(mean member→centroid distance; sqrt is IEEE correctly rounded "
+    "so the quantized distance is bit-stable cross-engine), pairwise "
+    "centroid separation, and db_comp = max_j (s_i+s_j)/m_ij — the "
+    "classic 'worst neighbor' score per cluster. Centroids are k×dim "
+    "rows and BROADCAST to both the member-distance probe and the "
+    "k² separation join; the only data-scale pass is the one "
+    "(vec, label) aggregation.",
+)
+def v12_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+
+    def _floordiv(s: F.Column, n: F.Column) -> F.Column:
+        return ((s - (((s % n) + n) % n)) / n).cast("long")
+
+    s = q.groupBy("label", "dim").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    c = s.select(
+        "label", "dim", _floordiv(F.col("sv"), F.col("n")).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    dist = (
+        q.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(diff * diff).cast("double")) * 1000000, 0
+            )
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    scat = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        _floordiv(F.sum("dq"), F.count(F.lit(1))).alias("s_q"),
+    )
+    ca, cb = c.alias("ca"), c.alias("cb")
+    cd = F.col("ca.c") - F.col("cb.c")
+    m = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("ca.dim") == F.col("cb.dim"))
+            & (F.col("ca.label") != F.col("cb.label")),
+        )
+        .groupBy(
+            F.col("ca.label").alias("la"), F.col("cb.label").alias("lb")
+        )
+        .agg(
+            F.round(F.sqrt(F.sum(cd * cd).cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("m_q")
+        )
+    )
+    sa = scat.select(
+        F.col("label").alias("la"), F.col("s_q").alias("sa_q")
+    )
+    sb = scat.select(
+        F.col("label").alias("lb"), F.col("s_q").alias("sb_q")
+    )
+    r = (
+        m.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(
+            F.max(
+                F.round(
+                    (F.col("sa_q") + F.col("sb_q")).cast("double")
+                    / F.col("m_q"),
+                    6,
+                )
+            ).alias("db_comp")
+        )
+    )
+    return scat.join(r, scat["label"] == r["lbl"]).select(
+        "label", "n_members", "s_q", "db_comp"
+    )
+
+
+def _v13_oracle() -> str:
+    d = _EMB_DIM
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i] * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), qv AS (
+        SELECT dim, v AS qv FROM q WHERE vec_id = 0
+    ), dist AS (
+        SELECT q.vec_id,
+               sum((q.v - qv.qv) * (q.v - qv.qv))::BIGINT AS dist_full,
+               sum(CASE WHEN q.dim < 16
+                   THEN (q.v - qv.qv) * (q.v - qv.qv) ELSE 0 END)::BIGINT
+                   AS dist_pre
+        FROM q JOIN qv USING (dim) WHERE q.vec_id <> 0
+        GROUP BY q.vec_id
+    ), full10 AS (
+        SELECT vec_id, dist_full,
+               row_number() OVER (ORDER BY dist_full, vec_id) AS rank
+        FROM dist ORDER BY dist_full, vec_id LIMIT 10
+    ), pre10 AS (
+        SELECT vec_id FROM dist ORDER BY dist_pre, vec_id LIMIT 10
+    )
+    SELECT f.rank, f.vec_id, f.dist_full,
+           (p.vec_id IS NOT NULL) AS in_prefix10
+    FROM full10 f LEFT JOIN pre10 p ON f.vec_id = p.vec_id
+    """
+
+
+@query(
+    "v13_mrl_recall",
+    _v13_oracle(),
+    "Matryoshka-embedding retrieval evaluation (Kusupati et al. 2022 "
+    "— the truncate-the-embedding trick production vector stores use "
+    "to cut index cost 4×): exact integer top-10 under the FULL "
+    "64-dim L2 vs top-10 under the first-16-dims prefix, reporting "
+    "which full neighbors the truncated index would keep. ONE "
+    "posexplode pass computes both distances (the prefix distance is "
+    "a CASE-guarded partial of the same sum — no second scan); both "
+    "top-10s are TakeOrdered (partial per partition, never a global "
+    "sort). The dims-as-rows layout is the v9/v10 discipline: "
+    "quantized int64 coordinates make both engines' sums bit-equal.",
+)
+def v13_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "v"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("v").alias("qv")
+    )
+    diff = F.col("v") - F.col("qv")
+    dist = (
+        q.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(diff * diff).cast("long").alias("dist_full"),
+            F.sum(F.when(F.col("dim") < 16, diff * diff).otherwise(0))
+            .cast("long")
+            .alias("dist_pre"),
+        )
+    )
+    full10 = (
+        dist.orderBy("dist_full", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "dist_full",
+            F.row_number()
+            .over(Window.orderBy("dist_full", "vec_id"))
+            .alias("rank"),
+        )
+    )
+    pre10 = (
+        dist.orderBy("dist_pre", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("in_prefix10"))
+    )
+    return full10.join(pre10, "vec_id", "left").select(
+        "rank",
+        "vec_id",
+        "dist_full",
+        F.coalesce("in_prefix10", F.lit(False)).alias("in_prefix10"),
+    )
+
+
+def _v14_oracle(rounds: int = 3) -> str:
+    d = _EMB_DIM
+    fdiv = lambda x, dd: f"((({x}) - (({x}) % ({dd}))) / ({dd}))"  # noqa: E731
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""dt{r} AS (
+        SELECT q.vec_id, sum(q.xv * v.vm)::BIGINT AS dp
+        FROM q JOIN v{r - 1} v ON q.dim = v.dim
+        GROUP BY q.vec_id
+    ), s{r} AS (
+        SELECT q.dim, {fdiv('sum(d.dp * q.xv)', '100000000')}::BIGINT
+            AS sq
+        FROM q JOIN dt{r} d ON q.vec_id = d.vec_id
+        GROUP BY q.dim
+    ), n{r} AS (
+        SELECT sqrt(sum(sq * sq)::DOUBLE) AS nrm FROM s{r}
+    ), v{r} AS (
+        SELECT s.dim,
+               CAST(round(s.sq * 8000 / n.nrm) AS BIGINT) AS vm
+        FROM s{r} s CROSS JOIN n{r} n
+    )""")
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i] * 1000)::BIGINT AS xv
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), v0 AS (
+        SELECT g.i - 1 AS dim, 1000::BIGINT AS vm
+        FROM unnest(generate_series(1, {d})) AS g(i)
+    ), {', '.join(its)}
+    SELECT dim, vm FROM v{rounds}
+    """
+
+
+@query(
+    "v14_pca_power_iteration",
+    _v14_oracle(),
+    "Top principal direction of the embedding table by power "
+    "iteration — the distributed-PCA primitive (covariance-free "
+    "X^T(Xv) form, the Krylov step every large-scale spectral method "
+    "builds on; used in practice to de-bias embeddings by removing "
+    "the dominant component). Each of the 3 unrolled rounds is two "
+    "corpus-shape aggregations: per-row dots d = Xv (v is a 64-row "
+    "broadcast), then per-dim sums s = X^T d — never a materialized "
+    "covariance matrix (64² would be fine here, but d² at real widths "
+    "is exactly what this formulation avoids). Cross-engine exactness "
+    "at every step: coordinates are milli-ints, the dots and back-"
+    "projections are exact int64 sums (order-free), s is floor-"
+    "divided by 1e8 so Σsq² stays in int64 (the norm's sqrt input is "
+    "EXACT — no float summation-order hazard), and renormalization "
+    "is one IEEE multiply-divide-round per dim. The exploded "
+    "coordinate frame is pinned once; per-round state is the 64-row "
+    "vector.",
+)
+def v14_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _ts(spark, sf_dir, "embeddings")
+
+    def fdiv(x, dd):
+        return ((x - (x % dd)) / dd).cast("long")
+
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1000, 0).cast("long"),
+            )
+        ).alias("dim", "xv"),
+    ).localCheckpoint(eager=False)
+    v = q.select("dim").distinct().select(
+        "dim", F.lit(1000).cast("long").alias("vm")
+    )
+    for _ in range(3):
+        dt = (
+            q.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xv") * F.col("vm")).cast("long").alias("dp"))
+        )
+        s = (
+            q.join(dt.hint("shuffle_hash"), "vec_id")
+            .groupBy("dim")
+            .agg(
+                fdiv(
+                    F.sum(F.col("dp") * F.col("xv")), F.lit(100_000_000)
+                ).alias("sq")
+            )
+        )
+        nrm = s.agg(
+            F.sqrt(F.sum(F.col("sq") * F.col("sq")).cast("double")).alias(
+                "nrm"
+            )
+        )
+        v = (
+            s.crossJoin(F.broadcast(nrm))
+            .select(
+                "dim",
+                F.round(F.col("sq") * 8000 / F.col("nrm"), 0)
+                .cast("long")
+                .alias("vm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v
+
+
+_V15_EPS6 = 20000  # eps = 0.02 in micro-units
+_V15_MINPTS = 4
+
+
+def _v15_oracle() -> str:
+    e2 = _V15_EPS6 * _V15_EPS6
+    return f"""
+    WITH RECURSIVE p AS (
+        SELECT vec_id,
+               CAST(round(embedding[1]::DOUBLE * 1000000) AS BIGINT) AS x,
+               CAST(round(embedding[2]::DOUBLE * 1000000) AS BIGINT) AS y
+        FROM embeddings
+    ), nbr AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM p a JOIN p b
+          ON (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= {e2}
+    ), core AS (
+        SELECT ia AS vec_id FROM nbr GROUP BY ia
+        HAVING count(*) >= {_V15_MINPTS}
+    ), eg AS (
+        SELECT n.ia AS a, n.ib AS b FROM nbr n
+        JOIN core ca ON n.ia = ca.vec_id
+        JOIN core cb ON n.ib = cb.vec_id
+        WHERE n.ia <> n.ib
+    ), reach(id, r) AS (
+        SELECT vec_id, vec_id FROM core
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN eg e ON reach.r = e.a
+    ), comps AS (
+        SELECT id, min(r)::BIGINT AS comp FROM reach GROUP BY id
+    ), border AS (
+        SELECT n.ia AS vec_id, min(c.comp)::BIGINT AS comp
+        FROM nbr n
+        JOIN comps c ON n.ib = c.id
+        WHERE n.ia NOT IN (SELECT vec_id FROM core)
+        GROUP BY n.ia
+    ), core_per AS (
+        SELECT comp AS cluster, count(*)::BIGINT AS n_core
+        FROM comps GROUP BY comp
+    ), border_per AS (
+        SELECT comp AS cluster, count(*)::BIGINT AS n_border
+        FROM border GROUP BY comp
+    ), noise AS (
+        SELECT count(*)::BIGINT AS n FROM p
+        WHERE vec_id NOT IN (SELECT id FROM comps)
+          AND vec_id NOT IN (SELECT vec_id FROM border)
+    )
+    SELECT c.cluster, c.n_core,
+           coalesce(b.n_border, 0)::BIGINT AS n_border,
+           (c.n_core + coalesce(b.n_border, 0))::BIGINT AS n_total
+    FROM core_per c LEFT JOIN border_per b ON c.cluster = b.cluster
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+           CAST(0 AS BIGINT) AS n_border, n AS n_total
+    FROM noise
+    """
+
+
+@query(
+    "v15_dbscan_grid",
+    _v15_oracle(),
+    "Grid-blocked DBSCAN over the embedding table's first two "
+    "dimensions (density clustering with noise — the clustering "
+    "family's answer to what v5's k-means cannot do: arbitrary-shape "
+    "clusters and an explicit outlier verdict; eps=0.02, minPts=4 "
+    "including self). Scale design: the eps-neighborhood graph comes "
+    "from cell-size-eps grid blocking — each point joins only its "
+    "3x3 neighboring cells via a 9-offset EQUI-join (the same "
+    "never-O(n^2) rule as v3's buckets and j10's pigeonholes), and "
+    "the grid guarantees candidate completeness since an eps-ball "
+    "cannot leave adjacent cells. Distances are exact micro-unit "
+    "integers; cores, core-core edges, and min-label components "
+    "(dedup.connected_components, localCheckpoint-truncated rounds) "
+    "are all integer decisions, so the full cluster assignment is "
+    "value-hash oracled against a recursive-CTE closure over the "
+    "naive quadratic join — the oracle deliberately takes the "
+    "rewrite's replaced plan. Border points adopt the min cluster "
+    "among their core neighbors; noise is reported as cluster -1.",
+)
+def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps6 = _V15_EPS6
+    e2 = eps6 * eps6
+    p = _ts(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    cell = lambda c: F.floor(F.col(c).cast("double") / float(eps6)).cast(
+        "long"
+    )
+    pc = p.select(
+        "vec_id", "x", "y", cell("x").alias("cx"), cell("y").alias("cy")
+    )
+    offs = (
+        spark.range(9)
+        .select(
+            (F.col("id") % 3 - 1).cast("long").alias("dx"),
+            (F.floor(F.col("id") / 3) - 1).cast("long").alias("dy"),
+        )
+    )
+    a = pc.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("kx"),
+        (F.col("cy") + F.col("dy")).alias("ky"),
+    )
+    b = pc.select(
+        F.col("vec_id").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    nbr = (
+        a.join(b, ["kx", "ky"])
+        .filter(dx * dx + dy * dy <= F.lit(e2))
+        .select("ia", "ib")
+    )
+    core = (
+        nbr.groupBy("ia")
+        .agg(F.count(F.lit(1)).alias("n_nbr"))
+        .filter(F.col("n_nbr") >= _V15_MINPTS)
+        .select(F.col("ia").alias("vec_id"))
+    )
+    eg = (
+        nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia")
+        .join(core.select(F.col("vec_id").alias("ib")), "ib")
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+        .distinct()
+    )
+    cc = dedup_ops.connected_components(
+        eg, "id_a", "id_b", path_halving=True
+    )
+    singles = core.join(
+        cc.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+    ).select(F.col("vec_id").alias("id"), F.col("vec_id").alias("comp"))
+    comps = cc.unionByName(singles)
+    border = (
+        nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia", "left_anti")
+        .join(
+            comps.select(
+                F.col("id").alias("ib"), F.col("comp")
+            ),
+            "ib",
+        )
+        .groupBy("ia")
+        .agg(F.min("comp").cast("long").alias("comp"))
+    )
+    core_per = comps.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_core")
+    )
+    border_per = border.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_border")
+    )
+    noise = (
+        p.join(comps.select(F.col("id").alias("vec_id")), "vec_id",
+               "left_anti")
+        .join(border.select(F.col("ia").alias("vec_id")), "vec_id",
+              "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.lit(0).cast("long").alias("n_border"),
+            "n_total",
+        )
+    )
+    clusters = (
+        core_per.join(border_per, "cluster", "left")
+        .select(
+            "cluster",
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).cast("long").alias(
+                "n_border"
+            ),
+            (F.col("n_core") + F.coalesce("n_border", F.lit(0)))
+            .cast("long")
+            .alias("n_total"),
+        )
+    )
+    return clusters.unionByName(noise)
+
+
+def _v16_signs() -> list[tuple[int, int, int]]:
+    """Deterministic ±1 JL sign matrix (8 x 64), precomputed from md5 so
+    it is a pure literal in BOTH engines (no dialect-specific hash
+    rendering in the shared plan)."""
+    import hashlib
+
+    out = []
+    for j in range(8):
+        for i in range(64):
+            h = int(
+                hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            out.append((j, i, 1 if h % 2 == 0 else -1))
+    return out
+
+
+def _v16_oracle() -> str:
+    rows = ", ".join(f"({j}, {i}, {s})" for j, i, s in _v16_signs())
+    proj_cols = ", ".join(
+        f"sum(CASE WHEN s.j = {j} THEN s.sgn * x.xq ELSE 0 END)"
+        f"::BIGINT AS y{j}"
+        for j in range(8)
+    )
+    d8 = " + ".join(
+        f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(8)
+    )
+    return f"""
+    WITH signs(j, i, sgn) AS (
+        SELECT * FROM (VALUES {rows})
+    ), x AS (
+        SELECT vec_id, g.i AS i,
+               CAST(round(embedding[g.i + 1]::DOUBLE * 1000000) AS BIGINT) AS xq
+        FROM embeddings, unnest(generate_series(0, 63)) AS g(i)
+    ), y AS (
+        SELECT x.vec_id, {proj_cols}
+        FROM x JOIN signs s ON s.i = x.i
+        GROUP BY x.vec_id
+    ), bkt AS (
+        SELECT vec_id,
+               ({md5_long_sql("'v16:' || vec_id::VARCHAR")}) % 64 AS b,
+               vec_id AS vid
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT vec_id, b,
+                     row_number() OVER (PARTITION BY b
+                                        ORDER BY vec_id) AS rn
+              FROM bkt) a
+        JOIN (SELECT vec_id, b,
+                     row_number() OVER (PARTITION BY b
+                                        ORDER BY vec_id) AS rn
+              FROM bkt) b
+          ON a.b = b.b AND b.rn = a.rn + 1
+    ), d64 AS (
+        SELECT p.id_a, p.id_b,
+               sum((xa.xq - xb.xq) * (xa.xq - xb.xq))::BIGINT AS d64_sq
+        FROM pairs p
+        JOIN x xa ON xa.vec_id = p.id_a
+        JOIN x xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b, d.d64_sq,
+           CAST({d8} AS BIGINT) AS d8_sq,
+           round((CAST({d8} AS DOUBLE) / 8.0)
+                 / (CAST(d.d64_sq AS DOUBLE) / 64.0), 6) AS ratio
+    FROM d64 d
+    JOIN y a ON a.vec_id = d.id_a
+    JOIN y b ON b.vec_id = d.id_b
+    WHERE d.d64_sq > 0
+    """
+
+
+@query(
+    "v16_jl_projection",
+    _v16_oracle(),
+    "Johnson-Lindenstrauss random-sign projection (64-d -> 8-d) with "
+    "a distortion audit — the dimensionality-reduction primitive that "
+    "makes downstream ANN (v2/v8/v10) cheaper, verified by the "
+    "property JL actually promises: squared-distance ratios near 1. "
+    "The +-1 sign matrix is md5-derived but PRECOMPUTED into a "
+    "512-row literal table both engines share verbatim (no dialect "
+    "hash text in the plan); projections are exact integer "
+    "sign-sums of micro-quantized coordinates via one posexplode "
+    "shuffle with the sign table broadcast. The audit pairs each "
+    "vector with its hash-bucket successor (portable buckets, no "
+    "global window, no n^2), computes exact-int d64^2 and d8^2, and "
+    "reports the per-pair dimension-normalized ratio with ONE IEEE "
+    "division rounded to 6 dp.",
+)
+def v16_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import md5_long
+
+    signs = spark.createDataFrame(
+        _v16_signs(), "j int, i int, sgn int"
+    )
+    emb = _ts(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xv")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("xv").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("xq"),
+    )
+    y = (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("j") == j, F.col("sgn") * F.col("xq")
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"y{j}")
+                for j in range(8)
+            ]
+        )
+    )
+    bkt = emb.select(
+        "vec_id",
+        (
+            md5_long(F.concat(F.lit("v16:"), F.col("vec_id").cast("string")))
+            % 64
+        ).alias("b"),
+    )
+    wb = Window.partitionBy("b").orderBy("vec_id")
+    ranked = bkt.select(
+        "vec_id", "b", F.row_number().over(wb).alias("rn")
+    )
+    pairs = (
+        ranked.alias("pa")
+        .join(
+            ranked.alias("pb"),
+            (F.col("pb.b") == F.col("pa.b"))
+            & (F.col("pb.rn") == F.col("pa.rn") + 1),
+        )
+        .select(
+            F.col("pa.vec_id").alias("id_a"),
+            F.col("pb.vec_id").alias("id_b"),
+        )
+    )
+    xa = x.select(
+        F.col("vec_id").alias("id_a"), "i", F.col("xq").alias("xqa")
+    )
+    xb = x.select(
+        F.col("vec_id").alias("id_b2"),
+        F.col("i").alias("ib"),
+        F.col("xq").alias("xqb"),
+    )
+    d64 = (
+        pairs.join(xa, "id_a")
+        .join(
+            xb,
+            (F.col("ib") == F.col("i"))
+            & (F.col("id_b") == F.col("id_b2")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("xqa") - F.col("xqb"))
+                * (F.col("xqa") - F.col("xqb"))
+            )
+            .cast("long")
+            .alias("d64_sq")
+        )
+        .filter(F.col("d64_sq") > 0)
+    )
+    ya = y.select(
+        F.col("vec_id").alias("id_a"),
+        *[F.col(f"y{j}").alias(f"ya{j}") for j in range(8)],
+    )
+    yb = y.select(
+        F.col("vec_id").alias("id_b"),
+        *[F.col(f"y{j}").alias(f"yb{j}") for j in range(8)],
+    )
+    d8 = None
+    for j in range(8):
+        term = (F.col(f"ya{j}") - F.col(f"yb{j}")) * (
+            F.col(f"ya{j}") - F.col(f"yb{j}")
+        )
+        d8 = term if d8 is None else d8 + term
+    return (
+        d64.join(ya, "id_a")
+        .join(yb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "d64_sq",
+            d8.cast("long").alias("d8_sq"),
+            F.round(
+                (d8.cast("double") / 8.0)
+                / (F.col("d64_sq").cast("double") / 64.0),
+                6,
+            ).alias("ratio"),
+        )
+    )
+
+
+def _v17_query_vec() -> list[tuple[int, int]]:
+    """Deterministic ±1 query vector (64-d) as literals (v16's sign
+    pattern) for the RRF vector leg."""
+    import hashlib
+
+    return [
+        (
+            i,
+            1
+            if int(hashlib.md5(f"rrf:{i}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1,
+        )
+        for i in range(64)
+    ]
+
+
+_V17_K = 60  # standard RRF damping constant
+_V17_TERMS = ("data", "model", "sample")
+
+
+def _v17_oracle() -> str:
+    qv = ", ".join(f"({i}, {s})" for i, s in _v17_query_vec())
+    lex_score = " + ".join(
+        f"(len(regexp_extract_all(lower(text), '{w}')))"
+        for w in _V17_TERMS
+    )
+    return f"""
+    WITH qv(i, s) AS (
+        SELECT * FROM (VALUES {qv})
+    ), lex AS (
+        SELECT doc_id, CAST({lex_score} AS BIGINT) AS score
+        FROM documents
+    ), lex_top AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM (SELECT * FROM lex ORDER BY score DESC, doc_id LIMIT 50)
+    ), vx AS (
+        SELECT vec_id AS doc_id, g.i AS i,
+               CAST(round(embedding[g.i + 1]::DOUBLE * 1000000)
+                    AS BIGINT) AS xq
+        FROM embeddings, unnest(generate_series(0, 63)) AS g(i)
+    ), vec AS (
+        SELECT v.doc_id, CAST(sum(qv.s * v.xq) AS BIGINT) AS score
+        FROM vx v JOIN qv ON qv.i = v.i GROUP BY v.doc_id
+    ), vec_top AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM (SELECT * FROM vec ORDER BY score DESC, doc_id LIMIT 50)
+    ), fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.r AS lex_rank, v.r AS vec_rank,
+               CAST(coalesce(CAST(round(1000000.0
+                        / CAST({_V17_K} + l.r AS DOUBLE)) AS BIGINT), 0)
+                    + coalesce(CAST(round(1000000.0
+                        / CAST({_V17_K} + v.r AS DOUBLE)) AS BIGINT), 0)
+                    AS BIGINT) AS rrf_micro
+        FROM lex_top l FULL OUTER JOIN vec_top v
+          ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_micro FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY rrf_micro DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= 10
+    """
+
+
+@query(
+    "v17_rrf_fusion",
+    _v17_oracle(),
+    "Reciprocal-rank fusion of a lexical and a vector ranking — THE "
+    "hybrid-search combiner modern retrieval stacks run over exactly "
+    "the two legs this engine already provides (t37's BM25-style "
+    "lexical scores, v1's cosine ANN): rrf(d) = sum over lists of "
+    "1/(60 + rank_d). Each leg retrieves a top-50 via distributed "
+    "sort-limit (TakeOrdered — never a global single-partition window "
+    "over the corpus) with (score, doc_id) determinism; ranks then "
+    "come from row_number on the 50-row frames. The 1/(60+r) weights "
+    "quantize to integer micro-units per leg BEFORE the order-free "
+    "fusion sum, and docs missing from one list contribute zero from "
+    "it (full outer join) — standard RRF-over-retrieved-lists "
+    "semantics, every tie broken by doc_id in both engines.",
+)
+def v17_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = spark.createDataFrame(_v17_query_vec(), "i int, s long")
+    lex_expr = None
+    for w in _V17_TERMS:
+        term = F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(w), 0)
+        )
+        lex_expr = term if lex_expr is None else lex_expr + term
+    lex = _ts(spark, sf_dir, "documents").select(
+        "doc_id", lex_expr.cast("long").alias("score")
+    )
+
+    def top50(scored: DataFrame) -> DataFrame:
+        top = scored.orderBy(F.desc("score"), "doc_id").limit(50)
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("r")
+        )
+
+    lex_top = top50(lex)
+    vx = (
+        _ts(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.posexplode("embedding").alias("i", "xv"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.round(F.col("xv").cast("double") * 1000000, 0)
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    vec = (
+        vx.join(F.broadcast(qv), "i")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("s") * F.col("xq")).cast("long").alias("score"))
+    )
+    vec_top = top50(vec)
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.expr(
+            f"CAST(round(1000000.0 / CAST({_V17_K} + {c} AS DOUBLE))"
+            " AS BIGINT)"
+        ),
+        F.lit(0),
+    )
+    fused = (
+        lex_top.withColumnRenamed("r", "lex_rank")
+        .join(
+            vec_top.withColumnRenamed("r", "vec_rank"),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (contrib("lex_rank") + contrib("vec_rank"))
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    wr = Window.orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lex_rank", "vec_rank", "rrf_micro")
+    )

@@ -107,6 +107,102 @@ def _v5_ctes() -> str:
     )"""
 
 
+def _sampled_hier_ctes() -> str:
+    """CTE prelude replaying the PRODUCTION clustering path in SQL:
+    data-adaptive k/g/sample-rate computed from count(*) (the SQL twin
+    of the table_meta parquet-footer read), Lloyd training (2 rounds,
+    kmeans_exact integer semantics) on the seeded-hash sample only, then
+    the two-level hierarchical assignment of the FULL corpus. Shared by
+    v19_hier_assign_scaled and t24_semdedup_scaled — ends with ``ap``
+    (vec_id, cid), the production assignment."""
+    d = _EMB_DIM
+    floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
+    samp_hash = seeded_md5_long_sql("q.vec_id::VARCHAR", 31)
+    return f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+    pp AS (
+        SELECT greatest(8, n // 625) AS k,
+               greatest(3, floor(sqrt(greatest(8, n // 625)::DOUBLE))
+                           ::BIGINT) AS g,
+               greatest(1, 5000000 // n) AS fpm
+        FROM nn
+    ), q AS MATERIALIZED (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), sq AS MATERIALIZED (
+        SELECT q.* FROM q, pp
+        WHERE q.vec_id <= pp.k
+           OR ({samp_hash}) % 1000 < pp.fpm
+    ), c0 AS (
+        SELECT vec_id AS cid, dim, v AS c FROM sq, pp
+        WHERE vec_id BETWEEN 1 AND pp.k
+    ), d1 AS (
+        SELECT sq.vec_id, c.cid, sum((sq.v - c.c) * (sq.v - c.c)) AS dist
+        FROM sq JOIN c0 c USING (dim) GROUP BY sq.vec_id, c.cid
+    ), a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ), s1 AS (
+        SELECT a.cid, sq.dim, sum(sq.v) AS s, count(*) AS n
+        FROM sq JOIN a1 a ON sq.vec_id = a.vec_id GROUP BY a.cid, sq.dim
+    ), c1 AS (
+        SELECT cid, dim, {floor_div} AS c FROM s1
+    ), d2 AS (
+        SELECT sq.vec_id, c.cid, sum((sq.v - c.c) * (sq.v - c.c)) AS dist
+        FROM sq JOIN c1 c USING (dim) GROUP BY sq.vec_id, c.cid
+    ), a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d2) WHERE rn = 1
+    ), s2 AS (
+        SELECT a.cid, sq.dim, sum(sq.v) AS s, count(*) AS n
+        FROM sq JOIN a2 a ON sq.vec_id = a.vec_id GROUP BY a.cid, sq.dim
+    ), c2 AS MATERIALIZED (
+        SELECT cid, dim, {floor_div} AS c FROM s2
+    ), seeds AS (
+        SELECT cid AS gid, dim, c AS cg FROM c2, pp WHERE cid <= pp.g
+    ), cgd AS (
+        SELECT c2.cid, s.gid,
+               sum((c2.c - s.cg) * (c2.c - s.cg)) AS d
+        FROM c2 JOIN seeds s USING (dim) GROUP BY c2.cid, s.gid
+    ), cgrp AS (
+        SELECT cid, gid FROM (
+            SELECT cid, gid, row_number() OVER (
+                PARTITION BY cid ORDER BY d, gid) AS rn
+            FROM cgd) WHERE rn = 1
+    ), vgd AS (
+        SELECT q.vec_id, s.gid,
+               sum((q.v - s.cg) * (q.v - s.cg)) AS d
+        FROM q JOIN seeds s USING (dim) GROUP BY q.vec_id, s.gid
+    ), vg AS (
+        SELECT vec_id, gid FROM (
+            SELECT vec_id, gid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, gid) AS rn
+            FROM vgd) WHERE rn = 1
+    ), cand AS (
+        SELECT c2.cid, c2.dim, c2.c, g.gid
+        FROM c2 JOIN cgrp g ON c2.cid = g.cid
+    ), fd AS (
+        SELECT q.vec_id, cd.cid,
+               sum((q.v - cd.c) * (q.v - cd.c)) AS d
+        FROM q
+        JOIN vg ON q.vec_id = vg.vec_id
+        JOIN cand cd ON cd.gid = vg.gid AND cd.dim = q.dim
+        GROUP BY q.vec_id, cd.cid
+    ), ap AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM fd) WHERE rn = 1
+    )"""
+
+
 def _ham18_sql(a: str, b: str) -> str:
     """Hamming distance over 18 fixed positions as an explicit integer
     sum (portable — no reliance on an engine hamming builtin)."""

@@ -42,6 +42,7 @@ from openseizuredatabase_spark.plans._core import (  # noqa: F401
     _ts,
 )
 from openseizuredatabase_spark.plans.q_shared import (  # noqa: F401
+    _sampled_hier_ctes,
     _ham18_sql,
     _ham_candidates,
     _pigeonhole_keys_sql,
@@ -1397,7 +1398,30 @@ def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t24_semdedup_scaled",
-    None,
+    _sampled_hier_ctes()
+    + """
+    , nrm AS (
+        SELECT vec_id, (sum(v*v))::BIGINT AS n2 FROM q GROUP BY vec_id
+    ), pr AS (
+        SELECT l.vec_id AS ida, r.vec_id AS idb
+        FROM ap l JOIN ap r ON l.cid = r.cid AND l.vec_id < r.vec_id
+    ), dots AS (
+        SELECT p.ida, p.idb, (sum(ql.v * qr.v))::BIGINT AS dot
+        FROM pr p
+        JOIN q ql ON ql.vec_id = p.ida
+        JOIN q qr ON qr.vec_id = p.idb AND ql.dim = qr.dim
+        GROUP BY p.ida, p.idb
+    ), dup AS (
+        SELECT DISTINCT d.idb AS vec_id
+        FROM dots d
+        JOIN nrm na ON d.ida = na.vec_id
+        JOIN nrm nb ON d.idb = nb.vec_id
+        WHERE na.n2 > 0 AND nb.n2 > 0
+          AND round(dot / sqrt(na.n2) / sqrt(nb.n2), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cid, (dup.vec_id IS NOT NULL) AS is_dup
+    FROM ap a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    """,
     "SemDeDup at the production parameterization (the scale path "
     "t24_semantic_dedup's fixed-k oracle cannot follow): k scales with "
     "the corpus (~625-vector clusters keep the one-Arrow-batch-per-"
@@ -1405,10 +1429,12 @@ def t24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairwise work), centroids TRAIN on a ~5000-row deterministic hash "
     "sample (flat Lloyd training is n*k*d per round — the 30x stress "
     "showed it superlinear), and the full corpus assigns through the "
-    "two-level O(n*sqrt(k)*d) path. Data-adaptive by design (row count "
-    "from parquet footers, no Spark job) → rows-only; every component "
-    "is separately value-hash oracled (clustering v5, two-level assign "
-    "v7, dup kernel t24) and scaled-vs-exact agreement is pinned in "
+    "two-level O(n*sqrt(k)*d) path. The oracle replays the WHOLE "
+    "production composition in SQL — data-adaptive k/g/sample-rate "
+    "from count(*), sampled Lloyd, hierarchical assign, then t24's "
+    "within-cluster quantized-cosine dup kernel over that assignment — "
+    "so the scale path is value-hash gated end to end (round-6; was "
+    "rows-only). Scaled-vs-exact agreement stays pinned in "
     "tests/test_ann.py.",
 )
 def t24_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:

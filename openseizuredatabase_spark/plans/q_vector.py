@@ -42,6 +42,7 @@ from openseizuredatabase_spark.plans._core import (  # noqa: F401
     _ts,
 )
 from openseizuredatabase_spark.plans.q_shared import (  # noqa: F401
+    _sampled_hier_ctes,
     _EMB_DIM,
     _quantized_dot,
     _v5_ctes,
@@ -374,20 +375,96 @@ def v5_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v18_oracle() -> str:
+    d = _EMB_DIM
+    sd = d // 4  # 4 subspaces
+    floor_div = "((s - (((s % n) + n) % n)) / n)::BIGINT"
+    samp_hash = seeded_md5_long_sql("q.vec_id::VARCHAR", 13)
+    return f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+    pp AS (SELECT greatest(1, 2000000 // n) AS fpm FROM nn),
+    q AS MATERIALIZED (
+        SELECT vec_id, g.i - 1 AS dim, (g.i - 1) // {sd} AS sub,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {d})) AS g(i)
+    ), sq AS MATERIALIZED (
+        -- the SQL twin of the data-adaptive hash sample: rate from
+        -- count(*) (= the parquet-footer row count), seed ids riding
+        SELECT q.* FROM q, pp
+        WHERE q.vec_id <= 8 OR ({samp_hash}) % 1000 < pp.fpm
+    ), c0 AS (
+        SELECT vec_id AS cid, sub, dim, v AS c FROM sq
+        WHERE vec_id BETWEEN 1 AND 8
+    ), d1 AS (
+        SELECT sq.vec_id, sq.sub, c.cid,
+               sum((sq.v - c.c) * (sq.v - c.c)) AS dist
+        FROM sq JOIN c0 c ON sq.dim = c.dim
+        GROUP BY sq.vec_id, sq.sub, c.cid
+    ), a1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ), s1 AS (
+        SELECT a.cid, sq.dim, sum(sq.v) AS s, count(*) AS n
+        FROM sq JOIN a1 a ON sq.vec_id = a.vec_id AND sq.sub = a.sub
+        GROUP BY a.cid, sq.dim
+    ), c1 AS (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM s1
+    ), d2 AS (
+        SELECT sq.vec_id, sq.sub, c.cid,
+               sum((sq.v - c.c) * (sq.v - c.c)) AS dist
+        FROM sq JOIN c1 c ON sq.dim = c.dim
+        GROUP BY sq.vec_id, sq.sub, c.cid
+    ), a2 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d2) WHERE rn = 1
+    ), s2 AS (
+        SELECT a.cid, sq.dim, sum(sq.v) AS s, count(*) AS n
+        FROM sq JOIN a2 a ON sq.vec_id = a.vec_id AND sq.sub = a.sub
+        GROUP BY a.cid, sq.dim
+    ), c2 AS MATERIALIZED (
+        SELECT cid, dim // {sd} AS sub, dim, {floor_div} AS c FROM s2
+    ), d3 AS (
+        -- single encode pass: EVERY corpus vector against the
+        -- POST-update codebooks (pq_train_encode's closing assignment)
+        SELECT q.vec_id, q.sub, c.cid,
+               sum((q.v - c.c) * (q.v - c.c)) AS dist
+        FROM q JOIN c2 c ON q.dim = c.dim
+        GROUP BY q.vec_id, q.sub, c.cid
+    ), a3 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d3) WHERE rn = 1
+    )
+    SELECT vec_id,
+           sum((cid::BIGINT) << (4 * sub))::BIGINT AS packed_code,
+           count(*)::BIGINT AS n_sub
+    FROM a3 GROUP BY vec_id
+    """
+
+
 @query(
     "v18_pq_sampled_train",
-    None,
+    _v18_oracle(),
     "Product quantization at the production parameterization "
     "(ann.pq_train_encode with train_df — the path real corpora use): "
     "codebooks train on a ~2000-row deterministic hash sample (Lloyd "
     "training is n_train*k_sub*d per round; the full-corpus term is "
     "the single encode pass only), then EVERY corpus vector encodes "
     "against the post-update codebooks. Output packs each vector's "
-    "n_sub codes into one integer (4 bits per subspace). Data-adaptive "
-    "sample rate (row count from parquet footers, no Spark job) → "
-    "rows-only; the exact-path twin v8_pq_adc is value-hash oracled "
-    "and sampled-vs-full agreement is pinned in tests/test_ann.py "
-    "(test_pq_sampled_training_encodes_everything).",
+    "n_sub codes into one integer (4 bits per subspace). The oracle "
+    "replays the data-adaptive sample IN SQL — keep rate from "
+    "count(*), the portable seeded-md5 slice, sampled Lloyd rounds, "
+    "full-corpus encode — so the production path itself is value-hash "
+    "gated (round-6; was rows-only); sampled-vs-full agreement stays "
+    "pinned in tests/test_ann.py.",
 )
 def v18_pq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.ann import pq_train_encode
@@ -415,16 +492,24 @@ def v18_pq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v19_hier_assign_scaled",
-    None,
+    _sampled_hier_ctes()
+    + """
+    SELECT cid, count(*)::BIGINT AS n_members,
+           sum(vec_id)::BIGINT AS id_sum
+    FROM ap GROUP BY cid
+    """,
     "Two-level centroid assignment at its crossover parameterization "
     "(ann.hierarchical_assign as t24_semdedup_scaled deploys it): "
     "k grows with the corpus (~625-vector clusters), g ~ sqrt(k) "
     "minimizes the n*(g + k/g)*d assignment work, and centroids train "
     "on a ~5000-row deterministic hash sample — the whole clustering "
     "is O(sample*k*d + n*sqrt(k)*d), sub-linear in n*k where the flat "
-    "path (v7's fixed-k oracle twin) is O(n*k*d). Data-adaptive k → "
-    "rows-only; two-level-vs-flat and sampled-vs-full agreement are "
-    "pinned in tests/test_ann.py.",
+    "path (v7's fixed-k oracle twin) is O(n*k*d). The oracle replays "
+    "the data-adaptive parameterization IN SQL (k/g/sample rate from "
+    "count(*) — the twin of the parquet-footer read), so the "
+    "production path is value-hash gated (round-6; was rows-only); "
+    "two-level-vs-flat and sampled-vs-full agreement stay pinned in "
+    "tests/test_ann.py.",
 )
 def v19_hier_assign_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.ann import hierarchical_assign

@@ -1728,3 +1728,183 @@ def d13_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").cast("long").alias("min_file"),
         F.max("file_id").cast("long").alias("max_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Human-activity dataset ETL (sources/activity.py) — the reference's
+# user_tools/datasets/human_activity_dataset pipeline, oracled on a
+# deterministic coded-sample fixture synthesized from `events` in BOTH
+# engines (same portable seeded-md5 codes, same row counts).
+# ---------------------------------------------------------------------------
+
+def _e2_samples_sql() -> str:
+    h = [
+        seeded_md5_long_sql(
+            "event_id::VARCHAR || ':' || g.i::VARCHAR", s
+        )
+        for s in (1, 2, 3)
+    ]
+    return f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (ORDER BY event_id) AS seq,
+               160 + (event_id % 37) * 8 AS n
+        FROM events WHERE event_id < 24
+    ), samples AS (
+        SELECT ('99999' || seq::VARCHAR)::BIGINT AS eid,
+               'u' || user_id::VARCHAR AS user_tag,
+               event_type AS label, g.i AS i,
+               ({h[0]}) % 64 AS xc,
+               ({h[1]}) % 64 AS yc,
+               ({h[2]}) % 64 AS zc
+        FROM ev, unnest(generate_series(0, n - 1)) AS g(i)
+    ), binned AS (
+        SELECT eid, user_tag, label, (i * 25) // 32 AS bin,
+               avg(-1.5 + (xc / 63) * 3.0) AS xg,
+               avg(-1.5 + (yc / 63) * 3.0) AS yg,
+               avg(-1.5 + (zc / 63) * 3.0) AS zg
+        FROM samples GROUP BY 1, 2, 3, 4
+    ), kept AS (
+        SELECT * FROM (
+            SELECT *, max(bin) OVER (PARTITION BY eid) + 1 AS n_bins
+            FROM binned)
+        WHERE bin < n_bins - (n_bins % 125)
+    )"""
+
+
+@query(
+    "e2_activity_osdb_etl",
+    _e2_samples_sql()
+    + """
+    SELECT eid AS event_id, bin + 1 AS row_id, user_tag, label,
+           round(xg * 1000, 6) AS x_r,
+           round(yg * 1000, 6) AS y_r,
+           round(zg * 1000, 6) AS z_r,
+           round(sqrt((xg * 1000) * (xg * 1000)
+                      + (yg * 1000) * (yg * 1000)
+                      + (zg * 1000) * (zg * 1000)), 6) AS mag_r
+    FROM kept
+    """,
+    "Human-activity accelerometer ETL (reference user_tools/datasets/"
+    "human_activity_dataset/activity_data_osdb_processor.py:12-91, the "
+    "last unported reference capability): coded 0..63 values decode "
+    "via -1.5 + (v/63)*3.0, the 32 Hz stream regrids to 25 Hz as an "
+    "integer bin key (i*25) div 32 + groupBy-avg (the SQL twin of "
+    "pandas resample('40ms').mean() — 1-2 samples per bin, so the mean "
+    "is an exact IEEE chain), x1000 scaling, magnitude, eventId "
+    "99999<seq>, and per-event truncation to a multiple of 125 rows "
+    "(a max-bin window, no collect). Fixture: deterministic seeded-md5 "
+    "coded samples synthesized from `events` identically in both "
+    "engines, with per-event lengths varied to exercise 1- and 2-"
+    "window truncation. At lake scale the regrid is one partial-"
+    "aggregated shuffle keyed (event, bin); the txt ingest itself "
+    "(wholetext + posexplode ordinals) is covered by pytest on real "
+    "files.",
+)
+def e2_activity_osdb_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.activity import (
+        activity_to_osdb,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 24)
+        .select("event_id", "user_id", "event_type")
+        .withColumn(
+            "seq",
+            F.row_number().over(Window.orderBy("event_id")),
+        )
+        .withColumn("n", F.lit(160) + (F.col("event_id") % 37) * 8)
+    )
+    key = F.concat_ws(":", F.col("event_id"), F.col("i"))
+    samples = ev.select(
+        F.concat(F.lit("99999"), F.col("seq").cast("string"))
+        .cast("long")
+        .alias("eid"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+            "user_tag"
+        ),
+        F.col("event_type").alias("label"),
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+        "event_id",
+    ).select(
+        "eid",
+        "user_tag",
+        "label",
+        "i",
+        (seeded_md5_long(key, 1) % 64).alias("xc"),
+        (seeded_md5_long(key, 2) % 64).alias("yc"),
+        (seeded_md5_long(key, 3) % 64).alias("zc"),
+    )
+    out = activity_to_osdb(samples, event_col="eid", idx_col="i")
+    return out.select(
+        F.col("eventId").alias("event_id"),
+        F.col("Id").alias("row_id"),
+        F.col("userId").alias("user_tag"),
+        "label",
+        F.round("x", 6).alias("x_r"),
+        F.round("y", 6).alias("y_r"),
+        F.round("z", 6).alias("z_r"),
+        F.round("magnitude", 6).alias("mag_r"),
+    )
+
+
+@query(
+    "e3_activity_windows",
+    _e2_samples_sql()
+    + """
+    , osdb AS (
+        SELECT eid, bin + 1 AS rid, user_tag, label,
+               xg * 1000 AS x, yg * 1000 AS y, zg * 1000 AS z,
+               sqrt((xg * 1000) * (xg * 1000)
+                    + (yg * 1000) * (yg * 1000)
+                    + (zg * 1000) * (zg * 1000)) AS mag
+        FROM kept
+    ), wins AS (
+        SELECT eid, user_tag, label, (rid - 1) // 125 AS w,
+               list(round(mag, 6) ORDER BY rid) AS mag_list,
+               flatten(list([round(x, 6), round(y, 6), round(z, 6)]
+                            ORDER BY rid)) AS raw3d,
+               count(*) AS n
+        FROM osdb GROUP BY 1, 2, 3, 4
+    )
+    SELECT eid AS event_id, user_tag, label, mag_list, raw3d,
+           row_number() OVER (ORDER BY eid, w) AS win_id
+    FROM wins WHERE n = 125
+    """,
+    "125-sample training-window restructure + global re-Id (reference "
+    "data_restructurer.py:15-64 over the e2 ETL output): consecutive "
+    "125-row chunks of each 25 Hz event collapse to one row holding "
+    "the magnitude list and the interleaved x/y/z rawData3d list (375 "
+    "values), with a fresh sequential window Id — the OSDB-to-training"
+    "-tensor step. Spark side is a (event, window) groupBy with "
+    "array_sort(collect_list(struct)) ordinals (no driver loop); the "
+    "oracle replays it with ordered list() aggregates. Incomplete "
+    "tails are impossible post-truncation but guarded anyway (n=125 "
+    "filter) — the hash pins window membership, intra-window order, "
+    "and the interleave layout.",
+)
+def e3_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.activity import (
+        restructure_windows,
+    )
+
+    osdb = e2_activity_osdb_etl(spark, sf_dir).select(
+        F.col("event_id").alias("eventId"),
+        F.col("row_id").alias("Id"),
+        F.col("user_tag").alias("userId"),
+        "label",
+        F.col("x_r").alias("x"),
+        F.col("y_r").alias("y"),
+        F.col("z_r").alias("z"),
+        F.col("mag_r").alias("magnitude"),
+    )
+    w = restructure_windows(osdb)
+    return w.select(
+        F.col("eventId").alias("event_id"),
+        F.col("userId").alias("user_tag"),
+        "label",
+        F.col("magnitude").alias("mag_list"),
+        F.col("rawData3d").alias("raw3d"),
+        F.col("Id").alias("win_id"),
+    )

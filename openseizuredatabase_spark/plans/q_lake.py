@@ -1688,30 +1688,52 @@ def d12_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN removed_snap <= 6 THEN 'vacuum'
                  ELSE 'retained' END) AS status,
            count(*) AS n_files,
+           count(*) AS n_paths,
            sum(n_rows)::BIGINT AS n_rows,
            min(file_id)::BIGINT AS min_file,
            max(file_id)::BIGINT AS max_file
     FROM meta GROUP BY 1
     """,
     "VACUUM planning (the lakehouse retention sweep that pairs with "
-    "d10 time travel and d11 deletion vectors): given per-file "
-    "(added_snap, removed_snap) lineage and a retention floor "
-    "(snapshots >= 6 of current 8 must stay reconstructable), a "
+    "d10 time travel and d11 deletion vectors) over a REAL file "
+    "inventory: lineitem is first WRITTEN as a partitioned lake (one "
+    "parquet file per file_id — repartition(col) pins each key to one "
+    "task), then the inventory is rebuilt from input_file_name() over "
+    "the re-read — per-path row counts from actual files, not a "
+    "synthetic %-bucket model (round-6, closing the r5 nit). Given "
+    "per-file (added_snap, removed_snap) lineage and a retention "
+    "floor (snapshots >= 6 of current 8 must stay reconstructable), a "
     "removed file is safe to delete iff NO retained snapshot "
-    "references it — i.e. removed_snap <= floor; removed-but-"
-    "referenced files are 'retained', never-removed files are 'live'. "
-    "File row counts come from the real data (one aggregation); the "
-    "lineage metadata is synthesized deterministically from file ids "
-    "(both engines replay it), exactly how a manifest table would "
-    "broadcast. At 100 TB this plan touches manifests only — the "
-    "query shape is one file-count aggregation + pure metadata CASE "
-    "logic, no data rewrite.",
+    "references it — removed_snap <= floor; removed-but-referenced "
+    "files are 'retained', never-removed files are 'live'. The oracle "
+    "replays the partition rule; n_paths pins the one-file-per-"
+    "partition invariant, so any split/duplicate physical layout "
+    "hash-fails. At 100 TB the plan phase touches manifests only — "
+    "one file-granular aggregation + pure metadata CASE logic.",
 )
 def d13_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     li = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") % 64).alias("file_id")
+        "l_orderkey", (F.col("l_orderkey") % 64).alias("file_id")
     )
-    files = li.groupBy("file_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    base = tempfile.mkdtemp(prefix="d13_lake_")
+    (
+        li.repartition(F.col("file_id"))
+        .write.partitionBy("file_id")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    lake = spark.read.parquet(base)
+    inv = (
+        lake.select(F.input_file_name().alias("path"), "file_id")
+        .groupBy("path", "file_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    files = inv.groupBy("file_id").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.countDistinct("path").alias("n_paths"),
+    )
     added = (F.col("file_id") % 5).cast("long")
     removed = F.when(
         F.col("file_id") % 3 == 0,
@@ -1724,6 +1746,7 @@ def d13_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return files.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_paths").cast("long").alias("n_paths"),
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.min("file_id").cast("long").alias("min_file"),
         F.max("file_id").cast("long").alias("max_file"),

@@ -44,6 +44,9 @@ alg_runner.py:189-374).
 from __future__ import annotations
 
 import json
+import urllib.error
+import urllib.parse
+import urllib.request
 from dataclasses import dataclass
 from typing import Callable
 
@@ -378,12 +381,54 @@ class DeviceAlgProtocol:
         return ret
 
 
-def device_alg_transport(ip_addr: str):
-    """The live TCP transport requires a physical watch on the network —
-    unavailable here; fail fast with the reason (S7/S8 connector policy,
-    sources/connectors.py)."""
-    raise NotImplementedError(
-        f"deviceAlg needs a reachable OSD device at {ip_addr}; no network "
-        "hardware in this environment — inject a transport with "
-        "send_data/get_result to use DeviceAlgProtocol"
-    )
+class OsdAppTransport:
+    """Live HTTP transport to an OSD app's web interface
+    (libosd/osdAppConnection.py:21-114): POST the datapoint JSON to
+    ``/data``, GET ``/data`` for the latest analysis result.  Mirrors
+    the reference's lenient error contract — connection errors and
+    non-200 statuses return None (the protocol layer's retry/fallback
+    logic owns recovery), timeouts propagate.  stdlib urllib, no
+    third-party HTTP stack."""
+
+    def __init__(self, addr: str, timeout_s: float = 10.0):
+        if "://" not in addr:
+            addr = f"http://{addr}"
+        parsed = urllib.parse.urlparse(addr)
+        netloc = parsed.netloc
+        if ":" not in netloc:  # url_has_port → default port 8080
+            netloc = f"{netloc}:8080"
+        self.base_url = f"http://{netloc}"
+        self.timeout_s = timeout_s
+
+    def _request(self, data: bytes | None) -> str | None:
+        req = urllib.request.Request(
+            f"{self.base_url}/data",
+            data=data,
+            method="POST" if data is not None else "GET",
+        )
+        try:
+            with urllib.request.urlopen(
+                req, timeout=self.timeout_s
+            ) as resp:
+                if resp.status != 200:
+                    return None
+                return resp.read().decode("utf-8")
+        except urllib.error.URLError as exc:
+            if isinstance(exc.reason, TimeoutError):
+                raise
+            return None
+
+    def send_data(self, data_json: str) -> str | None:
+        return self._request(data_json.encode("utf-8"))
+
+    def get_result(self) -> str | None:
+        return self._request(None)
+
+
+def device_alg_transport(ip_addr: str) -> OsdAppTransport:
+    """Transport factory for DeviceAlgProtocol against a reachable OSD
+    device/app (deviceAlg.py uses OsdAppConnection the same way). The
+    loopback path is exercised against a live in-process HTTP server in
+    tests/test_dp_model_algs.py; a physical watch just changes the
+    address."""
+    return OsdAppTransport(ip_addr)

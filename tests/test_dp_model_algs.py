@@ -262,6 +262,98 @@ def test_device_protocol_result_retries_and_fallback():
     assert json.loads(DeviceAlgProtocol(t2).process_dp("{}"))["alarmState"] == 2
 
 
-def test_device_transport_is_environment_blocked():
-    with pytest.raises(NotImplementedError, match="deviceAlg"):
-        device_alg_transport("192.168.1.162")
+class _OsdAppHandler:
+    """Minimal OSD-app web interface (the thing osdAppConnection.py
+    talks to): POST /data receives dp or settings JSON, GET /data
+    serves the latest analysis result.  Scripted to demand the
+    settings handshake once on the POST path and once on the GET
+    path, so both retry branches run over the real socket."""
+
+    def __make(state):
+        from http.server import BaseHTTPRequestHandler
+
+        class H(BaseHTTPRequestHandler):
+            def _reply(self, text):
+                body = text.encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                obj = json.loads(self.rfile.read(n).decode())
+                if obj.get("dataType") == "settings":
+                    state["settings"].append(obj)
+                    self._reply("OK")
+                    return
+                if not state["settings"]:
+                    state["post_nags"] += 1
+                    self._reply("sendSettings")
+                    return
+                state["dps"].append(obj)
+                self._reply("OK")
+
+            def do_GET(self):
+                if state["get_nags"] < 1:
+                    state["get_nags"] += 1
+                    self._reply("settings")
+                    return
+                amp = state["dps"][-1]["amp"] if state["dps"] else 0
+                self._reply(json.dumps(
+                    {"valid": True, "alarmState": 2 if amp > 500 else 0}
+                ))
+
+            def log_message(self, *a):
+                pass
+
+        return H
+
+    make = staticmethod(__make)
+
+
+def test_device_alg_over_live_loopback_socket():
+    """End-to-end over a REAL socket: device_alg_transport → HTTP →
+    in-process OSD-app emulator, including both settings-handshake
+    branches and the dp re-send (osdAppConnection.py:98-114 transport
+    under deviceAlg.py:58-91 logic)."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    state = {"settings": [], "dps": [], "post_nags": 0, "get_nags": 0}
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _OsdAppHandler.make(state)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        addr = f"127.0.0.1:{srv.server_address[1]}"
+        proto = DeviceAlgProtocol(device_alg_transport(addr))
+        out1 = json.loads(proto.process_dp(json.dumps({"amp": 900})))
+        out2 = json.loads(proto.process_dp(json.dumps({"amp": 10})))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    # POST path: first dp was nagged, settings sent, dp re-sent
+    assert state["post_nags"] == 1
+    assert [s["dataType"] for s in state["settings"]][:1] == ["settings"]
+    assert [d["amp"] for d in state["dps"]] == [900, 10]
+    # GET path: one settings nag answered with a second settings block
+    assert state["get_nags"] == 1
+    assert len(state["settings"]) == 2
+    assert (out1["alarmState"], out2["alarmState"]) == (2, 0)
+    assert out1["valid"] and out2["valid"]
+
+
+def test_device_transport_default_port_and_connrefused():
+    from openseizuredatabase_spark.detection.dp_model_algs import (
+        OsdAppTransport,
+    )
+
+    assert OsdAppTransport("192.168.1.162").base_url.endswith(":8080")
+    # reference contract: connection errors → None, protocol falls back
+    dead = DeviceAlgProtocol(device_alg_transport("127.0.0.1:9"))
+    assert json.loads(dead.process_dp("{}")) == {
+        "valid": False,
+        "alarmState": 0,
+    }

@@ -19,6 +19,12 @@ for min-of-3 and the driver's 2000-char stdout tail capture):
   coverage signal, not regression signal. Only their total and count
   ride the stdout line; per-query extended timings land in
   ``BENCH_FULL.json`` next to this script.
+- SLOW_EXT (the 10 slowest extended queries by the round-5 numbers):
+  min of 2 passes, so the heavy tail of the extended tier carries a
+  cross-round regression signal too (round-5's single-pass m26/v16
+  "regressions" were unresolvable one-sample noise). Their min-of-2
+  total rides stdout as ``slow10_min2_total``; membership is STATIC so
+  the metric compares across rounds.
 
 Each query runs as a full job with a no-op sink (results are materialized
 on executors, never collected to the driver) — measuring engine time, not
@@ -264,6 +270,28 @@ HEADLINE = [
     "a31_weighted_median",
     "z4_locality_eval",
     "n24_mann_kendall",
+    # round-6 additions
+    "t24_semdedup_scaled",
+    "v18_pq_sampled_train",
+    "v19_hier_assign_scaled",
+    "e2_activity_osdb_etl",
+    "e3_activity_windows",
+]
+
+
+# 10 slowest extended-tier queries at r5/sf0.1 — static membership so
+# slow10_min2_total is comparable across rounds
+SLOW_EXT = [
+    "p7_canonical_docs",
+    "t43_lsh_eval",
+    "v14_pca_power_iteration",
+    "n7_bootstrap_ci",
+    "t42_prefix_filter_join",
+    "j17_hits",
+    "j13_bfs_hops",
+    "j14_kcore",
+    "t46_association_rules",
+    "s22_stream_upsert",
 ]
 
 
@@ -313,14 +341,20 @@ def main() -> int:
         core_timings[name] = round(min(run_once(name) for _ in range(3)), 3)
         drop_persisted()
 
+    slow_set = set(SLOW_EXT)
+    assert slow_set <= set(HEADLINE) and not (slow_set & core_set)
     ext_timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in core_set:
-            ext_timings[name] = round(run_once(name), 3)
+            passes = 2 if name in slow_set else 1
+            ext_timings[name] = round(
+                min(run_once(name) for _ in range(passes)), 3
+            )
             drop_persisted()
 
     core_total = round(sum(core_timings.values()), 3)
     ext_total = round(sum(ext_timings.values()), 3)
+    slow10_total = round(sum(ext_timings[n] for n in SLOW_EXT), 3)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     with open(full_path, "w") as fh:
@@ -330,6 +364,8 @@ def main() -> int:
                 "core_passes": 3,
                 "extended": ext_timings,
                 "extended_passes": 1,
+                "slow10": {n: ext_timings[n] for n in SLOW_EXT},
+                "slow10_passes": 2,
                 "sf": sf,
             },
             fh,
@@ -349,6 +385,7 @@ def main() -> int:
                 "sf": sf,
                 "extended_total": ext_total,
                 "extended_n": len(ext_timings),
+                "slow10_min2_total": slow10_total,
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),

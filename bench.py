@@ -276,6 +276,12 @@ HEADLINE = [
     "v19_hier_assign_scaled",
     "e2_activity_osdb_etl",
     "e3_activity_windows",
+    "n25_levene_bf",
+    "n26_jarque_bera",
+    "t54_dup_clusters",
+    "m40_calibration_bins",
+    "w28_holt_winters",
+    "s23_stream_outer_join",
 ]
 
 

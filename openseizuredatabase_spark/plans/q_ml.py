@@ -2632,3 +2632,95 @@ def m33_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sse_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: probability-calibration audit (reliability bins + Brier)
+# ---------------------------------------------------------------------------
+
+_M40_P = "1.0 / (1.0 + exp(-((value - 150) / 25.0)))"
+
+
+@query(
+    "m40_calibration_bins",
+    f"""
+    WITH scored AS (
+        SELECT CAST(round(({_M40_P}) * 1000000) AS BIGINT) AS pm,
+               event_id
+        FROM events
+    ), lab AS (
+        SELECT pm,
+               CASE WHEN ({seeded_md5_long_sql("event_id::VARCHAR", 17)})
+                         % 1000000 < pm
+                    THEN 1 ELSE 0 END AS y
+        FROM scored
+    ), binned AS (
+        SELECT least(9, pm // 100000) AS bin, pm, y,
+               (pm - y * 1000000) AS e
+        FROM lab
+    )
+    SELECT bin,
+           count(*)::BIGINT AS n,
+           sum(y)::BIGINT AS n_pos,
+           sum(pm)::BIGINT AS sum_pm,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+           round(CAST(sum(pm) AS DOUBLE) / count(*) / 1000000, 6)
+               AS avg_p,
+           CAST(round(CAST(sum(e::HUGEINT * e) AS DOUBLE)
+                      / count(*) / 1000000) AS BIGINT) AS brier_micro
+    FROM binned GROUP BY bin
+    """,
+    "Probability-calibration audit (the reliability diagram + "
+    "per-bin Brier score — the model-eval step between m38's "
+    "ranking AUC and deployment thresholds): the detector "
+    "probability p = sigmoid((value-150)/25) (n1's scoring function) "
+    "is quantized to micro-units, outcomes are drawn as the "
+    "deterministic portable-hash Bernoulli y = [h(event_id) mod 1e6 "
+    "< pm] (so the fixture is well-calibrated by construction and "
+    "the bins expose pure sampling deviation), and each of 10 "
+    "equal-width probability bins reports n / positives / observed "
+    "frequency / mean predicted p / mean squared error. Exactness: "
+    "pm and y are integers, so every aggregate is an order-free "
+    "integer sum (squares widened past int64 — decimal in Spark, "
+    "HUGEINT in the oracle) and the only float ops are final "
+    "fixed-order divisions. One map-side-combined aggregation over "
+    "the scan; 10 result rows.",
+)
+def m40_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pm = (
+        F.round(F.expr(_M40_P) * 1000000, 0).cast("long").alias("pm")
+    )
+    scored = ev.select(pm, "event_id")
+    y = F.when(
+        seeded_md5_long(F.col("event_id").cast("string"), 17) % 1000000
+        < F.col("pm"),
+        1,
+    ).otherwise(0)
+    lab = scored.select("pm", y.alias("y"))
+    e = (F.col("pm") - F.col("y") * 1000000).cast("decimal(18,0)")
+    binned = lab.select(
+        F.least(F.lit(9), F.expr("pm div 100000")).alias("bin"),
+        "pm",
+        "y",
+        e.alias("e"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("pm").cast("long").alias("sum_pm"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_pos"),
+        F.round(
+            F.sum("pm").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("avg_p"),
+        F.round(
+            F.sum(F.col("e") * F.col("e")).cast("double")
+            / F.count(F.lit(1))
+            / 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("brier_micro"),
+    )

@@ -4294,3 +4294,108 @@ def a30_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(emd).alias("t_emd"),
         F.expr(f"({emd} > 0.2)").alias("at_risk_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: stream-stream LEFT OUTER interval join (watermark-gated nulls)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s23_stream_outer_join",
+    """
+    WITH l AS (
+        SELECT event_id AS lid, user_id AS k, ts AS lts
+        FROM events WHERE event_id % 3 = 0
+    ), r AS (
+        SELECT event_id AS rid, user_id AS k, ts AS rts
+        FROM events WHERE event_id % 3 = 1
+    ), m AS (
+        SELECT l.lid, r.rid
+        FROM l JOIN r ON l.k = r.k
+         AND r.rts >= l.lts - INTERVAL 6 HOUR AND r.rts <= l.lts
+    ), wm AS (
+        SELECT least((SELECT max(lts) FROM l),
+                     (SELECT max(rts) FROM r))
+               - INTERVAL 30 MINUTE AS w
+    ), matched AS (
+        SELECT lid, count(*)::BIGINT AS n_match,
+               sum(rid)::BIGINT AS rid_sum
+        FROM m GROUP BY lid
+    ), nulls AS (
+        SELECT l.lid, 0::BIGINT AS n_match, 0::BIGINT AS rid_sum
+        FROM l, wm
+        WHERE l.lts < wm.w
+          AND l.lid NOT IN (SELECT lid FROM matched)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM nulls
+    """,
+    "§2.10 stream-stream LEFT OUTER interval join — the missing outer "
+    "half of s19's two-stream join surface: odd-keyed events join "
+    "even-keyed events within a 6-hour lookback per user, and "
+    "unmatched left rows emit NULL-padded ONLY once the global "
+    "watermark (min of both streams' max event time, minus the 30-min "
+    "delay) proves no future right row can match — rows inside the "
+    "final horizon are withheld at stream end. That membership rule "
+    "is exactly what the oracle replays (matched pairs UNION "
+    "unmatched-below-watermark), so the watermark-gated null emission "
+    "itself is value-hash gated, not just the inner matches "
+    "(empirically pinned: < the horizon, strict). State scales with "
+    "lookback x arrival rate per key, evicted by the same proof; the "
+    "post-sink per-lid rollup is batch-side.",
+)
+def s23_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.streaming.sessionize import (
+        stream_interval_join,
+    )
+
+    left = (
+        _stream_events(spark, sf_dir, "s23l_")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("event_id").alias("lid"),
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("lts"),
+        )
+    )
+    right = (
+        _stream_events(spark, sf_dir, "s23r_")
+        .filter(F.col("event_id") % 3 == 1)
+        .select(
+            F.col("event_id").alias("rid"),
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("rts"),
+        )
+    )
+    j = stream_interval_join(
+        left,
+        right,
+        "k",
+        "lts",
+        "rts",
+        lookback="6 hours",
+        watermark="30 minutes",
+        how="leftOuter",
+    )
+    name = f"s23_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("lid")
+        .agg(
+            F.count("rid").cast("long").alias("n_match"),
+            F.coalesce(F.sum("rid"), F.lit(0))
+            .cast("long")
+            .alias("rid_sum"),
+        )
+    )

@@ -2469,3 +2469,215 @@ def n22_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             _N22_CONTRIB.replace("CAST(n AS", "CAST(n_total AS")
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: variance-homogeneity and normality diagnostics
+# ---------------------------------------------------------------------------
+
+_N25_W = (
+    "round((CAST(nt - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))"
+    " * (CAST(a_units AS DOUBLE) / CAST(b_units AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "n25_levene_bf",
+    f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), rk AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ), med AS (
+        SELECT event_type,
+               sum(CASE WHEN rn = (n + 1) // 2 THEN vc ELSE 0 END)
+               + sum(CASE WHEN rn = n // 2 + 1 THEN vc ELSE 0 END)
+                   AS med2
+        FROM rk GROUP BY event_type
+    ), z AS (
+        SELECT b.event_type, abs(2 * b.vc - m.med2) AS z2
+        FROM base b JOIN med m USING (event_type)
+    ), g AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(z2)::BIGINT AS s, sum(z2 * z2)::BIGINT AS ss
+        FROM z GROUP BY event_type
+    ), tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
+               sum(s)::BIGINT AS st FROM g
+    ), units AS (
+        SELECT t.k, t.nt,
+               sum(CAST(round(CAST(g.n AS DOUBLE)
+                   * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                      - CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                      - CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   ) AS BIGINT))::BIGINT AS a_units,
+               sum(CAST(round(CAST(g.ss AS DOUBLE)
+                   - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                     / CAST(g.n AS DOUBLE)) AS BIGINT))::BIGINT
+                   AS b_units
+        FROM g, tot t GROUP BY t.k, t.nt
+    )
+    SELECT k AS n_groups, nt AS n_total, a_units, b_units,
+           {_N25_W} AS w_stat
+    FROM units
+    """,
+    "Brown-Forsythe / Levene variance-homogeneity test across event "
+    "types (the spread counterpart of n16's mean ANOVA — is ANY "
+    "group's dispersion different; BF centers on the MEDIAN, the "
+    "robust variant SciPy defaults to for skewed data). Exactness: "
+    "2*median is an integer (sum of the two middle cents via "
+    "rank-window selection — no engine median() semantics), absolute "
+    "deviations z = |2x - med2| stay integer, per-group (n, sum z, "
+    "sum z^2) are order-free integer sums, and the two cross-group "
+    "float sums (between-group and within-group SS) quantize each "
+    "group's term to integer units BEFORE summing (the n16 "
+    "discipline). One extra shuffle vs ANOVA (the per-group median "
+    "rank window); W's scale factor cancels the 2x so no correction "
+    "is needed (both SS terms are quadratic in z).",
+)
+def n25_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("vc")
+    wn = Window.partitionBy("event_type")
+    rk = base.select(
+        "event_type",
+        "vc",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k1 = (F.col("n") + 1) / 2
+    k2 = F.col("n") / 2 + 1
+    med = rk.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") == k1.cast("long"), F.col("vc")
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("rn") == k2.cast("long"), F.col("vc")
+                ).otherwise(0)
+            )
+        ).alias("med2")
+    )
+    z = base.join(med, "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("vc") - F.col("med2")).alias("z2"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z2").cast("long").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    units = g.crossJoin(F.broadcast(tot)).groupBy("k", "nt").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(n AS DOUBLE)"
+                " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+                "    - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+                " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+                "    - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))"
+                ") AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("a_units"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(ss AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                "   / CAST(n AS DOUBLE)) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("b_units"),
+    )
+    return units.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        "a_units",
+        "b_units",
+        F.expr(_N25_W).alias("w_stat"),
+    )
+
+
+@query(
+    "n26_jarque_bera",
+    """
+    WITH m AS ({A10}),
+    cnt AS (
+        SELECT event_type, count(*)::BIGINT AS n FROM events
+        GROUP BY event_type
+    ), jb AS (
+        SELECT m.event_type, cnt.n,
+               round((CAST(cnt.n AS DOUBLE) / 6.0)
+                     * (m.skewness * m.skewness
+                        + (m.kurtosis * m.kurtosis) / 4.0), 6) AS jb_stat
+        FROM m JOIN cnt USING (event_type)
+    )
+    SELECT event_type, n, jb_stat,
+           (jb_stat > 5.991464547107979) AS reject_normal_5pct
+    FROM jb
+    """.replace("{A10}", "__A10__"),
+    "Jarque-Bera normality test per event type (the decision layer "
+    "over a10's moment engine): JB = n/6 (S^2 + K^2/4) with S the "
+    "skewness and K the EXCESS kurtosis, compared to the chi-square(2) "
+    "5% critical value — the standard residual-normality gate before "
+    "trusting t/F-based intervals (n11/n16). Composes a10_moments' "
+    "already-bit-stable 6-dp moments (exact integer power sums -> "
+    "fixed-order IEEE), so the statistic is a pure deterministic "
+    "function of hash-verified inputs; one extra k-row join for the "
+    "group counts.",
+)
+def n26_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.plans.q_relational import a10_moments
+
+    m = a10_moments(spark, sf_dir)
+    cnt = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    jb = (
+        (F.col("n").cast("double") / 6.0)
+        * (
+            F.col("skewness") * F.col("skewness")
+            + (F.col("kurtosis") * F.col("kurtosis")) / 4.0
+        )
+    )
+    out = m.join(cnt, "event_type").select(
+        "event_type", "n", F.round(jb, 6).alias("jb_stat")
+    )
+    return out.withColumn(
+        "reject_normal_5pct", F.col("jb_stat") > 5.991464547107979
+    )
+
+
+# stitch a10's oracle into n26 (decoration-time string compose keeps the
+# registered SQL self-contained)
+QUERIES["n26_jarque_bera"] = QuerySpec(
+    fn=QUERIES["n26_jarque_bera"].fn,
+    oracle=QUERIES["n26_jarque_bera"].oracle.replace(
+        "__A10__", QUERIES["a10_moments"].oracle
+    ),
+    doc=QUERIES["n26_jarque_bera"].doc,
+)

@@ -5004,3 +5004,87 @@ def t51_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(lines, "\n").alias("text")
     )
     return line_quality_stats(lined)
+
+
+# ---------------------------------------------------------------------------
+# round 6: near-dup CLUSTERS (pairs -> components -> canonical cards)
+# ---------------------------------------------------------------------------
+
+
+def _t54_oracle() -> str:
+    t7 = QUERIES["t7_lsh_candidate_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({t7}),
+    e2 AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), r(s, d) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM e2) v
+        UNION
+        SELECT r.s, e2.d FROM r JOIN e2 ON r.d = e2.s
+    ), cc AS (
+        SELECT s AS doc_id, min(d) AS cluster_id FROM r GROUP BY s
+    ), dl AS (
+        SELECT doc_id, length(text) AS len FROM documents
+    ), ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, dl.len,
+               row_number() OVER (PARTITION BY cc.cluster_id
+                                  ORDER BY dl.len DESC, cc.doc_id) AS rn
+        FROM cc JOIN dl USING (doc_id)
+    )
+    SELECT cluster_id,
+           count(*)::BIGINT AS n_members,
+           sum(doc_id)::BIGINT AS id_sum,
+           sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END)::BIGINT AS rep_id,
+           sum(CASE WHEN rn = 1 THEN len ELSE 0 END)::BIGINT AS rep_len
+    FROM ranked GROUP BY cluster_id
+    """
+
+
+@query(
+    "t54_dup_clusters",
+    _t54_oracle(),
+    "Near-duplicate CLUSTER consolidation — the step real dedup "
+    "pipelines run after pair generation (pairs alone over-delete "
+    "under the naive 'drop id_b' rule when dups chain A-B-C): t7's "
+    "MinHash-LSH candidate pairs feed connected components "
+    "(dedup.connected_components min-label propagation; dup clusters "
+    "are near-cliques so 2-3 broadcast-free rounds converge, "
+    "localCheckpoint truncating the iterative lineage), then each "
+    "cluster rolls up to a card with its keep-best representative "
+    "(longest text, ties to lowest id — p7's keep-best rule applied "
+    "per component). The oracle replays the closure as a recursive "
+    "reachability CTE + min-label GROUP BY, so component MEMBERSHIP "
+    "itself is value-hash gated, not just counts. Scale: pair volume "
+    "is LSH-bounded (band buckets), label propagation shuffles "
+    "uniformly distributed ids, and the rollup rides the component "
+    "key — no stage is quadratic in corpus size.",
+)
+def t54_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ts(spark, sf_dir, "documents")
+    sh = dedup_ops.shingles(docs, "text", "doc_id", 5)
+    sigs = dedup_ops.minhash_signatures(sh, "doc_id", 4)
+    pairs = dedup_ops.lsh_band_pairs(sigs, "doc_id", 4, 2)
+    comp = dedup_ops.connected_components(pairs)
+    dl = docs.select("doc_id", F.length("text").alias("len"))
+    ranked = (
+        comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .join(dl, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("len").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    one = F.when(F.col("rn") == 1, F.col("doc_id")).otherwise(0)
+    onel = F.when(F.col("rn") == 1, F.col("len")).otherwise(0)
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(one).cast("long").alias("rep_id"),
+        F.sum(onel).cast("long").alias("rep_len"),
+    )

@@ -2853,3 +2853,122 @@ def w24_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 6).alias("mad_resid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: Holt-Winters additive seasonal smoothing (w25's seasonal upgrade)
+# ---------------------------------------------------------------------------
+
+
+def _w28_oracle() -> str:
+    ln = "0.5*(d.y - st.sa) + 0.5*(st.l + st.b)"
+    return f"""
+    WITH RECURSIVE buck AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 21600000000 AS bk,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1, 2
+    ), idx AS MATERIALIZED (
+        SELECT event_type, bk, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY bk)
+                   - 1 AS i
+        FROM buck
+    ), hw AS (
+        SELECT event_type, bk, y, i,
+               y AS l, 0.0::DOUBLE AS b,
+               0.0::DOUBLE AS sa, 0.0::DOUBLE AS sb,
+               0.0::DOUBLE AS sc, 0.0::DOUBLE AS sd,
+               y AS f
+        FROM idx WHERE i = 0
+        UNION ALL
+        SELECT d.event_type, d.bk, d.y, d.i,
+               {ln},
+               0.25*(({ln}) - st.l) + 0.75*st.b,
+               st.sb, st.sc, st.sd,
+               0.5*(d.y - ({ln})) + 0.5*st.sa,
+               st.l + st.b + st.sa
+        FROM hw st
+        JOIN idx d ON d.event_type = st.event_type AND d.i = st.i + 1
+    )
+    SELECT event_type, bk AS bucket_key, y::BIGINT AS n,
+           CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_micro,
+           CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_micro,
+           CAST(floor(sd * 1000000 + 0.5) AS BIGINT) AS season_micro,
+           CAST(floor(f * 1000000 + 0.5) AS BIGINT) AS forecast_micro
+    FROM hw
+    """
+
+
+@query(
+    "w28_holt_winters",
+    _w28_oracle(),
+    "Holt-Winters ADDITIVE seasonal smoothing (Winters 1960; the "
+    "seasonal upgrade of w25's level+trend Holt) over per-type 6-hour "
+    "counts with period m=4 (one day): level, trend and a rotating "
+    "4-slot seasonal register update per step, and the one-step "
+    "forecast l+b+s_{{t-m}} is the seasonality-aware baseline w24-"
+    "style anomaly monitors subtract. Smoothing constants are DYADIC "
+    "(alpha=1/2, beta=1/4, gamma=1/2) and seasonal slots initialize "
+    "to zero, so every recurrence step is exact IEEE arithmetic; the "
+    "oracle's recursive CTE carries the four slots as columns and "
+    "shifts them each step — bit-equal state, half-up-floor micro "
+    "outputs (the w25/c13 discipline extended to a 6-state coupled "
+    "recurrence). Sequential per series, so it runs as one Arrow "
+    "stage per type over the pre-aggregated bucket frame; corpus-"
+    "scale work is the single map-side-combined count.",
+)
+def w28_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    buck = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 21600000000").alias("bk"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bk", kind="mergesort").reset_index(drop=True)
+        y = pdf["n"].to_numpy(dtype=float)
+        out_l, out_b, out_s, out_f = [], [], [], []
+        l, b = y[0], 0.0
+        slots = [0.0, 0.0, 0.0, 0.0]  # s_{t-4}..s_{t-1}
+        for t in range(len(y)):
+            if t == 0:
+                f, s_new = y[0], 0.0
+            else:
+                sa = slots[0]
+                f = l + b + sa
+                l_new = 0.5 * (y[t] - sa) + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                s_new = 0.5 * (y[t] - l_new) + 0.5 * sa
+                l = l_new
+                slots = slots[1:] + [0.0]
+            slots[3] = s_new
+            out_l.append(l)
+            out_b.append(b)
+            out_s.append(s_new)
+            out_f.append(f)
+
+        def mic(xs):
+            return np.floor(np.asarray(xs) * 1e6 + 0.5).astype("int64")
+
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "bucket_key": pdf["bk"].astype("int64"),
+                "n": pdf["n"].astype("int64"),
+                "level_micro": mic(out_l),
+                "trend_micro": mic(out_b),
+                "season_micro": mic(out_s),
+                "forecast_micro": mic(out_f),
+            }
+        )
+
+    return buck.groupBy("event_type").applyInPandas(
+        smooth,
+        "event_type string, bucket_key long, n long, level_micro long, "
+        "trend_micro long, season_micro long, forecast_micro long",
+    )

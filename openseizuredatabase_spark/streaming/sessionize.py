@@ -225,16 +225,25 @@ def stream_interval_join(
     right_ts: str,
     lookback: str = "5 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right rows in [left.ts − lookback,
-    left.ts] for the same key — Spark's canonical two-stream join shape
-    (J4's interval containment as a streaming operator).
+    """Stream-stream join: right rows in [left.ts − lookback, left.ts]
+    for the same key — Spark's canonical two-stream join shape (J4's
+    interval containment as a streaming operator).
 
     Both sides carry their own watermark; the time-range condition is
     what lets the engine bound join state (right rows older than
     left-watermark − lookback are evicted). Inner-join output is
     complete — the watermark governs state size, not result membership —
     so the emission is deterministic and batch-oracle-checkable.
+
+    ``how="leftOuter"`` adds null-padded emission for unmatched left
+    rows — but only once the global watermark PROVES no future right
+    row can match (l.ts < watermark), so rows inside the final
+    watermark horizon are withheld at stream end: output membership is
+    matched-pairs ∪ {unmatched left | l.ts < max(event time) −
+    watermark delay}, deterministic under availableNow replay and
+    pinned by s23's oracle.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -243,7 +252,7 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {lookback}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def paced_replay(

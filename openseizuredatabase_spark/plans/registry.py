@@ -623,6 +623,35 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "n_a + 31*n_b + 1009*n_only_a + 31063*n_only_b + 7*n_changed"),
         ("d10_time_travel", "pct",
          f"{t('cut_us')} + 31*n_live + 1009*{t('sum_value_c')}"),
+        # round-6 rotation: 8 long-stable singles demoted so the
+        # round-6 flagships take direct window rows
+        ("t2_quality_score", "doc_id",
+         f"n_tokens + 31*{q6('stop_ratio')} + 1009*{q6('punct_ratio')}"
+         f" + 31063*{q6('quality')}"),
+        ("t3_lang_id",
+         f"CAST({sc('lang')} AS BIGINT) * 100000 + {sc('predicted')}",
+         "n"),
+        ("t5_ngram_jaccard", "id_a * 100000 + id_b", q6("jaccard")),
+        ("v1_cosine_topk", "vec_id", q6("cosine_sim")),
+        ("v2_lsh_buckets", "bucket", "n"),
+        ("c9_fft_features", "vec_id",
+         f"{t(q6('spec_power'))} + 31*{t(q6('roi_power'))}"
+         f" + 1009*{q6('roi_ratio')}"),
+        ("t36_source_pagerank", sc("source"),
+         f"{t('w_out')} + 31*{t('rank_micro')}"),
+        ("p10_doremi_weights", sc("source"),
+         f"n_docs + 31*{t('s_pm')} + 1009*{t('loss_milli')}"
+         f" + 31063*{t('weight_micro')}"),
+        # round-6 non-window singles
+        ("m40_calibration_bins", "bin",
+         f"n + 31*n_pos + 1009*{t('sum_pm')} + 7*{q6('frac_pos')}"
+         f" + 3*{q6('avg_p')} + 127*{t('brier_micro')}"),
+        ("n25_levene_bf", "n_groups",
+         f"n_total + 31*{t('a_units')} + 1009*{t('b_units')}"
+         f" + 31063*{q6('w_stat')}"),
+        ("n26_jarque_bera", sc("event_type"),
+         f"n + 31*{q6('jb_stat')}"
+         " + 1009*(CASE WHEN reject_normal_5pct THEN 1 ELSE 0 END)"),
     ]
 
 
@@ -711,19 +740,24 @@ _DRIVER_WINDOW = [
     "f7_anti_join_customers",
     "w5_epoch_segmentation",
     "m3_oversample_balance", "m9_batch_inference",
-    "t2_quality_score", "t3_lang_id",
-    "t5_ngram_jaccard",
-    "v1_cosine_topk", "v2_lsh_buckets", "w10_alarm_state_machine",
-    "c9_fft_features",
+    "w10_alarm_state_machine",
+    # round-6 rotation (fifth application of the discipline): the 8
+    # round-6 flagships take direct rows; the 8 long-stable singles
+    # they displace (t2/t3/t5/v1/v2/c9/t36/p10) move into their
+    # family x_sig shards with fresh integer signatures.
+    "t24_semdedup_scaled", "v18_pq_sampled_train",
+    "v19_hier_assign_scaled", "e2_activity_osdb_etl",
+    "e3_activity_windows", "s23_stream_outer_join",
+    "t54_dup_clusters", "w28_holt_winters",
     # round-4 session-5 rotation: session-4 flagships holding direct
     # rows (the 19 round-3 flagships they displaced live in
     # x_signatures with fresh integer signatures).
-    "t34_hashed_classifier", "t35_kneser_ney", "t36_source_pagerank",
+    "t34_hashed_classifier", "t35_kneser_ney",
     "t37_bm25_topk", "v8_pq_adc", "v10_ivf_pq",
     "j10_fuzzy_blocked_join", "t41_triangle_count",
     "w5_epoch_oracled", "m34_jpeg_decode", "m36_gif_frames",
     "p6_filter_chain", "s20_streaming_session_window", "s22_stream_upsert",
-    "j17_hits", "p10_doremi_weights", "t51_line_filters",
+    "j17_hits", "t51_line_filters",
     "m26_knn_label_prop", "t52_llr_collocations",
     # round-4 session-6 rotation (same discipline, third application):
     # the 15 session-6 flagships take direct rows; the 15 long-stable

@@ -282,6 +282,9 @@ HEADLINE = [
     "m40_calibration_bins",
     "w28_holt_winters",
     "s23_stream_outer_join",
+    "e4_activity_combined",
+    "m41_wav_resample",
+    "j19_butterfly_count",
 ]
 
 

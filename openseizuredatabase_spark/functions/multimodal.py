@@ -1101,3 +1101,47 @@ def gif_frame_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             )
 
     return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+def resample_wav(
+    media: DataFrame, dst_rate: int, id_col: str = "media_id"
+) -> DataFrame:
+    """Real audio resample stage: decode each WAV clip, linear-
+    interpolate onto the ``dst_rate`` grid in EXACT integer arithmetic,
+    re-encode PCM-16 at the new rate (Arrow-batched mapInPandas, bytes
+    never on the driver).
+
+    With src/dst reduced to a/b, output sample j sits at source
+    position j·a/b: idx = (j·a) div b, r = (j·a) mod b, and the
+    interpolated value is floor((v[idx]·(b−r) + v[idx+1]·r) / b) —
+    numerator and floor-division all integer, so the resample is
+    bit-reproducible in any engine (the m41 oracle replays the same
+    index math in SQL). Output length m = (n−1)·b div a + 1 (the last
+    grid point at or before the final source sample); the tail index
+    clamps like np.interp's edge hold. Mono clips (the OSDB phone-
+    export shape); the cost is one pass over samples per clip.
+    """
+    import math as _math
+
+    out_schema = f"{id_col} long, content binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                v, src = decode_wav(bytes(content))
+                v = v[:, 0].astype(np.int64)  # mono
+                g = _math.gcd(src, dst_rate)
+                a, b = src // g, dst_rate // g
+                n = len(v)
+                m = (n - 1) * b // a + 1
+                j = np.arange(m, dtype=np.int64)
+                idx = (j * a) // b
+                r = (j * a) % b
+                idx2 = np.minimum(idx + 1, n - 1)
+                num = v[idx] * (b - r) + v[idx2] * r
+                out = num // b  # numpy // is floor division
+                rows.append((int(mid), encode_wav(out, dst_rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "content"])
+
+    return media.mapInPandas(run, out_schema)

@@ -1931,3 +1931,69 @@ def e3_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rawData3d").alias("raw3d"),
         F.col("Id").alias("win_id"),
     )
+
+
+@query(
+    "e4_activity_combined",
+    _e2_samples_sql()
+    + """
+    , osdb AS (
+        SELECT eid, bin + 1 AS rid, user_tag, label,
+               round(xg * 1000, 6) AS x_r,
+               round(yg * 1000, 6) AS y_r,
+               round(zg * 1000, 6) AS z_r,
+               round(sqrt((xg * 1000) * (xg * 1000)
+                          + (yg * 1000) * (yg * 1000)
+                          + (zg * 1000) * (zg * 1000)), 6) AS mag_r
+        FROM kept
+    ), tagged AS (
+        SELECT *, CASE WHEN eid % 2 = 0 THEN 0 ELSE 1 END AS src
+        FROM osdb
+    )
+    SELECT eid AS event_id,
+           row_number() OVER (ORDER BY src, eid, rid) AS row_id,
+           user_tag, label, x_r, y_r, z_r, mag_r
+    FROM tagged
+    """,
+    "Seizure-sample + activity dataset combine (reference "
+    "dataset_generator.py:11-49, the third file of the human-activity "
+    "trio): two OSDB-format frames concatenate at the ROW level — "
+    "df1's rows keep their relative (event, sample) order ahead of "
+    "df2's — and the global Id re-sequences from 1 "
+    "(sources/activity.combine_datasets as one rank over (src, event, "
+    "original id); the reference's index+1 over an ordered concat). "
+    "Fixture: e2's ETL output split by event parity plays the two "
+    "input datasets; the hash pins the concat order and the gapless "
+    "re-Id. The global row_number is the documented sequential-Id "
+    "cost — at lake scale the production form is zipWithIndex-style "
+    "per-partition offsets (m1's documented pattern); the semantic "
+    "contract (order + gaplessness) is what this entry gates.",
+)
+def e4_activity_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.sources.activity import (
+        combine_datasets,
+    )
+
+    osdb = e2_activity_osdb_etl(spark, sf_dir).select(
+        F.col("event_id").alias("eventId"),
+        F.col("row_id").alias("Id"),
+        F.col("user_tag").alias("userId"),
+        "label",
+        F.col("x_r").alias("x"),
+        F.col("y_r").alias("y"),
+        F.col("z_r").alias("z"),
+        F.col("mag_r").alias("magnitude"),
+    )
+    a = osdb.filter(F.col("eventId") % 2 == 0)
+    b = osdb.filter(F.col("eventId") % 2 == 1)
+    out = combine_datasets(a, b)
+    return out.select(
+        F.col("eventId").alias("event_id"),
+        F.col("Id").alias("row_id"),
+        F.col("userId").alias("user_tag"),
+        "label",
+        F.col("x").alias("x_r"),
+        F.col("y").alias("y_r"),
+        F.col("z").alias("z_r"),
+        F.col("magnitude").alias("mag_r"),
+    )

@@ -2724,3 +2724,82 @@ def m40_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("brier_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: audio resample (rate conversion with exact integer interp)
+# ---------------------------------------------------------------------------
+
+_M41_FD = "((num - (((num % 3) + 3) % 3)) / 3)::BIGINT"
+
+
+@query(
+    "m41_wav_resample",
+    f"""
+    WITH s AS (
+        SELECT event_id AS media_id,
+               (100 + event_id % 50)::BIGINT AS n, t.t AS i,
+               ((t.t * 17 + event_id * 29) % 2003) - 1001 AS v
+        FROM events,
+             unnest(generate_series(0, 100 + event_id % 50 - 1)) AS t(t)
+        WHERE event_id < 200
+    ), params AS (
+        SELECT media_id, n, (n - 1) * 3 // 4 + 1 AS m
+        FROM s GROUP BY media_id, n
+    ), grid AS (
+        SELECT p.media_id, p.n, j.j AS j,
+               (j.j * 4) // 3 AS idx, (j.j * 4) % 3 AS r
+        FROM params p, unnest(generate_series(0, p.m - 1)) AS j(j)
+    ), ov AS (
+        SELECT g.media_id,
+               s1.v * (3 - g.r) + s2.v * g.r AS num
+        FROM grid g
+        JOIN s s1 ON s1.media_id = g.media_id AND s1.i = g.idx
+        JOIN s s2 ON s2.media_id = g.media_id
+                 AND s2.i = least(g.idx + 1, g.n - 1)
+    )
+    SELECT media_id, 6000::BIGINT AS sample_rate,
+           count(*)::BIGINT AS n_samples, 1::BIGINT AS channels,
+           sum({_M41_FD})::BIGINT AS s_sum,
+           min({_M41_FD})::BIGINT AS s_min,
+           max({_M41_FD})::BIGINT AS s_max
+    FROM ov GROUP BY media_id
+    """,
+    "REAL audio rate conversion (multimodal.resample_wav — the "
+    "feature-extraction prerequisite when phone exports arrive at "
+    "mixed rates): m22's PCM-16 clips decode, linear-interpolate from "
+    "8 kHz onto the 6 kHz grid in EXACT integer arithmetic (a/b = "
+    "4/3; out_j = floor((v[idx](b-r) + v[idx+1]r)/b) with idx = j*4 "
+    "div 3 — portable floor-division, edge-hold clamp at the tail), "
+    "re-encode at 6 kHz, and decode AGAIN to stats — so the full "
+    "decode-resample-encode-decode chain is value-hash gated against "
+    "an oracle that replays the grid index math in SQL. One "
+    "mapInPandas per stage, bytes stay on executors; cost is one "
+    "pass over samples per clip.",
+)
+def m41_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_wav,
+        resample_wav,
+        wav_sample_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 100 + mid % 50
+                t_idx = np.arange(n, dtype=np.int64)
+                v = ((t_idx * 17 + mid * 29) % 2003) - 1001
+                rows.append((mid, encode_wav(v, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return wav_sample_stats(resample_wav(media, 6000))

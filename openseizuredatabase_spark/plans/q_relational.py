@@ -4399,3 +4399,74 @@ def s23_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rid_sum"),
         )
     )
+
+
+@query(
+    "j19_butterfly_count",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), deg AS (
+        SELECT p, count(*)::BIGINT AS d FROM e GROUP BY p
+    ), pairs AS (
+        SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS c
+        FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT (SELECT count(DISTINCT p) FROM e)::BIGINT AS n_parts,
+           (SELECT count(DISTINCT s) FROM e)::BIGINT AS n_suppliers,
+           (SELECT count(*) FROM e)::BIGINT AS n_edges,
+           (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
+           coalesce(sum(c * (c - 1) / 2), 0)::BIGINT AS n_butterflies,
+           coalesce(max(c), 0)::BIGINT AS max_copairs
+    FROM pairs
+    """,
+    "Butterfly counting — bipartite 4-cycle motifs over the supplier-"
+    "part co-occurrence graph (the bipartite analogue of t41's "
+    "triangle count; butterflies are THE density/community signal for "
+    "two-mode graphs, Sanei-Mehri et al. 2018): dedup (part, "
+    "supplier) edges, generate same-part supplier wedges by one "
+    "equi-join keyed on part, count co-occurrences per supplier pair, "
+    "then butterflies = sum C(c,2). Scale shape: the wedge space is "
+    "sum_p C(d_p, 2) — bounded because part degree is bounded "
+    "(TPC-H partsupp gives ~4 suppliers/part; at lake scale a "
+    "degree-cap/salt on the rare hot part key bounds the join, the "
+    "standard vertex-priority refinement) — never the |S|^2 pair "
+    "space. Exact integer counting end to end; the wedge total "
+    "cross-checks the pair table (sum c == n_wedges).",
+)
+def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_e = e.agg(
+        F.countDistinct("p").alias("n_parts"),
+        F.countDistinct("s").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    tot_w = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    tot_b = pairs.agg(
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_butterflies"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_copairs"),
+    )
+    return tot_e.crossJoin(tot_w).crossJoin(tot_b).select(
+        F.col("n_parts").cast("long"),
+        F.col("n_suppliers").cast("long"),
+        F.col("n_edges").cast("long"),
+        "n_wedges",
+        "n_butterflies",
+        "max_copairs",
+    )

@@ -100,3 +100,42 @@ def test_hits_weight_sensitivity(spark):
     out = {(r.role, r.node): r.score_micro
            for r in hits_scores(edges, iters=2).collect()}
     assert out[("auth", 101)] > out[("auth", 102)]
+
+
+def test_butterfly_count_matches_brute_force(spark):
+    """j19's wedge-pair formula vs explicit 4-cycle enumeration on a
+    small bipartite graph (parts x suppliers)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    edges = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 11), (3, 12),
+        (4, 13),
+    ]
+    # brute force: suppliers pairs sharing >= 2 parts -> C(shared, 2)
+    from collections import defaultdict
+    parts_of = defaultdict(set)
+    for p, s in edges:
+        parts_of[s].add(p)
+    expected = sum(
+        len(parts_of[a] & parts_of[b]) * (len(parts_of[a] & parts_of[b]) - 1) // 2
+        for a, b in combinations(sorted(parts_of), 2)
+    )
+    li = spark.createDataFrame(
+        [(p, s) for p, s in edges] * 2,  # dup rows: the distinct() must collapse
+        "l_partkey long, l_suppkey long",
+    )
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s"), F.col("b.s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = pairs.agg(
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)).cast("long")
+    ).first()[0]
+    assert got == expected == 2  # {1,2}x{10,11} and {1,3}x{11,12}

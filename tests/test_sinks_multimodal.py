@@ -470,3 +470,36 @@ def test_codec_edge_shapes_roundtrip():
         c = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
         dc = mm.decode_jpeg(mm.encode_jpeg(c, quality=92))
         assert dc.shape == c.shape
+
+
+def test_wav_resample_identity_and_downrate(spark):
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_wav,
+    )
+
+    v = ((np.arange(40, dtype=np.int64) * 17 + 5) % 2003) - 1001
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(v, 8000)))], "media_id long, content binary"
+    )
+    # dst == src: a/b = 1/1 -> bit-identical passthrough
+    same = resample_wav(media, 8000).collect()[0]
+    s, rate = decode_wav(bytes(same["content"]))
+    assert rate == 8000 and s[:, 0].tolist() == v.tolist()
+    # 8k -> 6k: m = (n-1)*3//4 + 1; every 3rd output (r=0) hits a
+    # source sample exactly; interior points are the integer lerp
+    down = resample_wav(media, 6000).collect()[0]
+    s2, rate2 = decode_wav(bytes(down["content"]))
+    out = s2[:, 0].astype(np.int64)
+    assert rate2 == 6000 and len(out) == (40 - 1) * 3 // 4 + 1
+    assert out[0] == v[0] and out[3] == v[4] and out[6] == v[8]
+    j = 1  # idx = 1, r = 1 -> floor((v[1]*2 + v[2]*1)/3)
+    assert out[j] == (v[1] * 2 + v[2] * 1) // 3
+    # tail edge-hold: last grid point at/before the final sample
+    assert out[-1] == (
+        v[(len(out) - 1) * 4 // 3] * (3 - (len(out) - 1) * 4 % 3)
+        + v[min((len(out) - 1) * 4 // 3 + 1, 39)] * ((len(out) - 1) * 4 % 3)
+    ) // 3

@@ -285,6 +285,9 @@ HEADLINE = [
     "e4_activity_combined",
     "m41_wav_resample",
     "j19_butterfly_count",
+    "z5_overlap_depth",
+    "m42_isotonic_fit",
+    "v20_ivf_partition_pruning",
 ]
 
 

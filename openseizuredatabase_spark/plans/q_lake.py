@@ -1997,3 +1997,86 @@ def e4_activity_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z").alias("z_r"),
         F.col("magnitude").alias("mag_r"),
     )
+
+
+@query(
+    "z5_overlap_depth",
+    """
+    WITH files AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               min(round(value * 100)::BIGINT) AS lo,
+               max(round(value * 100)::BIGINT) AS hi
+        FROM events GROUP BY 1, 2
+    ), ends AS (
+        SELECT d, lo AS pos, 1 AS delta FROM files
+        UNION ALL
+        SELECT d, hi + 1 AS pos, -1 AS delta FROM files
+    ), per_pos AS (
+        SELECT d, pos, sum(delta)::BIGINT AS dd
+        FROM ends GROUP BY d, pos
+    ), sweep AS (
+        SELECT d, pos,
+               sum(dd) OVER (PARTITION BY d ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS depth
+        FROM per_pos
+    )
+    SELECT s.d, f.n_files, max(s.depth)::BIGINT AS max_depth,
+           f.span_lo, f.span_hi
+    FROM sweep s
+    JOIN (SELECT d, count(*)::BIGINT AS n_files,
+                 min(lo)::BIGINT AS span_lo, max(hi)::BIGINT AS span_hi
+          FROM files GROUP BY d) f USING (d)
+    GROUP BY s.d, f.n_files, f.span_lo, f.span_hi
+    """,
+    "Zone-map OVERLAP DEPTH — the clustering-health metric behind "
+    "Delta/Iceberg OPTIMIZE prioritization (completes the z-family: "
+    "z1/z2 build layouts, z3 audits skipping, z4 scores locality; "
+    "this measures WHY skipping degrades): per day, each simulated "
+    "file's [min, max] value interval enters an endpoint sweep "
+    "(+1 at lo, -1 at hi+1, integer cents), and the running sum's "
+    "peak is the maximum number of files any point predicate must "
+    "scan — depth 1 is perfectly clustered, depth = n_files is fully "
+    "overlapped (the compaction trigger). One aggregation to build "
+    "zone maps (metadata-sized), one per-day ordered window over "
+    "2 x n_files endpoint rows — the sweep runs on MANIFEST rows, "
+    "never data, so at 100 TB it costs what listing the day costs.",
+)
+def z5_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    files = ev.groupBy("d", "event_type").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    )
+    ends = files.select(
+        "d", F.col("lo").alias("pos"), F.lit(1).alias("delta")
+    ).unionByName(
+        files.select(
+            "d", (F.col("hi") + 1).alias("pos"), F.lit(-1).alias("delta")
+        )
+    )
+    per_pos = ends.groupBy("d", "pos").agg(
+        F.sum("delta").cast("long").alias("dd")
+    )
+    sweep = per_pos.withColumn(
+        "depth",
+        F.sum("dd").over(
+            Window.partitionBy("d")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    meta = files.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.min("lo").cast("long").alias("span_lo"),
+        F.max("hi").cast("long").alias("span_hi"),
+    )
+    return (
+        sweep.join(meta, "d")
+        .groupBy("d", "n_files", "span_lo", "span_hi")
+        .agg(F.max("depth").cast("long").alias("max_depth"))
+        .select("d", "n_files", "max_depth", "span_lo", "span_hi")
+    )

@@ -2803,3 +2803,96 @@ def m41_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ev.mapInPandas(gen, "media_id long, content binary")
     return wav_sample_stats(resample_wav(media, 6000))
+
+
+def _m42_oracle() -> str:
+    m40 = QUERIES["m40_calibration_bins"].oracle
+    return f"""
+    WITH cal AS MATERIALIZED ({m40}),
+    pre AS (
+        SELECT bin,
+               sum(n) OVER (ORDER BY bin) AS cn,
+               sum(n_pos) OVER (ORDER BY bin) AS cp
+        FROM cal
+    ), rng AS (
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(k.cp - coalesce(jp.cp, 0) AS DOUBLE)
+               / CAST(k.cn - coalesce(jp.cn, 0) AS DOUBLE) AS a
+        FROM pre j
+        JOIN pre k ON k.bin >= j.bin
+        LEFT JOIN pre jp ON jp.bin = j.bin - 1
+    ), mins AS (
+        SELECT i.bin AS i, r.j, min(r.a) AS mn
+        FROM cal i JOIN rng r ON r.j <= i.bin AND r.k >= i.bin
+        GROUP BY i.bin, r.j
+    ), fit AS (
+        SELECT i AS bin, round(max(mn), 6) AS fitted_p
+        FROM mins GROUP BY i
+    )
+    SELECT c.bin, c.n, c.n_pos, c.frac_pos, c.avg_p, f.fitted_p
+    FROM cal c JOIN fit f USING (bin)
+    """
+
+
+@query(
+    "m42_isotonic_fit",
+    _m42_oracle(),
+    "Isotonic (PAV) probability calibration over m40's reliability "
+    "bins — the non-parametric recalibration step that follows a "
+    "calibration audit (Zadrozny & Elkan 2002): the weighted "
+    "monotone fit uses the CLOSED-FORM minimax identity fitted_i = "
+    "max_{{j<=i}} min_{{k>=i}} wavg(y, j..k), equivalent to pool-"
+    "adjacent-violators but expressible as prefix sums + two bounded "
+    "joins instead of a sequential pooling loop — O(B^3) over B=10 "
+    "AGGREGATED bins (pandas-free, driver-free), while the corpus-"
+    "scale work stays m40's single map-side-combined pass. Every "
+    "range average is one double division of exact integer prefix "
+    "sums and min/max are order-free, so the fit is bit-stable and "
+    "the oracle replays the identical identity. Output keeps the "
+    "observed curve beside the fitted monotone curve.",
+)
+def m42_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = m40_calibration_bins(spark, sf_dir)
+    w = Window.orderBy("bin")
+    pre = cal.select(
+        "bin",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"), F.col("cn").alias("jcn"), F.col("cp").alias("jcp")
+    )
+    jp = pre.select(
+        (F.col("bin") + 1).alias("j"),
+        F.col("cn").alias("pcn"),
+        F.col("cp").alias("pcp"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cp").alias("kcp")
+    )
+    rng = (
+        j.join(jp, "j", "left")
+        .join(k, F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("kcp") - F.coalesce(F.col("pcp"), F.lit(0))).cast(
+                    "double"
+                )
+                / (F.col("kcn") - F.coalesce(F.col("pcn"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("a"),
+        )
+    )
+    bins = cal.select(F.col("bin").alias("i"))
+    mins = (
+        bins.join(rng, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("a").alias("mn"))
+    )
+    fit = mins.groupBy("i").agg(F.round(F.max("mn"), 6).alias("fitted_p"))
+    return cal.join(fit, cal["bin"] == fit["i"]).select(
+        "bin", "n", "n_pos", "frac_pos", "avg_p", "fitted_p"
+    )

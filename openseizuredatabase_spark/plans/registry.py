@@ -662,6 +662,15 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_parts + 31*n_suppliers + 1009*{t('n_edges')}"
          f" + 7*{t('n_wedges')} + 3*{t('n_butterflies')}"
          " + 127*max_copairs"),
+        ("z5_overlap_depth",
+         "year(d)*10000 + month(d)*100 + day(d)",
+         f"n_files + 31*max_depth + 1009*{t('span_lo')}"
+         f" + 7*{t('span_hi')}"),
+        ("m42_isotonic_fit", "bin",
+         f"n + 31*n_pos + 1009*{q6('frac_pos')} + 7*{q6('avg_p')}"
+         f" + 3*{q6('fitted_p')}"),
+        ("v20_ivf_partition_pruning", "cid",
+         "n_members + 31*n_files + 1009*total_files"),
     ]
 
 

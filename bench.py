@@ -288,6 +288,8 @@ HEADLINE = [
     "z5_overlap_depth",
     "m42_isotonic_fit",
     "v20_ivf_partition_pruning",
+    "n27_cochran_armitage",
+    "n28_hosmer_lemeshow",
 ]
 
 

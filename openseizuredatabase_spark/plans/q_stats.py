@@ -2681,3 +2681,161 @@ QUERIES["n26_jarque_bera"] = QuerySpec(
     ),
     doc=QUERIES["n26_jarque_bera"].doc,
 )
+
+
+_N27_Z2 = (
+    "round((CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE) * CAST(nt AS DOUBLE))"
+    " / (CAST(rt AS DOUBLE) * CAST(nt - rt AS DOUBLE)"
+    "    * (CAST(nt AS DOUBLE) * CAST(snss AS DOUBLE)"
+    "       - CAST(sns AS DOUBLE) * CAST(sns AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "n27_cochran_armitage",
+    f"""
+    WITH base AS (
+        SELECT user_id % 5 AS g,
+               CASE WHEN value > 150 THEN 1 ELSE 0 END AS r
+        FROM events WHERE value IS NOT NULL
+    ), grp AS (
+        SELECT g, count(*)::BIGINT AS n, sum(r)::BIGINT AS r
+        FROM base GROUP BY g
+    ), tot AS (
+        SELECT sum(n)::BIGINT AS nt, sum(r)::BIGINT AS rt,
+               sum(g * r)::BIGINT AS sr, sum(g * n)::BIGINT AS sns,
+               sum(g * g * n)::BIGINT AS snss
+        FROM grp
+    ), stat AS (
+        SELECT nt, rt, sns, snss,
+               (nt * sr - rt * sns)::BIGINT AS t2
+        FROM tot
+    )
+    SELECT nt AS n_total, rt AS n_pos, t2,
+           {_N27_Z2} AS z2,
+           (CASE WHEN t2 >= 0 THEN 1 ELSE -1 END)::BIGINT AS trend_sign
+    FROM stat
+    """,
+    "Cochran-Armitage trend test — does a BINARY outcome rate trend "
+    "monotonically across ordered exposure groups (the binary-outcome "
+    "counterpart of n24's Mann-Kendall; epidemiology's dose-response "
+    "gate): outcome = high-reading flag, groups = user-id quintile "
+    "classes with integer scores 0..4. The statistic reduces to "
+    "Z^2 = T^2 N / (R(N-R)(N*Sum(n s^2) - (Sum(n s))^2)) with "
+    "T = N*Sum(s r) - R*Sum(s n) — every input an order-free integer "
+    "sum from ONE map-side-combined pass over the scan, combined in "
+    "one fixed-order double expression (kept in doubles so the "
+    "squared term can't overflow int64 at 100x). trend_sign carries "
+    "the direction the chi-square loses.",
+)
+def n27_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 5).alias("g"),
+            F.when(F.col("value") > 150, 1).otherwise(0).alias("r"),
+        )
+    )
+    grp = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("r").cast("long").alias("rt"),
+        F.sum(F.col("g") * F.col("r")).cast("long").alias("sr"),
+        F.sum(F.col("g") * F.col("n")).cast("long").alias("sns"),
+        F.sum(F.col("g") * F.col("g") * F.col("n"))
+        .cast("long")
+        .alias("snss"),
+    )
+    stat = tot.select(
+        "nt",
+        "rt",
+        "sns",
+        "snss",
+        (F.col("nt") * F.col("sr") - F.col("rt") * F.col("sns"))
+        .cast("long")
+        .alias("t2"),
+    )
+    return stat.select(
+        F.col("nt").alias("n_total"),
+        F.col("rt").alias("n_pos"),
+        "t2",
+        F.expr(_N27_Z2).alias("z2"),
+        F.when(F.col("t2") >= 0, 1).otherwise(-1).cast("long").alias(
+            "trend_sign"
+        ),
+    )
+
+
+def _n28_oracle() -> str:
+    m40 = QUERIES["m40_calibration_bins"].oracle
+    return f"""
+    WITH cal AS ({m40}),
+    terms AS (
+        SELECT bin,
+               CAST(round(
+                   ((CAST(n_pos AS DOUBLE)
+                     - CAST(sum_pm AS DOUBLE) / 1000000)
+                    * (CAST(n_pos AS DOUBLE)
+                       - CAST(sum_pm AS DOUBLE) / 1000000))
+                   / ((CAST(sum_pm AS DOUBLE) / 1000000)
+                      * (1.0 - CAST(sum_pm AS DOUBLE) / 1000000
+                               / CAST(n AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS hl_units
+        FROM cal
+    )
+    SELECT count(*)::BIGINT AS n_bins,
+           sum(hl_units)::BIGINT AS hl_units,
+           round(CAST(sum(hl_units) AS DOUBLE) / 1000000, 6) AS hl_stat,
+           (CAST(sum(hl_units) AS DOUBLE) / 1000000
+            > 15.50731305586545) AS reject_calibrated_5pct
+    FROM terms
+    """
+
+
+@query(
+    "n28_hosmer_lemeshow",
+    _n28_oracle(),
+    "Hosmer-Lemeshow goodness-of-fit over m40's calibration bins — "
+    "the classical decision statistic for 'is this model calibrated' "
+    "(completes the calibration trio: m40 audits, m42 recalibrates, "
+    "n28 tests): HL = Sum_g (O_g - E_g)^2 / (E_g (1 - E_g/n_g)) with "
+    "O the observed positives and E the summed predicted "
+    "probabilities, compared to the chi-square(B-2) 5% critical "
+    "value. Each bin's term is one fixed-order double expression "
+    "over hash-verified integer aggregates, quantized to micro-units "
+    "BEFORE the cross-bin sum (the n16 discipline) so summation "
+    "order can't flip the hash. Corpus-scale cost is m40's single "
+    "aggregation; this adds 10 rows of arithmetic.",
+)
+def n28_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.plans.q_ml import m40_calibration_bins
+
+    cal = m40_calibration_bins(spark, sf_dir)
+    e = F.col("sum_pm").cast("double") / 1000000
+    term = (
+        (F.col("n_pos").cast("double") - e)
+        * (F.col("n_pos").cast("double") - e)
+        / (e * (F.lit(1.0) - e / F.col("n").cast("double")))
+    )
+    terms = cal.select(
+        F.round(term * 1000000, 0).cast("long").alias("hl_units")
+    )
+    out = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("hl_units").cast("long").alias("hl_units"),
+    )
+    return out.select(
+        "n_bins",
+        "hl_units",
+        F.round(F.col("hl_units").cast("double") / 1000000, 6).alias(
+            "hl_stat"
+        ),
+        (
+            F.col("hl_units").cast("double") / 1000000
+            > 15.50731305586545
+        ).alias("reject_calibrated_5pct"),
+    )

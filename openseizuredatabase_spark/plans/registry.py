@@ -671,6 +671,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 3*{q6('fitted_p')}"),
         ("v20_ivf_partition_pruning", "cid",
          "n_members + 31*n_files + 1009*total_files"),
+        ("n27_cochran_armitage", "0",
+         f"n_total + 31*n_pos + 1009*{t('t2')} + 7*{q6('z2')}"
+         " + 3*trend_sign"),
+        ("n28_hosmer_lemeshow", "0",
+         f"n_bins + 31*{t('hl_units')} + 1009*{q6('hl_stat')}"
+         " + 7*(CASE WHEN reject_calibrated_5pct THEN 1 ELSE 0 END)"),
     ]
 
 

@@ -290,6 +290,8 @@ HEADLINE = [
     "v20_ivf_partition_pruning",
     "n27_cochran_armitage",
     "n28_hosmer_lemeshow",
+    "a32_hll_daily_merge",
+    "v21_ann_query_batch",
 ]
 
 

@@ -4470,3 +4470,116 @@ def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_butterflies",
         "max_copairs",
     )
+
+
+def _a32_oracle() -> str:
+    from openseizuredatabase_spark.functions.sketches import (
+        HLL_NUM,
+        HLL_RHO_MAX,
+    )
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    est = (
+        f"CAST(round({HLL_NUM!r} / (s_present + (64 - n_regs)"
+        f" * (1::BIGINT << {HLL_RHO_MAX}))::DOUBLE, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d, {h} AS h
+        FROM events
+    ), rhos AS (
+        SELECT g, d, h & 63 AS j,
+               CASE WHEN h >> 6 = 0 THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX} - length(bin(h >> 6)) END AS rho
+        FROM hashed
+    ), dregs AS (
+        SELECT g, d, j, max(rho) AS reg FROM rhos GROUP BY g, d, j
+    ), merged AS (
+        SELECT g, j, max(reg) AS reg FROM dregs GROUP BY g, j
+    ), magg AS (
+        SELECT g, count(*) AS n_regs,
+               sum(1::BIGINT << ({HLL_RHO_MAX} - reg))::BIGINT
+                   AS s_present,
+               sum(reg * (7 + j * j))::BIGINT AS reg_sig
+        FROM merged GROUP BY g
+    ), direct_regs AS (
+        SELECT g, j, max(rho) AS reg FROM rhos GROUP BY g, j
+    ), dagg AS (
+        SELECT g, count(*) AS n_regs,
+               sum(1::BIGINT << ({HLL_RHO_MAX} - reg))::BIGINT
+                   AS s_present
+        FROM direct_regs GROUP BY g
+    ), days AS (
+        SELECT g, count(DISTINCT d)::BIGINT AS n_days FROM hashed
+        GROUP BY g
+    ), exact AS (
+        SELECT event_type AS g, count(DISTINCT user_id)::BIGINT
+               AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT m.g AS event_type, days.n_days, m.n_regs,
+           m.reg_sig::BIGINT AS reg_sig, {est} AS merged_est,
+           (SELECT {est} FROM dagg dd WHERE dd.g = m.g
+            ) = {est} AS merge_lossless,
+           exact.n_exact
+    FROM magg m JOIN days USING (g) JOIN exact USING (g)
+    """
+
+
+@query(
+    "a32_hll_daily_merge",
+    _a32_oracle(),
+    "HLL sketch MERGEABILITY executed, not just claimed (a17's "
+    "docstring says register frames 'merge by union + re-max' — this "
+    "entry is that path under a value hash): per-(type, DAY) register "
+    "frames build independently (the per-epoch partial state a 100-TB "
+    "ingest would persist beside each day's partition), then merge to "
+    "type level by re-max and estimate — and the merge_lossless "
+    "column pins merged == direct-over-the-union, the algebraic "
+    "property that makes sketch reaggregation free at any epoch "
+    "granularity. Daily frames are (types x days x 64) rows of "
+    "metadata; the merge is one 64-row-per-group re-max — nothing "
+    "rescans data. Exact count rides for the error check.",
+)
+def a32_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    daily = sketches.hll_registers(ev, ["event_type", "d"], "user_id")
+    merged = daily.groupBy("event_type", "j").agg(
+        F.max("reg").alias("reg")
+    )
+    est_m = sketches.hll_estimate(merged, ["event_type"]).select(
+        "event_type",
+        "n_regs",
+        "reg_sig",
+        F.col("hll_est").alias("merged_est"),
+    )
+    direct = sketches.hll_estimate(
+        sketches.hll_registers(ev, ["event_type"], "user_id"),
+        ["event_type"],
+    ).select("event_type", F.col("hll_est").alias("direct_est"))
+    days = ev.groupBy("event_type").agg(
+        F.countDistinct("d").cast("long").alias("n_days")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        est_m.join(direct, "event_type")
+        .join(days, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_regs",
+            "reg_sig",
+            "merged_est",
+            (F.col("merged_est") == F.col("direct_est")).alias(
+                "merge_lossless"
+            ),
+            "n_exact",
+        )
+    )

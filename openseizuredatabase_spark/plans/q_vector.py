@@ -2008,3 +2008,65 @@ def v20_ivf_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_files", F.lit(total_files).cast("long"))
         .select("cid", "n_members", "n_files", "total_files")
     )
+
+
+@query(
+    "v21_ann_query_batch",
+    f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+    ), qry AS (
+        SELECT vec_id AS qid, dim, v FROM q WHERE vec_id < 10
+    ), corp AS (
+        SELECT vec_id, dim, v FROM q WHERE vec_id >= 10
+    ), d AS (
+        SELECT qry.qid, corp.vec_id,
+               sum((qry.v - corp.v) * (qry.v - corp.v))::BIGINT AS dist
+        FROM qry JOIN corp USING (dim) GROUP BY qry.qid, corp.vec_id
+    )
+    SELECT qid, vec_id, dist FROM (
+        SELECT qid, vec_id, dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist, vec_id) AS rn
+        FROM d) WHERE rn <= 3
+    """,
+    "BATCHED ANN serving — every prior v-entry answers ONE query "
+    "vector; production indexes answer batches, and the batch changes "
+    "the plan shape: the 10-query quantized matrix BROADCASTS (query "
+    "batches are kilobytes), each corpus vector scores all queries in "
+    "one pass over its array (zip_with integer distance, no "
+    "per-query rescan), and per-query top-3 is a (qid)-partitioned "
+    "rank window. Integer distances, lowest-id ties — value-hash "
+    "exact. At 100 TB this is the brute-force rerank stage of "
+    "IVF-batch serving: candidates x queries with the query side "
+    "broadcast, corpus side scanned once.",
+)
+def v21_ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qa = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000, 0).cast("long"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), qa.alias("qv"))
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", qa.alias("cv"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("cv"), F.col("qv"), lambda c, q: (c - q) * (c - q)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid", "vec_id", dist.alias("dist")
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "dist")
+    )

@@ -677,6 +677,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("n28_hosmer_lemeshow", "0",
          f"n_bins + 31*{t('hl_units')} + 1009*{q6('hl_stat')}"
          " + 7*(CASE WHEN reject_calibrated_5pct THEN 1 ELSE 0 END)"),
+        ("a32_hll_daily_merge", sc("event_type"),
+         f"n_days + 31*n_regs + 1009*{t('reg_sig')} + 7*{t('merged_est')}"
+         " + 3*(CASE WHEN merge_lossless THEN 1 ELSE 0 END)"
+         f" + 127*{t('n_exact')}"),
+        ("v21_ann_query_batch", "qid * 100000 + vec_id", t("dist")),
     ]
 
 

@@ -292,6 +292,7 @@ HEADLINE = [
     "n28_hosmer_lemeshow",
     "a32_hll_daily_merge",
     "v21_ann_query_batch",
+    "d15_partition_evolution",
 ]
 
 

@@ -2080,3 +2080,87 @@ def z5_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("depth").cast("long").alias("max_depth"))
         .select("d", "n_files", "max_depth", "span_lo", "span_hi")
     )
+
+
+@query(
+    "d15_partition_evolution",
+    """
+    WITH a AS (
+        SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS n1
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ), b AS (
+        SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS n2,
+               count(DISTINCT event_type)::BIGINT AS files2
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1
+    )
+    SELECT a.d, a.n1, b.n2, 1::BIGINT AS files1, b.files2,
+           (a.n1 + b.n2)::BIGINT AS n_total
+    FROM a JOIN b USING (d)
+    WHERE a.d < DATE '2024-01-06'
+    """,
+    "Partition-spec EVOLUTION (the Iceberg v2 capability every "
+    "long-lived lake needs: old files keep their old layout, new "
+    "files use the new one, and one logical table reads across both): "
+    "half the events are written day-partitioned (spec 1), half "
+    "day+type-partitioned (spec 2, one file per leaf), then a "
+    "day-ranged query reads BOTH specs, reconciles the partition-"
+    "column schemas (spec 2's event_type lives in the directory, not "
+    "the data), and reports per-day row counts and files-touched per "
+    "spec from input_file_name() over the actually-read files. The "
+    "oracle replays the partition rules — files1 = 1 per day, files2 "
+    "= distinct types that day — so a wrong layout, a failed spec "
+    "reconciliation, or pruning that reads beyond the day range all "
+    "hash-fail. At 100 TB both reads prune on the shared day "
+    "prefix; the reconciliation is schema work, not data work.",
+)
+def d15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="d15_lake_")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartition(F.col("d"))
+        .write.partitionBy("d")
+        .mode("overwrite")
+        .parquet(f"{base}/spec1")
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(F.col("d"), F.col("event_type"))
+        .write.partitionBy("d", "event_type")
+        .mode("overwrite")
+        .parquet(f"{base}/spec2")
+    )
+    cut = F.lit("2024-01-06").cast("date")
+    s1 = (
+        spark.read.parquet(f"{base}/spec1")
+        .filter(F.col("d") < cut)
+        .withColumn("_f", F.input_file_name())
+    )
+    s2 = (
+        spark.read.parquet(f"{base}/spec2")
+        .filter(F.col("d") < cut)
+        .withColumn("_f", F.input_file_name())
+    )
+    g1 = s1.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.countDistinct("_f").cast("long").alias("files1"),
+    )
+    g2 = s2.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.countDistinct("_f").cast("long").alias("files2"),
+    )
+    return g1.join(g2, "d").select(
+        "d",
+        "n1",
+        "n2",
+        "files1",
+        "files2",
+        (F.col("n1") + F.col("n2")).cast("long").alias("n_total"),
+    )

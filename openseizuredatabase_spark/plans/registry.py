@@ -682,6 +682,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 3*(CASE WHEN merge_lossless THEN 1 ELSE 0 END)"
          f" + 127*{t('n_exact')}"),
         ("v21_ann_query_batch", "qid * 100000 + vec_id", t("dist")),
+        ("d15_partition_evolution",
+         "year(d)*10000 + month(d)*100 + day(d)",
+         "n1 + 31*n2 + 1009*files1 + 7*files2 + 3*n_total"),
     ]
 
 

@@ -2,8 +2,14 @@
 
 Runs each registry query on Spark and its oracle SQL on DuckDB over the
 same parquet dir, then compares row count, column-name set, and an
-order-insensitive value comparison (columns sorted by name, rows sorted,
-floats compared to 1e-9 relative after the queries' own rounding).
+order-insensitive BYTE-EXACT value comparison (columns sorted by name,
+rows sorted).  Doubles compare by their IEEE-754 bytes — ``-0.0`` and
+``+0.0`` are DIFFERENT (the round-6 e2 driver red: Spark's BigDecimal
+``round`` normalizes a tiny negative to +0.0 where DuckDB keeps -0.0;
+the two are ``==``-equal, so a tolerance compare is blind to the byte
+hash the driver actually uses).  Array/list cells are a hard FAIL: the
+driver's canonicalizer pandas-sorts over all columns and crashes on
+unhashable list cells (the round-6 e3 driver red).
 
 Usage:  python -m openseizuredatabase_spark.plans.oracle_check [sf_dir] [names...]
 """
@@ -12,10 +18,16 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 
 import duckdb
+
+
+class ArrayCellError(ValueError):
+    """An output cell is a list/array — the driver canonicalizer crashes
+    on these (pandas sort_values: unhashable type 'list')."""
 
 
 def _duckdb_conn(sf_dir: str):
@@ -38,12 +50,18 @@ def _norm_cell(v):
         return bool(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f64", "NaN")
+        # IEEE-754 bytes: type-sensitive AND signed-zero-sensitive,
+        # exactly like the driver's value hash (-0.0 != +0.0 here).
+        return ("f64", struct.pack(">d", v).hex())
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        raise ArrayCellError(
+            "array-typed output cell — the driver canonicalizer crashes "
+            "on list cells; encode as concat_ws of micro-ints or explode "
+            "to scalar rows"
+        )
     return v
 
 
@@ -53,20 +71,9 @@ def _sort_key(row):
     )
 
 
-def _rows_match(a, b, rel=1e-9, abs_=1e-9) -> bool:
-    if len(a) != len(b):
-        return False
-    for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, (int, float)):
-            if not math.isclose(x, float(y), rel_tol=rel, abs_tol=abs_):
-                return False
-        elif isinstance(y, float) and isinstance(x, (int, float)):
-            if not math.isclose(float(x), y, rel_tol=rel, abs_tol=abs_):
-                return False
-        else:
-            if x != y:
-                return False
-    return True
+def _rows_match(a, b) -> bool:
+    """Byte-exact, type-sensitive row compare (driver-faithful)."""
+    return a == b
 
 
 def compare_query(spark, con, spec, sf_dir: str) -> tuple[bool, str]:

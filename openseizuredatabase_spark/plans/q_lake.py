@@ -1800,12 +1800,13 @@ def _e2_samples_sql() -> str:
     _e2_samples_sql()
     + """
     SELECT eid AS event_id, bin + 1 AS row_id, user_tag, label,
-           round(xg * 1000, 6) AS x_r,
-           round(yg * 1000, 6) AS y_r,
-           round(zg * 1000, 6) AS z_r,
-           round(sqrt((xg * 1000) * (xg * 1000)
-                      + (yg * 1000) * (yg * 1000)
-                      + (zg * 1000) * (zg * 1000)), 6) AS mag_r
+           CAST(round((xg * 1000) * 1000000) AS BIGINT) AS x_u,
+           CAST(round((yg * 1000) * 1000000) AS BIGINT) AS y_u,
+           CAST(round((zg * 1000) * 1000000) AS BIGINT) AS z_u,
+           CAST(round(sqrt((xg * 1000) * (xg * 1000)
+                           + (yg * 1000) * (yg * 1000)
+                           + (zg * 1000) * (zg * 1000))
+                      * 1000000) AS BIGINT) AS mag_u
     FROM kept
     """,
     "Human-activity accelerometer ETL (reference user_tools/datasets/"
@@ -1819,10 +1820,15 @@ def _e2_samples_sql() -> str:
     "(a max-bin window, no collect). Fixture: deterministic seeded-md5 "
     "coded samples synthesized from `events` identically in both "
     "engines, with per-event lengths varied to exercise 1- and 2-"
-    "window truncation. At lake scale the regrid is one partial-"
-    "aggregated shuffle keyed (event, bin); the txt ingest itself "
-    "(wholetext + posexplode ordinals) is covered by pytest on real "
-    "files.",
+    "window truncation. Outputs are integer micro-units "
+    "(CAST(round(v*1e6) AS BIGINT)) rather than rounded doubles: "
+    "round(x, 6) can yield +0.0 (Spark BigDecimal HALF_UP) vs -0.0 "
+    "(DuckDB keeps the sign) for a tiny negative — ==-equal but "
+    "byte-distinct under the driver hash (the round-6 red, 27/3500 "
+    "cells); the int cast kills the signed zero in both engines. At "
+    "lake scale the regrid is one partial-aggregated shuffle keyed "
+    "(event, bin); the txt ingest itself (wholetext + posexplode "
+    "ordinals) is covered by pytest on real files.",
 )
 def e2_activity_osdb_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.sources.activity import (
@@ -1860,15 +1866,19 @@ def e2_activity_osdb_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (seeded_md5_long(key, 3) % 64).alias("zc"),
     )
     out = activity_to_osdb(samples, event_col="eid", idx_col="i")
+
+    def micro(c: str) -> F.Column:
+        return F.round(F.col(c) * 1000000, 0).cast("long")
+
     return out.select(
         F.col("eventId").alias("event_id"),
         F.col("Id").alias("row_id"),
         F.col("userId").alias("user_tag"),
         "label",
-        F.round("x", 6).alias("x_r"),
-        F.round("y", 6).alias("y_r"),
-        F.round("z", 6).alias("z_r"),
-        F.round("magnitude", 6).alias("mag_r"),
+        micro("x").alias("x_u"),
+        micro("y").alias("y_u"),
+        micro("z").alias("z_u"),
+        micro("magnitude").alias("mag_u"),
     )
 
 
@@ -1878,34 +1888,41 @@ def e2_activity_osdb_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , osdb AS (
         SELECT eid, bin + 1 AS rid, user_tag, label,
-               xg * 1000 AS x, yg * 1000 AS y, zg * 1000 AS z,
-               sqrt((xg * 1000) * (xg * 1000)
-                    + (yg * 1000) * (yg * 1000)
-                    + (zg * 1000) * (zg * 1000)) AS mag
+               CAST(round((xg * 1000) * 1000000) AS BIGINT) AS xu,
+               CAST(round((yg * 1000) * 1000000) AS BIGINT) AS yu,
+               CAST(round((zg * 1000) * 1000000) AS BIGINT) AS zu,
+               CAST(round(sqrt((xg * 1000) * (xg * 1000)
+                               + (yg * 1000) * (yg * 1000)
+                               + (zg * 1000) * (zg * 1000))
+                          * 1000000) AS BIGINT) AS magu
         FROM kept
     ), wins AS (
         SELECT eid, user_tag, label, (rid - 1) // 125 AS w,
-               list(round(mag, 6) ORDER BY rid) AS mag_list,
-               flatten(list([round(x, 6), round(y, 6), round(z, 6)]
-                            ORDER BY rid)) AS raw3d,
+               array_to_string(list(magu ORDER BY rid), ',') AS mag_sig,
+               array_to_string(flatten(list([xu, yu, zu] ORDER BY rid)),
+                               ',') AS raw3d_sig,
                count(*) AS n
         FROM osdb GROUP BY 1, 2, 3, 4
     )
-    SELECT eid AS event_id, user_tag, label, mag_list, raw3d,
+    SELECT eid AS event_id, user_tag, label, mag_sig, raw3d_sig,
            row_number() OVER (ORDER BY eid, w) AS win_id
     FROM wins WHERE n = 125
     """,
     "125-sample training-window restructure + global re-Id (reference "
     "data_restructurer.py:15-64 over the e2 ETL output): consecutive "
     "125-row chunks of each 25 Hz event collapse to one row holding "
-    "the magnitude list and the interleaved x/y/z rawData3d list (375 "
-    "values), with a fresh sequential window Id — the OSDB-to-training"
-    "-tensor step. Spark side is a (event, window) groupBy with "
-    "array_sort(collect_list(struct)) ordinals (no driver loop); the "
-    "oracle replays it with ordered list() aggregates. Incomplete "
+    "the magnitude window and the interleaved x/y/z rawData3d window "
+    "(375 values), with a fresh sequential window Id — the OSDB-to-"
+    "training-tensor step. Spark side is a (event, window) groupBy "
+    "with array_sort(collect_list(struct)) ordinals (no driver loop); "
+    "the oracle replays it with ordered list() aggregates. The window "
+    "contents project as comma-joined micro-int STRINGS, not array "
+    "columns: the driver canonicalizer pandas-sorts over all columns "
+    "and crashes on list cells (the round-6 e3 red) — the string "
+    "encoding pins the same contract (window membership, intra-window "
+    "order, interleave layout) in a driver-sortable scalar. Incomplete "
     "tails are impossible post-truncation but guarded anyway (n=125 "
-    "filter) — the hash pins window membership, intra-window order, "
-    "and the interleave layout.",
+    "filter).",
 )
 def e3_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.sources.activity import (
@@ -1917,18 +1934,19 @@ def e3_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_id").alias("Id"),
         F.col("user_tag").alias("userId"),
         "label",
-        F.col("x_r").alias("x"),
-        F.col("y_r").alias("y"),
-        F.col("z_r").alias("z"),
-        F.col("mag_r").alias("magnitude"),
+        F.col("x_u").alias("x"),
+        F.col("y_u").alias("y"),
+        F.col("z_u").alias("z"),
+        F.col("mag_u").alias("magnitude"),
     )
     w = restructure_windows(osdb)
+    sig = lambda c: F.concat_ws(",", F.col(c).cast("array<string>"))  # noqa: E731
     return w.select(
         F.col("eventId").alias("event_id"),
         F.col("userId").alias("user_tag"),
         "label",
-        F.col("magnitude").alias("mag_list"),
-        F.col("rawData3d").alias("raw3d"),
+        sig("magnitude").alias("mag_sig"),
+        sig("rawData3d").alias("raw3d_sig"),
         F.col("Id").alias("win_id"),
     )
 
@@ -1939,12 +1957,13 @@ def e3_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , osdb AS (
         SELECT eid, bin + 1 AS rid, user_tag, label,
-               round(xg * 1000, 6) AS x_r,
-               round(yg * 1000, 6) AS y_r,
-               round(zg * 1000, 6) AS z_r,
-               round(sqrt((xg * 1000) * (xg * 1000)
-                          + (yg * 1000) * (yg * 1000)
-                          + (zg * 1000) * (zg * 1000)), 6) AS mag_r
+               CAST(round((xg * 1000) * 1000000) AS BIGINT) AS x_u,
+               CAST(round((yg * 1000) * 1000000) AS BIGINT) AS y_u,
+               CAST(round((zg * 1000) * 1000000) AS BIGINT) AS z_u,
+               CAST(round(sqrt((xg * 1000) * (xg * 1000)
+                               + (yg * 1000) * (yg * 1000)
+                               + (zg * 1000) * (zg * 1000))
+                          * 1000000) AS BIGINT) AS mag_u
         FROM kept
     ), tagged AS (
         SELECT *, CASE WHEN eid % 2 = 0 THEN 0 ELSE 1 END AS src
@@ -1952,7 +1971,7 @@ def e3_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT eid AS event_id,
            row_number() OVER (ORDER BY src, eid, rid) AS row_id,
-           user_tag, label, x_r, y_r, z_r, mag_r
+           user_tag, label, x_u, y_u, z_u, mag_u
     FROM tagged
     """,
     "Seizure-sample + activity dataset combine (reference "
@@ -1979,10 +1998,10 @@ def e4_activity_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_id").alias("Id"),
         F.col("user_tag").alias("userId"),
         "label",
-        F.col("x_r").alias("x"),
-        F.col("y_r").alias("y"),
-        F.col("z_r").alias("z"),
-        F.col("mag_r").alias("magnitude"),
+        F.col("x_u").alias("x"),
+        F.col("y_u").alias("y"),
+        F.col("z_u").alias("z"),
+        F.col("mag_u").alias("magnitude"),
     )
     a = osdb.filter(F.col("eventId") % 2 == 0)
     b = osdb.filter(F.col("eventId") % 2 == 1)
@@ -1992,10 +2011,245 @@ def e4_activity_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Id").alias("row_id"),
         F.col("userId").alias("user_tag"),
         "label",
-        F.col("x").alias("x_r"),
-        F.col("y").alias("y_r"),
-        F.col("z").alias("z_r"),
-        F.col("magnitude").alias("mag_r"),
+        F.col("x").alias("x_u"),
+        F.col("y").alias("y_u"),
+        F.col("z").alias("z_u"),
+        F.col("magnitude").alias("mag_u"),
+    )
+
+
+_E5_AGG = """
+    SELECT '{stage}' AS stage, type, subType, descr, has_st,
+           count(*) AS n,
+           count(DISTINCT userId)::BIGINT AS n_users,
+           sum(eventNum)::BIGINT AS id_sum,
+           (2 * count(*))::BIGINT AS n_dps,
+           sum(round(hr_a * 100)::BIGINT
+               + round(hr_b * 100)::BIGINT)::BIGINT AS hr_units,
+           min(dataTime) AS min_dt, max(dataTime) AS max_dt
+    FROM edited {where}
+    GROUP BY type, subType, descr, has_st
+"""
+
+
+@query(
+    "e5_working_db_roundtrip",
+    """
+    WITH src AS (
+        SELECT event_id, user_id, event_type, ts,
+               round(value, 2) AS hr0
+        FROM events WHERE event_id < 3500
+    ), docs AS (
+        SELECT 'e' || event_id::VARCHAR AS id,
+               user_id AS userId,
+               event_type AS type,
+               's' || (event_id % 3)::VARCHAR AS subType,
+               CASE WHEN event_id >= 2900 THEN 're-added'
+                    ELSE 'orig' END AS descr,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS dataTime,
+               event_id AS eventNum,
+               hr0 + CASE WHEN event_id >= 2900 THEN 10.0
+                          ELSE 0.0 END AS hr_a
+        FROM src
+    ), edited AS (
+        SELECT id, userId,
+               CASE WHEN eventNum % 10 = 7 THEN 'Seizure'
+                    ELSE type END AS type,
+               CASE WHEN eventNum % 10 = 7 THEN 'TC'
+                    ELSE subType END AS subType,
+               CASE WHEN eventNum % 10 = 7 THEN 'curated'
+                    ELSE descr END AS descr,
+               (eventNum % 10 = 7) AS has_st,
+               dataTime, eventNum, hr_a, hr_a + 1.0 AS hr_b
+        FROM docs WHERE eventNum % 13 != 0
+    )
+    """
+    + _E5_AGG.format(stage="export", where="")
+    + " UNION ALL "
+    + _E5_AGG.format(
+        stage="range",
+        where="WHERE dataTime >= '2024-01-01 06:00:00'"
+        " AND dataTime <= '2024-01-02 00:00:00'",
+    )
+    + " UNION ALL "
+    + _E5_AGG.format(stage="point", where="WHERE id IN ('e1', 'e777')")
+    + """
+    UNION ALL
+    SELECT 'stats' AS stage, '~' AS type, '~' AS subType, '~' AS descr,
+           FALSE AS has_st,
+           count(*) AS n, count(DISTINCT userId)::BIGINT AS n_users,
+           3::BIGINT AS id_sum, (2 * count(*))::BIGINT AS n_dps,
+           0::BIGINT AS hr_units,
+           min(dataTime) AS min_dt, max(dataTime) AS max_dt
+    FROM edited
+    """,
+    "SQLite working-DB round-trip (reference curator_tools/"
+    "makeOsdDb_refactor/src/osdb_sqlite.py:1-911 OsdWorkingDb — the "
+    "last unported reference capability): the FULL curator lifecycle "
+    "runs against sources/working_db.OsdWorkingLake, a versioned-"
+    "snapshot parquet store. Script: (v0) import_from_json of 2900 "
+    "nested OSDB events written through the real NDJSON sink, with "
+    "MIXED dataTime formats (ISO-Z / dd-MM-yyyy) normalized by the "
+    "reference's strptime-cascade as built-in expressions; (v1) "
+    "add_events of 600 docs, 100 of which UPSERT existing ids "
+    "(INSERT OR REPLACE + datapoint cascade, as anti-join not driver "
+    "loop); (v2) apply_edits — the batch update_event — retyping "
+    "every eventNum%10==7 to Seizure/TC/curated with seizureTimes "
+    "set; (v3) remove_events of eventNum%13==0 with datapoint "
+    "cascade. Each mutation commits copy-on-write and publishes via "
+    "an atomic _LATEST pointer swap (crash-safe, like the SQLite "
+    "journal). Checked read paths: indexed dataTime range query "
+    "(stage=range), point lookup by id (stage=point), export_to_json "
+    "read BACK through the JSON schema (stage=export), and "
+    "get_statistics (stage=stats; id_sum carries the committed "
+    "version number 3). The oracle replays all four stages' "
+    "semantics over the same fixture; nested datapoint content rides "
+    "the integer hr_units sum.",
+)
+def e5_working_db_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from openseizuredatabase_spark.sources.sinks import write_events_json
+    from openseizuredatabase_spark.sources.working_db import OsdWorkingLake
+
+    ddl = (
+        "id string, userId bigint, type string, subType string, "
+        "desc string, dataTime string, eventNum bigint, "
+        "seizureTimes string, "
+        "datapoints array<struct<dataTime: string, hr: double>>"
+    )
+
+    def mk_docs(df: DataFrame, delta: float, desc_col: str) -> DataFrame:
+        rawdt = F.when(
+            F.col("event_id") % 2 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ).otherwise(F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
+        hr_a = F.round(F.col("value"), 2) + F.lit(delta)
+        dp = lambda t, hr: F.struct(  # noqa: E731
+            F.date_format(t, "yyyy-MM-dd HH:mm:ss").alias("dataTime"),
+            hr.alias("hr"),
+        )
+        return df.select(
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(
+                "id"
+            ),
+            F.col("user_id").alias("userId"),
+            F.col("event_type").alias("type"),
+            F.concat(
+                F.lit("s"), (F.col("event_id") % 3).cast("string")
+            ).alias("subType"),
+            F.lit("orig" if delta == 0.0 else "re-added").alias(desc_col),
+            rawdt.alias("dataTime"),
+            F.col("event_id").alias("eventNum"),
+            F.lit(None).cast("string").alias("seizureTimes"),
+            F.array(
+                dp(F.col("ts"), hr_a),
+                dp(
+                    F.col("ts") + F.expr("INTERVAL 5 SECONDS"),
+                    hr_a + F.lit(1.0),
+                ),
+            ).alias("datapoints"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="e5_wdb_")
+    db = OsdWorkingLake(spark, root)
+
+    # v0: import 2900 events through the real JSON sink + schema reader
+    json_in = tempfile.mkdtemp(prefix="e5_json_in_")
+    write_events_json(
+        mk_docs(ev.filter(F.col("event_id") < 2900), 0.0, "desc"), json_in
+    )
+    db.import_from_json(json_in, ddl)
+    # v1: upsert-add — 100 replacements (2900 <= id < 3000 were NOT
+    # imported above, so make the overlap real: re-import 2800-2899
+    # as 're-added' alongside the fresh 2900-3499)
+    db.add_events(
+        mk_docs(
+            ev.filter(
+                (F.col("event_id") >= 2900) & (F.col("event_id") < 3500)
+            ),
+            10.0,
+            "descr",
+        )
+    )
+    # v2: batch curator edit (update_event at scale)
+    edits = ev.filter(
+        (F.col("event_id") < 3500) & (F.col("event_id") % 10 == 7)
+    ).select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("id"),
+        F.lit("Seizure").alias("type"),
+        F.lit("TC").alias("subType"),
+        F.lit("curated").alias("descr"),
+        F.lit("[1.5, 3.0]").alias("seizureTimes"),
+    )
+    db.apply_edits(edits)
+    # v3: remove with datapoint cascade (deterministic id list)
+    db.remove_events([f"e{i}" for i in range(0, 3500, 13)])
+
+    hr_units = F.aggregate(
+        F.col("datapoints"),
+        F.lit(0).cast("long"),
+        lambda a, d: a + F.round(d["hr"] * 100, 0).cast("long"),
+    )
+
+    def stage_agg(df: DataFrame, stage: str, desc_col: str) -> DataFrame:
+        return (
+            df.select(
+                "type",
+                "subType",
+                F.col(desc_col).alias("descr"),
+                F.col("seizureTimes").isNotNull().alias("has_st"),
+                "userId",
+                "eventNum",
+                "dataTime",
+                F.size("datapoints").alias("_ndp"),
+                hr_units.alias("_hru"),
+            )
+            .groupBy("type", "subType", "descr", "has_st")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("userId").alias("n_users"),
+                F.sum("eventNum").alias("id_sum"),
+                F.sum("_ndp").cast("long").alias("n_dps"),
+                F.sum("_hru").alias("hr_units"),
+                F.min("dataTime").alias("min_dt"),
+                F.max("dataTime").alias("max_dt"),
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                "type", "subType", "descr", "has_st", "n", "n_users",
+                "id_sum", "n_dps", "hr_units", "min_dt", "max_dt",
+            )
+        )
+
+    # read paths: export→JSON→back, indexed range scan, point lookup
+    json_out = tempfile.mkdtemp(prefix="e5_json_out_")
+    db.export_to_json(json_out)
+    back = spark.read.schema(ddl).json(json_out)
+    rng = db.get_events(
+        start_time="2024-01-01T06:00:00Z",
+        end_time="2024-01-02 00:00:00",
+        include_datapoints=True,
+    )
+    pt = db.get_events(event_ids=["e1", "e777"], include_datapoints=True)
+    st = db.get_statistics()
+    stats = spark.createDataFrame(
+        [(
+            "stats", "~", "~", "~", False,
+            st["total_events"], st["unique_users"],
+            st["version"], st["total_datapoints"], 0,
+            st["time_range"]["start"], st["time_range"]["end"],
+        )],
+        "stage string, type string, subType string, descr string, "
+        "has_st boolean, n long, n_users long, id_sum long, "
+        "n_dps long, hr_units long, min_dt string, max_dt string",
+    )
+    return (
+        stage_agg(back, "export", "desc")
+        .unionByName(stage_agg(rng, "range", "descr"))
+        .unionByName(stage_agg(pt, "point", "descr"))
+        .unionByName(stats)
     )
 
 

@@ -330,8 +330,8 @@ def m7_class_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m10_subtype_weights",
     """
     SELECT event_id, event_type,
-           CASE event_type WHEN 'error' THEN 5.0 WHEN 'purchase' THEN 2.0
-                ELSE 1.0 END AS sample_weight
+           (CASE event_type WHEN 'error' THEN 5.0 WHEN 'purchase' THEN 2.0
+                 ELSE 1.0 END)::DOUBLE AS sample_weight
     FROM events WHERE event_id < 500
     """,
     "M10 per-subtype sample weighting (subtype_weighting.py): broadcast "

@@ -3224,7 +3224,7 @@ def _a27_oracle() -> str:
     SELECT event_type, true_n,
            {noise} AS noise,
            round(true_n::DOUBLE + {noise}, 6) AS noisy_n,
-           0.5 AS epsilon
+           0.5::DOUBLE AS epsilon
     FROM per
     """
 

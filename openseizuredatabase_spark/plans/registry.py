@@ -653,8 +653,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n + 31*{q6('jb_stat')}"
          " + 1009*(CASE WHEN reject_normal_5pct THEN 1 ELSE 0 END)"),
         ("e4_activity_combined", "event_id * 100000 + row_id",
-         f"{sc('user_tag')} + 31*{sc('label')} + 1009*{t(q6('x_r'))}"
-         f" + 7*{t(q6('y_r'))} + 3*{t(q6('z_r'))} + 127*{t(q6('mag_r'))}"),
+         f"{sc('user_tag')} + 31*{sc('label')} + 1009*{t('x_u')}"
+         f" + 7*{t('y_u')} + 3*{t('z_u')} + 127*{t('mag_u')}"),
         ("m41_wav_resample", "media_id",
          f"sample_rate + 31*n_samples + 1009*channels + 7*{t('s_sum')}"
          f" + 3*{t('s_min')} + 127*{t('s_max')}"),

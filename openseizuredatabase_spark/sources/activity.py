@@ -20,6 +20,13 @@ Spark-first re-expression:
   regrid is a single partial-aggregated shuffle keyed (event, bin).
 * the "multiple of 125 rows" truncation is a max-bin window per event,
   not a collected length check.
+* the reference's global sequential Ids (file seq, window Id, combined
+  row Id) are NOT computed with an unpartitioned global window over the
+  data rows (that would funnel every sample through one partition).
+  Each is a partitioned local rank plus a cumulative offset computed on
+  a metadata-sized side table (one row per file / per event / per
+  (src, event)) that is broadcast back — row_number over the total
+  order (a, b) equals offset(a) + rank-within-a exactly.
 
 All arithmetic is straight-line IEEE (divide, multiply, sqrt) on
 deterministic inputs, so every stage is DuckDB-oracle hashable.
@@ -70,14 +77,18 @@ def load_activity_txt(spark: SparkSession, root: str) -> DataFrame:
         & ~fname.endswith("_MODEL.txt")
         & ~parent.endswith("_MODEL")
     )
+    # reference extract_user_id: fname.split('-')[-1].split('.')[0] —
+    # substring after the LAST '-' (whole name if no dash), cut at the
+    # FIRST '.' ("a-12.5.txt" -> "12", "abc.txt" -> "abc")
+    user_tag = F.element_at(
+        F.split(F.element_at(F.split(fname, "-"), -1), r"\."), 1
+    )
     lines = (
         raw.filter(keep)
         .select(
             "file_path",
             parent.alias("label"),
-            F.regexp_extract(fname, r"-([^-.]+)\.txt$", 1).alias(
-                "user_tag"
-            ),
+            user_tag.alias("user_tag"),
             F.posexplode(
                 F.split(F.col("value"), "\n")
             ).alias("line_idx", "line"),
@@ -99,12 +110,21 @@ def load_activity_txt(spark: SparkSession, root: str) -> DataFrame:
 
 def assign_event_ids(samples: DataFrame) -> DataFrame:
     """One OSDB eventId per file: 99999<seq> with seq = 1-based rank of
-    the file path (deterministic, vs the reference's os.walk order)."""
-    seq = F.dense_rank().over(Window.orderBy("file_path"))
-    return samples.withColumn(
-        "eventId",
-        F.concat(F.lit("99999"), seq.cast("string")).cast("long"),
+    the file path (deterministic, vs the reference's os.walk order).
+
+    The rank is computed on the DISTINCT file list (one row per file —
+    metadata-sized) and broadcast-joined back, so the sample rows never
+    funnel through a single-partition global window."""
+    seq = F.row_number().over(Window.orderBy("file_path"))
+    ids = (
+        samples.select("file_path")
+        .distinct()
+        .withColumn(
+            "eventId",
+            F.concat(F.lit("99999"), seq.cast("string")).cast("long"),
+        )
     )
+    return samples.join(F.broadcast(ids), "file_path")
 
 
 def activity_to_osdb(
@@ -185,8 +205,29 @@ def restructure_windows(
         )
         .filter(F.col("_n") == timestep)
     )
-    gid = F.row_number().over(Window.orderBy("eventId", "w"))
-    return chunks.select(
+    # global Id = per-event cumulative chunk offset + rank within event:
+    # the data-sized window is PARTITIONED by event; only the one-row-
+    # per-event offset table rides a global window (metadata-sized).
+    local = F.row_number().over(
+        Window.partitionBy("eventId").orderBy("w")
+    )
+    offsets = (
+        chunks.groupBy("eventId")
+        .agg(F.count(F.lit(1)).alias("_nch"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_nch").over(
+                    Window.orderBy("eventId").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_nch")
+    )
+    return chunks.join(F.broadcast(offsets), "eventId").select(
         "eventId",
         "userId",
         "label",
@@ -199,18 +240,46 @@ def restructure_windows(
                 lambda s: F.array(s["x"], s["y"], s["z"]),
             )
         ).alias("rawData3d"),
-        gid.alias("Id"),
+        (F.col("_off") + local).alias("Id"),
     )
 
 
 def combine_datasets(df1: DataFrame, df2: DataFrame) -> DataFrame:
     """Row-level concat of a seizure-sample frame and an activity frame
     with a fresh global Id (dataset_generator.py:26-46): df1's rows
-    keep their relative order ahead of df2's, Id restarts at 1."""
+    keep their relative order ahead of df2's, Id restarts at 1.
+
+    Id = row_number over the total order (_src, eventId, _oid),
+    computed as a PARTITIONED rank within (_src, eventId) plus a
+    cumulative offset from a one-row-per-(src, event) side table — the
+    data rows never cross a single-partition global window."""
     a = df1.withColumn("_src", F.lit(0))
     b = df2.withColumn("_src", F.lit(1))
     u = a.unionByName(b).withColumnRenamed("Id", "_oid")
-    gid = F.row_number().over(Window.orderBy("_src", "eventId", "_oid"))
-    return u.withColumn("Id", gid).select(
-        "eventId", "Id", "userId", "x", "y", "z", "magnitude", "label"
+    local = F.row_number().over(
+        Window.partitionBy("_src", "eventId").orderBy("_oid")
+    )
+    offsets = (
+        u.groupBy("_src", "eventId")
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_ng").over(
+                    Window.orderBy("_src", "eventId").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_ng")
+    )
+    return (
+        u.join(F.broadcast(offsets), ["_src", "eventId"])
+        .withColumn("Id", F.col("_off") + local)
+        .select(
+            "eventId", "Id", "userId", "x", "y", "z", "magnitude",
+            "label",
+        )
     )

@@ -146,7 +146,7 @@ def test_restructure_and_combine(spark, loaded):
     # combine: df1 rows first, Id restarts at 1 and is gapless
     a = osdb.filter("eventId = 999993")
     b = osdb.filter("eventId = 999991")
-    c = combine_datasets(a, b).collect()
+    c = combine_datasets(a, b).orderBy("Id").collect()
     assert [r["Id"] for r in c] == list(range(1, len(c) + 1))
     assert [r["eventId"] for r in c[:250]] == [999993] * 250
     assert [r["eventId"] for r in c[250:]] == [999991] * 125

@@ -2896,3 +2896,98 @@ def m42_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(fit, cal["bin"] == fit["i"]).select(
         "bin", "n", "n_pos", "frac_pos", "avg_p", "fitted_p"
     )
+
+
+@query(
+    "m43_config_grid_eval",
+    """
+    WITH grid AS (
+        SELECT t.thr::DOUBLE AS thr, m.mh AS min_hits
+        FROM (SELECT unnest(generate_series(150, 350, 50)) AS thr) t,
+             (SELECT unnest(generate_series(1, 3)) AS mh) m
+    ),
+    per_user AS (
+        SELECT g.thr, g.min_hits, e.user_id,
+               sum(CASE WHEN e.value >= g.thr THEN 1 ELSE 0 END) AS hits,
+               max(CASE WHEN e.value >= 300 AND e.event_type = 'error'
+                        THEN 1 ELSE 0 END) AS label
+        FROM events e CROSS JOIN grid g
+        GROUP BY g.thr, g.min_hits, e.user_id
+    ),
+    conf AS (
+        SELECT thr, min_hits,
+               sum(CASE WHEN hits >= min_hits AND label = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN hits >= min_hits AND label = 0 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN hits < min_hits AND label = 0 THEN 1 ELSE 0 END) AS tn,
+               sum(CASE WHEN hits < min_hits AND label = 1 THEN 1 ELSE 0 END) AS fn
+        FROM per_user GROUP BY thr, min_hits
+    )
+    SELECT CAST(thr AS BIGINT) AS thr, min_hits,
+           tp::BIGINT AS tp, fp::BIGINT AS fp,
+           tn::BIGINT AS tn, fn::BIGINT AS fn,
+           CAST(round(CASE WHEN tp + fn > 0
+                THEN tp / (tp + fn)::DOUBLE ELSE 0 END * 1000000) AS BIGINT)
+               AS tpr_micro,
+           CAST(round(CASE WHEN fp + tn > 0
+                THEN fp / (fp + tn)::DOUBLE ELSE 0 END * 1000000) AS BIGINT)
+               AS fpr_micro
+    FROM conf
+    """,
+    "Config-grid evaluation, the single-scan form (runOptimisation.py:"
+    "8-96 + eventLevelMetrics.py:46-90): the reference reruns the whole "
+    "pipeline once per swept config; here the ENTIRE parameter grid "
+    "(threshold x alarm-persistence, the osdAlg warn/alarm knobs) is a "
+    "15-row broadcast crossed into ONE pass over the datapoint table — "
+    "per (config, entity) detection via conditional aggregation, then "
+    "per-config event-level confusion + tpr/fpr, emitted as integer "
+    "micro-units (signed-zero-proof). At 100 TB this evaluates every "
+    "config for the price of one scan: the BroadcastNestedLoopJoin "
+    "multiplies rows 15x BEFORE the map-side-combined groupBy, so no "
+    "shuffle sees raw data more than once and no driver loop exists. "
+    "The model-fit variant of the same harness (per-config RF fit/eval "
+    "as one applyInPandas stage over a shared broadcast feature table) "
+    "is ml/optimise.run_param_grid, pytest-pinned in test_optimise.py.",
+)
+def m43_config_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grid = (
+        spark.range(150, 351, 50)
+        .select(F.col("id").cast("double").alias("thr"))
+        .crossJoin(
+            spark.range(1, 4).select(F.col("id").alias("min_hits"))
+        )
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(grid))
+        .groupBy("thr", "min_hits", "user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("value") >= F.col("thr"), 1).otherwise(0)
+            ).alias("hits"),
+            F.max(
+                F.when(
+                    (F.col("value") >= 300)
+                    & (F.col("event_type") == "error"),
+                    1,
+                ).otherwise(0)
+            ).alias("label"),
+        )
+    )
+    detected = F.col("hits") >= F.col("min_hits")
+    conf = per_user.groupBy("thr", "min_hits").agg(
+        F.sum(F.when(detected & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(detected & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~detected & (F.col("label") == 0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(~detected & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return conf.select(
+        F.col("thr").cast("long").alias("thr"),
+        "min_hits", "tp", "fp", "tn", "fn",
+        F.round(rate(F.col("tp"), F.col("tp") + F.col("fn")) * 1000000)
+        .cast("long").alias("tpr_micro"),
+        F.round(rate(F.col("fp"), F.col("fp") + F.col("tn")) * 1000000)
+        .cast("long").alias("fpr_micro"),
+    )

@@ -630,15 +630,17 @@ def c13_iir_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "i", "y")
 
 
-@query(
-    "w5_epoch_features",
-    None,
-    "W5/W8/C13/C14 full epoch feature extraction (extractFeatures.py:"
-    "143-211): per-key signal concat, gravity high-pass, Hann-Welch PSD "
-    "band features, HR interpolation — one applyInPandas stage per key; "
-    "feature vector as a map column (stable schema at any feature count).",
-)
 def w5_epoch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W8/C13/C14 full epoch feature extraction (extractFeatures.py:
+    143-211): per-key signal concat, gravity high-pass, Hann-Welch PSD
+    band features, HR interpolation — one applyInPandas stage per key;
+    feature vector as a map column (stable schema at any feature count).
+
+    Retired from the registry in round 7 (was the last rows-only
+    entry): the same full chain is value-hash-oracled by
+    w5_epoch_oracled, and the filtfilt/Welch kernels stay pinned by the
+    scipy-parity pytests. Kept as a callable for the map-column
+    feature-vector shape."""
     from openseizuredatabase_spark.functions.features import extract_epoch_features
 
     ev = _t(spark, sf_dir, "events").select(
@@ -1149,7 +1151,7 @@ def c7_c17_array_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "activity_count/mean are exact integer-sum arithmetic on a quantized "
     "signal — sqrt is IEEE-correctly-rounded in both numpy and DuckDB, "
     "so a 6-dp round is bitwise-safe. filtfilt/Welch outputs stay "
-    "pinned by scipy-parity pytest + the rows-only w5_epoch_features.",
+    "pinned by scipy-parity pytest + the oracled w5_epoch_oracled.",
 )
 def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.features import (

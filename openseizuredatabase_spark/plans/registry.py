@@ -669,22 +669,28 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m42_isotonic_fit", "bin",
          f"n + 31*n_pos + 1009*{q6('frac_pos')} + 7*{q6('avg_p')}"
          f" + 3*{q6('fitted_p')}"),
-        ("v20_ivf_partition_pruning", "cid",
-         "n_members + 31*n_files + 1009*total_files"),
         ("n27_cochran_armitage", "0",
          f"n_total + 31*n_pos + 1009*{t('t2')} + 7*{q6('z2')}"
          " + 3*trend_sign"),
         ("n28_hosmer_lemeshow", "0",
          f"n_bins + 31*{t('hl_units')} + 1009*{q6('hl_stat')}"
          " + 7*(CASE WHEN reject_calibrated_5pct THEN 1 ELSE 0 END)"),
-        ("a32_hll_daily_merge", sc("event_type"),
-         f"n_days + 31*n_regs + 1009*{t('reg_sig')} + 7*{t('merged_est')}"
-         " + 3*(CASE WHEN merge_lossless THEN 1 ELSE 0 END)"
-         f" + 127*{t('n_exact')}"),
         ("v21_ann_query_batch", "qid * 100000 + vec_id", t("dist")),
         ("d15_partition_evolution",
          "year(d)*10000 + month(d)*100 + day(d)",
          "n1 + 31*n2 + 1009*files1 + 7*files2 + 3*n_total"),
+        # round-7 rotation: four long-stable session-5 flagships demoted
+        # so v20/a32 (round-6 scale proofs, previously shard members)
+        # and e5/m43 (round-7 flagships) take direct window rows
+        ("t34_hashed_classifier", "doc_id",
+         f"{t(q6('score'))} + 31*(CASE WHEN pred THEN 1 ELSE 0 END)"
+         f" + 1009*{sc('source')} + 31063*(n_bigrams % 1000003)"),
+        ("t35_kneser_ney", "doc_id",
+         f"{t(q6('avg_kn_logprob'))} + 31*(n_bigrams % 1000003)"),
+        ("t37_bm25_topk", "doc_id",
+         f"{t('score_micro')} + 31*n_hit"),
+        ("v8_pq_adc", "vec_id",
+         f"{t('adc_dist')} + 31*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
     ]
 
 
@@ -774,6 +780,15 @@ _DRIVER_WINDOW = [
     "w5_epoch_segmentation",
     "m3_oversample_balance", "m9_batch_inference",
     "w10_alarm_state_machine",
+    # round-7 rotation (sixth application): v20/a32 (round-6 scale
+    # proofs — physical partition pruning, HLL mergeability) promoted
+    # from shard membership to direct rows; e5 (SQLite working-DB
+    # round-trip) and m43 (config-grid eval) are the round-7 flagships;
+    # the four long-stable session-5 singles they displace
+    # (t34/t35/t37/v8) move into their family x_sig shards with fresh
+    # integer signatures.
+    "v20_ivf_partition_pruning", "a32_hll_daily_merge",
+    "e5_working_db_roundtrip", "m43_config_grid_eval",
     # round-6 rotation (fifth application of the discipline): the 8
     # round-6 flagships take direct rows; the 8 long-stable singles
     # they displace (t2/t3/t5/v1/v2/c9/t36/p10) move into their
@@ -785,8 +800,7 @@ _DRIVER_WINDOW = [
     # round-4 session-5 rotation: session-4 flagships holding direct
     # rows (the 19 round-3 flagships they displaced live in
     # x_signatures with fresh integer signatures).
-    "t34_hashed_classifier", "t35_kneser_ney",
-    "t37_bm25_topk", "v8_pq_adc", "v10_ivf_pq",
+    "v10_ivf_pq",
     "j10_fuzzy_blocked_join", "t41_triangle_count",
     "w5_epoch_oracled", "m34_jpeg_decode", "m36_gif_frames",
     "p6_filter_chain", "s20_streaming_session_window", "s22_stream_upsert",

@@ -166,3 +166,14 @@ def test_unreachable_server_fails_with_context(spark):
     cfg = WebApiConfig(base_url="http://127.0.0.1:1", timeout_s=0.5)
     with pytest.raises(ConnectionError, match="web API request failed"):
         probe_event_count(cfg)
+
+
+def test_write_mongodb_fail_fast_without_connector_jar(spark):
+    """S8: PySpark ships no third-party connector jars, so the mongodb
+    DataSource is unresolvable here; the sink must fail fast with the
+    exact --packages remediation rather than a raw ClassNotFound."""
+    from openseizuredatabase_spark.sources.connectors import write_mongodb
+
+    df = spark.range(1).selectExpr("id AS event_id")
+    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+        write_mongodb(df, "mongodb://localhost:27017", "osdb", "events")

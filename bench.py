@@ -293,6 +293,14 @@ HEADLINE = [
     "a32_hll_daily_merge",
     "v21_ann_query_batch",
     "d15_partition_evolution",
+    # round-7 additions
+    "e5_working_db_roundtrip",
+    "m43_config_grid_eval",
+    "n29_kruskal_wallis",
+    "w29_dtw_band",
+    "w30_matrix_profile",
+    "v22_hard_negatives",
+    "a33_decayed_counts",
 ]
 
 

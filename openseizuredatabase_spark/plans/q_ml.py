@@ -2957,20 +2957,42 @@ def m43_config_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.range(1, 4).select(F.col("id").alias("min_hits"))
         )
     )
-    per_user = (
-        ev.crossJoin(F.broadcast(grid))
+    # Scale shape (the x100 stress caught the naive form at ratio 80):
+    # the grid fan-out must happen AFTER the first reduction, not on raw
+    # rows. Thresholds are exact multiples of 50, so value >= thr
+    # depends only on bucket = floor(value/50): ONE map-side-combined
+    # pass reduces the corpus to (user, bucket) counts (bounded by
+    # users x value-domain/50, ~100x smaller than the row count), and
+    # the 15x grid multiplication runs over that pre-aggregate.
+    pre = ev.groupBy(
+        "user_id", F.floor(F.col("value") / 50).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(
+            F.when(
+                (F.col("value") >= 300) & (F.col("event_type") == "error"),
+                1,
+            ).otherwise(0)
+        ).alias("lmax"),
+    )
+    labels = pre.groupBy("user_id").agg(F.max("lmax").alias("label"))
+    hits = (
+        pre.join(
+            F.broadcast(grid),
+            F.col("b") >= (F.col("thr") / 50).cast("long"),
+        )
         .groupBy("thr", "min_hits", "user_id")
-        .agg(
-            F.sum(
-                F.when(F.col("value") >= F.col("thr"), 1).otherwise(0)
-            ).alias("hits"),
-            F.max(
-                F.when(
-                    (F.col("value") >= 300)
-                    & (F.col("event_type") == "error"),
-                    1,
-                ).otherwise(0)
-            ).alias("label"),
+        .agg(F.sum("cnt").alias("hits"))
+    )
+    # (config, user) combos with zero qualifying rows never appear in
+    # `hits`; re-attach the full dimension-sized frame so tn/fn count
+    # them (the naive crossJoin got this for free)
+    per_user = (
+        labels.crossJoin(F.broadcast(grid))
+        .join(hits, ["thr", "min_hits", "user_id"], "left")
+        .select(
+            "thr", "min_hits", "user_id", "label",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
         )
     )
     detected = F.col("hits") >= F.col("min_hits")
@@ -2990,4 +3012,187 @@ def m43_config_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("tpr_micro"),
         F.round(rate(F.col("fp"), F.col("fp") + F.col("tn")) * 1000000)
         .cast("long").alias("fpr_micro"),
+    )
+
+
+_M44_FRACS = (5, 20, 40, 80)
+
+
+def _m44_dist(accessor) -> str:
+    """Fixed-order (left-associated) squared-distance expression over
+    the 64 embedding dims vs a centroid given by micro-sum columns
+    s1..s64 and count n_train — generated once, same term order in both
+    engines, so the double result is bit-identical. `accessor(d)`
+    renders element d of the test embedding (dialects differ only in
+    the list-index function name)."""
+    terms = []
+    for d in range(1, _EMB_DIM + 1):
+        c = (f"(CAST(s{d} AS DOUBLE)"
+             f" / (1000000.0 * CAST(n_train_l AS DOUBLE)))")
+        x = f"CAST({accessor(d)} AS DOUBLE)"
+        terms.append(f"(({x}) - {c}) * (({x}) - {c})")
+    return " + ".join(terms)
+
+
+def _m44_oracle() -> str:
+    cent_sums = ", ".join(
+        f"sum(round(emb[{d}]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s{d}"
+        for d in range(1, _EMB_DIM + 1)
+    )
+    dist = _m44_dist(lambda d: f"emb[{d}]")
+    h = seeded_md5_long_sql("CAST(vec_id AS VARCHAR)", 4400)
+    fr = ", ".join(str(s) for s in _M44_FRACS)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               {h} % 100 AS bucket
+        FROM embeddings
+    ), fr AS (
+        SELECT unnest([{fr}]) AS s
+    ), cents AS (
+        SELECT fr.s, e.label AS clabel, count(*)::BIGINT AS n_train_l,
+               {cent_sums}
+        FROM e JOIN fr ON e.bucket < fr.s
+        GROUP BY fr.s, e.label
+    ), test AS (
+        SELECT vec_id, label, emb FROM e WHERE bucket >= 80
+    ), scored AS (
+        SELECT c.s, t.vec_id, t.label, c.clabel,
+               CAST(round(({dist}) * 1000000) AS BIGINT) AS dist_micro
+        FROM test t CROSS JOIN cents c
+    ), best AS (
+        SELECT s, vec_id, min(dist_micro) AS mind
+        FROM scored GROUP BY s, vec_id
+    ), pred AS (
+        SELECT sc.s, sc.vec_id, min(sc.clabel)::BIGINT AS pred_label,
+               min(sc.label)::BIGINT AS true_label
+        FROM scored sc JOIN best
+          ON best.s = sc.s AND best.vec_id = sc.vec_id
+         AND sc.dist_micro = best.mind
+        GROUP BY sc.s, sc.vec_id
+    ), ntr AS (
+        SELECT s, sum(n_train_l)::BIGINT AS n_train FROM cents GROUP BY s
+    )
+    SELECT pred.s::BIGINT AS s, ntr.n_train,
+           count(*)::BIGINT AS n_test,
+           sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct,
+           CAST(round(sum(CASE WHEN pred_label = true_label
+                           THEN 1 ELSE 0 END)
+                / count(*)::DOUBLE * 1000000) AS BIGINT) AS acc_micro
+    FROM pred JOIN ntr ON ntr.s = pred.s
+    GROUP BY pred.s, ntr.n_train
+    """
+
+
+@query(
+    "m44_learning_curve",
+    _m44_oracle(),
+    "Learning-curve evaluation in ONE pass (the data-scaling diagnostic "
+    "every training pipeline runs before buying more data — accuracy "
+    "vs training-set size): NESTED deterministic train subsets (hash "
+    "bucket < s for s in 5/20/40/80 percent — nesting means the curve "
+    "is monotone in information, not resample noise), a nearest-class-"
+    "centroid model fit per (fraction, class) by conditional "
+    "aggregation (64 exact integer micro-sums per cell — the fit IS "
+    "the aggregation, no iteration), and a held-out 20%% scored "
+    "against the 40-row broadcast centroid frame with a fixed-order "
+    "unrolled 64-term distance (bit-identical doubles in both "
+    "engines, micro-quantized before the argmin; ties break to the "
+    "smallest label via the min-then-join-back pattern). The corpus "
+    "is scanned ONCE for all fractions — the reference's "
+    "one-training-run-per-size loop becomes conditional aggregation, "
+    "the m43 grid discipline applied to train-set size.",
+)
+def m44_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.hashing import seeded_md5_long
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (seeded_md5_long(F.col("vec_id").cast("string"), 4400) % 100).alias(
+            "bucket"
+        ),
+    )
+    fr = spark.createDataFrame([(s,) for s in _M44_FRACS], "s long")
+    cent_sums = [
+        F.sum(
+            F.round(F.element_at("emb", d).cast("double") * 1000000, 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias(f"s{d}")
+        for d in range(1, _EMB_DIM + 1)
+    ]
+    cents = (
+        e.join(F.broadcast(fr), F.col("bucket") < F.col("s"))
+        .groupBy("s", F.col("label").alias("clabel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_l"), *cent_sums)
+    )
+    test = e.filter(F.col("bucket") >= 80).select(
+        "vec_id", "label", "emb"
+    )
+    dist = _m44_dist(lambda d: f"element_at(emb, {d})")
+    scored = test.crossJoin(F.broadcast(cents)).select(
+        "s",
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(f"CAST(round(({dist}) * 1000000) AS BIGINT)").alias(
+            "dist_micro"
+        ),
+    )
+    best = scored.groupBy("s", "vec_id").agg(
+        F.min("dist_micro").alias("mind")
+    )
+    sc2 = scored.select(
+        F.col("s").alias("s2"), F.col("vec_id").alias("v2"),
+        F.col("label").alias("l2"), F.col("clabel").alias("c2"),
+        F.col("dist_micro").alias("d2"),
+    )
+    pred = (
+        sc2.join(
+            best,
+            (F.col("s2") == best.s)
+            & (F.col("v2") == best.vec_id)
+            & (F.col("d2") == best.mind),
+        )
+        .groupBy("s2", "v2")
+        .agg(
+            F.min("c2").cast("long").alias("pred_label"),
+            F.min("l2").cast("long").alias("true_label"),
+        )
+    )
+    ntr = cents.groupBy(F.col("s").alias("sn")).agg(
+        F.sum("n_train_l").cast("long").alias("n_train")
+    )
+    out = (
+        pred.groupBy("s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .join(ntr, F.col("s2") == F.col("sn"))
+    )
+    return out.select(
+        F.col("s2").cast("long").alias("s"),
+        "n_train",
+        "n_test",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double")
+            / F.col("n_test").cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("acc_micro"),
     )

@@ -4583,3 +4583,212 @@ def a32_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+def _a33_decay_case() -> str:
+    """Half-life-7-day decay weights as integer micro-unit literals for
+    day lags 0..40 (beyond 40 half-lives^5.7 the weight rounds to
+    <2e4 micro and is floored to 0) — precomputed in Python so neither
+    engine evaluates a transcendental (exp/pow are not guaranteed
+    cross-library bit-identical; the n22 Benford discipline)."""
+    arms = " ".join(
+        f"WHEN dd = {d} THEN {round(1000000 * 0.5 ** (d / 7.0))}"
+        for d in range(41)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@query(
+    "a33_decayed_counts",
+    f"""
+    WITH anchor AS (
+        SELECT max(date_trunc('day', ts)) AS a FROM events
+    ), lagged AS (
+        SELECT event_type,
+               date_diff('day', date_trunc('day', ts), anchor.a) AS dd
+        FROM events, anchor
+    ), weighted AS (
+        SELECT event_type, dd, {_a33_decay_case()} AS w_micro
+        FROM lagged
+    ), agg AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(w_micro)::BIGINT AS decayed_micro
+        FROM weighted GROUP BY event_type
+    )
+    SELECT event_type, n, decayed_micro,
+           row_number() OVER (ORDER BY decayed_micro DESC, event_type)
+               AS trend_rank
+    FROM agg
+    """,
+    "Exponentially time-decayed counts per event type (half-life 7 "
+    "days) — the streaming leaderboard / trending-detection primitive: "
+    "recent activity outweighs stale volume, and because exp decay is "
+    "MERGEABLE (a partition's decayed sum re-anchors by one multiply), "
+    "the state is one number per key at any scale. Decay weights are "
+    "day-lag-indexed integer micro-unit LITERALS precomputed in Python "
+    "(the n22 Benford discipline: no exp/pow in either plan — libm vs "
+    "JVM transcendentals are not bit-identical), so the whole query is "
+    "exact integer arithmetic: one map-side-combined aggregation after "
+    "a broadcast of the 1-row anchor.",
+)
+def a33_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("a")
+    )
+    lagged = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.datediff(F.col("a"), F.date_trunc("day", F.col("ts"))).alias("dd"),
+    )
+    weighted = lagged.select(
+        "event_type", F.expr(_a33_decay_case()).alias("w_micro")
+    )
+    agg = weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w_micro").cast("long").alias("decayed_micro"),
+    )
+    w = Window.orderBy(F.desc("decayed_micro"), F.asc("event_type"))
+    return agg.select(
+        "event_type", "n", "decayed_micro",
+        F.row_number().over(w).alias("trend_rank"),
+    )
+
+
+def _a34_bucket_case() -> str:
+    """Integer log2 bucket of a positive cents value via a generated
+    comparison chain (no log() in either engine — transcendental libm
+    parity is not guaranteed; powers of two as int literals are)."""
+    arms = " ".join(
+        f"WHEN vc < {1 << (b + 1)} THEN {b}" for b in range(24)
+    )
+    return f"CASE {arms} ELSE 24 END"
+
+
+@query(
+    "a34_log_histogram_quantiles",
+    f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ), hist AS (
+        SELECT event_type, {_a34_bucket_case()} AS bucket,
+               count(*)::BIGINT AS c
+        FROM base GROUP BY event_type, bucket
+    ), cum AS (
+        SELECT event_type, bucket, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ), est AS (
+        SELECT event_type, max(n)::BIGINT AS n,
+               min(CASE WHEN cum * 100 >= n * 50
+                   THEN (1::BIGINT << (bucket + 1)) - 1 END)::BIGINT
+                   AS est_p50_c,
+               min(CASE WHEN cum * 100 >= n * 99
+                   THEN (1::BIGINT << (bucket + 1)) - 1 END)::BIGINT
+                   AS est_p99_c
+        FROM cum GROUP BY event_type
+    ), cx AS (
+        SELECT event_type, vc, count(*)::BIGINT AS c FROM base
+        GROUP BY event_type, vc
+    ), ex AS (
+        SELECT event_type,
+               min(CASE WHEN cum * 100 >= n * 50 THEN vc END)::BIGINT
+                   AS exact_p50_c,
+               min(CASE WHEN cum * 100 >= n * 99 THEN vc END)::BIGINT
+                   AS exact_p99_c
+        FROM (
+            SELECT event_type, vc,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY vc)
+                       AS cum,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM cx
+        ) GROUP BY event_type
+    )
+    SELECT est.event_type, est.n, est.est_p50_c, ex.exact_p50_c,
+           est.est_p99_c, ex.exact_p99_c,
+           (est.est_p50_c >= ex.exact_p50_c
+            AND est.est_p50_c < 2 * ex.exact_p50_c) AS p50_bound_ok,
+           (est.est_p99_c >= ex.exact_p99_c
+            AND est.est_p99_c < 2 * ex.exact_p99_c) AS p99_bound_ok
+    FROM est JOIN ex ON ex.event_type = est.event_type
+    """,
+    "Log-bucketed histogram quantiles (the HDR-histogram / DDSketch "
+    "observability primitive, relative-error-bounded and MERGEABLE — "
+    "per-key state is <= 25 bucket counters that merge by addition, "
+    "the property exact m37/a20 quantiles lack): power-of-two buckets "
+    "assigned by a generated integer comparison chain (no log() in "
+    "either engine — the a33/n22 no-transcendentals discipline), "
+    "upper-bound estimates read off the cumulative bucket frame, and "
+    "the audit columns verify the 2x relative-error contract against "
+    "the EXACT per-type percentiles (value-domain histogram, the n17 "
+    "trick). One corpus scan feeds both sides.",
+)
+def a34_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    hist = base.select(
+        "event_type", F.expr(_a34_bucket_case()).alias("bucket")
+    ).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    ub = F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")
+    est = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * 50, ub)
+        ).cast("long").alias("est_p50_c"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * 99, ub)
+        ).cast("long").alias("est_p99_c"),
+    )
+    cx = base.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.partitionBy("event_type").orderBy("vc")
+    ex = (
+        cx.select(
+            "event_type",
+            "vc",
+            F.sum("c").over(wv).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("vc"))
+            ).cast("long").alias("exact_p50_c"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("vc"))
+            ).cast("long").alias("exact_p99_c"),
+        )
+        .withColumnRenamed("event_type", "et2")
+    )
+    out = est.join(ex, est.event_type == F.col("et2")).select(
+        "event_type", "n", "est_p50_c", "exact_p50_c",
+        "est_p99_c", "exact_p99_c",
+        (
+            (F.col("est_p50_c") >= F.col("exact_p50_c"))
+            & (F.col("est_p50_c") < 2 * F.col("exact_p50_c"))
+        ).alias("p50_bound_ok"),
+        (
+            (F.col("est_p99_c") >= F.col("exact_p99_c"))
+            & (F.col("est_p99_c") < 2 * F.col("exact_p99_c"))
+        ).alias("p99_bound_ok"),
+    )
+    return out

@@ -2839,3 +2839,239 @@ def n28_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 15.50731305586545
         ).alias("reject_calibrated_5pct"),
     )
+
+
+_N29_H = (
+    "round((12.0 * CAST(s_units AS DOUBLE)"
+    " / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)))"
+    " / (1.0 - CAST(tie_units AS DOUBLE)"
+    " / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)"
+    " * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "n29_kruskal_wallis",
+    f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), cx AS (
+        SELECT vc AS v, count(*)::BIGINT AS c FROM base GROUP BY vc
+    ), nt AS (
+        SELECT sum(c)::BIGINT AS nt FROM cx
+    ), rx AS (
+        SELECT v, c,
+               2 * coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + c - nt.nt AS r2c
+        FROM cx, nt
+    ), gv AS (
+        SELECT base.event_type, rx.v, count(*)::BIGINT AS cg, rx.r2c
+        FROM base JOIN rx ON base.vc = rx.v
+        GROUP BY base.event_type, rx.v, rx.r2c
+    ), g AS (
+        SELECT event_type, sum(cg)::BIGINT AS n,
+               sum(cg * r2c)::BIGINT AS r2csum
+        FROM gv GROUP BY event_type
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n_total,
+               sum(CAST(round(CAST(r2csum AS DOUBLE) * CAST(r2csum AS DOUBLE)
+                              / (4.0 * CAST(n AS DOUBLE)))
+                    AS BIGINT))::BIGINT AS s_units
+        FROM g
+    ), ties AS (
+        SELECT sum(c * c * c - c)::BIGINT AS tie_units FROM cx
+    )
+    SELECT n_groups, n_total, tie_units, s_units, {_N29_H} AS h_stat
+    FROM tot, ties
+    """,
+    "Kruskal-Wallis H test across event types (the k-group rank "
+    "generalization of n13's Mann-Whitney U, the non-parametric twin "
+    "of n16's ANOVA F — does the value DISTRIBUTION differ across any "
+    "event type, no normality assumed). Rank machinery reuses n17's "
+    "scalable trick: tie-averaged ranks doubled to exact integers, "
+    "computed per DISTINCT centi-quantized value (the rank window is "
+    "bounded by the value domain, never the row count), joined back as "
+    "a broadcast; per-group rank sums are order-free integer "
+    "aggregations in one map-side-combined pass. The cross-group "
+    "sum of R_g^2/n_g terms would be order-dependent in floating "
+    "point, so each group's term quantizes to an integer FIRST (the "
+    "n16 sb_units discipline) over CENTERED doubled ranks — the "
+    "identity H = 12*sum(Rc_g^2/n_g)/(N(N+1)) (centered rank sums "
+    "cancel the 3(N+1) term exactly since sum_g Rc_g = 0) keeps the "
+    "per-group term near zero under the null instead of ~N^2, which "
+    "the x100 stress proved necessary: uncentered R_g^2 milli-units "
+    "overflow int64 past ~5e5 rows, centered terms are "
+    "data-separation-bounded (horizon documented: a fully separated "
+    "group of n_g rows costs ~n_g*N^2/4 units, int64-safe to ~3e8 "
+    "rows; tie cubes are int64-safe while no single value repeats "
+    ">2.1e6 times). Final H is one shared-text fixed-order IEEE "
+    "expression, 6 dp.",
+)
+def n29_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    cx = base.groupBy(F.col("vc").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nt = cx.agg(F.sum("c").cast("long").alias("nt"))
+    rx = cx.crossJoin(F.broadcast(nt)).select(
+        "v",
+        "c",
+        F.expr(
+            "2 * coalesce(sum(c) OVER (ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) + c - nt"
+        ).alias("r2c"),
+    )
+    gv = (
+        base.join(F.broadcast(rx), base.vc == rx.v)
+        .groupBy("event_type", "v", "r2c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    g = gv.groupBy("event_type").agg(
+        F.sum("cg").cast("long").alias("n"),
+        F.sum(F.col("cg") * F.col("r2c")).cast("long").alias("r2csum"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(r2csum AS DOUBLE) * CAST(r2csum AS DOUBLE)"
+                " / (4.0 * CAST(n AS DOUBLE))) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("s_units"),
+    )
+    ties = rx.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_units")
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "n_groups", "n_total", "tie_units", "s_units",
+        F.expr(_N29_H).alias("h_stat"),
+    )
+
+
+_N30_CHI2 = (
+    "round(CAST(n_total AS DOUBLE)"
+    " * (CAST(ad_m_bc AS DOUBLE) * CAST(ad_m_bc AS DOUBLE))"
+    " / (CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)"
+    " * CAST(n_g AS DOUBLE) * CAST(n_rest AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "n30_mood_median",
+    f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), cx AS (
+        SELECT vc AS v, count(*)::BIGINT AS c FROM base GROUP BY vc
+    ), med AS (
+        -- exact lower median from the value-domain histogram: the
+        -- smallest v whose cumulative count reaches ceil(N/2)
+        SELECT min(v) AS m FROM (
+            SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                   sum(c) OVER () AS nt
+            FROM cx
+        ) WHERE cum * 2 >= nt
+    ), flags AS (
+        SELECT b.event_type,
+               CASE WHEN b.vc > med.m THEN 1 ELSE 0 END AS above
+        FROM base b, med
+    ), g AS (
+        SELECT event_type, count(*)::BIGINT AS n_g,
+               sum(above)::BIGINT AS a_g
+        FROM flags GROUP BY event_type
+    ), tot AS (
+        SELECT sum(n_g)::BIGINT AS n_total, sum(a_g)::BIGINT AS n_above
+        FROM g
+    )
+    SELECT g.event_type, g.n_g, g.a_g,
+           (g.n_g - g.a_g)::BIGINT AS b_g,
+           tot.n_total, tot.n_above,
+           (tot.n_total - tot.n_above)::BIGINT AS n_below,
+           (tot.n_total - g.n_g)::BIGINT AS n_rest,
+           (g.a_g * (tot.n_total - tot.n_above)
+            - (g.n_g - g.a_g) * tot.n_above)::BIGINT AS ad_m_bc,
+           {_N30_CHI2} AS chi2_vs_rest
+    FROM g, tot
+    """,
+    "Mood's median test per event type (the distribution-free "
+    "complement of n29's rank H: does each group sit above/below the "
+    "GLOBAL median more than chance — robust when only a location "
+    "shift matters). The global median is exact and scalable: a "
+    "running sum over the bounded value-domain histogram (the n17/n29 "
+    "distinct-value trick — never a global row sort), then one "
+    "map-side-combined above/below count per group, then each group's "
+    "2x2-vs-rest chi-square from EXACT int64 cross terms (ad-bc on "
+    "the common denominator — no float until the single shared-text "
+    "final expression, 6 dp). Everything after the scan is "
+    "histogram-sized.",
+)
+def n30_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+    )
+    cx = base.groupBy(F.col("vc").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    med = (
+        cx.select(
+            "v",
+            F.sum("c").over(Window.orderBy("v")).alias("cum"),
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("nt"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("nt"))
+        .agg(F.min("v").alias("m"))
+    )
+    flags = base.crossJoin(F.broadcast(med)).select(
+        "event_type",
+        F.when(F.col("vc") > F.col("m"), 1).otherwise(0).alias("above"),
+    )
+    g = flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("above").cast("long").alias("a_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("a_g").cast("long").alias("n_above"),
+    )
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_g",
+        "a_g",
+        (F.col("n_g") - F.col("a_g")).cast("long").alias("b_g"),
+        "n_total",
+        "n_above",
+        (F.col("n_total") - F.col("n_above")).cast("long").alias("n_below"),
+        (F.col("n_total") - F.col("n_g")).cast("long").alias("n_rest"),
+        (
+            F.col("a_g") * (F.col("n_total") - F.col("n_above"))
+            - (F.col("n_g") - F.col("a_g")) * F.col("n_above")
+        )
+        .cast("long")
+        .alias("ad_m_bc"),
+    )
+    return out.withColumn("chi2_vs_rest", F.expr(_N30_CHI2))

@@ -5088,3 +5088,71 @@ def t54_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(one).cast("long").alias("rep_id"),
         F.sum(onel).cast("long").alias("rep_len"),
     )
+
+
+def _p12_oracle() -> str:
+    t2 = QUERIES["t2_quality_score"].oracle
+    return f"""
+    WITH q AS ({t2}),
+    ranked AS (
+        SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) - 1 AS r
+        FROM q
+    ), assigned AS (
+        SELECT doc_id, quality, r,
+               r % 4 AS shard, r // 4 AS pos,
+               ntile(4) OVER (ORDER BY r) - 1 AS quartile
+        FROM ranked
+    )
+    SELECT shard, quartile, count(*)::BIGINT AS n,
+           min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos,
+           min(doc_id)::BIGINT AS min_doc,
+           CAST(round(avg(quality * 1000000)) AS BIGINT) AS avg_q_micro
+    FROM assigned
+    GROUP BY shard, quartile
+    """
+
+
+@query(
+    "p12_curriculum_shards",
+    _p12_oracle(),
+    "Curriculum-ordered training shards (Bengio et al. 2009 easy-first "
+    "scheduling as data prep): docs ranked by quality score ascending "
+    "(t2's oracled scorer reused as a composition), dealt round-robin "
+    "into 4 shards so every shard sees the SAME difficulty progression "
+    "(pos within shard is monotone in curriculum rank — a worker "
+    "streaming its shard in pos order replays the global curriculum at "
+    "1/4 resolution). Output is the audit frame: per (shard, "
+    "difficulty-quartile) counts and position spans, which must be "
+    "uniform across shards by construction. Scale shape: ONE global "
+    "sort (the rank — Spark's range-partitioned sort, the same cost "
+    "t20's shuffle pays) then pure arithmetic; the audit aggregation "
+    "is map-side-combined.",
+)
+def p12_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
+    ranked = q.select(
+        "doc_id",
+        "quality",
+        (
+            F.row_number().over(Window.orderBy("quality", "doc_id")) - 1
+        ).alias("r"),
+    )
+    assigned = ranked.select(
+        "doc_id",
+        "quality",
+        (F.col("r") % 4).alias("shard"),
+        (F.col("r") / 4).cast("long").alias("pos"),
+        (F.ntile(4).over(Window.orderBy("r")) - 1).cast("long").alias(
+            "quartile"
+        ),
+    )
+    return assigned.groupBy("shard", "quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.round(F.avg(F.col("quality") * 1000000), 0)
+        .cast("long")
+        .alias("avg_q_micro"),
+    )

@@ -2070,3 +2070,256 @@ def v21_ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", "dist")
     )
+
+
+def _v22_oracle() -> str:
+    base = QUERIES["v3_cosine_near_dup"].oracle
+    return f"""
+    WITH pairs AS ({base}),
+    sym AS (
+        SELECT id_a AS vec_id, id_b AS neg_id, cosine_sim FROM pairs
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS neg_id, cosine_sim FROM pairs
+    ), banded AS (
+        SELECT vec_id, neg_id, cosine_sim FROM sym
+        WHERE cosine_sim >= 0.3 AND cosine_sim < 0.8
+    )
+    SELECT vec_id, rank, neg_id, cosine_sim FROM (
+        SELECT vec_id, neg_id, cosine_sim,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine_sim DESC, neg_id) AS rank
+        FROM banded
+    ) WHERE rank <= 2
+    """
+
+
+@query(
+    "v22_hard_negatives",
+    _v22_oracle(),
+    "Hard-negative mining for contrastive/embedding training (the DPR/"
+    "SimCSE negative-selection step): per vector, the top-2 SIMILAR-BUT-"
+    "NOT-DUPLICATE neighbors — candidates from v3's bucketed cosine "
+    "pair generator (reused verbatim as a composition: bounded per-"
+    "bucket rerank, never all-pairs), kept in the hard band "
+    "[0.3, 0.8) (above is a near-duplicate that semantic dedup would "
+    "collapse and would poison the loss as a false negative; below is "
+    "an easy negative the model learns nothing from), symmetrized so "
+    "both ends of a pair see each other, then a per-vector top-k "
+    "window partitioned by vec_id. The corpus-scale cost is v3's "
+    "candidate stage; the band filter and window ride its output.",
+)
+def v22_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = v3_cosine_near_dup(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("id_b").alias("neg_id"),
+        "cosine_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("neg_id"),
+            "cosine_sim",
+        )
+    )
+    banded = sym.filter(
+        (F.col("cosine_sim") >= 0.3) & (F.col("cosine_sim") < 0.8)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neg_id")
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("vec_id", "rank", "neg_id", "cosine_sim")
+    )
+
+
+_V23_PROBES = (1, 2, 4, 8)
+
+
+def _v23_oracle() -> str:
+    probes = ", ".join(str(p) for p in _V23_PROBES)
+    return f"""
+    WITH q AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               round(embedding[g.i]::DOUBLE * 1000)::BIGINT AS v
+        FROM embeddings, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+    ), qry AS (
+        SELECT vec_id AS qid, dim, v FROM q WHERE vec_id < 5
+    ), cents AS (
+        SELECT vec_id AS cid, dim, v FROM q WHERE vec_id BETWEEN 10 AND 17
+    ), corp AS (
+        SELECT vec_id, dim, v FROM q WHERE vec_id >= 10
+    ), assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT corp.vec_id, cents.cid,
+                   row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+                       sum((corp.v - cents.v) * (corp.v - cents.v)), cents.cid
+                   ) AS rn
+            FROM corp JOIN cents USING (dim)
+            GROUP BY corp.vec_id, cents.cid
+        ) WHERE rn = 1
+    ), qcell AS (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+                   dist, cid) AS crank
+        FROM (
+            SELECT qry.qid, cents.cid,
+                   sum((qry.v - cents.v) * (qry.v - cents.v))::BIGINT AS dist
+            FROM qry JOIN cents USING (dim)
+            GROUP BY qry.qid, cents.cid
+        )
+    ), qdist AS (
+        SELECT qry.qid, corp.vec_id,
+               sum((qry.v - corp.v) * (qry.v - corp.v))::BIGINT AS dist
+        FROM qry JOIN corp USING (dim)
+        GROUP BY qry.qid, corp.vec_id
+    ), exact10 AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM qdist) WHERE rn <= 10
+    ), probes AS (
+        SELECT unnest([{probes}]) AS np
+    ), cand AS (
+        SELECT probes.np, qcell.qid, assign.vec_id
+        FROM probes
+        JOIN qcell ON qcell.crank <= probes.np
+        JOIN assign ON assign.cid = qcell.cid
+    ), approx10 AS (
+        SELECT np, qid, vec_id FROM (
+            SELECT c.np, c.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY c.np, c.qid
+                       ORDER BY d.dist, c.vec_id) AS rn
+            FROM cand c JOIN qdist d
+              ON d.qid = c.qid AND d.vec_id = c.vec_id
+        ) WHERE rn <= 10
+    ), hits AS (
+        SELECT a.np, a.qid, count(*)::BIGINT AS n_hit
+        FROM approx10 a JOIN exact10 e
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY a.np, a.qid
+    ), scans AS (
+        SELECT np, qid, count(*)::BIGINT AS n_scanned FROM cand
+        GROUP BY np, qid
+    )
+    SELECT s.np::BIGINT AS n_probe,
+           sum(s.n_scanned)::BIGINT AS scanned,
+           sum(coalesce(h.n_hit, 0))::BIGINT AS hits,
+           CAST(round(sum(coalesce(h.n_hit, 0))
+                / (10.0 * count(*)) * 1000000) AS BIGINT) AS recall_micro
+    FROM scans s LEFT JOIN hits h ON h.np = s.np AND h.qid = s.qid
+    GROUP BY s.np
+    """
+
+
+@query(
+    "v23_nprobe_sweep",
+    _v23_oracle(),
+    "IVF nprobe tuning sweep — the recall-vs-cost curve every IVF "
+    "deployment measures before fixing its probe count (t43's LSH "
+    "eval, for the coarse-quantizer tier): deterministic 8-cell IVF "
+    "(seed centroids, integer quantized distances, lowest-id ties), "
+    "5 held-out queries, and for EVERY nprobe in 1/2/4/8 the recall@10 "
+    "against the exact top-10 plus the candidate-scan cost. The whole "
+    "sweep is ONE plan: cell ranks and exact distances are computed "
+    "once, the 4-row probe grid joins on crank <= np (the m43 grid "
+    "discipline — fan the grid out over the ranked frame, not the "
+    "corpus), so adding probe points costs nothing but the tiny join. "
+    "At lake scale cand is the partition-pruned scan v20 proved "
+    "physically; here its SIZE is the measured cost column.",
+)
+def v23_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qa = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000, 0).cast("long"),
+    )
+    qry = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), qa.alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id").between(10, 17)).select(
+        F.col("vec_id").alias("cid"), qa.alias("cv")
+    )
+    corp = emb.filter(F.col("vec_id") >= 10).select("vec_id", qa.alias("xv"))
+
+    def idist(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    wv = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    assign = (
+        corp.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", idist("xv", "cv").alias("cdist"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    wq = Window.partitionBy("qid").orderBy("qcdist", "cid")
+    qcell = (
+        qry.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", idist("qv", "cv").alias("qcdist"))
+        .withColumn("crank", F.row_number().over(wq))
+        .select("qid", "cid", "crank")
+    )
+    qdist = corp.crossJoin(F.broadcast(qry)).select(
+        "qid", "vec_id", idist("xv", "qv").alias("dist")
+    )
+    we = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    exact10 = (
+        qdist.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("evid"))
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _V23_PROBES], "np long"
+    )
+    cand = (
+        probes.crossJoin(qcell)
+        .filter(F.col("crank") <= F.col("np"))
+        .join(assign, "cid")
+        .select("np", "qid", "vec_id")
+    )
+    wa = Window.partitionBy("np", "qid").orderBy("dist", "vec_id")
+    approx10 = (
+        cand.join(qdist, ["qid", "vec_id"])
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 10)
+        .select("np", "qid", "vec_id")
+    )
+    hits = (
+        approx10.join(
+            exact10,
+            (approx10.qid == exact10.qid)
+            & (approx10.vec_id == exact10.evid),
+        )
+        .groupBy(approx10.np, approx10.qid)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .select(F.col("np").alias("hnp"), F.col("qid").alias("hqid"), "n_hit")
+    )
+    scans = cand.groupBy("np", "qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scanned")
+    )
+    joined = scans.join(
+        hits,
+        (scans.np == F.col("hnp")) & (scans.qid == F.col("hqid")),
+        "left",
+    )
+    return joined.groupBy("np").agg(
+        F.sum("n_scanned").cast("long").alias("scanned"),
+        F.sum(F.coalesce("n_hit", F.lit(0))).cast("long").alias("hits"),
+        F.round(
+            F.sum(F.coalesce("n_hit", F.lit(0)))
+            / (10.0 * F.count(F.lit(1)))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("recall_micro"),
+    ).select(
+        F.col("np").cast("long").alias("n_probe"),
+        "scanned", "hits", "recall_micro",
+    )

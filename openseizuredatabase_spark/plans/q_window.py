@@ -2974,3 +2974,291 @@ def w28_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bucket_key long, n long, level_micro long, "
         "trend_micro long, season_micro long, forecast_micro long",
     )
+
+
+@query(
+    "w29_dtw_band",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ), days AS (
+        SELECT d, i FROM (
+            SELECT d, row_number() OVER (ORDER BY d) AS i
+            FROM (SELECT DISTINCT d FROM daily)
+        ) WHERE i <= 30
+    ), kk AS (
+        SELECT max(i)::BIGINT AS k FROM days
+    ), types AS (
+        SELECT DISTINCT event_type AS t FROM daily
+    ), series AS (
+        SELECT types.t, days.i, coalesce(daily.v, 0) AS v
+        FROM types CROSS JOIN days
+        LEFT JOIN daily ON daily.event_type = types.t AND daily.d = days.d
+    ), cost AS (
+        SELECT a.t AS ta, b.t AS tb, a.i AS i, b.i AS j,
+               abs(a.v - b.v) AS c
+        FROM series a JOIN series b
+          ON a.t < b.t AND abs(a.i - b.i) <= 3
+    ), dp(ta, tb, i, j, val, it) AS (
+        SELECT ta, tb, i, j, c, 0::BIGINT FROM cost WHERE i = 1 AND j = 1
+      UNION ALL
+        SELECT g.ta, g.tb, g.i, g.j,
+               g.mval + CASE WHEN g.is_keep THEN 0 ELSE co.c END AS val,
+               g.it + 1
+        FROM (
+            SELECT dp.ta, dp.tb, dp.i + mv.di AS i, dp.j + mv.dj AS j,
+                   min(dp.val) AS mval, bool_or(mv.keep) AS is_keep,
+                   max(dp.it) AS it
+            FROM dp
+            JOIN (VALUES (1, 0, 0, false), (0, 1, 0, false),
+                         (1, 1, 1, false), (0, 0, 0, true))
+                 mv(di, dj, lag, keep)
+              ON dp.i + dp.j = dp.it + 2 - mv.lag
+            GROUP BY dp.ta, dp.tb, dp.i + mv.di, dp.j + mv.dj
+        ) g
+        LEFT JOIN cost co
+          ON co.ta = g.ta AND co.tb = g.tb AND co.i = g.i AND co.j = g.j
+        CROSS JOIN kk
+        WHERE (g.is_keep AND g.i + g.j <= 2 * kk.k - 2)
+           OR (NOT g.is_keep AND co.c IS NOT NULL)
+    )
+    SELECT dp.ta, dp.tb, kk.k AS k, min(dp.val)::BIGINT AS dtw_dist
+    FROM dp CROSS JOIN kk
+    WHERE dp.i = kk.k AND dp.j = kk.k
+    GROUP BY dp.ta, dp.tb, kk.k
+    """,
+    "Banded dynamic time warping between the daily activity curves of "
+    "every event-type pair (Sakoe-Chiba band r=3 over the first 30 "
+    "days, |a_i - b_j| integer cost) — elastic time-series similarity "
+    "for cadence comparison, the alignment-tolerant complement of "
+    "w22's fixed-lag cross-correlation. Spark shape: the corpus-sized "
+    "work is ONE map-side-combined daily rollup; the pair fan-out is "
+    "dimension-sized ((types x types)/2 pairs x 30 band rows) and each "
+    "pair's DP runs whole inside one applyInPandas task as an int64 "
+    "numpy recurrence (exact — no float path), so pairs parallelize "
+    "perfectly and the DP never shuffles. Oracle: the SAME recurrence "
+    "as a recursive CTE marching ANTI-DIAGONALS — the working set "
+    "carries frontier d and (re-emitted) frontier d-1, each step "
+    "derives diagonal d+1 via a 4-row move table (left/up from d, "
+    "diagonal from d-1, self-passthrough) under the single-recursive-"
+    "reference rule, min-grouped per cell — the c13 recursive-CTE "
+    "discipline extended from 1-D recurrences to 2-D DP.",
+)
+def w29_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    days = (
+        daily.select("d")
+        .distinct()
+        .select(
+            # fresh name: "d" would be ambiguous-by-lineage against
+            # daily's own "d" in the re-join below (Spark resolves a
+            # self-derived column reference to either side)
+            F.col("d").alias("dd"),
+            F.row_number().over(Window.orderBy("d")).alias("i"),
+        )
+        .filter(F.col("i") <= 30)
+    )
+    types = daily.select(F.col("event_type").alias("t")).distinct()
+    series = (
+        types.crossJoin(F.broadcast(days))
+        .join(
+            daily,
+            (daily.event_type == F.col("t")) & (daily.d == F.col("dd")),
+            "left",
+        )
+        .select("t", "i", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    a = series.select(
+        F.col("t").alias("ta"), F.col("i").alias("i"), F.col("v").alias("va")
+    )
+    b = series.select(
+        F.col("t").alias("tb"), F.col("i").alias("j"), F.col("v").alias("vb")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("ta") < F.col("tb"))
+        & (F.abs(F.col("i") - F.col("j")) <= 3),
+    )
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(max(pdf["i"].max(), pdf["j"].max()))
+        inf = np.iinfo(np.int64).max // 4
+        cost = np.full((k + 1, k + 1), inf, dtype=np.int64)
+        cost[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = np.abs(
+            pdf["va"].to_numpy() - pdf["vb"].to_numpy()
+        )
+        dp = np.full((k + 1, k + 1), inf, dtype=np.int64)
+        dp[1, 1] = cost[1, 1]
+        for i in range(1, k + 1):
+            for j in range(max(1, i - 3), min(k, i + 3) + 1):
+                if i == 1 and j == 1:
+                    continue
+                best = min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+                dp[i, j] = best + cost[i, j] if best < inf else inf
+        return pd.DataFrame(
+            [{
+                "ta": pdf["ta"].iloc[0],
+                "tb": pdf["tb"].iloc[0],
+                "k": k,
+                "dtw_dist": int(dp[k, k]),
+            }]
+        )
+
+    return pairs.groupBy("ta", "tb").applyInPandas(
+        dtw, "ta string, tb string, k long, dtw_dist long"
+    )
+
+
+@query(
+    "w30_matrix_profile",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*)::BIGINT AS v
+        FROM events GROUP BY 1, 2
+    ), days AS (
+        SELECT d, i FROM (
+            SELECT d, row_number() OVER (ORDER BY d) AS i
+            FROM (SELECT DISTINCT d FROM daily)
+        ) WHERE i <= 30
+    ), types AS (
+        SELECT DISTINCT event_type AS t FROM daily
+    ), series AS (
+        SELECT types.t, days.i, coalesce(daily.v, 0) AS v
+        FROM types CROSS JOIN days
+        LEFT JOIN daily ON daily.event_type = types.t AND daily.d = days.d
+    ), kk AS (
+        SELECT max(i)::BIGINT AS k FROM days
+    ), w AS (
+        -- window membership: sample at index i belongs to window
+        -- starting at s = i - p for offsets p in 0..6
+        SELECT series.t, series.i - p.p AS s, p.p, series.v
+        FROM series
+        CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS p) p
+        CROSS JOIN kk
+        WHERE series.i - p.p >= 1 AND series.i - p.p <= kk.k - 6
+    ), dists AS (
+        SELECT a.t, a.s AS sa, b.s AS sb,
+               sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+        FROM w a JOIN w b
+          ON a.t = b.t AND a.p = b.p AND abs(a.s - b.s) >= 4
+        GROUP BY a.t, a.s, b.s
+    ), mp AS (
+        SELECT t, sa AS s, min(d2)::BIGINT AS mp_d2
+        FROM dists GROUP BY t, sa
+    ), nn AS (
+        SELECT d.t, d.sa AS s, min(d.sb)::BIGINT AS nn_s
+        FROM dists d JOIN mp ON mp.t = d.t AND mp.s = d.sa
+                             AND d.d2 = mp.mp_d2
+        GROUP BY d.t, d.sa
+    )
+    SELECT mp.t, mp.s, mp.mp_d2, nn.nn_s,
+           (mp.mp_d2 = max(mp.mp_d2) OVER (PARTITION BY mp.t))
+               AS is_discord
+    FROM mp JOIN nn ON mp.t = nn.t AND mp.s = nn.s
+    """,
+    "Matrix profile over each event type's daily curve (Yeh et al. "
+    "2016): for every length-7 subsequence, the squared-euclidean "
+    "distance to its nearest NON-TRIVIAL match (exclusion zone "
+    "|i-j| >= 4 kills self-matches), the standard motif/discord "
+    "primitive — the window whose profile value is the per-type MAX is "
+    "the discord (most anomalous week). All-integer arithmetic "
+    "(squared distances of counts, no sqrt), so the profile is exact "
+    "in both engines. Scale shape: the corpus term is the one daily "
+    "rollup; windows/pairs are a dimension-sized frame (types x 24 "
+    "starts x 7 offsets), self-joined per (type, offset) with "
+    "map-side-combined distance sums — at a real 100 TB the same plan "
+    "holds with per-entity profiles because the pair fan-out is "
+    "bounded per key, never corpus x corpus.",
+)
+def w30_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    days = (
+        daily.select("d")
+        .distinct()
+        .select(
+            F.col("d").alias("dd"),
+            F.row_number().over(Window.orderBy("d")).alias("i"),
+        )
+        .filter(F.col("i") <= 30)
+    )
+    types = daily.select(F.col("event_type").alias("t")).distinct()
+    series = (
+        types.crossJoin(F.broadcast(days))
+        .join(
+            daily,
+            (daily.event_type == F.col("t")) & (daily.d == F.col("dd")),
+            "left",
+        )
+        .select("t", "i", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    k = series.agg(F.max("i").alias("k"))
+    w = (
+        series.select(
+            "t", "i", "v", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("p")
+        )
+        .crossJoin(F.broadcast(k))
+        .select(
+            "t", (F.col("i") - F.col("p")).alias("s"), "p", "v",
+            F.col("k"),
+        )
+        .filter((F.col("s") >= 1) & (F.col("s") <= F.col("k") - 6))
+        .drop("k")
+    )
+    a = w.select(
+        F.col("t"), F.col("s").alias("sa"), "p", F.col("v").alias("va")
+    )
+    b = w.select(
+        F.col("t").alias("tb"), F.col("s").alias("sb"), F.col("p").alias("pb"),
+        F.col("v").alias("vb"),
+    )
+    dists = (
+        a.join(
+            b,
+            (F.col("t") == F.col("tb"))
+            & (F.col("p") == F.col("pb"))
+            & (F.abs(F.col("sa") - F.col("sb")) >= 4),
+        )
+        .groupBy("t", "sa", "sb")
+        .agg(
+            F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    mp = dists.groupBy("t", F.col("sa").alias("s")).agg(
+        F.min("d2").cast("long").alias("mp_d2")
+    )
+    # fresh names for the re-join against mp (mp derives from dists, so
+    # shared column refs would be ambiguous-by-lineage)
+    d2s = dists.select(
+        F.col("t").alias("td"), F.col("sa").alias("sd"),
+        F.col("sb").alias("sb"), F.col("d2").alias("dd2"),
+    )
+    nn = (
+        d2s.join(
+            mp,
+            (F.col("td") == mp.t)
+            & (F.col("sd") == mp.s)
+            & (F.col("dd2") == mp.mp_d2),
+        )
+        .groupBy("td", "sd")
+        .agg(F.min("sb").cast("long").alias("nn_s"))
+        .select(F.col("td").alias("tn"), F.col("sd").alias("sn"), "nn_s")
+    )
+    out = mp.join(
+        nn, (mp.t == F.col("tn")) & (mp.s == F.col("sn"))
+    ).select("t", "s", "mp_d2", "nn_s")
+    wt = Window.partitionBy("t")
+    return out.withColumn(
+        "is_discord", F.col("mp_d2") == F.max("mp_d2").over(wt)
+    )

@@ -691,6 +691,34 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"{t('score_micro')} + 31*n_hit"),
         ("v8_pq_adc", "vec_id",
          f"{t('adc_dist')} + 31*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
+        # round-7 non-window singles
+        ("n29_kruskal_wallis", "n_groups",
+         f"n_total + 31*{t('tie_units')} + 1009*{t('s_units')}"
+         f" + 7*{q6('h_stat')}"),
+        ("w29_dtw_band",
+         f"CAST({sc('ta')} AS BIGINT) * 100000 + {sc('tb')}",
+         f"{t('dtw_dist')} + 31*k"),
+        ("w30_matrix_profile", f"CAST({sc('t')} AS BIGINT) * 1000 + s",
+         f"{t('mp_d2')} + 31*nn_s"
+         " + 1009*(CASE WHEN is_discord THEN 1 ELSE 0 END)"),
+        ("a33_decayed_counts", sc("event_type"),
+         f"n + 31*{t('decayed_micro')} + 1009*trend_rank"),
+        ("v22_hard_negatives", "vec_id * 10 + rank",
+         f"neg_id + 31*{q6('cosine_sim')}"),
+        ("m44_learning_curve", "s",
+         f"n_train + 31*n_test + 1009*n_correct + 7*{t('acc_micro')}"),
+        ("p12_curriculum_shards", "shard * 10 + quartile",
+         f"n + 31*first_pos + 1009*last_pos + 7*min_doc"
+         f" + 3*{t('avg_q_micro')}"),
+        ("n30_mood_median", sc("event_type"),
+         f"n_g + 31*a_g + 1009*{t('ad_m_bc')} + 7*{q6('chi2_vs_rest')}"),
+        ("v23_nprobe_sweep", "n_probe",
+         f"scanned + 31*hits + 1009*{t('recall_micro')}"),
+        ("a34_log_histogram_quantiles", sc("event_type"),
+         f"n + 31*est_p50_c + 1009*exact_p50_c + 7*{t('est_p99_c')}"
+         " + 3*exact_p99_c"
+         " + 127*(CASE WHEN p50_bound_ok THEN 1 ELSE 0 END)"
+         " + 17*(CASE WHEN p99_bound_ok THEN 1 ELSE 0 END)"),
     ]
 
 

@@ -336,3 +336,37 @@ def summarise(results: DataFrame) -> DataFrame:
         )
         .orderBy("run_id")
     )
+
+
+def save_summary(results: DataFrame, out_dir: str) -> tuple[str, str]:
+    """The reference's result artifacts (runOptimisation.py:147-156):
+    `optimisation_summary.csv` and `optimisation_summary.json` in the
+    output dir. Written from the collected summary frame — it is
+    grid-sized (one row per config), never corpus-sized."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = [r.asDict() for r in results.collect()]
+    csv_path = os.path.join(out_dir, "optimisation_summary.csv")
+    json_path = os.path.join(out_dir, "optimisation_summary.json")
+    cols = list(rows[0].keys()) if rows else []
+    with open(csv_path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for r in rows:
+            f.write(",".join("" if r[c] is None else str(r[c]) for c in cols) + "\n")
+    with open(json_path, "w") as f:
+        json.dump(rows, f, indent=2)
+    return csv_path, json_path
+
+
+def load_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Analyse-only mode (runOptimisation.py:118-139): reload a prior
+    sweep's summary JSON instead of rerunning the grid, so `summarise`
+    / reporting run on saved results."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "optimisation_summary.json")) as f:
+        rows = json.load(f)
+    return spark.createDataFrame(pd.DataFrame(rows))

@@ -3034,7 +3034,10 @@ def _m44_dist(accessor) -> str:
     return " + ".join(terms)
 
 
-def _m44_oracle() -> str:
+def _m44_pred_ctes() -> str:
+    """Shared CTE chain ending in `pred` (s, vec_id, pred_label,
+    true_label) and `ntr` — reused by m44 (accuracy curve) and m45
+    (per-class F1)."""
     cent_sums = ", ".join(
         f"sum(round(emb[{d}]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s{d}"
         for d in range(1, _EMB_DIM + 1)
@@ -3073,7 +3076,11 @@ def _m44_oracle() -> str:
         GROUP BY sc.s, sc.vec_id
     ), ntr AS (
         SELECT s, sum(n_train_l)::BIGINT AS n_train FROM cents GROUP BY s
-    )
+    )"""
+
+
+def _m44_oracle() -> str:
+    return _m44_pred_ctes() + """
     SELECT pred.s::BIGINT AS s, ntr.n_train,
            count(*)::BIGINT AS n_test,
            sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
@@ -3086,26 +3093,8 @@ def _m44_oracle() -> str:
     """
 
 
-@query(
-    "m44_learning_curve",
-    _m44_oracle(),
-    "Learning-curve evaluation in ONE pass (the data-scaling diagnostic "
-    "every training pipeline runs before buying more data — accuracy "
-    "vs training-set size): NESTED deterministic train subsets (hash "
-    "bucket < s for s in 5/20/40/80 percent — nesting means the curve "
-    "is monotone in information, not resample noise), a nearest-class-"
-    "centroid model fit per (fraction, class) by conditional "
-    "aggregation (64 exact integer micro-sums per cell — the fit IS "
-    "the aggregation, no iteration), and a held-out 20%% scored "
-    "against the 40-row broadcast centroid frame with a fixed-order "
-    "unrolled 64-term distance (bit-identical doubles in both "
-    "engines, micro-quantized before the argmin; ties break to the "
-    "smallest label via the min-then-join-back pattern). The corpus "
-    "is scanned ONCE for all fractions — the reference's "
-    "one-training-run-per-size loop becomes conditional aggregation, "
-    "the m43 grid discipline applied to train-set size.",
-)
-def m44_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _m44_pred_dfs(spark: SparkSession, sf_dir: str):
+    """Spark twin of _m44_pred_ctes: returns (pred, ntr) DataFrames."""
     from openseizuredatabase_spark.functions.hashing import seeded_md5_long
 
     e = _t(spark, sf_dir, "embeddings").select(
@@ -3169,6 +3158,30 @@ def m44_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntr = cents.groupBy(F.col("s").alias("sn")).agg(
         F.sum("n_train_l").cast("long").alias("n_train")
     )
+    return pred, ntr
+
+
+@query(
+    "m44_learning_curve",
+    _m44_oracle(),
+    "Learning-curve evaluation in ONE pass (the data-scaling diagnostic "
+    "every training pipeline runs before buying more data — accuracy "
+    "vs training-set size): NESTED deterministic train subsets (hash "
+    "bucket < s for s in 5/20/40/80 percent — nesting means the curve "
+    "is monotone in information, not resample noise), a nearest-class-"
+    "centroid model fit per (fraction, class) by conditional "
+    "aggregation (64 exact integer micro-sums per cell — the fit IS "
+    "the aggregation, no iteration), and a held-out 20%% scored "
+    "against the 40-row broadcast centroid frame with a fixed-order "
+    "unrolled 64-term distance (bit-identical doubles in both "
+    "engines, micro-quantized before the argmin; ties break to the "
+    "smallest label via the min-then-join-back pattern). The corpus "
+    "is scanned ONCE for all fractions — the reference's "
+    "one-training-run-per-size loop becomes conditional aggregation, "
+    "the m43 grid discipline applied to train-set size.",
+)
+def m44_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, ntr = _m44_pred_dfs(spark, sf_dir)
     out = (
         pred.groupBy("s2")
         .agg(
@@ -3195,4 +3208,101 @@ def m44_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("acc_micro"),
+    )
+
+
+def _m45_oracle() -> str:
+    return _m44_pred_ctes() + """
+    , pc AS (
+        SELECT cls.clabel AS label,
+               sum(CASE WHEN p.pred_label = cls.clabel
+                         AND p.true_label = cls.clabel
+                        THEN 1 ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN p.pred_label = cls.clabel
+                         AND p.true_label <> cls.clabel
+                        THEN 1 ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN p.pred_label <> cls.clabel
+                         AND p.true_label = cls.clabel
+                        THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM pred p
+        CROSS JOIN (SELECT DISTINCT label AS clabel FROM embeddings) cls
+        WHERE p.s = 80
+        GROUP BY cls.clabel
+    )
+    SELECT label, tp, fp, fn,
+           CAST(round(CASE WHEN tp + fp > 0
+                THEN tp / (tp + fp)::DOUBLE ELSE 0 END * 1000000) AS BIGINT)
+               AS precision_micro,
+           CAST(round(CASE WHEN tp + fn > 0
+                THEN tp / (tp + fn)::DOUBLE ELSE 0 END * 1000000) AS BIGINT)
+               AS recall_micro,
+           CAST(round(CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2 * tp / (2 * tp + fp + fn)::DOUBLE ELSE 0 END
+                * 1000000) AS BIGINT) AS f1_micro
+    FROM pc
+    """
+
+
+@query(
+    "m45_multiclass_f1",
+    _m45_oracle(),
+    "Multiclass one-vs-rest precision/recall/F1 per class (the k-class "
+    "generalization of a6's binary confusion metrics — macro-F1 is the "
+    "standard imbalance-robust eval the reference's tpr/fpr tables "
+    "cannot express): m44's centroid predictions at the full training "
+    "fraction (the shared pred stage, one corpus scan), crossed with "
+    "the class list so ABSENT predictions still emit a zero row per "
+    "class (the degenerate-class case that silently vanishes from "
+    "naive groupBys), per-class exact int64 tp/fp/fn, micro-unit "
+    "rates. The class frame is dimension-sized; everything corpus-"
+    "sized happened in the shared scan.",
+)
+def m45_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, _ = _m44_pred_dfs(spark, sf_dir)
+    p80 = pred.filter(F.col("s2") == 80)
+    cls = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("label").cast("long").alias("label"))
+        .distinct()
+    )
+    pc = (
+        p80.crossJoin(F.broadcast(cls))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pred_label") == F.col("label"))
+                    & (F.col("true_label") == F.col("label")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("pred_label") == F.col("label"))
+                    & (F.col("true_label") != F.col("label")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("pred_label") != F.col("label"))
+                    & (F.col("true_label") == F.col("label")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return pc.select(
+        "label", "tp", "fp", "fn",
+        F.round(rate(F.col("tp"), F.col("tp") + F.col("fp")) * 1000000, 0)
+        .cast("long").alias("precision_micro"),
+        F.round(rate(F.col("tp"), F.col("tp") + F.col("fn")) * 1000000, 0)
+        .cast("long").alias("recall_micro"),
+        F.round(
+            rate(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            * 1000000, 0,
+        ).cast("long").alias("f1_micro"),
     )

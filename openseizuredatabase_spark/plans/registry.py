@@ -714,6 +714,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"n_g + 31*a_g + 1009*{t('ad_m_bc')} + 7*{q6('chi2_vs_rest')}"),
         ("v23_nprobe_sweep", "n_probe",
          f"scanned + 31*hits + 1009*{t('recall_micro')}"),
+        ("m45_multiclass_f1", "label",
+         f"tp + 31*fp + 1009*fn + 7*{t('precision_micro')}"
+         f" + 3*{t('recall_micro')} + 127*{t('f1_micro')}"),
         ("a34_log_histogram_quantiles", sc("event_type"),
          f"n + 31*est_p50_c + 1009*exact_p50_c + 7*{t('est_p99_c')}"
          " + 3*exact_p99_c"

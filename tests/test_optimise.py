@@ -156,3 +156,32 @@ def test_summarise_deltas(spark):
     assert stump["d_event_tpr"] == pytest.approx(
         stump["event_tpr"] - base["event_tpr"]
     )
+
+
+def test_save_and_analyse_only_roundtrip(tmp_path, spark):
+    from openseizuredatabase_spark.ml.optimise import (
+        load_results,
+        save_summary,
+    )
+
+    results = run_param_grid(
+        spark,
+        _featurize_factory([]),
+        BASE_CONFIG,
+        ["max_depth"],
+        {"max_depth": [1]},
+        feature_cols=["f1", "f2"],
+    )
+    csv_path, json_path = save_summary(results, str(tmp_path / "opt"))
+    import os
+
+    assert os.path.exists(csv_path) and os.path.exists(json_path)
+    # analyse-only: reload and summarise without rerunning the grid
+    reloaded = load_results(spark, str(tmp_path / "opt"))
+    a = results.toPandas().sort_values("run_id").reset_index(drop=True)
+    b = reloaded.toPandas().sort_values("run_id").reset_index(drop=True)
+    assert list(a["param"]) == list(b["param"])
+    for c in ("tp", "fp", "tn", "fn", "event_tpr", "event_fpr"):
+        assert list(a[c]) == list(b[c])
+    s = summarise(reloaded).toPandas()
+    assert s.iloc[0]["param"] == "baseline"

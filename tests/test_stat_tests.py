@@ -93,3 +93,73 @@ def test_m44_learning_curve_shape(spark, sf_dir):
     for r in rows:
         assert 0 <= r["acc_micro"] <= 1000000
         assert r["n_correct"] <= r["n_test"]
+
+
+def _daily_series(sf_dir: str) -> dict[str, np.ndarray]:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "ts"]]
+    ev["d"] = ev["ts"].dt.floor("D")
+    days = sorted(ev["d"].unique())[:30]
+    out = {}
+    for t in sorted(ev["event_type"].unique()):
+        g = ev[ev["event_type"] == t].groupby("d").size()
+        out[t] = np.array([int(g.get(d, 0)) for d in days], dtype=np.int64)
+    return out
+
+
+def _dtw_band(a: np.ndarray, b: np.ndarray, r: int = 3) -> int:
+    """Independent full-matrix banded DTW (band cells INF-masked)."""
+    k = len(a)
+    inf = 1 << 60
+    dp = np.full((k + 1, k + 1), inf, dtype=np.int64)
+    for i in range(1, k + 1):
+        for j in range(1, k + 1):
+            if abs(i - j) > r:
+                continue
+            c = abs(int(a[i - 1]) - int(b[j - 1]))
+            if i == 1 and j == 1:
+                dp[1, 1] = c
+                continue
+            best = min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+            if best < inf:
+                dp[i, j] = best + c
+    return int(dp[k, k])
+
+
+def test_w29_dtw_matches_independent_numpy(spark, sf_dir):
+    series = _daily_series(sf_dir)
+    rows = QUERIES["w29_dtw_band"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(series) * (len(series) - 1) // 2
+    for r in rows:
+        expected = _dtw_band(series[r["ta"]], series[r["tb"]])
+        assert r["dtw_dist"] == expected, (r["ta"], r["tb"])
+    # identity and symmetry of the underlying kernel
+    any_s = next(iter(series.values()))
+    assert _dtw_band(any_s, any_s) == 0
+
+
+def test_w30_matrix_profile_matches_independent_numpy(spark, sf_dir):
+    series = _daily_series(sf_dir)
+    m, excl = 7, 4
+    rows = QUERIES["w30_matrix_profile"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["t"], []).append(r)
+    for t, rs in by_type.items():
+        a = series[t]
+        n_win = len(a) - m + 1
+        assert sorted(r["s"] for r in rs) == list(range(1, n_win + 1))
+        mps = {}
+        for i in range(n_win):
+            best, bestj = None, None
+            for j in range(n_win):
+                if abs(i - j) < excl:
+                    continue
+                d = int(((a[i : i + m] - a[j : j + m]) ** 2).sum())
+                if best is None or d < best or (d == best and j < bestj):
+                    best, bestj = d, j
+            mps[i + 1] = (best, bestj + 1)
+        discord = max(mps.values())[0]
+        for r in rs:
+            eb, ej = mps[r["s"]]
+            assert r["mp_d2"] == eb and r["nn_s"] == ej, (t, r["s"])
+            assert r["is_discord"] == (eb == discord)

@@ -2418,3 +2418,105 @@ def d15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files2",
         (F.col("n1") + F.col("n2")).cast("long").alias("n_total"),
     )
+
+
+@query(
+    "d16_skew_audit",
+    """
+    WITH per_key AS (
+        SELECT user_id, count(*)::BIGINT AS n
+        FROM events GROUP BY user_id
+    ), hist AS (
+        SELECT n, count(*)::BIGINT AS keys FROM per_key GROUP BY n
+    ), med AS (
+        -- exact lower-median key size from the size histogram
+        SELECT min(n) AS p50_n FROM (
+            SELECT n, sum(keys) OVER (ORDER BY n) AS cum,
+                   sum(keys) OVER () AS nk
+            FROM hist
+        ) WHERE cum * 2 >= nk
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+               max(n)::BIGINT AS max_n,
+               sum(n * n)::BIGINT AS sum_sq
+        FROM per_key
+    ), hot AS (
+        SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id)
+                   AS rank
+        FROM per_key
+    )
+    SELECT hot.rank, hot.user_id AS hot_key, hot.n AS hot_n,
+           tot.n_keys, tot.n_rows, tot.max_n, med.p50_n,
+           CAST(round(tot.max_n / med.p50_n::DOUBLE * 1000000) AS BIGINT)
+               AS skew_ratio_micro,
+           CAST(round(tot.n_keys * tot.sum_sq
+                / (tot.n_rows::DOUBLE * tot.n_rows::DOUBLE) * 1000000)
+               AS BIGINT) AS imbalance_micro,
+           (tot.max_n * 5 > tot.n_rows) AS salting_recommended
+    FROM hot, tot, med
+    WHERE hot.rank <= 3
+    """,
+    "Shuffle-key skew audit (the pre-flight every big join/groupBy at "
+    "lake scale needs before choosing salting / AQE skew-join): per "
+    "key-column, the hottest keys, the max/median key-size ratio "
+    "(median EXACT from the key-size histogram — rows never sort "
+    "globally), and the normalized second moment "
+    "n_keys*sum(n^2)/n_rows^2 (= 1 for perfectly uniform keys, -> "
+    "n_keys for one hot key — the expected shuffle-partition "
+    "imbalance factor under hash partitioning). A key owning > 20 "
+    "percent of all rows flags salting_recommended: no partitioning "
+    "scheme fixes a single-key majority without splitting the key "
+    "(tests/test_salting_proof.py executes the fix: hashed salt "
+    "spreads the hot partition and the two-stage aggregate stays "
+    "value-identical). "
+    "One map-side-combined count pass; every downstream frame is "
+    "key-histogram-sized.",
+)
+def d16_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hist = per_key.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("keys")
+    )
+    med = (
+        hist.select(
+            "n",
+            F.sum("keys").over(Window.orderBy("n")).alias("cum"),
+            F.sum("keys").over(
+                Window.orderBy("n").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("nk"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("nk"))
+        .agg(F.min("n").alias("p50_n"))
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    hot = per_key.select(
+        F.col("user_id").alias("hot_key"),
+        F.col("n").alias("hot_n"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 3)
+    out = hot.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(med))
+    return out.select(
+        "rank", "hot_key", "hot_n", "n_keys", "n_rows", "max_n", "p50_n",
+        F.round(
+            F.col("max_n") / F.col("p50_n").cast("double") * 1000000, 0
+        ).cast("long").alias("skew_ratio_micro"),
+        F.round(
+            F.col("n_keys")
+            * F.col("sum_sq")
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            * 1000000,
+            0,
+        ).cast("long").alias("imbalance_micro"),
+        (F.col("max_n") * 5 > F.col("n_rows")).alias("salting_recommended"),
+    )

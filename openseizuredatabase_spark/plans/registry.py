@@ -712,6 +712,11 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f" + 3*{t('avg_q_micro')}"),
         ("n30_mood_median", sc("event_type"),
          f"n_g + 31*a_g + 1009*{t('ad_m_bc')} + 7*{q6('chi2_vs_rest')}"),
+        ("d16_skew_audit", "rank",
+         f"hot_key + 31*hot_n + 1009*n_keys + 7*{t('n_rows')}"
+         f" + 3*max_n + 127*p50_n + 17*{t('skew_ratio_micro')}"
+         f" + 13*{t('imbalance_micro')}"
+         " + 5*(CASE WHEN salting_recommended THEN 1 ELSE 0 END)"),
         ("v23_nprobe_sweep", "n_probe",
          f"scanned + 31*hits + 1009*{t('recall_micro')}"),
         ("m45_multiclass_f1", "label",

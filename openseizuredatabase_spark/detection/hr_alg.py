@@ -10,9 +10,15 @@ Re-expresses user_tools/testRunner/hrAlg.py as a per-event
   is updated before the check, hrAlg.py:117-121)
 * MODE_AVERAGE_HR — the trailing average itself against fixed thresholds
 
-A missing HR (-1) forces alarmState=-1 and resets the accumulate count
-(hrAlg.py:124-127); otherwise the same accumulate/decay machine as the
-OSD algorithm runs on the in-alarm flags (hrAlg.py:140-156).
+A missing HR (-1) fully resets the machine and emits alarmState=0:
+hrAlg.py:123-127 assign -1, but processDp falls through to the
+not-in-alarm branch (hrAlg.py:147-156) which overwrites it with 0
+before anything is emitted — the -1 is a dead store in the reference,
+reproduced as such here (round-8 fidelity audit). The -1 slot still
+occupies a position in the moving-average history (addToHist runs
+before the validity check, hrAlg.py:117-121), excluded from the mean.
+Otherwise the same accumulate/decay machine as the OSD algorithm runs
+on the in-alarm flags (hrAlg.py:140-156).
 
 The trailing averages are vectorized with pandas rolling windows; the
 accumulate/decay recurrence is the shared ``alarm_recurrence``.

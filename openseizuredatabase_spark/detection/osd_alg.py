@@ -74,9 +74,14 @@ def alarm_recurrence(
 ) -> tuple[list[int], list[float]]:
     """The accumulate/decay state machine over an ordered in-alarm series.
 
-    ``missing`` marks steps with no usable input: the machine emits -1 and
-    fully resets (hrAlg.py:124-127 — the internal count does NOT survive a
-    missing step, unlike the ALARM→WARN decay).
+    ``missing`` marks steps with no usable input: the machine emits 0 and
+    fully resets — even from ALARM, skipping the 2→1 decay. This is the
+    reference's EXECUTED behavior: hrAlg.py:123-127 set alarmState=-1,
+    but processDp then falls through to the not-in-alarm branch
+    (hrAlg.py:147-156) which overwrites -1 with 0 (it only preserves a
+    decay when the state was exactly 2), so the -1 never reaches the
+    output (round-8 fidelity audit; the previous -1 emission here was a
+    paraphrase of the dead store).
 
     ``init_state``/``init_count`` seed the machine — used when a key's
     rows span multiple Arrow batches and the caller carries state across.
@@ -89,7 +94,7 @@ def alarm_recurrence(
     missing_list = list(missing) if missing is not None else None
     for i, flag in enumerate(in_alarm):
         if missing_list is not None and missing_list[i]:
-            state, count = -1, 0.0
+            state, count = 0, 0.0
             states.append(state)
             counts.append(count)
             continue

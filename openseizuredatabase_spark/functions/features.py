@@ -123,12 +123,15 @@ def butter_coeffs(order: int, wn: float, btype: str = "low") -> tuple[np.ndarray
     return b, a
 
 
-def _lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Direct-form II transposed IIR filter."""
+def _lfilter(
+    b: np.ndarray, a: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None
+) -> np.ndarray:
+    """Direct-form II transposed IIR filter, optionally seeded with
+    initial state ``zi`` (scipy.signal.lfilter's zi parameter)."""
     b = b / a[0]
     a = a / a[0]
     n_state = max(len(a), len(b)) - 1
-    z = np.zeros(n_state)
+    z = np.zeros(n_state) if zi is None else np.asarray(zi, dtype=float).copy()
     y = np.empty_like(x, dtype=float)
     bb = np.concatenate([b, np.zeros(n_state + 1 - len(b))])
     aa = np.concatenate([a, np.zeros(n_state + 1 - len(a))])
@@ -141,20 +144,52 @@ def _lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
     return y
 
 
+def lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Steady-state initial conditions for _lfilter — the
+    scipy.signal.lfilter_zi construction: solve
+    (I − companion(a)ᵀ)·zi = b[1:] − a[1:]·b[0] after a[0]
+    normalization. filtfilt seeds each pass with zi·x[0] to suppress
+    edge transients (scipy.signal.filtfilt default semantics — the
+    round-8 fidelity audit found the previous zero-state start
+    diverged from the scipy call the reference makes)."""
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    n = max(len(a), len(b))
+    a0 = a[0]
+    a = np.concatenate([a, np.zeros(n - len(a))]) / a0
+    b = np.concatenate([b, np.zeros(n - len(b))]) / a0
+    companion = np.zeros((n - 1, n - 1))
+    companion[0, :] = -a[1:]
+    companion[1:, :-1] += np.eye(n - 2)
+    i_minus_a = np.eye(n - 1) - companion.T
+    rhs = b[1:] - a[1:] * b[0]
+    return np.linalg.solve(i_minus_a, rhs)
+
+
 def filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Zero-phase forward-backward filtering with odd-reflection padding
-    (scipy.signal.filtfilt default semantics)."""
+    """Zero-phase forward-backward filtering — scipy.signal.filtfilt
+    default semantics exactly (the reference's call path,
+    extractFeatures.py:214-261 / accelFeatures.py:24-41): odd-reflection
+    padding of length 3·max(len(a), len(b)) (NOT 3·order), lfilter_zi
+    initial conditions scaled by the pass's first sample, and a
+    ValueError when the input is not longer than the pad (scipy raises
+    rather than clamping)."""
     if _HAS_SCIPY:  # pragma: no cover
         return _scipy_signal.filtfilt(b, a, x)
-    padlen = 3 * (max(len(a), len(b)) - 1)
-    if len(x) <= padlen:
-        padlen = len(x) - 1
-    front = 2 * x[0] - x[padlen:0:-1]
-    back = 2 * x[-1] - x[-2 : -padlen - 2 : -1]
+    edge = 3 * max(len(a), len(b))
+    if len(x) <= edge:
+        raise ValueError(
+            f"The length of the input vector x must be greater than "
+            f"padlen, which is {edge}."
+        )
+    front = 2 * x[0] - x[edge:0:-1]
+    back = 2 * x[-1] - x[-2 : -edge - 2 : -1]
     ext = np.concatenate([front, x, back])
-    y = _lfilter(b, a, ext)
-    y = _lfilter(b, a, y[::-1])[::-1]
-    return y[padlen : len(y) - padlen] if padlen else y
+    zi = lfilter_zi(b, a)
+    y = _lfilter(b, a, ext, zi=zi * ext[0])
+    y_last = y[-1]
+    y = _lfilter(b, a, y[::-1], zi=zi * y_last)[::-1]
+    return y[edge : len(y) - edge]
 
 
 def low_pass(x: np.ndarray, cutoff: float = 0.5, fs: float = 25.0, order: int = 4) -> np.ndarray:
@@ -216,8 +251,14 @@ def epoch_feature_dict(
     # line length: the classic EEG/accelerometry complexity measure —
     # total variation sum(|x_i - x_{i-1}|) over the epoch
     feats[f"line_length_{prefix}"] = float(np.sum(np.abs(np.diff(data))))
+    # zcr — literal reproduction of accelFeatures.py:79, which has NO
+    # abs: sum(diff(sign)) telescopes to sign(x[-1]) − sign(x[0]), so
+    # the executed reference feature is the net sign change, not a
+    # crossing count (round-8 fidelity audit). The conventional
+    # |Δsign|/2n ZCR lives in functions/signal.zero_crossing_rate as
+    # the C16 operator.
     feats[f"zcr_{prefix}"] = float(
-        np.sum(np.abs(np.diff(np.sign(data)))) / (2.0 * len(data))
+        np.sum(np.diff(np.sign(data))) / (2.0 * len(data))
     )
     freqs, psd = welch_psd(data, fs)
     total = float(np.sum(psd))
@@ -309,12 +350,33 @@ def spectral_history(
     window_len: int = 125,
     step: int = 125,
     low_movement_std: float = 10.0,
+    zero_tol: float = 0.001,
     normalize: bool = False,
 ) -> DataFrame:
-    """W9 spectrogram (eventAnalyser.py:236-274): sliding FFT power
-    slices per event; low-movement slices zeroed (std < threshold);
-    optional per-slice max-normalization."""
+    """W9 spectrogram — literal reproduction of the reference's
+    generateSpectralHistoryFromAccelLst2 (eventAnalyser.py:236-274):
+
+    * sliding geometry: endPosn starts at windowLen and advances by
+      step WHILE endPosn < len(signal) — the final window ending
+      exactly at len is NOT emitted (the reference's executed
+      behavior; round-8 fidelity audit)
+    * low-movement gate: slice population-std >= threshold computes
+      the spectrum, else the slice is zeroed (default 10 milli-g)
+    * spectrum: |fft|² with small values clipped to zero
+      (|power| < zeroTol, default 0.001) to reduce normalization
+      artefacts, then bins 1..windowLen//2−1 emitted — DC and the
+      top half-spectrum bin are EXCLUDED (fftPow[1:fftLen],
+      fftLen = windowLen//2)
+    * normalize: divide by the max of the emitted bins post-clip;
+      all-zero slices stay zero
+
+    (The reference passes a taper window name to getFFT, which
+    computes the windowed array and then transforms the UNWINDOWED
+    signal — osdAlgTools.py:96-100 — so no taper is applied here
+    either, matching the executed path.)
+    """
     out_schema = f"{event_col} long, sliceIdx int, spectrum array<double>"
+    n_bins = window_len // 2 - 1  # bins 1..fftLen-1
 
     def per_event(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
@@ -325,16 +387,21 @@ def spectral_history(
         eid = pdf[event_col].iloc[0]
         rows = []
         idx = 0
-        for start in range(0, len(sig) - window_len + 1, step):
-            seg = sig[start : start + window_len]
-            if np.std(seg) < low_movement_std:
-                spec = np.zeros(window_len // 2 + 1)
+        end = window_len
+        while end < len(sig):
+            seg = sig[end - window_len : end]
+            if np.std(seg) >= low_movement_std:
+                spec = np.abs(np.fft.fft(seg)[: window_len // 2]) ** 2
+                spec[np.abs(spec) < zero_tol] = 0.0
+                spec = spec[1:]
+                if normalize:
+                    peak = np.max(spec)
+                    spec = spec / peak if peak != 0 else np.zeros(n_bins)
             else:
-                spec = np.abs(np.fft.fft(seg)[: window_len // 2 + 1]) ** 2
-                if normalize and spec.max() > 0:
-                    spec = spec / spec.max()
+                spec = np.zeros(n_bins)
             rows.append({event_col: eid, "sliceIdx": idx, "spectrum": spec.tolist()})
             idx += 1
+            end += step
         return pd.DataFrame(rows, columns=[event_col, "sliceIdx", "spectrum"])
 
     return (

@@ -343,6 +343,7 @@ def save_summary(results: DataFrame, out_dir: str) -> tuple[str, str]:
     `optimisation_summary.csv` and `optimisation_summary.json` in the
     output dir. Written from the collected summary frame — it is
     grid-sized (one row per config), never corpus-sized."""
+    import csv
     import json
     import os
 
@@ -351,10 +352,13 @@ def save_summary(results: DataFrame, out_dir: str) -> tuple[str, str]:
     csv_path = os.path.join(out_dir, "optimisation_summary.csv")
     json_path = os.path.join(out_dir, "optimisation_summary.json")
     cols = list(rows[0].keys()) if rows else []
-    with open(csv_path, "w") as f:
-        f.write(",".join(cols) + "\n")
+    # csv.writer quotes embedded commas/quotes — a json.dumps'd list
+    # value (e.g. a layer-size sweep "[32, 16]") stays one cell
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
         for r in rows:
-            f.write(",".join("" if r[c] is None else str(r[c]) for c in cols) + "\n")
+            w.writerow(["" if r[c] is None else r[c] for c in cols])
     with open(json_path, "w") as f:
         json.dump(rows, f, indent=2)
     return csv_path, json_path

@@ -2436,9 +2436,14 @@ def d15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hist
         ) WHERE cum * 2 >= nk
     ), tot AS (
+        -- sum_sq and the n_keys*sum_sq product stay in DOUBLE: a hot
+        -- key near 3e9 rows puts n*n at ~9e18 (int64 overflow — DuckDB
+        -- would error, Spark would wrap) and the product far beyond;
+        -- only the 1e6-rounded ratio is emitted, so double drift is
+        -- absorbed (round-8 ADVICE fix)
         SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
                max(n)::BIGINT AS max_n,
-               sum(n * n)::BIGINT AS sum_sq
+               sum(n::DOUBLE * n::DOUBLE) AS sum_sq
         FROM per_key
     ), hot AS (
         SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id)
@@ -2449,7 +2454,7 @@ def d15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            tot.n_keys, tot.n_rows, tot.max_n, med.p50_n,
            CAST(round(tot.max_n / med.p50_n::DOUBLE * 1000000) AS BIGINT)
                AS skew_ratio_micro,
-           CAST(round(tot.n_keys * tot.sum_sq
+           CAST(round(tot.n_keys::DOUBLE * tot.sum_sq
                 / (tot.n_rows::DOUBLE * tot.n_rows::DOUBLE) * 1000000)
                AS BIGINT) AS imbalance_micro,
            (tot.max_n * 5 > tot.n_rows) AS salting_recommended
@@ -2492,11 +2497,15 @@ def d16_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") * 2 >= F.col("nk"))
         .agg(F.min("n").alias("p50_n"))
     )
+    # sum_sq in double end to end — int64 would overflow at ~3e9-row hot
+    # keys, exactly the lake-scale scenario this audit exists for
     tot = per_key.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("n").cast("long").alias("n_rows"),
         F.max("n").cast("long").alias("max_n"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n").cast("double")
+        ).alias("sum_sq"),
     )
     hot = per_key.select(
         F.col("user_id").alias("hot_key"),
@@ -2512,7 +2521,7 @@ def d16_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_n") / F.col("p50_n").cast("double") * 1000000, 0
         ).cast("long").alias("skew_ratio_micro"),
         F.round(
-            F.col("n_keys")
+            F.col("n_keys").cast("double")
             * F.col("sum_sq")
             / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
             * 1000000,

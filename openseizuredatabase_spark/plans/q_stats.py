@@ -240,6 +240,130 @@ def n2_differential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n31_osd_replay",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_id, (event_id % 5 + 1)::DOUBLE AS freq
+        FROM events WHERE event_id < 30
+    ), frames AS (
+        SELECT event_id, freq, d.dp AS dp,
+               CASE WHEN d.dp % 4 < 3 THEN 600.37 ELSE 5.23 END AS amp
+        FROM ev, unnest(generate_series(0, 5)) AS d(dp)
+    ), samples AS (
+        SELECT event_id, dp, n.n AS n,
+               1000.0 + amp * sin(2 * pi() * freq
+                                  * (n.n + dp * 125)::DOUBLE / 25.0) AS x
+        FROM frames, unnest(generate_series(0, 124)) AS n(n)
+    ), bins AS (
+        SELECT event_id, dp, k.k AS k,
+               sum(x * cos(2 * pi() * k.k * n / 125.0)) AS re,
+               sum(x * sin(2 * pi() * k.k * n / 125.0)) AS im
+        FROM samples, unnest(generate_series(1, 62)) AS k(k)
+        GROUP BY event_id, dp, k.k
+    ), powers AS (
+        SELECT event_id, dp,
+               sum(re*re + im*im) FILTER (WHERE k BETWEEN 1 AND 60)
+                   / 125.0 / 2.0 / 1000.0 AS spec,
+               sum(re*re + im*im) FILTER (WHERE k BETWEEN 15 AND 39)
+                   / 25.0 / 1000.0 AS roi
+        FROM bins GROUP BY event_id, dp
+    ), flagged AS (
+        SELECT event_id, dp, spec, roi,
+               CASE WHEN roi > 500.0 THEN 10.0 * roi / spec
+                    ELSE 0.0 END AS ratio,
+               (CASE WHEN roi > 500.0 THEN 10.0 * roi / spec
+                     ELSE 0.0 END) > 57.0 AS flag
+        FROM powers
+    ), steps AS (
+        SELECT event_id, dp, spec, roi, ratio, 0 AS state,
+               CASE WHEN flag THEN 5.0 ELSE 0.0 END::DOUBLE AS cnt
+        FROM flagged WHERE dp = 0
+        UNION ALL
+        SELECT f.event_id, f.dp, f.spec, f.roi, f.ratio,
+               CASE WHEN f.flag THEN
+                        CASE WHEN s.cnt + 5.0 > 10.0 THEN 2
+                             WHEN s.cnt + 5.0 > 5.0 THEN 1
+                             ELSE s.state END
+                    ELSE CASE WHEN s.state = 2 THEN 1 ELSE 0 END
+               END AS state,
+               CASE WHEN f.flag THEN s.cnt + 5.0
+                    ELSE CASE WHEN s.state = 2 THEN 5.0 ELSE 0.0 END
+               END AS cnt
+        FROM steps s
+        JOIN flagged f ON f.event_id = s.event_id AND f.dp = s.dp + 1
+    )
+    SELECT event_id, dp,
+           round(spec, 6) AS spec_power,
+           round(roi, 6) AS roi_power,
+           round(ratio, 6) AS roi_ratio,
+           state AS alarm_state, cnt AS alarm_count
+    FROM steps
+    """,
+    "Full OSD replay on the CORRECTED spectral kernels (round-7 "
+    "fidelity fix; osdAlg.py:161-187,210-219,264-313 with the "
+    "testConfig.json 'OSD_no_flap' thresholds 500/57): 30 synthetic "
+    "events × 6 contiguous 125-sample dp frames (1-5 Hz tones, "
+    "amplitude pattern driving OK→WARN→ALARM→decay traffic), replayed "
+    "through run_osd_alg — one applyInPandas shuffle on the event key, "
+    "frames built Catalyst-side. Per-dp specPower (sum bins 1..60 /125"
+    "/2/1000), roiPower (mean bins [15,40) /1000), gated ratio, and "
+    "the accumulate/decay machine. Oracle: literal O(N²) DFT per frame "
+    "+ recursive CTE walking the same recurrence; 6-dp rounding "
+    "absorbs FFT-vs-DFT drift, non-round amplitudes (600.37/5.23) "
+    "keep every value away from rounding boundaries, and each "
+    "engine derives flags from its own unrounded ratio (decisively "
+    "0 or ~100 vs the 57 threshold).",
+)
+def n31_osd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_osd_alg,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 30)
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    dps = ev.select("event_id", freq.alias("freq")).select(
+        "event_id",
+        "freq",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("dp"),
+    )
+    amp = F.when(F.col("dp") % 4 < 3, F.lit(600.37)).otherwise(F.lit(5.23))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(124)),
+        lambda i: 1000.0
+        + amp
+        * F.sin(
+            2 * math.pi * F.col("freq")
+            * (i + F.col("dp") * 125).cast("double") / 25.0
+        ),
+    )
+    frames = dps.select(
+        F.col("event_id").alias("eventId"),
+        F.timestamp_seconds(F.col("dp") * 5).alias("dpTimestamp"),
+        raw.alias("rawData"),
+    )
+    out = run_osd_alg(
+        frames,
+        OsdSettings(
+            alarm_thresh=500.0,
+            alarm_ratio_thresh=57.0,
+            sample_period=5.0,
+            warn_time=5.0,
+            alarm_time=10.0,
+        ),
+    )
+    return out.select(
+        F.col("eventId").alias("event_id"),
+        (F.col("dpTimestamp").cast("long") / 5).cast("long").alias("dp"),
+        F.round("specPower", 6).alias("spec_power"),
+        F.round("roiPower", 6).alias("roi_power"),
+        F.round("roiRatio", 6).alias("roi_ratio"),
+        F.col("alarmState").alias("alarm_state"),
+        F.col("alarmCount").alias("alarm_count"),
+    )
+
+
+@query(
     "n3_event_level_metrics",
     f"""
     WITH ev AS (

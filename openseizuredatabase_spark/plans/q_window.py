@@ -357,6 +357,13 @@ def w10_alarm_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# c9 bin bounds via the reference's freq2fftBin float route
+# (osdAlg.py:47,157-159) at N=_EMB_DIM samples / 25 Hz
+_C9_CUT = min(int(12.0 / (1.0 / (_EMB_DIM / 25.0))), _EMB_DIM // 2 - 1)
+_C9_LO = int(3.0 / (1.0 / (_EMB_DIM / 25.0)))
+_C9_HI = int(8.0 / (1.0 / (_EMB_DIM / 25.0)))
+
+
 @query(
     "c9_fft_features",
     f"""
@@ -371,10 +378,12 @@ def w10_alarm_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY vec_id, k.k
     ), agg AS (
         SELECT vec_id,
-               sum(re*re + im*im) / {_EMB_DIM // 2}.0 / {_EMB_DIM // 2}.0
-                   / 1000.0 AS spec,
-               sum(re*re + im*im) FILTER (WHERE k BETWEEN 7 AND 20)
-                   / 14.0 / 1000.0 AS roi
+               sum(re*re + im*im)
+                   FILTER (WHERE k BETWEEN 1 AND {_C9_CUT})
+                   / {_EMB_DIM}.0 / 2.0 / 1000.0 AS spec,
+               sum(re*re + im*im)
+                   FILTER (WHERE k BETWEEN {_C9_LO} AND {_C9_HI - 1})
+                   / {_C9_HI - _C9_LO}.0 / 1000.0 AS roi
         FROM bins GROUP BY vec_id
     )
     SELECT vec_id, round(spec, 6) AS spec_power,
@@ -383,14 +392,17 @@ def w10_alarm_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 10.0 * roi / spec END, 6) AS roi_ratio
     FROM agg
     """,
-    "C9/C10/C11 FFT kernel (osdAlgTools.py:95-158): specPower/roiPower/"
-    "spectrum-ratio per array via Arrow-batched mapInPandas; embeddings "
-    "arrays stand in for accel frames at the driver-table level. Oracle: "
-    "DuckDB computes the literal O(N²) DFT (per-bin cos/sin sums) — same "
-    "spectrum numpy's FFT factorizes, bins 1..N/2 with cutoff 12.5 Hz → "
-    "all 32, ROI 3–8 Hz → bins 7..20 (int-floor freq→bin), the nSamp/2 "
-    "FIXME divisor and /1000 scaling reproduced exactly; 6-dp rounding "
-    "absorbs the ~1e-13 FFT-vs-DFT summation difference.",
+    "C9/C10/C11 FFT kernel — literal port of the testRunner formulas "
+    "(osdAlg.py:161-187,210-219; round-7 fidelity fix): specPower = SUM "
+    "of bins 1..min(freq2fftBin(12.0), N/2−1) / N / 2 / 1000 (the "
+    "android-consistency 12.0 Hz cutoff, osdAlg.py:48-50), roiPower = "
+    "mean over [nMin, nMax) — EXCLUSIVE top bin — / 1000, per array via "
+    "Arrow-batched mapInPandas; embeddings arrays stand in for accel "
+    f"frames. At N={_EMB_DIM}/25 Hz: cutoff bin {_C9_CUT}, ROI bins "
+    f"{_C9_LO}..{_C9_HI - 1}. Oracle: DuckDB computes the literal O(N²) "
+    "DFT (per-bin cos/sin sums) — the same spectrum numpy's FFT "
+    "factorizes; 6-dp rounding absorbs the ~1e-13 FFT-vs-DFT summation "
+    "difference.",
 )
 def c9_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.signal import with_fft_features
@@ -769,9 +781,13 @@ def c15_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d IS NOT NULL
     GROUP BY event_id
     """,
-    "C16 zero-crossing rate Σ|sign(xᵢ)−sign(xᵢ₋₁)|/2n "
-    "(accelFeatures.py:79) — signum + pairwise diff as array "
-    "expressions; oracle uses a lag window over unnested samples.",
+    "C16 zero-crossing rate Σ|sign(xᵢ)−sign(xᵢ₋₁)|/2n — the "
+    "conventional crossing count (an engine generic; NOTE the "
+    "reference's executed accelFeatures.py:79 omits the abs and "
+    "telescopes to the net sign change — that exact variant is what "
+    "the epoch feature kernel and w5_epoch_moments reproduce) — "
+    "signum + pairwise diff as array expressions; oracle uses a lag "
+    "window over unnested samples.",
 )
 def c16_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.signal import zero_crossing_rate
@@ -793,31 +809,38 @@ def c16_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, (event_id % 5 + 1)::DOUBLE AS freq
         FROM events WHERE event_id < 40
     ), samples AS (
-        SELECT event_id, d.dp AS slice_idx,
+        SELECT event_id, d.dp AS slice_idx, n.n AS n,
                sin(2 * pi() * freq * (n.n + d.dp * 125)::DOUBLE / 25.0)
                    * 100.0 AS x
         FROM ev,
-             unnest(generate_series(0, 2)) AS d(dp),
+             unnest(generate_series(0, 1)) AS d(dp),
              unnest(generate_series(0, 124)) AS n(n)
     ), stats AS (
         SELECT event_id, slice_idx, sum(x) AS s1, sum(x * x) AS s2,
+               sum(x * cos(2 * pi() * 62.0 * n / 125.0)) AS re62,
+               sum(x * sin(2 * pi() * 62.0 * n / 125.0)) AS im62,
                stddev_pop(x) AS sd
         FROM samples GROUP BY event_id, slice_idx
     )
     SELECT event_id AS eventId, slice_idx AS sliceIdx,
            CASE WHEN sd < 10.0 THEN 0
-                ELSE round((125.0 * s2 + s1 * s1) / 2.0, 0)::BIGINT
+                ELSE round((125.0 * s2 - s1 * s1) / 2.0
+                           - (re62 * re62 + im62 * im62), 0)::BIGINT
            END AS spec_power_q
     FROM stats
     """,
-    "W9 spectral history / spectrogram (eventAnalyser.py:236-274): "
-    "sliding-FFT power slices per event with low-movement zeroing "
-    "(pop-std < 10) — numpy FFT in an Arrow-batched applyInPandas "
-    "stage. Oracle sidesteps the FFT via Parseval: with step == window, "
-    "each datapoint is one slice, and the half-spectrum power sum equals "
-    "(N·Σx² + (Σx)²)/2 — the DC bin counted once, conjugate pairs "
-    "halved — so DuckDB only regenerates the sinusoid and two power "
-    "sums; integer quantization absorbs libm sin/summation drift.",
+    "W9 spectral history / spectrogram — literal twin of "
+    "generateSpectralHistoryFromAccelLst2 (eventAnalyser.py:236-274, "
+    "round-8 fidelity fixes): sliding-FFT power slices per event, "
+    "emitting bins 1..61 only (fftPow[1:fftLen] — DC and the top bin "
+    "EXCLUDED), with low-movement zeroing (pop-std < 10), the 0.001 "
+    "zeroTol clip, and the reference's endPosn < len geometry (the "
+    "final aligned window is NOT emitted — 3 dps of 125 samples yield "
+    "2 slices, not 3). Oracle sidesteps the FFT via Parseval: "
+    "Σ|X|² over bins 1..61 = (N·Σx² − (Σx)²)/2 − |X₆₂|², with the one "
+    "remaining bin-62 term as a literal single-bin DFT; integer "
+    "quantization absorbs libm sin/summation drift and the sub-0.1 "
+    "zeroTol clip mass.",
 )
 def w9_spectral_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.features import spectral_history
@@ -1197,7 +1220,9 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), diffs AS (
         SELECT eid, rn,
                abs(s - lag(s) OVER (PARTITION BY eid ORDER BY rn)) AS dabs,
-               abs(sign(s) - sign(lag(s) OVER (PARTITION BY eid ORDER BY rn)))
+               -- accelFeatures.py:79 zcr has NO abs: signed sign-diffs
+               -- (the sum telescopes to sign(last) - sign(first))
+               sign(s) - sign(lag(s) OVER (PARTITION BY eid ORDER BY rn))
                    AS dsgn
         FROM seq
     ), counts AS (
@@ -1257,8 +1282,10 @@ def w5_epoch_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern per extractFeatures.py:143-211 / accelFeatures.py:70-79): "
     "the SAME applyInPandas kernel (functions/features."
     "extract_epoch_features) over a x100-quantized signal emits "
-    "line-length (total variation — exact integer), zero-crossing "
-    "rate (exact sign-diff counting), and skewness/kurtosis computed "
+    "line-length (total variation — exact integer), the reference's "
+    "zcr feature (accelFeatures.py:79 — SIGNED sign-diff sum, which "
+    "telescopes to the net sign change; the executed reference code "
+    "has no abs, round-8 fidelity audit), and skewness/kurtosis computed "
     "from EXACT integer power sums of MEAN-SHIFTED samples (shift "
     "c = floor(mean + 0.5), an integer, so shifted sums stay exact and "
     "order-independent while killing the float-path cancellation that "
@@ -1406,15 +1433,23 @@ def _w5_epoch_oracled_sql() -> str:
     then backward); the Welch replay is the c14 O(N²) DFT twin per
     epoch. Every coefficient is embedded via repr() of the exact doubles
     functions/features.butter_coeffs produces."""
-    from openseizuredatabase_spark.functions.features import butter_coeffs
+    from openseizuredatabase_spark.functions.features import (
+        butter_coeffs,
+        lfilter_zi,
+    )
 
     b, a = butter_coeffs(2, 0.5 / 12.5, "high")
     bn = [float(v) / float(a[0]) for v in b]
     an = [float(v) / float(a[0]) for v in a]
     b0, b1, b2 = (repr(v) for v in bn)
     a1, a2 = (repr(v) for v in an[1:])
+    zi = lfilter_zi(b, a)
+    zi0, zi1 = (repr(float(v)) for v in zi)
     yf = f"({b0})*e.x + st.z0"
     yb = f"({b0})*e.x + st.z0"
+    # zi-seeded first step (scipy filtfilt: z = zi * first-sample):
+    # y0 = b0*x + zi0*x; z0' = b1*x + zi1*x - a1*y0; z1' = b2*x - a2*y0
+    y0 = f"({b0})*x + ({zi0})*x"
     return f"""
     WITH RECURSIVE base AS (
         SELECT event_id % 100 AS eid, event_id,
@@ -1437,25 +1472,27 @@ def _w5_epoch_oracled_sql() -> str:
         FROM seq s JOIN counts c ON s.eid = c.eid
         GROUP BY s.eid
     ), ext AS MATERIALIZED (
-        -- odd-reflection padding, padlen 6 (features.filtfilt):
-        -- ext[j<6] = 2*x[0] - x[6-j]; mid; ext[n+6+m] = 2*x[n-1] - x[n-2-m]
-        SELECT s.eid, 6 - s.rn AS j, 2 * d.x0 - s.x AS x
+        -- odd-reflection padding, scipy edge = 3*max(len(a),len(b)) = 9
+        -- (features.filtfilt): ext[j<9] = 2*x[0] - x[9-j]; mid;
+        -- ext[n+9+m] = 2*x[n-1] - x[n-2-m] for m in 0..8
+        SELECT s.eid, 9 - s.rn AS j, 2 * d.x0 - s.x AS x
         FROM seq s JOIN ends d ON s.eid = d.eid
-        WHERE s.rn BETWEEN 1 AND 6
+        WHERE s.rn BETWEEN 1 AND 9
         UNION ALL
-        SELECT eid, rn + 6, x FROM seq
+        SELECT eid, rn + 9, x FROM seq
         UNION ALL
-        SELECT s.eid, 2 * c.n + 4 - s.rn AS j, 2 * d.xl - s.x
+        SELECT s.eid, 2 * c.n + 7 - s.rn AS j, 2 * d.xl - s.x
         FROM seq s
         JOIN ends d ON s.eid = d.eid
         JOIN counts c ON s.eid = c.eid
-        WHERE s.rn BETWEEN c.n - 7 AND c.n - 2
+        WHERE s.rn BETWEEN c.n - 10 AND c.n - 2
     ), fwd AS (
-        -- forward lfilter: direct-form II transposed, order 2
+        -- forward lfilter: direct-form II transposed, order 2,
+        -- zi-seeded with z = lfilter_zi(b,a) * ext[0] (scipy filtfilt)
         SELECT eid, j,
-               ({b0})*x AS y,
-               ({b1})*x - ({a1})*(({b0})*x) AS z0,
-               ({b2})*x - ({a2})*(({b0})*x) AS z1
+               {y0} AS y,
+               ({b1})*x + ({zi1})*x - ({a1})*({y0}) AS z0,
+               ({b2})*x - ({a2})*({y0}) AS z1
         FROM ext WHERE j = 0
         UNION ALL
         SELECT e.eid, e.j,
@@ -1465,15 +1502,16 @@ def _w5_epoch_oracled_sql() -> str:
         FROM fwd st
         JOIN ext e ON e.eid = st.eid AND e.j = st.j + 1
     ), rev AS MATERIALIZED (
-        -- reverse the forward output (ext length = n + 12)
-        SELECT f.eid, c.n + 11 - f.j AS j, f.y AS x
+        -- reverse the forward output (ext length = n + 18)
+        SELECT f.eid, c.n + 17 - f.j AS j, f.y AS x
         FROM fwd f JOIN counts c ON f.eid = c.eid
     ), bwd AS (
-        -- backward lfilter over the reversed sequence
+        -- backward lfilter over the reversed sequence, zi-seeded with
+        -- z = lfilter_zi(b,a) * y_fwd[-1] (= the reversed first sample)
         SELECT eid, j,
-               ({b0})*x AS y,
-               ({b1})*x - ({a1})*(({b0})*x) AS z0,
-               ({b2})*x - ({a2})*(({b0})*x) AS z1
+               {y0} AS y,
+               ({b1})*x + ({zi1})*x - ({a1})*({y0}) AS z0,
+               ({b2})*x - ({a2})*({y0}) AS z1
         FROM rev WHERE j = 0
         UNION ALL
         SELECT e.eid, e.j,
@@ -1483,11 +1521,11 @@ def _w5_epoch_oracled_sql() -> str:
         FROM bwd st
         JOIN rev e ON e.eid = st.eid AND e.j = st.j + 1
     ), filt AS MATERIALIZED (
-        -- un-reverse and slice [6 : n+6): original sample rn = i - 6
-        SELECT w.eid, (c.n + 11 - w.j) - 6 AS rn, round(w.y, 6) AS y6,
+        -- un-reverse and slice [9 : n+9): original sample rn = i - 9
+        SELECT w.eid, (c.n + 17 - w.j) - 9 AS rn, round(w.y, 6) AS y6,
                CAST(round(round(w.y, 6) * 1000000) AS BIGINT) AS yq
         FROM bwd w JOIN counts c ON w.eid = c.eid
-        WHERE (c.n + 11 - w.j) BETWEEN 6 AND c.n + 5
+        WHERE (c.n + 17 - w.j) BETWEEN 9 AND c.n + 8
     ), epochs AS MATERIALIZED (
         SELECT c.eid, 25 * k.k AS st
         FROM counts c, unnest(generate_series(0, 1000)) AS k(k)

@@ -62,7 +62,10 @@ def test_epoch_feature_dict_sanity():
     assert f["mean_freq_magnitude"] == pytest.approx(5.0, abs=0.5)
     # 5 Hz falls in these bands and not in late_clonus (1-2 Hz)
     assert f["total_power_magnitude_3-5Hz"] > 100 * f["total_power_magnitude_late_clonus"]
-    assert f["zcr_magnitude"] == pytest.approx(0.4, abs=0.05)  # 2*5Hz/25Hz
+    # the reference zcr (accelFeatures.py:79) has no abs — it telescopes
+    # to (sign(x[-1]) - sign(x[0])) / 2n, NOT a crossing count
+    expect_zcr = (np.sign(x[124]) - np.sign(x[0])) / (2.0 * 125)
+    assert f["zcr_magnitude"] == expect_zcr
 
 
 def test_epoch_moments_stable_under_dc_offset():
@@ -136,17 +139,29 @@ def test_extract_epoch_features_spark(dp_frame):
 
 
 def test_spectral_history_spark(dp_frame, spark):
-    quiet = [Row(eventId=3, dpTimestamp=dt.datetime(2024, 1, 1), rawData=[1000.0] * 125, hr=0.0)]
+    quiet = [
+        Row(
+            eventId=3,
+            dpTimestamp=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5 * k),
+            rawData=[1000.0] * 125,
+            hr=0.0,
+        )
+        for k in range(2)
+    ]
     both = dp_frame.unionByName(spark.createDataFrame(quiet, dp_frame.schema))
     out = feat.spectral_history(both, low_movement_std=10.0).collect()
     by_event = {}
     for r in out:
         by_event.setdefault(r.eventId, []).append(r)
-    assert len(by_event[1]) == 4
-    # active slices have a 5 Hz peak at bin 25
+    # reference geometry (endPosn < len): 500 samples → 3 slices, the
+    # final aligned window is NOT emitted (eventAnalyser.py:249-250)
+    assert len(by_event[1]) == 3
+    # emitted bins are 1..61 (fftPow[1:fftLen]): 5 Hz = bin 25 = index 24
     spec = np.array(by_event[1][0].spectrum)
-    assert np.argmax(spec[1:]) + 1 == 25
-    # flat event zeroed by the low-movement gate
+    assert len(spec) == 61
+    assert np.argmax(spec) == 24
+    # flat event (2 dps → 1 slice) zeroed by the low-movement gate
+    assert len(by_event[3]) == 1
     assert all(v == 0.0 for v in by_event[3][0].spectrum)
 
 

@@ -1,0 +1,384 @@
+"""Literal-port parity for the remaining DSP/detector kernels (round-7
+verdict ask #3): each test's golden is an INDEPENDENT execution of the
+reference function's algorithm on a fixture — ported loops / an
+independent construction — never a paraphrase of the engine kernel, so
+a silent engine divergence fails here instead of surviving a circular
+test.
+
+Covered:
+* C14 Welch PSD + band defs — accelFeatures.py:86-106 calls
+  scipy.signal.welch(x, fs, nperseg=None, window=hann(len(x)),
+  scaling='density'); scipy is absent in this container, so the golden
+  executes scipy's documented one-segment path step by step (symmetric
+  Hann, constant detrend, 1/(fs·Σw²) density scale, one-sided
+  doubling), written independently of functions/features.welch_psd.
+* C13 Butterworth defaults + coefficients — extractFeatures.py:214-261
+  (low: cutoff 0.5, order 4; high: cutoff 0.5, order 2); the golden
+  builds (b, a) by direct polynomial substitution of the bilinear
+  transform into the analog prototype — a different algebra route than
+  butter_coeffs' zpk path.
+* filtfilt zi-seeding — scipy.signal.filtfilt's lfilter_zi property:
+  a constant input produces the steady-state output from sample 0
+  (zero transient), which a zero-state start cannot do.
+* W9 spectrogram — eventAnalyser.py:236-274
+  generateSpectralHistoryFromAccelLst2 ported loop-for-loop (endPosn
+  geometry, sd gate, zeroTol clip, bins 1..fftLen-1, post-clip
+  normalize).
+* hrAlg — testRunner/hrAlg.py processDp ported verbatim-semantics
+  (history incl. -1 slots, adaptive offsets, the dead -1 store
+  overwritten to 0) for all three modes.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from openseizuredatabase_spark.detection.hr_alg import (
+    MODE_ADAPTIVE,
+    MODE_AVERAGE,
+    MODE_SIMPLE,
+    HrSettings,
+    run_hr_alg,
+)
+from openseizuredatabase_spark.functions import features as feat
+
+
+def _fixture(n=125, seed_mode="mixed"):
+    t = np.arange(n) / 25.0
+    if seed_mode == "mixed":
+        return (
+            1000.0
+            + 80.0 * np.sin(2 * np.pi * 4.3 * t)
+            + 30.0 * np.sin(2 * np.pi * 9.1 * t + 0.7)
+            + 5.0 * np.sin(2 * np.pi * 0.3 * t)
+        )
+    return 1000.0 + 100.0 * np.sin(2 * np.pi * 5.0 * t)
+
+
+# --- C14: Welch ---------------------------------------------------------------
+
+
+def _scipy_welch_one_segment(x, fs):
+    """scipy.signal.welch with nperseg=None and window=hann(len(x)):
+    one segment, constant detrend, symmetric Hann, density scaling,
+    one-sided doubling — written from scipy's documented algorithm."""
+    n = len(x)
+    i = np.arange(n)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * i / (n - 1))  # sym Hann
+    seg = x - np.mean(x)  # detrend='constant'
+    spec = np.fft.rfft(seg * win)
+    psd = (spec.real**2 + spec.imag**2) / (fs * np.dot(win, win))
+    if n % 2 == 0:
+        psd[1:-1] *= 2.0
+    else:
+        psd[1:] *= 2.0
+    freqs = np.arange(len(psd)) * fs / n
+    return freqs, psd
+
+
+def test_welch_matches_reference_call_path():
+    for x in (_fixture(125), _fixture(125, "sine"), _fixture(50)):
+        f_ref, p_ref = _scipy_welch_one_segment(x, 25.0)
+        f_got, p_got = feat.welch_psd(x, 25.0)
+        assert np.allclose(f_got, f_ref, rtol=0, atol=1e-12)
+        assert np.allclose(p_got, p_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_freq_band_table_matches_reference():
+    """extractFeatures.py:162-178 — the 14 named bands, inclusive
+    [lower, upper] selection (accelFeatures.py:100-106)."""
+    expect = {
+        "osdRoi": (3.0, 8.0),
+        "osdSpec": (0.5, 12.5),
+        "osdFlap": (2.0, 4.0),
+        "seizure_main": (1.0, 4.0),
+        "initial_clonus": (3.0, 5.0),
+        "late_clonus": (1.0, 2.0),
+        "1-3Hz": (1.0, 3.0),
+        "2-4Hz": (2.0, 4.0),
+        "3-5Hz": (3.0, 5.0),
+        "4-6Hz": (4.0, 6.0),
+        "5-7Hz": (5.0, 7.0),
+        "6-8Hz": (6.0, 8.0),
+        "7-9Hz": (7.0, 9.0),
+        "8-10Hz": (8.0, 10.0),
+    }
+    assert dict(feat.FREQ_BANDS) == expect
+    # band powers = plain sums of density bins with BOTH edges inclusive
+    x = _fixture(125)
+    freqs, psd = _scipy_welch_one_segment(x, 25.0)
+    f = feat.epoch_feature_dict(x, 25.0, "m")
+    for band, (lo, hi) in expect.items():
+        sel = psd[(freqs >= lo) & (freqs <= hi)]
+        assert f[f"total_power_m_{band}"] == pytest.approx(
+            float(np.sum(sel)), rel=1e-9
+        )
+        assert f[f"peak_psd_m_{band}"] == pytest.approx(
+            float(np.max(sel)), rel=1e-9
+        )
+
+
+# --- C13: Butterworth ---------------------------------------------------------
+
+
+def _butter_by_polynomial_substitution(order, wn, btype):
+    """Independent (b, a) construction: analog Butterworth denominator
+    assembled as a real polynomial from the prototype poles, then the
+    bilinear transform applied by direct polynomial substitution
+    s = 4(z-1)/(z+1) — no zpk mapping, unlike butter_coeffs."""
+    k = np.arange(order)
+    poles = np.exp(1j * np.pi * (2 * k + order + 1) / (2 * order))
+    warped = 4.0 * np.tan(np.pi * wn / 2.0)
+    if btype == "low":
+        d = np.real(np.poly(poles * warped))  # D(s), highest power first
+        num_coeffs = np.zeros(order + 1)
+        num_coeffs[-1] = warped**order  # N(s) = warped^n
+    else:
+        d = np.real(np.poly(warped / poles))
+        num_coeffs = np.zeros(order + 1)
+        num_coeffs[0] = 1.0  # N(s) = s^n
+    zp1 = np.array([1.0, 1.0])  # (z+1)
+    zm1 = np.array([1.0, -1.0])  # (z-1)
+
+    def substitute(coeffs):
+        # Σ c_k s^k → Σ c_k 4^k (z-1)^k (z+1)^(n-k), coeffs highest-first
+        n = len(coeffs) - 1
+        acc = np.zeros(n + 1)
+        for idx, c in enumerate(coeffs):
+            kpow = n - idx  # power of s for this coefficient
+            term = np.array([c * 4.0**kpow])
+            for _ in range(kpow):
+                term = np.convolve(term, zm1)
+            for _ in range(n - kpow):
+                term = np.convolve(term, zp1)
+            acc += term
+        return acc
+
+    a = substitute(d)
+    b = substitute(num_coeffs)
+    b, a = b / a[0], a / a[0]
+    # exact passband normalization, as butter_coeffs applies
+    ref = 1.0 if btype == "low" else -1.0
+    b = b / (np.polyval(b, ref) / np.polyval(a, ref))
+    return b, a
+
+
+@pytest.mark.parametrize(
+    "order,wn,btype",
+    [
+        (4, 0.5 / 12.5, "low"),  # extractFeatures.py low_pass defaults
+        (2, 0.5 / 12.5, "high"),  # extractFeatures.py high_pass defaults
+        (4, 0.5 / 12.5, "high"),  # accelFeatures.butter_highpass_filter
+        (2, 0.2, "low"),  # the c13 oracle's filter
+    ],
+)
+def test_butter_coeffs_match_independent_construction(order, wn, btype):
+    b_got, a_got = feat.butter_coeffs(order, wn, btype)
+    b_ref, a_ref = _butter_by_polynomial_substitution(order, wn, btype)
+    assert np.allclose(a_got / a_got[0], a_ref, rtol=1e-9, atol=1e-12)
+    assert np.allclose(b_got / a_got[0], b_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_reference_filter_defaults():
+    """Pin the reference call signatures: low_pass(cutoff=0.5, fs=25,
+    order=4) (extractFeatures.py:214-238), high_pass(cutoff=0.5, fs=25,
+    order=2) (extractFeatures.py:240-261)."""
+    import inspect
+
+    lp = inspect.signature(feat.low_pass).parameters
+    assert (lp["cutoff"].default, lp["fs"].default, lp["order"].default) == (
+        0.5,
+        25.0,
+        4,
+    )
+    hp = inspect.signature(feat.high_pass).parameters
+    assert (hp["cutoff"].default, hp["fs"].default, hp["order"].default) == (
+        0.5,
+        25.0,
+        2,
+    )
+
+
+def test_filtfilt_scipy_semantics():
+    """scipy.signal.filtfilt properties the old zero-state/short-pad
+    version violated: (a) padlen = 3*max(len(a), len(b)) with a
+    ValueError on too-short inputs (scipy raises, never clamps);
+    (b) lfilter_zi seeding ⇒ a constant input is in steady state from
+    sample 0 — the filtered constant is EXACTLY flat, no edge
+    transient."""
+    b, a = feat.butter_coeffs(2, 0.2, "low")
+    with pytest.raises(ValueError):
+        feat.filtfilt(b, a, np.ones(9))  # padlen = 9 needs len > 9
+    x = np.full(40, 7.25)
+    y = feat.filtfilt(b, a, x)
+    assert np.allclose(y, 7.25, rtol=0, atol=1e-9)
+    # and the zi construction itself: lfilter seeded with zi*x0 holds a
+    # step input at steady state from the first output sample
+    zi = feat.lfilter_zi(b, a)
+    step = feat._lfilter(b, a, np.full(20, 3.0), zi=zi * 3.0)
+    assert np.allclose(step, 3.0, rtol=0, atol=1e-12)
+
+
+# --- W9: spectral history ------------------------------------------------------
+
+
+def _ref_spectral_history(acc, window_len=125, step=125, sd_thresh=10.0,
+                          zero_tol=0.001, normalise=False):
+    """Loop-for-loop port of generateSpectralHistoryFromAccelLst2
+    (eventAnalyser.py:236-274): endPosn geometry, sd gate, |fft|² via
+    absolute-then-square, zeroTol clip, bins 1..fftLen-1, post-clip
+    normalization."""
+    out = []
+    fft_len = int(window_len / 2)
+    arr = np.array(acc)
+    end = window_len
+    while end < len(arr):
+        sl = arr[end - window_len : end]
+        if sl.std() >= sd_thresh:
+            fft = np.fft.fft(sl)
+            mag = np.absolute(fft)
+            pow_ = np.square(mag)
+            pow_[abs(pow_) < zero_tol] = 0
+            if normalise:
+                if np.max(pow_[1:fft_len]) != 0:
+                    out.append(pow_[1:fft_len] / np.max(pow_[1:fft_len]))
+                else:
+                    out.append(np.zeros(fft_len - 1))
+            else:
+                out.append(pow_[1:fft_len])
+        else:
+            out.append(np.zeros(fft_len - 1))
+        end += step
+    return out
+
+
+@pytest.mark.parametrize("normalise", [False, True])
+def test_spectral_history_matches_reference_port(spark, normalise):
+    """Engine spectral_history output byte-equals the reference port on
+    a fixture with an active slice, a low-movement slice, and values
+    straddling the zeroTol clip."""
+    t = np.arange(125) / 25.0
+    active = 1000.0 + 100.0 * np.sin(2 * np.pi * 5.0 * t)
+    weak = 1000.0 + 12.0 * np.sin(2 * np.pi * 3.0 * t)  # std ≈ 8.5 < 10
+    tiny = 1000.0 + 0.004 * np.sin(2 * np.pi * 4.0 * t) + 20.0 * np.sin(
+        2 * np.pi * 7.0 * t
+    )  # leak bins near the 0.001 clip
+    frames = [active, weak, tiny, active]  # last frame dropped (endPosn<len)
+    sig = np.concatenate(frames)
+    expect = _ref_spectral_history(sig, normalise=normalise)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            eventId=1,
+            dpTimestamp=base + dt.timedelta(seconds=5 * k),
+            rawData=[float(v) for v in fr],
+        )
+        for k, fr in enumerate(frames)
+    ]
+    got = (
+        feat.spectral_history(
+            spark.createDataFrame(rows), normalize=normalise
+        )
+        .toPandas()
+        .sort_values("sliceIdx")
+    )
+    assert len(got) == len(expect) == 3
+    for (_, row), exp in zip(got.iterrows(), expect):
+        assert len(row.spectrum) == 61
+        assert np.array_equal(np.array(row.spectrum), exp), row.sliceIdx
+
+
+# --- hrAlg ---------------------------------------------------------------------
+
+
+class RefHr:
+    """Literal port of testRunner/hrAlg.py:29-156 (settings, addToHist,
+    calcAvgHr, the three check modes, and processDp's recurrence
+    INCLUDING the dead -1 store that the fall-through overwrites)."""
+
+    def __init__(self, mode, thresh_high=120.0, thresh_low=40.0,
+                 off_high=30.0, off_low=20.0, window_secs=60.0,
+                 sample_period=5.0, warn_time=5.0, alarm_time=10.0):
+        self.mode = mode
+        self.th, self.tl = thresh_high, thresh_low
+        self.oh, self.ol = off_high, off_low
+        self.window_dps = int(window_secs / 5.0)  # hrAlg.py:35
+        self.sp, self.wt, self.at = sample_period, warn_time, alarm_time
+        self.hist = []
+        self.state, self.count = 0, 0.0
+
+    def _avg(self):  # hrAlg.py:55-67
+        s, n = 0.0, 0
+        for v in self.hist:
+            if v != -1:
+                s += v
+                n += 1
+        return s / n if n > 0 else -1
+
+    def _add(self, v):  # hrAlg.py:69-74
+        self.hist.append(v)
+        if len(self.hist) > self.window_dps:
+            del self.hist[0]
+
+    def step(self, hr):  # hrAlg.py:116-156
+        self._add(hr)
+        in_alarm = 0
+        if hr == -1:
+            self.state = -1
+            self.count = 0
+        else:
+            if self.mode == MODE_SIMPLE:
+                in_alarm = 2 if (hr > self.th) or (hr < self.tl) else 0
+            elif self.mode == MODE_ADAPTIVE:
+                av = self._avg()
+                in_alarm = 2 if (hr > av + self.oh) or (hr < av - self.ol) else 0
+            else:
+                av = self._avg()
+                in_alarm = 2 if (av > self.th) or (av < self.tl) else 0
+        if in_alarm:
+            self.count += self.sp
+            if self.count > self.at:
+                self.state = 2
+            elif self.count > self.wt:
+                self.state = 1
+        else:
+            if self.state == 2:
+                self.state = 1
+                self.count = self.wt
+            else:
+                self.state = 0
+                self.count = 0
+        return self.state, self.count
+
+
+@pytest.mark.parametrize("mode", [MODE_SIMPLE, MODE_ADAPTIVE, MODE_AVERAGE])
+def test_hr_alg_matches_reference_port(spark, mode):
+    """Per-dp state/count parity against the hrAlg.py port for a series
+    with gaps, alarm runs, decay, and a post-gap re-entry (exercises
+    the dead -1 store: the reference emits 0 for missing dps)."""
+    hrs = [80, 85, 130, 131, 132, 133, 80, -1, 135, 136, 30, 30, 30, -1, -1, 82]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(eventId=9, dpTimestamp=base + dt.timedelta(seconds=5 * i), hr=float(h))
+        for i, h in enumerate(hrs)
+    ]
+    s = HrSettings(
+        mode=mode, thresh_high=120, thresh_low=40, thresh_offset_high=30,
+        thresh_offset_low=20, moving_average_window_dps=12,
+        sample_period=5, warn_time=5, alarm_time=10,
+    )
+    got = (
+        run_hr_alg(spark.createDataFrame(rows), s)
+        .toPandas()
+        .sort_values("dpTimestamp")
+    )
+    ref = RefHr(mode)
+    expect = [ref.step(float(h)) for h in hrs]
+    assert got["alarmState"].tolist() == [st for st, _ in expect], mode
+    assert got["alarmCount"].tolist() == [float(c) for _, c in expect], mode
+    # the fixture must actually exercise a missing step and an alarm
+    assert -1.0 in got["hr"].tolist()
+    if mode == MODE_SIMPLE:
+        assert 2 in got["alarmState"].tolist()

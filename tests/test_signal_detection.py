@@ -43,13 +43,18 @@ def test_fft_power_is_magnitude_squared():
 
 
 def test_spec_and_roi_power_scaling():
+    """Quick scaling sanity (the byte-exact fidelity gate is the
+    literal-port golden in test_osd_reference_parity.py): specPower is
+    the SUM of bins 1..min(cutoff, n//2-1) / n / 2 / 1000 with the
+    12.0 Hz android cutoff, roiPower the mean over [lo, hi) / 1000
+    (osdAlg.py:161-187,211-212)."""
     x = sine(5.0, 100.0)
-    # independent hand-computation of the reference formulas
-    p = np.abs(np.fft.fft(x)[:63]) ** 2
-    cutoff = int(12.5 * 125 / 25.0)  # 62
-    expect_spec = p[1 : cutoff + 1].mean() / (125 / 2) / 1000.0
-    lo, hi = int(3 * 125 / 25), int(8 * 125 / 25)
-    expect_roi = p[lo : hi + 1].mean() / 1000.0
+    fft = np.fft.fft(x)[:63]
+    p = fft.real**2 + fft.imag**2
+    cutoff = int(12.0 / (1.0 / 5.0))  # 60 — android-consistency 12.0 Hz
+    expect_spec = p[1 : cutoff + 1].sum() / 125 / 2 / 1000.0
+    lo, hi = int(3 / 0.2), int(8 / 0.2)  # 15, 40 — top bin EXCLUDED
+    expect_roi = p[lo:hi].sum() / (hi - lo) / 1000.0
     assert math.isclose(sig.spec_power(x), expect_spec)
     assert math.isclose(sig.roi_power(x), expect_roi)
 
@@ -87,10 +92,12 @@ def test_alarm_recurrence_missing_resets():
         s,
         missing=[False, False, False, True, False],
     )
-    # missing step: -1/0 full reset; the next in-alarm step accumulates
-    # from 0 but the state stays -1 until a threshold crossing or a clear
-    # step (matches hrAlg.py:140-156 — the if/elif only upgrades state)
-    assert states == [0, 1, 2, -1, -1]
+    # missing step: full reset to 0/0 — even from ALARM, skipping the
+    # 2→1 decay (the reference's -1 assignment at hrAlg.py:123-127 is
+    # immediately overwritten by the fall-through at :147-156); the
+    # next in-alarm step accumulates from 0 with state still 0 (count
+    # 5 crosses no threshold)
+    assert states == [0, 1, 2, 0, 0]
     assert counts == [5, 10, 15, 0, 5]
 
 
@@ -160,7 +167,8 @@ def test_hr_alg_simple_and_adaptive(spark):
             for i, h in enumerate(hrs)
         ]
 
-    # simple mode: 3 tachycardic dps then recovery; missing (-1) resets
+    # simple mode: 3 tachycardic dps then recovery; missing (-1) fully
+    # resets to 0 (the reference's dead -1 store, see alarm_recurrence)
     rows = mk(1, [80, 130, 130, 130, 80, -1, 80])
     df = spark.createDataFrame(rows)
     out = (
@@ -168,7 +176,7 @@ def test_hr_alg_simple_and_adaptive(spark):
                                   sample_period=5, warn_time=5, alarm_time=10))
         .toPandas().sort_values("dpTimestamp")
     )
-    assert out["alarmState"].tolist() == [0, 0, 1, 2, 1, -1, 0]
+    assert out["alarmState"].tolist() == [0, 0, 1, 2, 1, 0, 0]
 
     # adaptive mode: stable 60 bpm baseline then a +50 jump over baseline+30
     rows = mk(2, [60] * 6 + [110, 110])

@@ -351,82 +351,129 @@ def m10_subtype_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m11_multimodal_decode",
     """
-    WITH h AS (
-        SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
-               sha256(text) AS hx
-        FROM documents
-    ), u AS (
-        SELECT media_id,
-               ('0x' || substr(hx, 8*i.i + 7, 2) || substr(hx, 8*i.i + 5, 2)
-                     || substr(hx, 8*i.i + 3, 2) || substr(hx, 8*i.i + 1, 2)
-               )::BIGINT AS v
-        FROM h, unnest(generate_series(0, 7)) AS i(i)
-        WHERE hx IS NOT NULL
+    WITH px AS (
+        SELECT event_id AS media_id,
+               (x.x * 7 + y.y * 13 + event_id * 31) % 256 AS v
+        FROM events,
+             unnest(generate_series(0, 8 + event_id % 9 - 1)) AS x(x),
+             unnest(generate_series(0, 8 + event_id % 7 - 1)) AS y(y)
+        WHERE event_id < 200
     )
-    SELECT h.media_id, coalesce(h.n_bytes, 0) AS n_bytes,
-           coalesce(round(8 * sum((u.v % 10000) / 10000.0), 4), 0.0)
-               AS feat_sum
-    FROM h LEFT JOIN u ON h.media_id = u.media_id
-    GROUP BY h.media_id, h.n_bytes
+    SELECT media_id, count(*) AS n_px,
+           round(sum(v // 4)::DOUBLE / count(*), 6) AS feat_wsum,
+           count(DISTINCT v // 4) AS n_bins_hit
+    FROM px GROUP BY media_id
     """,
-    "Multimodal decode/feature-extract plumbing (binary content → "
-    "array<double> features via one Arrow-batched mapInPandas pass; only "
-    "(media_id, content) cross the Arrow boundary). The codec is the "
-    "documented deterministic stub — sha256-derived pseudo-samples — so "
-    "the oracle replays it exactly in SQL: the digest's 8 uint32s "
-    "(little-endian, tiled 8×over 64 features) give feat_sum = "
-    "8·Σ(u32 % 10⁴)/10⁴. Content bytes are the documents' UTF-8 text, "
-    "identical in both engines.",
+    "Multimodal decode/feature-extract over the REAL codec path "
+    "(round-7 verdict ask #5 — the sha256 stub is retired): PNG bytes "
+    "(the shared m20 corpus, every scanline filter exercised) decode "
+    "through the stdlib codec inside decode_features' magic-byte "
+    "dispatch and reduce to a 64-bin normalized pixel histogram — one "
+    "Arrow-batched mapInPandas pass, bytes never on the driver. The "
+    "report pins the histogram via its weighted sum Σ i·hist[i] "
+    "(= Σ(v div 4)/n_px, integer-exact before the single divide) and "
+    "the hit-bin count. Oracle replays both straight from the pixel "
+    "formula — any inflate/unfilter/binning defect breaks the hash.",
 )
 def m11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.multimodal import decode_features
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("content"),
+    out = decode_features(_png_media(spark, sf_dir), 64)
+    # counts_i = round(hist_i * n_px) is integer-exact (hist_i = c_i/n
+    # to one double rounding; ×n recovers c_i within 0.5), so the
+    # weighted sum accumulates exact integers and divides once — the
+    # same op order as the oracle's sum(v//4)/n_px
+    idx = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda i: i.cast("double")
     )
-    out = decode_features(media, 64)
+    counts = F.zip_with(
+        F.col("features"), idx, lambda f, i: F.round(f * F.col("n_px"), 0) * i
+    )
+    wsum = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
     return out.select(
         "media_id",
-        "n_bytes",
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
-        ).alias("feat_sum"),
+        "n_px",
+        F.round(wsum / F.col("n_px"), 6).alias("feat_wsum"),
+        F.size(F.filter("features", lambda f: f > 0)).cast("long").alias(
+            "n_bins_hit"
+        ),
     )
 
 
 @query(
     "m12_frame_sample",
     """
-    SELECT doc_id AS media_id, g.f AS frame_idx, 'mp4' AS format
-    FROM documents,
-         unnest(generate_series(0, least((doc_id * 13) % 120 - 1, 70), 10))
-             AS g(f)
-    WHERE doc_id % 3 = 0 AND (doc_id * 13) % 120 > 0
+    WITH meta AS (
+        SELECT event_id AS media_id, (1 + event_id % 12) AS nf,
+               (6 + event_id % 4)::BIGINT AS w,
+               (5 + event_id % 3)::BIGINT AS h
+        FROM events WHERE event_id < 150
+    ), sampled AS (
+        SELECT media_id, nf, w, h, f.f AS fi,
+               row_number() OVER (PARTITION BY media_id ORDER BY f.f)
+                   AS rk
+        FROM meta, unnest(generate_series(0, nf - 1, 3)) AS f(f)
+    ), px AS (
+        SELECT k.media_id, k.fi, k.nf, k.w, k.h,
+               (k.media_id * 31 + k.fi * 97 + y.y * 13 + x.x * 7) % 256
+                   AS v
+        FROM sampled k,
+             unnest(generate_series(0, k.h - 1)) AS y(y),
+             unnest(generate_series(0, k.w - 1)) AS x(x)
+        WHERE k.rk <= 3
+    )
+    SELECT media_id, fi::BIGINT AS frame_idx, nf::BIGINT AS n_frames,
+           w AS width, h AS height,
+           sum(v)::BIGINT AS idx_sum, min(v)::BIGINT AS idx_min,
+           max(v)::BIGINT AS idx_max
+    FROM px GROUP BY media_id, fi, nf, w, h
     """,
-    "Video frame-sampling fan-out (UDTF shape, row-expanding like "
-    "W5/M6): every 10th frame index up to 8 per video, zero-frame "
-    "videos emit nothing, pure explode(slice(sequence)) — no Python, no "
-    "shuffle, generator fan-out in place on each executor. Synthetic "
-    "metadata (n_frames = 13·id mod 120) exercises both the 8-frame cap "
-    "(n > 70) and the empty-video path.",
+    "Video frame sampling with REAL frame decode (round-7 verdict ask "
+    "#5 — `_stub_decode` retired from every registry path): animated "
+    "GIFs of 1-12 frames encode through the repo's LZW encoder, "
+    "frame_sample decodes them back (stdlib variable-width LZW), takes "
+    "every 3rd frame up to 3 per video (the cap bites at n_frames ≥ "
+    "10), and emits the sampled frames' true palette-index stats — one "
+    "row-expanding mapInPandas stage, bytes never on the driver. "
+    "MP4/AVI containers fail fast with NotImplementedError "
+    "(pytest-pinned). LZW is lossless, so the oracle replays the "
+    "sampled-index arithmetic and the exact pixel formula.",
 )
 def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.functions.multimodal import frame_sample
+    import numpy as np
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
-        .otherwise(F.lit("image"))
-        .alias("media_type"),
-        F.struct(
-            ((F.col("doc_id") * 13) % 120).cast("int").alias("n_frames"),
-            F.lit("mp4").alias("format"),
-        ).alias("meta"),
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_gif,
+        frame_sample,
     )
-    return frame_sample(media, every_n=10, max_frames=8)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 150).select(
+        F.col("event_id").alias("media_id")
+    )
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, i, i], axis=1).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 6 + mid % 4, 5 + mid % 3
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                frames = [
+                    ((mid * 31 + f * 97 + y * 13 + x * 7) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(1 + mid % 12)
+                ]
+                rows.append((mid, "video", encode_gif(frames, palette)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content"]
+            )
+
+    media = ev.mapInPandas(gen, "media_id long, media_type string, content binary")
+    return frame_sample(media, every_n=3, max_frames=3)
 
 
 @query(

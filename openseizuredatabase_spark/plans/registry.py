@@ -116,8 +116,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("c7_c17_array_normalize", "event_id",
          f"n + 31*sig_max + 1009*{t('norm_sum_q')}"),
         ("m11_multimodal_decode", "media_id",
-         f"n_bytes + 31*{t(q6('feat_sum'))}"),
-        ("m12_frame_sample", "media_id", f"frame_idx + 31*{sc('format')}"),
+         f"n_px + 31*{t(q6('feat_wsum'))} + 1009*n_bins_hit"),
+        ("m12_frame_sample", "media_id * 100 + frame_idx",
+         "n_frames + 31*width + 1009*height + 7*idx_sum + 3*idx_min"
+         " + 127*idx_max"),
         ("m20_png_decode", "media_id",
          "width + 31*height + 1009*channels + 31063*n_px"
          " + 7*px_sum + 3*px_min + 127*px_max"),

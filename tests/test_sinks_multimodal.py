@@ -57,57 +57,121 @@ def test_write_csv_index_sorted_quoted(spark, small_df, tmp_path_factory):
     assert back.count() == 20
 
 
+def _png_bytes(mid):
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import encode_png
+
+    w, h = 8 + mid % 5, 6 + mid % 4
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return encode_png(((x * 7 + y * 13 + mid * 31) % 256).astype(np.uint8))
+
+
+def _gif_bytes(mid, n_frames):
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import encode_gif
+
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, i, i], axis=1).astype(np.uint8)
+    y = np.arange(5)[:, None]
+    x = np.arange(6)[None, :]
+    frames = [
+        ((mid * 31 + f * 97 + y * 13 + x * 7) % 256).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return encode_gif(frames, palette)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
         Row(
             media_id=i,
-            media_type="video" if i % 2 else "image",
-            content=bytes(f"media-payload-{i}" * 10, "utf8"),
-            meta=Row(width=640, height=480, sample_rate=None, n_frames=95, format="fake"),
+            media_type="image",
+            content=_png_bytes(i),
+            meta=Row(
+                width=None, height=None, sample_rate=None,
+                n_frames=None, format="png",
+            ),
         )
         for i in range(6)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_features_shape_and_determinism(media):
+def test_decode_features_real_codec_histogram(media):
+    """decode_features runs the REAL PNG codec: features are the 16-bin
+    normalized pixel histogram, byte-replayable from the pixel formula."""
+    import numpy as np
+
     out = decode_features(media, n_features=16).collect()
     assert len(out) == 6
-    by_id = {r.media_id: r for r in out}
-    assert all(len(r.features) == 16 for r in out)
-    assert all(0.0 <= v < 1.0 for v in by_id[0].features)
-    assert by_id[0].n_bytes == len(b"media-payload-0" * 10)
+    for r in out:
+        mid = r.media_id
+        w, h = 8 + mid % 5, 6 + mid % 4
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        pix = ((x * 7 + y * 13 + mid * 31) % 256).astype(np.int64).ravel()
+        hist = np.bincount(pix * 16 // 256, minlength=16) / len(pix)
+        assert r.n_px == w * h
+        assert np.array_equal(np.array(r.features), hist)
     # deterministic: same content → same features across runs
     out2 = {r.media_id: r.features for r in decode_features(media, 16).collect()}
     assert out2 == {r.media_id: r.features for r in out}
 
 
-def test_frame_sample_fanout(media):
-    out = frame_sample(media, every_n=10, max_frames=8).collect()
-    # 3 videos × min(ceil(95/10), 8)=8 frames
-    assert len(out) == 24
-    idxs = sorted({r.frame_idx for r in out})
-    assert idxs == [0, 10, 20, 30, 40, 50, 60, 70]
+def test_decode_features_unknown_container_fails_fast(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, media_type="video", content=b"\x00\x00mp4x",
+             meta=Row(width=None, height=None, sample_rate=None,
+                      n_frames=None, format="mp4"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        decode_features(df, 16).collect()
 
 
-def test_frame_sample_skips_empty_videos(spark):
+def test_frame_sample_real_gif_decode(spark):
+    """frame_sample decodes REAL animated GIFs: sampled frame stats
+    match the pixel formula; the max_frames cap bites; non-GIF video
+    containers fail fast (round-7 ask #5 — no stub on any path)."""
+    import numpy as np
+
     rows = [
         Row(
             media_id=i,
             media_type="video",
-            content=b"x",
-            meta=Row(
-                width=None, height=None, sample_rate=None,
-                n_frames=n, format="fake",
-            ),
+            content=_gif_bytes(i, n),
+            meta=Row(width=None, height=None, sample_rate=None,
+                     n_frames=n, format="gif"),
         )
-        for i, n in [(0, 0), (1, None), (2, 5)]
+        for i, n in [(0, 1), (1, 7), (2, 12)]
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    out = frame_sample(df, every_n=10, max_frames=8).collect()
-    # 0-frame and null-frame videos emit nothing, not a phantom frame 0
-    assert [(r.media_id, r.frame_idx) for r in out] == [(2, 0)]
+    out = frame_sample(df, every_n=3, max_frames=3).collect()
+    got = {(r.media_id, r.frame_idx) for r in out}
+    # id 0: frame 0 only; id 1 (7 frames): 0,3,6; id 2 (12): 0,3,6 (cap)
+    assert got == {(0, 0), (1, 0), (1, 3), (1, 6), (2, 0), (2, 3), (2, 6)}
+    for r in out:
+        y = np.arange(5)[:, None]
+        x = np.arange(6)[None, :]
+        pix = (r.media_id * 31 + r.frame_idx * 97 + y * 13 + x * 7) % 256
+        assert (r.width, r.height) == (6, 5)
+        assert r.n_frames == [1, 7, 12][r.media_id]
+        assert (r.idx_sum, r.idx_min, r.idx_max) == (
+            int(pix.sum()), int(pix.min()), int(pix.max())
+        )
+
+    mp4 = spark.createDataFrame(
+        [Row(media_id=9, media_type="video", content=b"\x00\x00\x00 ftypmp42",
+             meta=Row(width=None, height=None, sample_rate=None,
+                      n_frames=10, format="mp4"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|only GIF"):
+        frame_sample(mp4, every_n=3, max_frames=3).collect()
 
 
 def test_resize_is_real_now(spark):

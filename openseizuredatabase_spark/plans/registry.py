@@ -697,12 +697,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("n29_kruskal_wallis", "n_groups",
          f"n_total + 31*{t('tie_units')} + 1009*{t('s_units')}"
          f" + 7*{q6('h_stat')}"),
-        ("w29_dtw_band",
-         f"CAST({sc('ta')} AS BIGINT) * 100000 + {sc('tb')}",
-         f"{t('dtw_dist')} + 31*k"),
-        ("w30_matrix_profile", f"CAST({sc('t')} AS BIGINT) * 1000 + s",
-         f"{t('mp_d2')} + 31*nn_s"
-         " + 1009*(CASE WHEN is_discord THEN 1 ELSE 0 END)"),
         ("a33_decayed_counts", sc("event_type"),
          f"n + 31*{t('decayed_micro')} + 1009*trend_rank"),
         ("v22_hard_negatives", "vec_id * 10 + rank",
@@ -729,6 +723,17 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 3*exact_p99_c"
          " + 127*(CASE WHEN p50_bound_ok THEN 1 ELSE 0 END)"
          " + 17*(CASE WHEN p99_bound_ok THEN 1 ELSE 0 END)"),
+        # round-8 rotation: three long-stable session-5 flagships demoted
+        # (direct rows since round 4-5, hash-matched every round since)
+        # so the corrected-kernel n31 replay and the round-7 flagship
+        # pair w29/w30 take direct window rows
+        ("v10_ivf_pq", "vec_id",
+         f"cid + 31*{t('adc_dist')}"
+         " + 1009*(CASE WHEN in_exact10 THEN 1 ELSE 0 END)"),
+        ("j10_fuzzy_blocked_join", "rep_id",
+         f"grp_n + 31*best_id + 1009*best_dist + 7*n_cand"),
+        ("t41_triangle_count", "id",
+         f"degree + 31*{t('n_tri')} + 1009*{q6('clustering_coef')}"),
     ]
 
 
@@ -835,11 +840,16 @@ _DRIVER_WINDOW = [
     "v19_hier_assign_scaled", "e2_activity_osdb_etl",
     "e3_activity_windows", "s23_stream_outer_join",
     "t54_dup_clusters", "w28_holt_winters",
+    # round-8 rotation (seventh application): the corrected-kernel OSD
+    # replay (n31, the round-8 fidelity flagship) and the round-7
+    # flagship pair w29 DTW / w30 matrix profile take direct rows; the
+    # three long-stable session-5 singles they displace
+    # (v10/j10/t41, direct since round 4, green every round) move into
+    # their family x_sig shards with fresh integer signatures.
+    "n31_osd_replay", "w29_dtw_band", "w30_matrix_profile",
     # round-4 session-5 rotation: session-4 flagships holding direct
     # rows (the 19 round-3 flagships they displaced live in
     # x_signatures with fresh integer signatures).
-    "v10_ivf_pq",
-    "j10_fuzzy_blocked_join", "t41_triangle_count",
     "w5_epoch_oracled", "m34_jpeg_decode", "m36_gif_frames",
     "p6_filter_chain", "s20_streaming_session_window", "s22_stream_upsert",
     "j17_hits", "t51_line_filters",

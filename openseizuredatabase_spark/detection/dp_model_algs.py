@@ -190,10 +190,16 @@ def jamie1_vectorize(s: DpModelSettings) -> VectorizeFn:
             a = _clean(sig, s.n_samp)
             if a is None:
                 continue
-            mags = np.abs(np.fft.fft(a)) ** 2
+            # re²+im² magnitude (jamie1.py:47-56 getMagnitude) — NOT
+            # |X|², whose hypot-then-square differs in the last ulp;
+            # left-to-right accumulation matches the reference loops
+            from openseizuredatabase_spark.functions.signal import _seq_sum
+
+            fft = np.fft.fft(a)
+            mags = fft.real * fft.real + fft.imag * fft.imag
             hi = min(n_cut, s.n_samp - 1)
-            spec = float(mags[1 : hi + 1].sum()) / s.n_samp / 2.0
-            roi = float(mags[n_min:n_max].sum()) / (n_max - n_min)
+            spec = _seq_sum(mags[1 : hi + 1]) / s.n_samp / 2.0
+            roi = _seq_sum(mags[n_min:n_max]) / (n_max - n_min)
             ratio = 10.0 * roi / spec if spec > s.alarm_thresh else 0.0
             rows = np.empty((s.n_samp, 5))
             rows[:, 0] = spec

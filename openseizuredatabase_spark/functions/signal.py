@@ -125,6 +125,16 @@ def spectrum_ratio(spec: float, roi: float, alarm_thresh: float) -> float:
 
 
 def taper(kind: str, n: int) -> np.ndarray:
+    """Literal window formulas from libosd/osdAlgTools.py:27-92:
+    * triangular uses n/2 denominators (osdAlgTools.py:62-75 — the
+      'wikipedia formulation' as executed: NOT the symmetric (n−1)/2
+      Bartlett; the last sample is 2/n, not 0; round-8 fidelity fix)
+    * the reference's 'raisedCosine' (osdAlgTools.py:34-42) computes
+      0.5·(1 − cos 2πi/(n−1)) — algebraically a Hann window; the same
+      expression is used here so bytes match
+    (Note getFFT computes the windowed array then transforms the
+    UNwindowed input — osdAlgTools.py:96-100 — so tapers only matter
+    where a caller applies them explicitly, e.g. taper_column/c12.)"""
     i = np.arange(n)
     if kind == "rect":
         return np.ones(n)
@@ -133,9 +143,9 @@ def taper(kind: str, n: int) -> np.ndarray:
     if kind == "hann":
         return 0.5 * (1 - np.cos(2 * np.pi * i / (n - 1)))
     if kind == "triangular":
-        return 1 - np.abs((i - (n - 1) / 2) / ((n - 1) / 2))
+        return 1 - np.abs((i - n / 2) / (n / 2))
     if kind == "raised_cosine":
-        return 0.5 * (1 + np.cos(np.pi * (2 * i / (n - 1) - 1)))
+        return 0.5 * (1 - np.cos(2 * np.pi * i / (n - 1)))
     raise ValueError(f"unknown taper {kind!r}")
 
 

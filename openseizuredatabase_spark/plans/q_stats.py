@@ -364,6 +364,156 @@ def n31_osd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n32_osd_flap_replay",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_id,
+               CASE event_id % 4
+                 WHEN 0 THEN 2.2 WHEN 1 THEN 5.0
+                 WHEN 2 THEN 2.2 ELSE 1.0 END AS freq,
+               CASE event_id % 4
+                 WHEN 0 THEN 300.41 WHEN 1 THEN 600.37
+                 WHEN 2 THEN 100.23 ELSE 600.11 END AS amp
+        FROM events WHERE event_id < 24
+    ), samples AS (
+        SELECT event_id, d.dp AS dp, n.n AS n,
+               1000.0 + (CASE WHEN d.dp % 4 < 3 THEN amp ELSE 5.23 END)
+                   * sin(2 * pi() * freq
+                         * (n.n + d.dp * 125)::DOUBLE / 25.0) AS x
+        FROM ev,
+             unnest(generate_series(0, 5)) AS d(dp),
+             unnest(generate_series(0, 124)) AS n(n)
+    ), bins AS (
+        SELECT event_id, dp, k.k AS k,
+               sum(x * cos(2 * pi() * k.k * n / 125.0)) AS re,
+               sum(x * sin(2 * pi() * k.k * n / 125.0)) AS im
+        FROM samples, unnest(generate_series(1, 62)) AS k(k)
+        GROUP BY event_id, dp, k.k
+    ), powers AS (
+        SELECT event_id, dp,
+               sum(re*re + im*im) FILTER (WHERE k BETWEEN 1 AND 60)
+                   / 125.0 / 2.0 / 1000.0 AS spec,
+               sum(re*re + im*im) FILTER (WHERE k BETWEEN 15 AND 39)
+                   / 25.0 / 1000.0 AS roi,
+               sum(re*re + im*im) FILTER (WHERE k BETWEEN 10 AND 19)
+                   / 10.0 / 1000.0 AS floi
+        FROM bins GROUP BY event_id, dp
+    ), flagged AS (
+        SELECT event_id, dp, spec, roi,
+               CASE WHEN roi > 500.0 THEN 10.0 * roi / spec
+                    ELSE 0.0 END AS ratio,
+               ((CASE WHEN roi > 500.0 THEN 10.0 * roi / spec
+                      ELSE 0.0 END) > 57.0)
+               OR ((CASE WHEN floi > 10000.0 THEN 10.0 * floi / spec
+                         ELSE 0.0 END) > 80.0) AS flag
+        FROM powers
+    ), steps AS (
+        SELECT event_id, dp, spec, roi, ratio, 0 AS state,
+               CASE WHEN flag THEN 5.0 ELSE 0.0 END::DOUBLE AS cnt
+        FROM flagged WHERE dp = 0
+        UNION ALL
+        SELECT f.event_id, f.dp, f.spec, f.roi, f.ratio,
+               CASE WHEN f.flag THEN
+                        CASE WHEN s.cnt + 5.0 > 10.0 THEN 2
+                             WHEN s.cnt + 5.0 > 5.0 THEN 1
+                             ELSE s.state END
+                    ELSE CASE WHEN s.state = 2 THEN 1 ELSE 0 END
+               END AS state,
+               CASE WHEN f.flag THEN s.cnt + 5.0
+                    ELSE CASE WHEN s.state = 2 THEN 5.0 ELSE 0.0 END
+               END AS cnt
+        FROM steps s
+        JOIN flagged f ON f.event_id = s.event_id AND f.dp = s.dp + 1
+    )
+    SELECT event_id, dp,
+           round(spec, 6) AS spec_power,
+           round(roi, 6) AS roi_power,
+           round(ratio, 6) AS roi_ratio,
+           state AS alarm_state, cnt AS alarm_count
+    FROM steps
+    """,
+    "Flap-detector replay — the published testConfig.json 'OSD_flap' "
+    "algorithm block (osdAlg.py:189-233,249-258,293-295: a second "
+    "2-4 Hz band ratio whose verdict FORCES the in-alarm flag into the "
+    "shared machine; flapAlarmThresh 10000, flapAlarmRatioThresh 80). "
+    "Event mix isolates every branch on bin-exact tones: 2.2 Hz (flap "
+    "band [2,4) = bins [10,20), OUTSIDE the main ROI [15,40)) loud → "
+    "flap-only alarm while the main ratio stays 0; 5 Hz loud → main "
+    "alarm; 2.2 Hz quiet → flapRoi ~3.9k below the 10k gate → OK; "
+    "1 Hz → both bands empty → OK. Spark side is run_osd_alg with "
+    "flap_enabled (the per-dp flap check runs inside the same Arrow "
+    "stage). Oracle: the n31 DFT + recursive-CTE pattern extended with "
+    "the flap-band power and the OR-forced flag.",
+)
+def n32_osd_flap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.detection.osd_alg import (
+        OsdSettings,
+        run_osd_alg,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 24)
+    freq = (
+        F.when(F.col("event_id") % 4 == 0, 2.2)
+        .when(F.col("event_id") % 4 == 1, 5.0)
+        .when(F.col("event_id") % 4 == 2, 2.2)
+        .otherwise(1.0)
+    )
+    amp_base = (
+        F.when(F.col("event_id") % 4 == 0, 300.41)
+        .when(F.col("event_id") % 4 == 1, 600.37)
+        .when(F.col("event_id") % 4 == 2, 100.23)
+        .otherwise(600.11)
+    )
+    dps = ev.select(
+        "event_id", freq.alias("freq"), amp_base.alias("amp")
+    ).select(
+        "event_id",
+        "freq",
+        "amp",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("dp"),
+    )
+    amp = F.when(F.col("dp") % 4 < 3, F.col("amp")).otherwise(F.lit(5.23))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(124)),
+        lambda i: 1000.0
+        + amp
+        * F.sin(
+            2 * math.pi * F.col("freq")
+            * (i + F.col("dp") * 125).cast("double") / 25.0
+        ),
+    )
+    frames = dps.select(
+        F.col("event_id").alias("eventId"),
+        F.timestamp_seconds(F.col("dp") * 5).alias("dpTimestamp"),
+        raw.alias("rawData"),
+    )
+    out = run_osd_alg(
+        frames,
+        OsdSettings(
+            alarm_thresh=500.0,
+            alarm_ratio_thresh=57.0,
+            sample_period=5.0,
+            warn_time=5.0,
+            alarm_time=10.0,
+            flap_enabled=True,
+            flap_freq_min=2.0,
+            flap_freq_max=4.0,
+            flap_alarm_thresh=10000.0,
+            flap_ratio_thresh=80.0,
+        ),
+    )
+    return out.select(
+        F.col("eventId").alias("event_id"),
+        (F.col("dpTimestamp").cast("long") / 5).cast("long").alias("dp"),
+        F.round("specPower", 6).alias("spec_power"),
+        F.round("roiPower", 6).alias("roi_power"),
+        F.round("roiRatio", 6).alias("roi_ratio"),
+        F.col("alarmState").alias("alarm_state"),
+        F.col("alarmCount").alias("alarm_count"),
+    )
+
+
+@query(
     "n3_event_level_metrics",
     f"""
     WITH ev AS (

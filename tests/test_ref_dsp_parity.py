@@ -32,6 +32,7 @@ Covered:
 import datetime as dt
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import Row
 
@@ -351,6 +352,118 @@ class RefHr:
                 self.state = 0
                 self.count = 0
         return self.state, self.count
+
+
+def test_tapers_match_reference_port():
+    """Window formulas byte-match loop ports of osdAlgTools.py:27-92 —
+    including the executed triangular (n/2 denominators, last sample
+    2/n ≠ 0) and the 'raisedCosine' that is algebraically Hann."""
+    import math as m
+
+    from openseizuredatabase_spark.functions import signal as sig
+
+    n = 125
+    tri = np.array([1 - m.fabs((i - n / 2) / (n / 2)) for i in range(n)])
+    ham = np.array(
+        [0.54 - 0.46 * np.cos(2 * np.pi * i / (n - 1)) for i in range(n)]
+    )
+    hann = np.array(
+        [0.5 * (1 - np.cos(2 * np.pi * i / (n - 1))) for i in range(n)]
+    )
+    rc = np.array(
+        [0.5 * (1 - np.cos(2 * np.pi * i / (n - 1))) for i in range(n)]
+    )
+    assert np.array_equal(sig.taper("triangular", n), tri)
+    assert np.array_equal(sig.taper("hamming", n), ham)
+    assert np.array_equal(sig.taper("hann", n), hann)
+    assert np.array_equal(sig.taper("raised_cosine", n), rc)
+    assert np.array_equal(sig.taper("rect", n), np.ones(n))
+    # the executed triangular is NOT the symmetric Bartlett window
+    assert tri[-1] == pytest.approx(2.0 / n)
+    assert tri[-1] != 0.0
+
+
+def test_mean_line_length_matches_reference_port(spark):
+    """C15 against a loop port of libosd getMeanLineLength
+    (osdAlgTools.py:161-172)."""
+    from pyspark.sql import functions as F
+
+    from openseizuredatabase_spark.functions import signal as sig
+
+    x = [
+        float(v)
+        for v in 1000.0 + 80.0 * np.sin(2 * np.pi * 4.3 * np.arange(50) / 25.0)
+    ]
+
+    def ref_mll(acc):
+        n = len(acc)
+        if n < 2:
+            return 0.0
+        ll = 0.0
+        for i in range(1, n):
+            ll += abs(acc[i] - acc[i - 1])
+        return ll / (n - 1)
+
+    got = (
+        spark.createDataFrame([Row(a=x)])
+        .select(sig.mean_line_length(F.col("a")).alias("ll"))
+        .collect()[0]
+        .ll
+    )
+    assert got == pytest.approx(ref_mll(x), rel=1e-12)
+
+
+def test_jamie1_features_match_reference_port():
+    """jamie1's per-dp spectral features byte-match a literal port of
+    jamie1.py:47-110: re²+im² magnitude, sum over range(1, nSamp) gated
+    i <= freq2fftBin(sampleFreq/2), /nSamp/2, ROI [nMin, nMax) mean, NO
+    ACCEL_SCALE_FACTOR, ratio gated on SPECPOWER > alarmThresh (unlike
+    osdAlg's roiPower gate)."""
+    from openseizuredatabase_spark.detection.dp_model_algs import (
+        DpModelSettings,
+        jamie1_vectorize,
+    )
+
+    def ref_features(acc):
+        freq_res = 1.0 / 5.0  # jamie1.py:31
+        n_samp = int(5.0 * 25.0)
+        n_cut = int((25.0 / 2.0) / freq_res)
+        fft_arr = np.fft.fft(acc)
+
+        def mag(c):
+            return c.real * c.real + c.imag * c.imag
+
+        spec = 0.0
+        for i in range(1, n_samp):  # jamie1.py:80-85 (full range, gated)
+            if i <= n_cut:
+                spec = spec + mag(fft_arr[i])
+        spec = spec / n_samp / 2
+        lo, hi = int(3.0 / freq_res), int(8.0 / freq_res)
+        roi = 0.0
+        for i in range(lo, hi):
+            roi = roi + mag(fft_arr[i])
+        roi = roi / (hi - lo)
+        ratio = 10.0 * roi / spec if spec > 100.0 else 0.0
+        return spec, roi, ratio
+
+    s = DpModelSettings(alarm_thresh=100.0)
+    build = jamie1_vectorize(s)
+    t = np.arange(125) / 25.0
+    for x in (
+        1000.0 + 300.0 * np.sin(2 * np.pi * 4.7 * t),
+        1000.0 + 2.0 * np.sin(2 * np.pi * 5.0 * t),  # below the gate
+    ):
+        mat, valid = build(
+            pd.Series([list(x)]), pd.Series([70.0])
+        )
+        assert valid[0]
+        rows = mat[0].reshape(125, 5)
+        spec, roi, ratio = ref_features(x)
+        assert rows[0, 0] == spec
+        assert rows[0, 1] == roi
+        assert rows[0, 2] == ratio
+        assert rows[0, 3] == 70.0
+        assert np.array_equal(rows[:, 4], x)
 
 
 @pytest.mark.parametrize("mode", [MODE_SIMPLE, MODE_ADAPTIVE, MODE_AVERAGE])

@@ -431,6 +431,120 @@ def wav_sample_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "content").mapInPandas(run, out_schema)
 
 
+def image_dhash(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels — the
+    image near-dup fingerprint (dHash): nearest-neighbor downsample to
+    a 9×8 grid (integer index math ``src = (g·dim)//grid``, the m21
+    resample convention), horizontal brightness comparisons give an
+    8×8 bit matrix, packed into two 32-bit halves (rows 0-3 → h0,
+    rows 4-7 → h1; two BIGINTs avoid the int64 sign bit). Identical
+    images hash equal; small edits flip few bits, so near-dups sit at
+    small Hamming distance — banded self-joins find them without an
+    all-pairs scan (the SimHash discipline over pixels instead of
+    shingles).
+
+    PNG (grayscale/RGB — RGB averages channels with integer // 3,
+    oracle-replayable) through the stdlib codec; one mapInPandas
+    stage, bytes never on the driver.
+    """
+    out_schema = f"{id_col} long, width long, height long, h0 long, h1 long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if c is None:
+                    continue
+                pix = decode_png(bytes(c)).astype(np.int64)
+                if pix.ndim == 3:
+                    pix = pix.sum(axis=2) // pix.shape[2]
+                h, w = pix.shape
+                gx = (np.arange(9) * w) // 9
+                gy = (np.arange(8) * h) // 8
+                grid = pix[np.ix_(gy, gx)]  # (8, 9)
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)  # 8x8
+                weights = 1 << np.arange(8, dtype=np.int64)
+                row_words = (bits * weights[None, :]).sum(axis=1)  # per row
+                h0 = int((row_words[:4] << (8 * np.arange(4))).sum())
+                h1 = int((row_words[4:] << (8 * np.arange(4))).sum())
+                rows.append((int(mid), w, h, h0, h1))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "h0", "h1"]
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Banded Hamming self-join over dHash fingerprints: 4 bands of 16
+    bits — two near-identical hashes (≤ max_hamming flipped bits over
+    64) collide on at least one band whenever the flips miss a band
+    (guaranteed complete for max_hamming ≤ 3 by pigeonhole over 4
+    bands; the conventional recall/cost trade above that). Candidates
+    verify with exact popcount Hamming. Never an all-pairs scan: the
+    join key is the 16-bit band value."""
+    b = hashes.select(
+        F.col(id_col),
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("h0").bitwiseAND(F.lit(65535)).alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("h0"), 16).alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.col("h1").bitwiseAND(F.lit(65535)).alias("v"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.shiftright(F.col("h1"), 16).alias("v"),
+                ),
+            )
+        ).alias("bd"),
+    ).select(id_col, "h0", "h1", "bd.band", "bd.v")
+    left = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col("h0").alias("h0_a"),
+        F.col("h1").alias("h1_a"),
+        "band",
+        "v",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col("h0").alias("h0_b"),
+        F.col("h1").alias("h1_b"),
+        "band",
+        "v",
+    )
+    cand = (
+        left.join(right, ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h0_a", "h1_a", "h0_b", "h1_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("h0_a").bitwiseXOR(F.col("h0_b"))
+    ) + F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("is_exact", F.col("hamming") == 0)
+        .select("id_a", "id_b", "hamming", "is_exact")
+    )
+
+
 def frame_sample(
     media: DataFrame, every_n: int = 10, max_frames: int = 8
 ) -> DataFrame:

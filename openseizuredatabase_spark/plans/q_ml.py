@@ -477,6 +477,114 @@ def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m46_image_dhash_dedup",
+    """
+    WITH img AS (
+        SELECT event_id AS media_id, event_id % 150 AS pid,
+               (8 + (event_id % 150) % 5)::BIGINT AS w,
+               (8 + (event_id % 150) % 4)::BIGINT AS h
+        FROM events WHERE event_id < 300
+    ), px AS (
+        SELECT media_id, g.gy AS gy, g2.gx AS gx,
+               (((g2.gx * w) // 9) * ((g2.gx * w) // 9) * 7
+                + ((g.gy * h) // 8) * ((g.gy * h) // 8) * 13
+                + ((g2.gx * w) // 9) * ((g.gy * h) // 8) * (pid + 3)
+                + pid * 31
+                + CASE WHEN media_id >= 150
+                            AND (g2.gx * w) // 9 = 0
+                            AND (g.gy * h) // 8 = 0
+                       THEN 97 ELSE 0 END) % 256 AS v
+        FROM img,
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), bits AS (
+        SELECT media_id, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY media_id, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM px
+    ), halves AS (
+        SELECT media_id,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM bits WHERE gx < 8 GROUP BY media_id
+    ), bands AS (
+        SELECT media_id, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM halves, unnest(generate_series(0, 3)) AS b(band)
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+               a.h0 AS h0a, a.h1 AS h1a, c.h0 AS h0b, c.h1 AS h1b
+        FROM bands a
+        JOIN bands c ON a.band = c.band AND a.v = c.v
+                     AND a.media_id < c.media_id
+    )
+    SELECT id_a, id_b,
+           (bit_count(xor(h0a, h0b))
+            + bit_count(xor(h1a, h1b)))::BIGINT AS hamming,
+           (bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b))) = 0
+               AS is_exact
+    FROM cand
+    WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 6
+    """,
+    "Image near-dup dedup over REAL decoded pixels (dHash — the "
+    "perceptual-hash tier the multimodal lake needs beside text "
+    "MinHash): PNGs decode through the stdlib codec, nearest-neighbor "
+    "downsample to a 9x8 grid (integer index math, the m21 resample "
+    "convention), horizontal brightness comparisons pack into two "
+    "32-bit halves, and near-dups surface through a banded Hamming "
+    "self-join (4x16-bit bands; pigeonhole-complete at <=3 flipped "
+    "bits, conventional recall trade above) verified with exact "
+    "popcount <= 6 — never an all-pairs scan; at lake scale the join "
+    "key is the 16-bit band. Corpus: 150 structurally distinct quadratic-texture classes x2 (cross-class dHashes differ by far more than 6 bits, so the result is exactly the engineered within-class pairs) where the "
+    "second copy perturbs one source pixel (the sampled (0,0)), giving "
+    "exact or tiny-Hamming pairs. Oracle replays the downsample/bit/"
+    "band/popcount arithmetic straight off the pixel formula — only "
+    "sampled grid pixels are ever materialized.",
+)
+def m46_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        dhash_near_dup_pairs,
+        encode_png,
+        image_dhash,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                pid = mid % 150
+                w, h = 8 + pid % 5, 8 + pid % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                pix = (
+                    x * x * 7 + y * y * 13 + x * y * (pid + 3) + pid * 31
+                ) % 256
+                if mid >= 150:
+                    pix = pix.copy()
+                    pix[0, 0] = (pix[0, 0] + 97) % 256
+                rows.append((mid, encode_png(pix.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return dhash_near_dup_pairs(image_dhash(media), max_hamming=6)
+
+
+@query(
     "m20_png_decode",
     """
     WITH px AS (

@@ -567,3 +567,48 @@ def test_wav_resample_identity_and_downrate(spark):
         v[(len(out) - 1) * 4 // 3] * (3 - (len(out) - 1) * 4 % 3)
         + v[min((len(out) - 1) * 4 // 3 + 1, 39)] * ((len(out) - 1) * 4 % 3)
     ) // 3
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    """dHash over real decoded PNGs: identical images hash equal, a
+    one-pixel edit lands within the Hamming budget, a structurally
+    different texture does not pair; the banded join finds exactly the
+    engineered pairs."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        dhash_near_dup_pairs,
+        encode_png,
+        image_dhash,
+    )
+
+    x = np.arange(11)[None, :]
+    y = np.arange(9)[:, None]
+    base = ((x * x * 7 + y * y * 13 + x * y * 5) % 256).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] = (int(near[0, 0]) + 97) % 256
+    other = ((x * x * 11 + y * y * 3 + x * y * 29 + 77) % 256).astype(
+        np.uint8
+    )
+    rows = [
+        Row(media_id=1, content=encode_png(base)),
+        Row(media_id=2, content=encode_png(base)),  # exact dup of 1
+        Row(media_id=3, content=encode_png(near)),  # near dup of 1
+        Row(media_id=4, content=encode_png(other)),
+    ]
+    hashes = image_dhash(spark.createDataFrame(rows))
+    by_id = {r.media_id: (r.h0, r.h1) for r in hashes.collect()}
+    assert by_id[1] == by_id[2]
+    assert all(0 <= v < 2**32 for pair in by_id.values() for v in pair)
+    ham13 = bin(by_id[1][0] ^ by_id[3][0]).count("1") + bin(
+        by_id[1][1] ^ by_id[3][1]
+    ).count("1")
+    assert 0 <= ham13 <= 6
+    pairs = {
+        (r.id_a, r.id_b): (r.hamming, r.is_exact)
+        for r in dhash_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == (0, True)
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in k for k in pairs)

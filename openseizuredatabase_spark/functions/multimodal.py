@@ -545,6 +545,72 @@ def dhash_near_dup_pairs(
     )
 
 
+def audio_fingerprint(
+    media: DataFrame, window: int = 64, id_col: str = "media_id"
+) -> DataFrame:
+    """Constellation audio fingerprint over REAL decoded samples — the
+    audio near-dup tier beside text MinHash (t4-t7) and image dHash
+    (m46), Shazam-style: decode PCM WAV through the stdlib codec (first
+    channel), split into non-overlapping ``window``-sample segments,
+    take each segment's spectral peak (argmax of re²+im² over bins
+    1..window/2−1 — DC and Nyquist excluded), and emit one landmark per
+    consecutive-segment pair, coded ``peak[k]·window + peak[k+1]`` at
+    time k. Matching joins on the landmark code — a bucketed join,
+    never an all-pairs scan.
+
+    One mapInPandas stage; bytes never on the driver.
+    Output: (media_id, k, code).
+    """
+    out_schema = f"{id_col} long, k long, code long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if c is None:
+                    continue
+                samples, _rate = decode_wav(bytes(c))
+                x = samples[:, 0].astype(np.float64)
+                n_seg = len(x) // window
+                peaks = []
+                for s in range(n_seg):
+                    seg = x[s * window : (s + 1) * window]
+                    spec = np.fft.rfft(seg)
+                    power = spec.real * spec.real + spec.imag * spec.imag
+                    peaks.append(int(np.argmax(power[1 : window // 2]) + 1))
+                for k in range(n_seg - 1):
+                    rows.append(
+                        (int(mid), k, peaks[k] * window + peaks[k + 1])
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "k", "code"])
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+def fingerprint_match_pairs(
+    fps: DataFrame, min_common: int = 2, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-dup audio pairs from constellation landmarks: self-join on
+    the landmark code (the bucket key — two tracks compare only when
+    they share a landmark), count DISTINCT shared codes per pair, keep
+    pairs with at least ``min_common`` — the standard
+    multiple-landmark-agreement rule that keeps single-code
+    coincidences out."""
+    left = fps.select(
+        F.col(id_col).alias("id_a"), F.col("code").alias("code")
+    ).distinct()
+    right = fps.select(
+        F.col(id_col).alias("id_b"), F.col("code").alias("code")
+    ).distinct()
+    return (
+        left.join(right, "code")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("code").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def frame_sample(
     media: DataFrame, every_n: int = 10, max_frames: int = 8
 ) -> DataFrame:

@@ -585,6 +585,80 @@ def m46_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m47_audio_fingerprint",
+    """
+    WITH peaks AS (
+        SELECT event_id AS media_id, g.k AS k,
+               1 + ((event_id % 100) * 7 + g.k * 13
+                    + (((event_id % 100) * (event_id % 100) * 3) % 31)
+                      * (g.k + 1)) % 30 AS b
+        FROM events, unnest(generate_series(0, 3)) AS g(k)
+        WHERE event_id < 200
+    ), codes AS (
+        SELECT media_id, k,
+               b * 64 + lead(b) OVER (PARTITION BY media_id ORDER BY k)
+                   AS code
+        FROM peaks
+    ), fp AS (
+        SELECT DISTINCT media_id, code FROM codes WHERE code IS NOT NULL
+    )
+    SELECT a.media_id AS id_a, c.media_id AS id_b,
+           count(DISTINCT a.code) AS n_common
+    FROM fp a JOIN fp c ON a.code = c.code AND a.media_id < c.media_id
+    GROUP BY a.media_id, c.media_id
+    HAVING count(DISTINCT a.code) >= 2
+    """,
+    "Audio near-dup fingerprinting over REAL decoded samples (the "
+    "audio tier beside text MinHash and image dHash m46 — Shazam-style "
+    "constellation): 200 PCM-WAV clips (4 bin-exact tone segments of "
+    "64 samples each, int16-quantized through the repo's encoder) "
+    "decode through the stdlib codec; per segment the spectral peak "
+    "(DFT argmax over bins 1..31) is decisively the tone bin, "
+    "consecutive peaks pack into landmark codes, and near-dups "
+    "surface by joining on the landmark code with the >= 2-agreement "
+    "rule — a bucketed join, never all-pairs. Tracks 100 apart share "
+    "the tone program, so the engineered pairs match on all 3 "
+    "landmarks. Oracle derives the peak bins analytically from the "
+    "tone program — any decode/windowing/DFT/argmax defect in the "
+    "engine breaks the match.",
+)
+def m47_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        fingerprint_match_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                pid = mid % 100
+                segs = []
+                i = np.arange(64)
+                for k in range(4):
+                    b = 1 + (pid * 7 + k * 13
+                             + ((pid * pid * 3) % 31) * (k + 1)) % 30
+                    segs.append(
+                        np.round(8000.0 * np.sin(2 * np.pi * b * i / 64.0))
+                    )
+                rows.append(
+                    (mid, encode_wav(np.concatenate(segs), rate=8000))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return fingerprint_match_pairs(audio_fingerprint(media, window=64))
+
+
+@query(
     "m20_png_decode",
     """
     WITH px AS (

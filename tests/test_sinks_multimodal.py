@@ -612,3 +612,46 @@ def test_image_dhash_and_near_dup_pairs(spark):
     assert pairs[(1, 2)] == (0, True)
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in k for k in pairs)
+
+
+def test_audio_fingerprint_constellation(spark):
+    """Constellation fingerprint over real decoded WAV: per-segment
+    DFT argmax recovers the tone program, landmark codes pack
+    consecutive peaks, and the >=2-agreement join finds exactly the
+    engineered duplicate while a different program stays out."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        fingerprint_match_pairs,
+    )
+
+    i = np.arange(64)
+
+    def clip(bins):
+        segs = [
+            np.round(8000.0 * np.sin(2 * np.pi * b * i / 64.0))
+            for b in bins
+        ]
+        return encode_wav(np.concatenate(segs), rate=8000)
+
+    rows = [
+        Row(media_id=1, content=clip([5, 9, 17, 23])),
+        Row(media_id=2, content=clip([5, 9, 17, 23])),  # exact dup
+        Row(media_id=3, content=clip([5, 9, 30, 2])),  # shares ONE landmark
+        Row(media_id=4, content=clip([11, 4, 26, 8])),
+    ]
+    fps = audio_fingerprint(spark.createDataFrame(rows), window=64)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r.media_id, set()).add((r.k, r.code))
+    # the peaks are the tone bins: codes = b_k*64 + b_{k+1}
+    assert by_id[1] == {(0, 5 * 64 + 9), (1, 9 * 64 + 17), (2, 17 * 64 + 23)}
+    assert by_id[1] == by_id[2]
+    pairs = {
+        (r.id_a, r.id_b): r.n_common
+        for r in fingerprint_match_pairs(fps, min_common=2).collect()
+    }
+    assert pairs == {(1, 2): 3}  # the one-landmark overlap with 3 is out

@@ -92,11 +92,78 @@ def gap_fill_rows(
 def drop_overlaps(
     df: DataFrame, group_cols: Sequence[str], ts_col: str, min_spacing_s: float
 ) -> DataFrame:
-    """W3 overlap half: drop rows closer than min_spacing to predecessor."""
+    """W3 overlap half, PAIRWISE form: drop rows closer than min_spacing
+    to the predecessor. Note this compares each row to its raw
+    predecessor; the reference's dp repair compares to the last KEPT
+    row (a stateful walk) — that literal variant is
+    :func:`repair_dp_stream`."""
     d = time_diffs(df, group_cols, ts_col)
     return d.filter(
         F.col("t_diff_s").isNull() | (F.col("t_diff_s") >= min_spacing_s)
     ).drop("t_diff_s")
+
+
+def repair_dp_stream(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    dp_duration_s: float = 5.0,
+    tolerance_s: float = 2.0,
+) -> DataFrame:
+    """W3 literal datapoint-stream repair — the flattenData.py:274-337
+    walk, semantics exact (round-8 fidelity audit):
+
+    * each dp's START is its dataTime minus dp_duration; the carried
+      state is the END time of the last KEPT dp
+    * gap  (start − last_end >  tolerance): emit
+      ``int(gap / dp_duration)`` zero-fill rows at
+      ``last_end + dp_duration·i`` (i = 1..n) — a >tolerance gap
+      shorter than one dp emits ZERO fills — then keep the dp
+    * overlap (start − last_end < −tolerance): SKIP the dp, carried
+      end UNCHANGED, so a run of overlaps all compare against the last
+      kept dp (lag()-pairwise diffs cannot express this)
+    * otherwise keep the dp; the carried end moves to its dataTime
+
+    The walk is order-dependent per key → one applyInPandas stage (the
+    run_osd_alg idiom; keys parallel across executors, the reference
+    is serial). Output: (group..., epoch_s double, kind 'dp'|'fill').
+    """
+    import pandas as pd
+
+    group_schema = ", ".join(f"{c} long" for c in group_cols)
+    out_schema = f"{group_schema}, epoch_s double, kind string"
+
+    def per_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        keys = [pdf[c].iloc[0] for c in group_cols]
+        rows = []
+        last_end = None
+        for ts in pdf[ts_col]:
+            t = float(ts.timestamp()) if hasattr(ts, "timestamp") else float(ts)
+            if last_end is None:
+                rows.append((*keys, t, "dp"))
+                last_end = t
+                continue
+            gap = (t - dp_duration_s) - last_end
+            if gap > tolerance_s:
+                n = int(gap / dp_duration_s)
+                for i in range(n):
+                    rows.append(
+                        (*keys, last_end + dp_duration_s * (i + 1), "fill")
+                    )
+                # falls through: the dp itself is kept (flattenData
+                # appends it after the fill loop)
+            elif gap < -tolerance_s:
+                continue  # skipped; last_end pinned to the kept dp
+            rows.append((*keys, t, "dp"))
+            last_end = t
+        return pd.DataFrame(rows, columns=[*group_cols, "epoch_s", "kind"])
+
+    return (
+        df.select(*group_cols, ts_col)
+        .groupBy(*group_cols)
+        .applyInPandas(per_key, out_schema)
+    )
 
 
 def feature_history(

@@ -103,6 +103,79 @@ def w3_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w31_dp_gap_repair",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_id, (2 + event_id % 2)::BIGINT AS d4,
+               event_id * 1000 AS base
+        FROM events WHERE event_id < 40
+    ), dps AS (
+        SELECT event_id, g.rn AS rn,
+               (base + CASE g.rn WHEN 0 THEN 0 WHEN 1 THEN 5
+                                 WHEN 2 THEN 23 WHEN 3 THEN 28
+                                 WHEN 4 THEN 28 + d4 WHEN 5 THEN 39 + d4
+                                 WHEN 6 THEN 46 + d4
+                                 ELSE 76 + d4 END)::DOUBLE AS t
+        FROM ev, unnest(generate_series(0, 7)) AS g(rn)
+    ), walk AS (
+        SELECT event_id, rn, t, TRUE AS kept, 0::BIGINT AS n_fill,
+               t AS last_end, t AS fill_base
+        FROM dps WHERE rn = 0
+        UNION ALL
+        SELECT d.event_id, d.rn, d.t,
+               (d.t - 5.0) - w.last_end >= -2.0 AS kept,
+               CASE WHEN (d.t - 5.0) - w.last_end > 2.0
+                    THEN floor(((d.t - 5.0) - w.last_end) / 5.0)::BIGINT
+                    ELSE 0 END AS n_fill,
+               CASE WHEN (d.t - 5.0) - w.last_end < -2.0 THEN w.last_end
+                    ELSE d.t END AS last_end,
+               w.last_end AS fill_base
+        FROM walk w JOIN dps d ON d.event_id = w.event_id
+                               AND d.rn = w.rn + 1
+    )
+    SELECT event_id, t AS epoch_s, 'dp' AS kind FROM walk WHERE kept
+    UNION ALL
+    SELECT event_id, fill_base + 5.0 * f.i AS epoch_s, 'fill' AS kind
+    FROM walk, unnest(generate_series(1, n_fill)) AS f(i)
+    """,
+    "W3 LITERAL datapoint-stream repair (flattenData.py:274-337 walk, "
+    "round-8 fidelity audit — the generic lag()-pairwise gap ops w3/w4 "
+    "keep their scaled sessionization semantics; this entry pins the "
+    "reference's exact stateful recurrence): gap = dp start (dataTime "
+    "− 5 s) minus the last KEPT dp's end; > 2 s tolerance emits "
+    "int(gap/5) zero-fill rows on the 5 s grid THEN keeps the dp; "
+    "< −2 s SKIPS the dp with the carried end pinned (so the next dp "
+    "compares against the kept row — the fixture's post-skip gap "
+    "places its fill where only the stateful walk puts it); within "
+    "tolerance keeps the dp. Streams engineered per event (8 dps: "
+    "normal / 13 s gap → 2 fills / borderline / ±parity skip-vs-keep "
+    "at exactly −3 s vs −2 s / post-skip fill / sub-dp gap → 0 fills "
+    "/ 25 s gap → 5 fills). Spark: one applyInPandas walk per event "
+    "(operators/windows.repair_dp_stream). Oracle: recursive CTE "
+    "carries last_end and unnests the fill counts.",
+)
+def w31_dp_gap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 40)
+    d4 = 2 + F.col("event_id") % 2
+    offsets = F.array(
+        F.lit(0), F.lit(5), F.lit(23), F.lit(28),
+        28 + d4, 39 + d4, 46 + d4, 76 + d4,
+    )
+    dps = ev.select(
+        "event_id", F.explode(offsets).alias("off")
+    ).select(
+        "event_id",
+        F.timestamp_seconds(
+            (F.col("event_id") * 1000 + F.col("off")).cast("double")
+        ).alias("dpTimestamp"),
+    )
+    out = window_ops.repair_dp_stream(
+        dps, ["event_id"], "dpTimestamp", dp_duration_s=5.0, tolerance_s=2.0
+    )
+    return out.select("event_id", "epoch_s", "kind")
+
+
+@query(
     "w4_gap_census",
     """
     WITH diffs AS (

@@ -354,6 +354,76 @@ class RefHr:
         return self.state, self.count
 
 
+def test_dp_stream_repair_matches_reference_port(spark):
+    """repair_dp_stream row-for-row against a literal port of the
+    flattenData.py:274-337 gap/overlap walk — including the stateful
+    overlap skip (the skipped dp does NOT move the carried end, so the
+    next comparison is against the last KEPT dp) and the
+    gap-shorter-than-one-dp branch (detected, zero fills emitted)."""
+    from openseizuredatabase_spark.operators.windows import repair_dp_stream
+
+    DUR, TOL = 5.0, 2.0
+
+    def ref_walk(times):
+        rows = []
+        last_end = None
+        for t in times:
+            dt_start = t - DUR  # flattenData.py:280
+            if last_end is None:
+                rows.append((t, "dp"))
+                last_end = t
+            else:
+                gap = dt_start - last_end
+                if gap > TOL:
+                    num = int(gap / DUR)
+                    for i in range(num):
+                        rows.append((last_end + DUR * (i + 1), "fill"))
+                    last_end = last_end + DUR * num
+                elif gap < -TOL:
+                    continue  # overlap: skip, last_end unchanged
+                rows.append((t, "dp"))
+                last_end = t
+        return rows
+
+    streams = {
+        # gaps, borderline, skip, post-skip fill, sub-dp gap, long gap
+        1: [0.0, 5.0, 23.0, 28.0, 30.0, 41.0, 48.0, 78.0],
+        # consecutive overlaps: both compare against the same kept dp
+        2: [0.0, 5.0, 7.0, 8.0, 9.0, 14.0],
+        # keep-at-exact-tolerance (-2.0 is NOT an overlap)
+        3: [0.0, 5.0, 8.0, 13.0],
+    }
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(eventId=eid, dpTimestamp=base + dt.timedelta(seconds=t))
+        for eid, ts in streams.items()
+        for t in ts
+    ]
+    out = (
+        repair_dp_stream(
+            spark.createDataFrame(rows), ["eventId"], "dpTimestamp"
+        )
+        .toPandas()
+        .sort_values(["eventId", "epoch_s", "kind"])
+    )
+    base_e = base.replace(tzinfo=dt.timezone.utc).timestamp()
+    for eid, ts in streams.items():
+        expect = sorted(
+            [(base_e + t, k) for t, k in ref_walk(ts)]
+        )
+        got = sorted(
+            (r.epoch_s, r.kind)
+            for _, r in out[out.eventId == eid].iterrows()
+        )
+        assert got == expect, eid
+    # the stateful cases actually fired: stream 2 drops two overlaps
+    assert len(out[out.eventId == 2]) == 4
+    # and stream 1 contains the post-skip fill at the kept-row grid
+    assert (base_e + 33.0, "fill") in set(
+        (r.epoch_s, r.kind) for _, r in out[out.eventId == 1].iterrows()
+    )
+
+
 def test_tapers_match_reference_port():
     """Window formulas byte-match loop ports of osdAlgTools.py:27-92 —
     including the executed triangular (n/2 denominators, last sample

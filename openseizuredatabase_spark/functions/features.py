@@ -276,11 +276,27 @@ def epoch_feature_dict(
     return feats
 
 
-def interp_sparse(values: np.ndarray, n_out: int) -> np.ndarray:
+def interp_sparse(
+    values: np.ndarray, n_out: int, drop_sentinel: float | None = -1.0
+) -> np.ndarray:
     """W8: linear interpolation of one-per-datapoint values onto the
-    sample axis (extractFeatures.py:90-110 np.interp), -1/NaN dropped."""
+    sample axis (extractFeatures.py:88-110: np.interp over the valid
+    dps' start-sample indices, constant extrapolation at the edges).
+
+    ``drop_sentinel`` (default −1): also treat that value as missing —
+    the OSDB data-dictionary convention (hr −1 = missing), applied as
+    the engine's ingest normalization. NOTE the reference's EXECUTED
+    chain does NOT do this: flattenData passes hr through raw and even
+    writes hr=−1 on zero-fill dps (flattenData.py:90,129), while
+    extractFeatures drops only NaN (extractFeatures.py:94-96), so −1
+    becomes a real interpolation knot there. Pass
+    ``drop_sentinel=None`` for that literal behavior
+    (tests/test_ref_dsp_parity.py pins both modes against the loop
+    port)."""
     v = np.asarray(values, dtype=float)
-    valid = ~(np.isnan(v) | (v == -1))
+    valid = ~np.isnan(v)
+    if drop_sentinel is not None:
+        valid &= v != drop_sentinel
     if not valid.any():
         return np.full(n_out, np.nan)
     xp = np.flatnonzero(valid) * (n_out / max(len(v), 1))

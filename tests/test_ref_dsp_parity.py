@@ -354,6 +354,44 @@ class RefHr:
         return self.state, self.count
 
 
+def test_hr_interp_matches_reference_port():
+    """interp_sparse(drop_sentinel=None) against a literal port of the
+    extractFeatures.py:88-110 interpolation: knots at the valid dps'
+    start-sample indices (125·k), NaN-only validity (−1 is a REAL knot
+    in the executed chain — flattenData.py:90,129 pass it through),
+    np.interp's clamped linear fill; the default −1-dropping mode is
+    the engine's documented ingest normalization on top."""
+
+    def ref_interp(hr_per_dp):
+        hr_raw, sample_indices = [], []
+        sample_count = 0
+        for hr_val in hr_per_dp:
+            if not np.isnan(hr_val):
+                hr_raw.append(hr_val)
+                sample_indices.append(sample_count)
+            sample_count += 125
+        total = len(hr_per_dp) * 125
+        if len(hr_raw) == 0:
+            return np.full(total, np.nan)
+        return np.interp(np.arange(total), sample_indices, hr_raw)
+
+    cases = [
+        [60.0, np.nan, 80.0, 75.0],
+        [np.nan, 55.0, np.nan, np.nan, 90.0],
+        [60.0, -1.0, 80.0],  # the executed chain keeps -1 as a knot
+        [np.nan, np.nan],
+    ]
+    for hrs in cases:
+        v = np.array(hrs)
+        expect = ref_interp(v)
+        got = feat.interp_sparse(v, len(v) * 125, drop_sentinel=None)
+        assert np.array_equal(got, expect, equal_nan=True), hrs
+    # the normalization mode treats -1 as missing instead
+    got_norm = feat.interp_sparse(np.array([60.0, -1.0, 80.0]), 375)
+    expect_norm = np.interp(np.arange(375), [0.0, 250.0], [60.0, 80.0])
+    assert np.array_equal(got_norm, expect_norm)
+
+
 def test_dp_stream_repair_matches_reference_port(spark):
     """repair_dp_stream row-for-row against a literal port of the
     flattenData.py:274-337 gap/overlap walk — including the stateful

@@ -354,6 +354,116 @@ class RefHr:
         return self.state, self.count
 
 
+def test_spec_spectrogram_matches_reference_port():
+    """make_spectrogram against a loop port of specCnnModel.py's
+    generateSpectralHistoryFromAccelLst (the specAlg variant — distinct
+    from eventAnalyser's: endPosn <= len INCLUSIVE, per-slice mean
+    removal then /1000, sd gate disabled, UNSQUARED |fft| magnitude,
+    bins 0..fftLen-1 INCLUDING DC, 0.001 clip)."""
+    from openseizuredatabase_spark.detection.model_algs import (
+        SpecSettings,
+        make_spectrogram,
+    )
+
+    def ref_spec_hist(acc_lst, window_len, step_len, zero_tol=0.001):
+        spec_lst = []
+        fft_len = int(window_len / 2)
+        raw = np.array(acc_lst, dtype="float")
+        end = window_len
+        while end <= len(acc_lst):
+            slice_raw = raw[end - window_len : end]
+            slice_ = slice_raw - np.mean(slice_raw)
+            slice_ = slice_ / 1000.0
+            fft = np.fft.fft(slice_)
+            mag = np.absolute(fft)
+            mag[abs(mag) < zero_tol] = 0
+            spec_lst.append(mag[0:fft_len])
+            end += step_len
+        return np.stack(spec_lst, axis=1)
+
+    t = np.arange(250) / 25.0
+    x = 1000.0 + 80.0 * np.sin(2 * np.pi * 4.3 * t) + 20.0 * np.sin(
+        2 * np.pi * 9.1 * t + 0.4
+    )
+    for spec_samp, spec_step in [(125, 125), (50, 5)]:
+        s = SpecSettings(
+            analysis_samp=250, spec_samp=spec_samp, spec_step=spec_step
+        )
+        got = make_spectrogram(x, s)
+        expect = ref_spec_hist(x, spec_samp, spec_step)
+        assert got.shape == expect.shape, (spec_samp, spec_step)
+        assert np.array_equal(got, expect), (spec_samp, spec_step)
+
+
+def test_nn_buffer_vector_matches_reference_port(spark):
+    """The nnAlg input pipeline against a port of
+    deepEpiCnnModel_torch.accData2vector (:249-286): rolling buffer
+    trimmed to the LAST bufferSamples, None until full, mG→G /1000,
+    optional z-norm with the std==0 guard."""
+
+    class RefBuf:
+        def __init__(self, buffer_samples):
+            self.n = buffer_samples
+            self.buf = []
+
+        def step(self, acc, normalise=False):
+            self.buf.extend(acc)
+            if len(self.buf) > self.n:
+                self.buf = self.buf[-self.n :]
+            if len(self.buf) < self.n:
+                return None
+            vec = np.array(self.buf[-self.n :], dtype=float) / 1000.0
+            if normalise:
+                std = vec.std()
+                if std != 0:
+                    vec = (vec - vec.mean()) / std
+                else:
+                    vec = vec - vec.mean()
+            return vec
+
+    # drive the REAL engine path (run_nn_alg) with a probe scorer that
+    # echoes a deterministic reduction of the input vector, so the
+    # buffered vector the engine actually built byte-compares with the
+    # port's
+    import datetime as _dt
+
+    from openseizuredatabase_spark.detection.model_algs import (
+        NnSettings,
+        run_nn_alg,
+    )
+
+    frames = [
+        1000.0 + 50.0 * np.sin(2 * np.pi * (2 + k) * np.arange(125) / 25.0)
+        for k in range(4)
+    ]
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            eventId=1,
+            dpTimestamp=base + _dt.timedelta(seconds=5 * k),
+            rawData=[float(v) for v in fr],
+        )
+        for k, fr in enumerate(frames)
+    ]
+    for normalise in (False, True):
+        s = NnSettings(buffer_seconds=10.0, normalise=normalise)  # 250 samp
+        probe = lambda vec: float(np.sum(vec * np.arange(len(vec))))
+        out = (
+            run_nn_alg(spark.createDataFrame(rows), probe, s)
+            .toPandas()
+            .sort_values("dpTimestamp")
+        )
+        ref = RefBuf(250)
+        for (_, row), fr in zip(out.iterrows(), frames):
+            vec = ref.step(list(fr), normalise)
+            if vec is None:
+                assert not row.valid and pd.isna(row.pSeizure)
+            else:
+                assert row.valid
+                expect = float(np.sum(vec * np.arange(len(vec))))
+                assert row.pSeizure == expect, normalise
+
+
 def test_hr_interp_matches_reference_port():
     """interp_sparse(drop_sentinel=None) against a literal port of the
     extractFeatures.py:88-110 interpolation: knots at the valid dps'

@@ -734,6 +734,18 @@ def _sig_members() -> list[tuple[str, str, str]]:
          f"grp_n + 31*best_id + 1009*best_dist + 7*n_cand"),
         ("t41_triangle_count", "id",
          f"degree + 31*{t('n_tri')} + 1009*{q6('clustering_coef')}"),
+        # round-8 tail additions (oracled outside the window from day
+        # one; n31 holds the direct slot for the corrected-kernel
+        # family, these four ride their family shards)
+        ("n32_osd_flap_replay", "event_id * 100 + dp",
+         f"{t(q6('spec_power'))} + 31*{t(q6('roi_power'))}"
+         f" + 1009*{q6('roi_ratio')} + 7*alarm_state"
+         " + 3*CAST(alarm_count AS BIGINT)"),
+        ("m46_image_dhash_dedup", "id_a * 1000000 + id_b",
+         "hamming + 31*(CASE WHEN is_exact THEN 1 ELSE 0 END)"),
+        ("m47_audio_fingerprint", "id_a * 1000000 + id_b", "n_common"),
+        ("w31_dp_gap_repair", "CAST(epoch_s AS BIGINT)",
+         f"{sc('kind')} + 31*event_id"),
     ]
 
 

@@ -461,17 +461,75 @@ def image_dhash(
                 if pix.ndim == 3:
                     pix = pix.sum(axis=2) // pix.shape[2]
                 h, w = pix.shape
-                gx = (np.arange(9) * w) // 9
-                gy = (np.arange(8) * h) // 8
-                grid = pix[np.ix_(gy, gx)]  # (8, 9)
-                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)  # 8x8
-                weights = 1 << np.arange(8, dtype=np.int64)
-                row_words = (bits * weights[None, :]).sum(axis=1)  # per row
-                h0 = int((row_words[:4] << (8 * np.arange(4))).sum())
-                h1 = int((row_words[4:] << (8 * np.arange(4))).sum())
+                h0, h1 = _dhash_halves(pix)
                 rows.append((int(mid), w, h, h0, h1))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "h0", "h1"]
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+def _dhash_halves(pix: np.ndarray) -> tuple[int, int]:
+    """The dHash core shared by image_dhash and gif_scene_changes:
+    9×8 nearest-neighbor grid → 8×8 horizontal comparisons → two
+    32-bit halves."""
+    h, w = pix.shape
+    gx = (np.arange(9) * w) // 9
+    gy = (np.arange(8) * h) // 8
+    grid = pix[np.ix_(gy, gx)]  # (8, 9)
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)  # 8x8
+    weights = 1 << np.arange(8, dtype=np.int64)
+    row_words = (bits * weights[None, :]).sum(axis=1)
+    h0 = int((row_words[:4] << (8 * np.arange(4))).sum())
+    h1 = int((row_words[4:] << (8 * np.arange(4))).sum())
+    return h0, h1
+
+
+def gif_scene_changes(
+    media: DataFrame, threshold: int = 12, id_col: str = "media_id"
+) -> DataFrame:
+    """Video scene-change detection over REAL decoded frames: each GIF
+    frame's palette-index plane takes the shared dHash, and a frame
+    whose Hamming distance to its PREDECESSOR exceeds ``threshold``
+    (of 64 bits) is a scene boundary — within-scene jitter flips few
+    comparison bits, a cut rewrites the texture. The training-data use
+    is frame-sampling budget allocation (sample per scene, not per
+    fixed stride). One mapInPandas stage, frames never leave the
+    executor. Output: (media_id, frame_idx, hamming nullable,
+    is_boundary — frame 0 is always a boundary)."""
+    out_schema = (
+        f"{id_col} long, frame_idx long, hamming long, is_boundary boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if c is None:
+                    continue
+                b = bytes(c)
+                if b[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise NotImplementedError(
+                        "gif_scene_changes: only GIF containers are "
+                        f"decodable (stdlib LZW); got magic {b[:6]!r}"
+                    )
+                frames, _pal = decode_gif(b)
+                prev = None
+                for fi, fr in enumerate(frames):
+                    h0, h1 = _dhash_halves(fr.astype(np.int64))
+                    if prev is None:
+                        rows.append((int(mid), fi, None, True))
+                    else:
+                        ham = int(
+                            bin(h0 ^ prev[0]).count("1")
+                            + bin(h1 ^ prev[1]).count("1")
+                        )
+                        rows.append((int(mid), fi, ham, ham > threshold))
+                    prev = (h0, h1)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "hamming", "is_boundary"],
             )
 
     return media.select(id_col, "content").mapInPandas(run, out_schema)

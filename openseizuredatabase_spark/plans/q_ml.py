@@ -659,6 +659,109 @@ def m47_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m48_scene_changes",
+    """
+    WITH img AS (
+        SELECT event_id AS media_id,
+               (9 + event_id % 4)::BIGINT AS w,
+               (8 + event_id % 3)::BIGINT AS h
+        FROM events WHERE event_id < 120
+    ), px AS (
+        SELECT media_id, f.f AS fi, g.gy AS gy, g2.gx AS gx,
+               (((g2.gx * w) // 9) * ((g2.gx * w) // 9) * 7
+                + ((g.gy * h) // 8) * ((g.gy * h) // 8) * 13
+                + ((g2.gx * w) // 9) * ((g.gy * h) // 8)
+                  * (media_id + (f.f // 4) * 17 + 3)
+                + (f.f // 4) * 31 + media_id * 5
+                + CASE WHEN (g2.gx * w) // 9 = 0 AND (g.gy * h) // 8 = 0
+                       THEN (f.f % 4) * 9 ELSE 0 END) % 256 AS v
+        FROM img,
+             unnest(generate_series(0, 11)) AS f(f),
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), bits AS (
+        SELECT media_id, fi, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY media_id, fi, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM px
+    ), halves AS (
+        SELECT media_id, fi,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM bits WHERE gx < 8 GROUP BY media_id, fi
+    ), seq AS (
+        SELECT media_id, fi, h0, h1,
+               lag(h0) OVER (PARTITION BY media_id ORDER BY fi) AS p0,
+               lag(h1) OVER (PARTITION BY media_id ORDER BY fi) AS p1
+        FROM halves
+    )
+    SELECT media_id, fi::BIGINT AS frame_idx,
+           CASE WHEN p0 IS NULL THEN NULL
+                ELSE (bit_count(xor(h0, p0))
+                      + bit_count(xor(h1, p1)))::BIGINT END AS hamming,
+           CASE WHEN p0 IS NULL THEN TRUE
+                ELSE bit_count(xor(h0, p0)) + bit_count(xor(h1, p1)) > 12
+           END AS is_boundary
+    FROM seq
+    """,
+    "Video scene-change detection over REAL decoded frames (the "
+    "frame-sampling budget allocator a multimodal lake wants: sample "
+    "per scene, not per fixed stride): 12-frame GIFs with three "
+    "quadratic-texture scenes and per-frame one-pixel jitter decode "
+    "through the stdlib LZW codec; each frame takes the shared dHash "
+    "(the m46 core) and a predecessor Hamming > 12 of 64 bits marks a "
+    "boundary — within-scene jitter flips at most a couple of "
+    "comparison bits, a cut rewrites the texture. One mapInPandas "
+    "stage, frames never on the driver. Oracle replays the grid/bit/"
+    "popcount arithmetic per frame straight off the pixel formula "
+    "with a lag() window over frame order.",
+)
+def m48_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_gif,
+        gif_scene_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 120).select(
+        F.col("event_id").alias("media_id")
+    )
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, i, i], axis=1).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 9 + mid % 4, 8 + mid % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                frames = []
+                for f in range(12):
+                    s = f // 4
+                    pix = (
+                        x * x * 7 + y * y * 13
+                        + x * y * (mid + s * 17 + 3)
+                        + s * 31 + mid * 5
+                    ) % 256
+                    pix = pix.copy()
+                    pix[0, 0] = (pix[0, 0] + (f % 4) * 9) % 256
+                    frames.append(pix.astype(np.uint8))
+                rows.append((mid, encode_gif(frames, palette)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return gif_scene_changes(media, threshold=12)
+
+
+@query(
     "m20_png_decode",
     """
     WITH px AS (

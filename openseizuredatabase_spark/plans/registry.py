@@ -746,6 +746,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m47_audio_fingerprint", "id_a * 1000000 + id_b", "n_common"),
         ("w31_dp_gap_repair", "CAST(epoch_s AS BIGINT)",
          f"{sc('kind')} + 31*event_id"),
+        ("m48_scene_changes", "media_id * 100 + frame_idx",
+         "coalesce(hamming, -1)"
+         " + 31*(CASE WHEN is_boundary THEN 1 ELSE 0 END)"),
     ]
 
 

@@ -655,3 +655,49 @@ def test_audio_fingerprint_constellation(spark):
         for r in fingerprint_match_pairs(fps, min_common=2).collect()
     }
     assert pairs == {(1, 2): 3}  # the one-landmark overlap with 3 is out
+
+
+def test_gif_scene_changes(spark):
+    """Scene-change detection over real decoded GIF frames: one-pixel
+    within-scene jitter stays under the Hamming threshold, a texture
+    cut crosses it; frame 0 is always a boundary; non-GIF fails fast."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_gif,
+        gif_scene_changes,
+    )
+
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, i, i], axis=1).astype(np.uint8)
+    x = np.arange(10)[None, :]
+    y = np.arange(9)[:, None]
+    frames = []
+    for f in range(8):
+        s = f // 4
+        pix = (x * x * 7 + y * y * 13 + x * y * (s * 17 + 3) + s * 31) % 256
+        pix = pix.copy()
+        pix[0, 0] = (pix[0, 0] + (f % 4) * 9) % 256
+        frames.append(pix.astype(np.uint8))
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=encode_gif(frames, palette))]
+    )
+    out = (
+        gif_scene_changes(df, threshold=12)
+        .toPandas()
+        .sort_values("frame_idx")
+    )
+    assert len(out) == 8
+    import pandas as _pd
+    assert out.iloc[0].is_boundary and _pd.isna(out.iloc[0].hamming)
+    boundaries = [int(r.frame_idx) for _, r in out.iterrows() if r.is_boundary]
+    assert boundaries == [0, 4]
+    within = [int(r.hamming) for _, r in out.iterrows()
+              if r.frame_idx not in (0, 4)]
+    assert all(h <= 12 for h in within)
+
+    bad = spark.createDataFrame([Row(media_id=2, content=b"\x00\x00\x00 ftyp")])
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|only GIF"):
+        gif_scene_changes(bad).collect()

@@ -513,6 +513,120 @@ def n32_osd_flap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s24_oracle() -> str:
+    """Aggregate n31's per-dp replay oracle per event — the streaming
+    twin emits the same machine walk, so the two entries share one
+    recurrence definition."""
+    return f"""
+    SELECT event_id, count(*) AS n_dps,
+           count(CASE WHEN alarm_state = 2 THEN 1 END) AS n_alarm_dps,
+           count(CASE WHEN alarm_state = 1 THEN 1 END) AS n_warn_dps
+    FROM ({QUERIES['n31_osd_replay'].oracle}) t
+    GROUP BY event_id
+    """
+
+
+@query(
+    "s24_streaming_osd_detector",
+    _s24_oracle(),
+    "The CORRECTED OSD spectral detector as a REGISTERED streaming "
+    "query — batch/streaming parity for the real kernels (n31's batch "
+    "twin shares the recurrence through one oracle definition): "
+    "readStream events → the n31 sinusoid frames built in the "
+    "streaming projection (pure Catalyst) → per-dp "
+    "specPower/roiPower/gated ratio via a scalar Arrow pandas UDF "
+    "(the literal osdAlg.py kernels at the published 500/57 "
+    "thresholds) → applyInPandasWithState alarm machine (state = "
+    "(alarmState, alarmCount) per event across micro-batches) → "
+    "per-event rollup. availableNow over a static lake is one "
+    "deterministic batch with no (event, ts) ties, so the streamed "
+    "machine equals the batch walk row for row.",
+)
+def s24_streaming_osd_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    import numpy as np
+
+    from openseizuredatabase_spark.detection.osd_alg import OsdSettings
+    from openseizuredatabase_spark.functions.signal import (
+        roi_power,
+        spec_power,
+        spectrum_ratio,
+    )
+    from openseizuredatabase_spark.plans.q_relational import _stream_events
+    from openseizuredatabase_spark.streaming.sessionize import (
+        streaming_alarm_machine,
+    )
+
+    stream = _stream_events(spark, sf_dir, "s24_events_").filter(
+        F.col("event_id") < 30
+    )
+    freq = (F.col("event_id") % 5 + 1).cast("double")
+    dps = stream.select(
+        "event_id", freq.alias("freq"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("dp"),
+    )
+    amp = F.when(F.col("dp") % 4 < 3, F.lit(600.37)).otherwise(F.lit(5.23))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(124)),
+        lambda i: 1000.0
+        + amp
+        * F.sin(
+            2 * math.pi * F.col("freq")
+            * (i + F.col("dp") * 125).cast("double") / 25.0
+        ),
+    )
+    frames = dps.select(
+        "event_id",
+        F.timestamp_seconds(F.col("dp") * 5).alias("dpTimestamp"),
+        raw.alias("rawData"),
+    )
+
+    @F.pandas_udf("boolean")
+    def in_alarm(sigs: pd.Series) -> pd.Series:
+        flags = []
+        for sig in sigs:
+            a = np.asarray(sig, dtype=np.float64)
+            sp = spec_power(a)
+            rp = roi_power(a)
+            flags.append(spectrum_ratio(sp, rp, 500.0) > 57.0)
+        return pd.Series(flags)
+
+    flagged = frames.select(
+        "event_id", "dpTimestamp", in_alarm(F.col("rawData")).alias("flag")
+    )
+    out = streaming_alarm_machine(
+        flagged,
+        "event_id",
+        "dpTimestamp",
+        "flag",
+        OsdSettings(sample_period=5.0, warn_time=5.0, alarm_time=10.0),
+    )
+    name = f"s24_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dps"),
+            F.count(F.when(F.col("alarmState") == 2, 1)).alias(
+                "n_alarm_dps"
+            ),
+            F.count(F.when(F.col("alarmState") == 1, 1)).alias(
+                "n_warn_dps"
+            ),
+        )
+    )
+
+
 @query(
     "n3_event_level_metrics",
     f"""

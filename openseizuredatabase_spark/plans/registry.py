@@ -749,6 +749,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m48_scene_changes", "media_id * 100 + frame_idx",
          "coalesce(hamming, -1)"
          " + 31*(CASE WHEN is_boundary THEN 1 ELSE 0 END)"),
+        ("s24_streaming_osd_detector", "event_id",
+         "n_dps + 31*n_alarm_dps + 1009*n_warn_dps"),
     ]
 
 

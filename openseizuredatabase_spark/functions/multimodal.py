@@ -486,6 +486,80 @@ def _dhash_halves(pix: np.ndarray) -> tuple[int, int]:
     return h0, h1
 
 
+def gif_frame_dhashes(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Per-frame dHash fingerprints over REAL decoded GIF frames — the
+    video near-dup primitive: each frame's palette-index plane takes
+    the shared dHash core. Video-level matching then rides the
+    image-pair machinery (banded Hamming join on the frame hashes,
+    aggregated per video pair) — see m49. Output:
+    (media_id, frame_idx, h0, h1)."""
+    out_schema = f"{id_col} long, frame_idx long, h0 long, h1 long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if c is None:
+                    continue
+                b = bytes(c)
+                if b[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise NotImplementedError(
+                        "gif_frame_dhashes: only GIF containers are "
+                        f"decodable (stdlib LZW); got magic {b[:6]!r}"
+                    )
+                frames, _pal = decode_gif(b)
+                for fi, fr in enumerate(frames):
+                    h0, h1 = _dhash_halves(fr.astype(np.int64))
+                    rows.append((int(mid), fi, h0, h1))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "h0", "h1"]
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 6,
+    min_frame_matches: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video near-dup pairs from per-frame dHashes: frame-level
+    candidates via the banded Hamming self-join (frame key =
+    media_id·1000 + frame_idx rides the image-pair machinery), then
+    two videos match when at least ``min_frame_matches`` DISTINCT
+    frame pairs agree — the multi-landmark rule (m47's audio
+    discipline applied to frames). Never an all-pairs scan at either
+    level: the frame join is 16-bit-band bucketed and the video
+    aggregation sees only surviving frame pairs."""
+    keyed = frame_hashes.select(
+        (F.col(id_col) * 1000 + F.col("frame_idx")).alias("media_id"),
+        "h0",
+        "h1",
+    )
+    frame_pairs = dhash_near_dup_pairs(keyed, max_hamming=max_hamming)
+    vid = frame_pairs.select(
+        F.expr("id_a div 1000").alias("vid_a"),
+        F.expr("id_b div 1000").alias("vid_b"),
+        "id_a",
+        "id_b",
+    ).filter(F.col("vid_a") != F.col("vid_b"))
+    # orient so vid_a < vid_b regardless of frame-key order
+    lo = F.least("vid_a", "vid_b")
+    hi = F.greatest("vid_a", "vid_b")
+    return (
+        vid.select(
+            lo.alias("id_a"), hi.alias("id_b"),
+            F.struct("id_a", "id_b").alias("fp"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_frame_matches)
+    )
+
+
 def gif_scene_changes(
     media: DataFrame, threshold: int = 12, id_col: str = "media_id"
 ) -> DataFrame:

@@ -762,6 +762,125 @@ def m48_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m49_video_near_dup",
+    """
+    WITH img AS (
+        SELECT event_id AS media_id, event_id % 100 AS pid,
+               (9 + (event_id % 100) % 4)::BIGINT AS w,
+               (8 + (event_id % 100) % 3)::BIGINT AS h
+        FROM events WHERE event_id < 200
+    ), px AS (
+        SELECT media_id, f.f AS fi, g.gy AS gy, g2.gx AS gx,
+               (((g2.gx * w) // 9) * ((g2.gx * w) // 9) * 7
+                + ((g.gy * h) // 8) * ((g.gy * h) // 8) * 13
+                + ((g2.gx * w) // 9) * ((g.gy * h) // 8)
+                  * (pid + (f.f // 3) * 17 + 3)
+                + (f.f // 3) * 31 + pid * 5
+                + CASE WHEN (g2.gx * w) // 9 = 0 AND (g.gy * h) // 8 = 0
+                       THEN (f.f % 3) * 9 + (media_id // 100) * 13
+                       ELSE 0 END) % 256 AS v
+        FROM img,
+             unnest(generate_series(0, 8)) AS f(f),
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), bits AS (
+        SELECT media_id, fi, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY media_id, fi, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM px
+    ), halves AS (
+        SELECT media_id * 1000 + fi AS k, media_id AS vid,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM bits WHERE gx < 8 GROUP BY media_id, fi
+    ), bands AS (
+        SELECT k, vid, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM halves, unnest(generate_series(0, 3)) AS b(band)
+    ), cand AS (
+        SELECT DISTINCT a.k AS ka, c.k AS kb, a.vid AS va, c.vid AS vb,
+               a.h0 AS h0a, a.h1 AS h1a, c.h0 AS h0b, c.h1 AS h1b
+        FROM bands a
+        JOIN bands c ON a.band = c.band AND a.v = c.v AND a.k < c.k
+    ), fp AS (
+        SELECT ka, kb, least(va, vb) AS id_a, greatest(va, vb) AS id_b
+        FROM cand
+        WHERE va <> vb
+          AND bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 6
+    )
+    SELECT id_a, id_b,
+           count(DISTINCT ka * 1000000 + kb) AS n_frame_matches
+    FROM fp GROUP BY id_a, id_b
+    HAVING count(DISTINCT ka * 1000000 + kb) >= 2
+    """,
+    "Video near-dup pairs over REAL decoded frames — the video tier "
+    "completing the near-dup matrix (text MinHash, image dHash m46, "
+    "audio constellation m47): per-frame dHashes (shared m46 core) "
+    "through the stdlib GIF codec, frame-level candidates via the "
+    "banded Hamming self-join, then two videos match when >= 2 "
+    "DISTINCT frame pairs agree (m47's multi-landmark rule applied to "
+    "frames) — bucketed joins at both levels, never all-pairs. "
+    "Corpus: 100 three-scene quadratic-texture videos x2 where the "
+    "second copy perturbs one source pixel per frame (Hamming <= 2 "
+    "per frame pair — inside the pigeonhole-complete band regime). "
+    "Oracle replays the grid/bit/band/popcount arithmetic and the "
+    "aggregation straight off the pixel formula.",
+)
+def m49_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_gif,
+        gif_frame_dhashes,
+        video_near_dup_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, i, i], axis=1).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                pid = mid % 100
+                w, h = 9 + pid % 4, 8 + pid % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                frames = []
+                for f in range(9):
+                    s = f // 3
+                    pix = (
+                        x * x * 7 + y * y * 13
+                        + x * y * (pid + s * 17 + 3)
+                        + s * 31 + pid * 5
+                    ) % 256
+                    pix = pix.copy()
+                    pix[0, 0] = (
+                        pix[0, 0] + (f % 3) * 9 + (mid // 100) * 13
+                    ) % 256
+                    frames.append(pix.astype(np.uint8))
+                rows.append((mid, encode_gif(frames, palette)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return video_near_dup_pairs(
+        gif_frame_dhashes(media), max_hamming=6, min_frame_matches=2
+    )
+
+
+@query(
     "m20_png_decode",
     """
     WITH px AS (

@@ -751,6 +751,8 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 31*(CASE WHEN is_boundary THEN 1 ELSE 0 END)"),
         ("s24_streaming_osd_detector", "event_id",
          "n_dps + 31*n_alarm_dps + 1009*n_warn_dps"),
+        ("m49_video_near_dup", "id_a * 1000 + id_b",
+         "n_frame_matches"),
     ]
 
 

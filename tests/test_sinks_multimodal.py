@@ -701,3 +701,49 @@ def test_gif_scene_changes(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|only GIF"):
         gif_scene_changes(bad).collect()
+
+
+def test_video_near_dup_pairs(spark):
+    """Video-level near-dup matching over real decoded frames: a
+    per-frame one-pixel edit copy matches on every frame (>=2 rule
+    easily met); a different texture program does not pair."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_gif,
+        gif_frame_dhashes,
+        video_near_dup_pairs,
+    )
+
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, i, i], axis=1).astype(np.uint8)
+    x = np.arange(10)[None, :]
+    y = np.arange(9)[:, None]
+
+    def vid(texture_seed, jitter):
+        frames = []
+        for f in range(6):
+            s = f // 3
+            pix = (
+                x * x * 7 + y * y * 13 + x * y * (texture_seed + s * 17)
+                + s * 31
+            ) % 256
+            pix = pix.copy()
+            pix[0, 0] = (int(pix[0, 0]) + (f % 3) * 9 + jitter) % 256
+            frames.append(pix.astype(np.uint8))
+        return encode_gif(frames, palette)
+
+    rows = [
+        Row(media_id=1, content=vid(3, 0)),
+        Row(media_id=2, content=vid(3, 13)),  # near-dup of 1
+        Row(media_id=3, content=vid(29, 0)),  # different program
+    ]
+    hashes = gif_frame_dhashes(spark.createDataFrame(rows))
+    assert hashes.count() == 18
+    pairs = {
+        (r.id_a, r.id_b): r.n_frame_matches
+        for r in video_near_dup_pairs(hashes).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 6
+    assert not any(3 in k for k in pairs)

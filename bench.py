@@ -301,6 +301,15 @@ HEADLINE = [
     "w30_matrix_profile",
     "v22_hard_negatives",
     "a33_decayed_counts",
+    # round-8 additions (extended tier)
+    "n31_osd_replay",
+    "n32_osd_flap_replay",
+    "s24_streaming_osd_detector",
+    "w31_dp_gap_repair",
+    "m46_image_dhash_dedup",
+    "m47_audio_fingerprint",
+    "m48_scene_changes",
+    "m49_video_near_dup",
 ]
 
 

@@ -112,3 +112,463 @@ def mark_events(
         ids = spark.createDataFrame([(int(i),) for i in ids], [id_col])
     edits = ids.select(id_col, F.lit(new_value).alias(type_col))
     return apply_event_edits(df, edits, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# makeOsdDb_refactor curator operators (the forward-looking curator rewrite,
+# curator_tools/makeOsdDb_refactor/src/) — gap-based proximity grouping with
+# datapoint merge, canonical field-hash dedup, rule-tagged validation, and
+# datetime normalization. These change published DB contents vs the classic
+# curator's D1 fixed bins, so they are first-class engine operators.
+# ---------------------------------------------------------------------------
+
+from collections.abc import Sequence  # noqa: E402
+
+from pyspark.sql import Column, Window  # noqa: E402
+
+
+def proximity_group_ids(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    threshold_secs: int = 180,
+) -> DataFrame:
+    """Gap-based proximity chains per group key (adds ``group_id``).
+
+    makeOsdDb_refactor/src/event_grouping.py:127-174
+    (group_events_by_proximity): sort by (userId, type, dataTime), start a
+    new group when the gap to the PREVIOUS event exceeds the threshold —
+    chained sessionization, not D1's fixed wall-clock bins. The reference's
+    pandas loop is one lag + running-sum window here: a single shuffle on
+    the group key, linear per partition, no iteration. ``<= threshold``
+    keeps the chain (event_grouping.py:163), so the break predicate is
+    strictly ``gap > threshold``. Ties in ``ts`` order deterministically by
+    ``id_col`` (the reference relies on pandas stable sort order).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast(
+        "double"
+    )
+    brk = F.when(gap.isNull() | (gap > threshold_secs), 1).otherwise(0)
+    return df.withColumn(
+        "group_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
+def alarm_first_precedence(
+    alarm_col: str,
+    desc_col: str,
+    ts_col: str,
+    id_col: str,
+    existing_col: str | None = None,
+) -> Column:
+    """The 'alarm_first' selection sort key as one orderable struct.
+
+    event_grouping.py:198-206 sort_key: (is_existing asc, -osdAlarmState,
+    -has_desc, dataTime asc); lowest wins. The engine adds ``id_col`` as a
+    final tiebreak where the reference relies on stable input order (ties
+    beyond dataTime are otherwise engine-nondeterministic).
+    """
+    is_existing = (
+        F.when(F.col(existing_col), 0).otherwise(1)
+        if existing_col is not None
+        else F.lit(1)
+    )
+    has_desc = F.when(
+        F.trim(F.coalesce(F.col(desc_col), F.lit(""))) != "", 1
+    ).otherwise(0)
+    return F.struct(
+        is_existing.alias("p0"),
+        (-F.coalesce(F.col(alarm_col), F.lit(0)).cast("long")).alias("p1"),
+        (-has_desc).alias("p2"),
+        F.col(ts_col).alias("p3"),
+        F.col(id_col).alias("p4"),
+    )
+
+
+def tolerance_dedup_fold(
+    dps: Column, time_field: str, tolerance_ms: int = 100
+) -> Column:
+    """Chained 100 ms tolerance dedup over a TIME-SORTED datapoint array.
+
+    event_grouping.py:71-83: walk the sorted list keeping a datapoint only
+    when |t - last_KEPT| >= tolerance — the comparison is against the last
+    kept datapoint, not the previous row, so this is a sequential fold,
+    not a lag filter. Expressed as ``F.aggregate`` (JVM-side higher-order
+    fold over the per-group array — no Python, no extra shuffle; the array
+    is bounded by the proximity chain). abs() is redundant on a sorted
+    ascending array (t >= last kept always).
+    """
+    zero = F.struct(
+        F.lit(-(2**62)).cast("long").alias("last"),
+        F.slice(dps, 1, 0).alias("kept"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        keep = F.struct(
+            x[time_field].cast("long").alias("last"),
+            F.concat(acc["kept"], F.array(x)).alias("kept"),
+        )
+        return F.when(
+            (x[time_field].cast("long") - acc["last"]) < tolerance_ms, acc
+        ).otherwise(keep)
+
+    return F.aggregate(dps, zero, step)["kept"]
+
+
+def merge_proximity_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    alarm_col: str,
+    desc_col: str,
+    dp_col: str,
+    dp_time_field: str = "t",
+    threshold_secs: int = 180,
+    tolerance_ms: int = 100,
+    existing_col: str | None = None,
+    exclude_types: Sequence[str] | None = None,
+    type_col: str | None = None,
+    update_desc: bool = True,
+) -> DataFrame:
+    """Merge-datapoints proximity grouping — the refactored curator's
+    apply_sliding_window_grouping (event_grouping.py:223-341) as one
+    distributed plan.
+
+    Per (group_cols) key: gap-chain events at ``threshold_secs``
+    (event_grouping.py:127-174), pick the 'alarm_first' representative
+    (:177-221), and for multi-member groups concatenate every member's
+    datapoints, sort by time, drop near-dups within ``tolerance_ms`` of
+    the last KEPT point (:34-124), annotate ``desc`` with the merged ids
+    (string-sorted, ', '-joined — :101-119) and attach provenance columns
+    ``_merged_from_event_ids`` / ``_merged_event_count`` /
+    ``_merged_datapoint_count``. Single-member groups pass through
+    untouched (NULL provenance), matching merge_grouped_events' early
+    return (:90-91). Events whose ``type_col`` is in ``exclude_types``
+    (case-insensitive, :234-243 — NDA events) bypass grouping entirely.
+
+    Scale shape: ONE shuffle on (group_cols, group_id) does selection and
+    merge together (min_by for the representative, collect_list+flatten+
+    array_sort+aggregate for the datapoints — all JVM-side); group size is
+    bounded by the proximity chain, never the table. No driver collects,
+    no Python in the hot path.
+    """
+    all_cols = list(df.columns)
+    dp_type = dict(df.dtypes)[dp_col]
+    empty_dps = F.array().cast(dp_type)
+    excluded = None
+    if exclude_types:
+        tcol = type_col or group_cols[-1]
+        lowered = [t.lower() for t in exclude_types]
+        is_excl = F.lower(F.coalesce(F.col(tcol), F.lit(""))).isin(lowered)
+        excluded = df.filter(is_excl)
+        df = df.filter(~is_excl)
+
+    grouped = proximity_group_ids(
+        df, group_cols, ts_col, id_col, threshold_secs
+    )
+    prec = alarm_first_precedence(
+        alarm_col, desc_col, ts_col, id_col, existing_col
+    )
+    keys = [*group_cols, "group_id"]
+    agg = grouped.groupBy(*keys).agg(
+        F.min_by(F.struct(*all_cols), prec).alias("__rep"),
+        F.count(F.lit(1)).alias("_merged_event_count"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("__t"),
+                    F.col(id_col).alias("__id"),
+                )
+            )
+        ).alias("__members"),
+        F.array_sort(F.flatten(F.collect_list(F.coalesce(
+            F.col(dp_col), empty_dps
+        )))).alias("__all_dps"),
+    )
+
+    rep = agg.select(
+        *[
+            F.col(c) if c in group_cols else F.col(f"__rep.{c}").alias(c)
+            for c in all_cols
+            if c != dp_col
+        ],
+        F.col(f"__rep.{dp_col}").alias("__rep_dps"),
+        "_merged_event_count",
+        "__members",
+        "__all_dps",
+        "group_id",
+    )
+
+    multi = F.col("_merged_event_count") > 1
+    merged_dps = F.when(
+        multi,
+        tolerance_dedup_fold(F.col("__all_dps"), dp_time_field, tolerance_ms),
+    ).otherwise(F.col("__rep_dps"))
+    member_ids = F.transform(F.col("__members"), lambda m: m["__id"])
+    out = (
+        rep.withColumn(dp_col, merged_dps)
+        .withColumn(
+            "_merged_from_event_ids", F.when(multi, member_ids)
+        )
+        .withColumn(
+            "_merged_event_count",
+            F.when(multi, F.col("_merged_event_count")),
+        )
+        .withColumn(
+            "_merged_datapoint_count", F.when(multi, F.size(F.col(dp_col)))
+        )
+    )
+    if update_desc:
+        # event_grouping.py:101-119: string-sort the OTHER member ids,
+        # append "Includes data from merged event(s): ..." with the
+        # '.'/' ' punctuation rules, skipping when the exact note is
+        # already present.
+        others = F.array_sort(
+            F.transform(
+                F.filter(member_ids, lambda i: i != F.col(id_col)),
+                lambda i: i.cast("string"),
+            )
+        )
+        note = F.concat(
+            F.lit("Includes data from merged event(s): "),
+            F.array_join(others, ", "),
+        )
+        cur = F.coalesce(F.col(desc_col), F.lit(""))
+        prefixed = F.when(cur == "", cur).when(
+            cur.endswith("."), F.concat(cur, F.lit(" "))
+        ).otherwise(F.concat(cur, F.lit(". ")))
+        new_desc = F.when(
+            ~multi | (F.size(others) == 0), F.col(desc_col)
+        ).when(
+            cur.contains(note), cur
+        ).otherwise(F.concat(prefixed, note))
+        out = out.withColumn(desc_col, new_desc)
+    out = out.drop("__rep_dps", "__members", "__all_dps", "group_id")
+
+    if excluded is not None:
+        excluded = (
+            excluded.withColumn(
+                "_merged_from_event_ids",
+                F.lit(None).cast(f"array<{dict(df.dtypes)[id_col]}>"),
+            )
+            .withColumn("_merged_event_count", F.lit(None).cast("long"))
+            .withColumn("_merged_datapoint_count", F.lit(None).cast("int"))
+        )
+        out = out.unionByName(excluded)
+    return out
+
+
+def event_field_hash(
+    fields: Sequence[tuple[str, str]],
+) -> Column:
+    """md5 over the canonical sorted-key JSON of selected event fields.
+
+    event_deduplication.py:16-39 (compute_event_hash): hash_data = the
+    present fields, serialized ``json.dumps(..., sort_keys=True)`` (key
+    order alphabetical, ``", "`` / ``": "`` separators), md5 hex digest.
+    The engine builds the SAME byte string with explicit concat — never an
+    engine JSON serializer, whose spacing/ordering differs between Spark
+    and DuckDB — so the digest is portable and oracle-checkable.
+
+    ``fields``: (column, kind) with kind 'str' (JSON-quoted; caller
+    guarantees no characters needing JSON escaping — true for ids,
+    ISO timestamps and type labels) or 'num' (bare integer rendering).
+    Missing (NULL) fields drop out of the serialization exactly like the
+    reference's ``if field in event`` guard — concat_ws skips NULLs.
+    """
+    frags = []
+    for name, kind in sorted(fields, key=lambda f: f[0]):
+        key = F.lit(f'"{name}": ')
+        if kind == "str":
+            val = F.concat(F.lit('"'), F.col(name), F.lit('"'))
+        else:
+            val = F.col(name).cast("long").cast("string")
+        frags.append(
+            F.when(F.col(name).isNotNull(), F.concat(key, val))
+        )
+    payload = F.concat_ws(", ", *frags)
+    return F.md5(F.concat(F.lit("{"), payload, F.lit("}")))
+
+
+def event_field_hash_sql(fields: Sequence[tuple[str, str]]) -> str:
+    """DuckDB rendering of :func:`event_field_hash` for oracle parity."""
+    frags = []
+    for name, kind in sorted(fields, key=lambda f: f[0]):
+        if kind == "str":
+            val = f"'\"' || {name} || '\"'"
+        else:
+            val = f"{name}::BIGINT::VARCHAR"
+        frags.append(
+            f"CASE WHEN {name} IS NOT NULL"
+            f" THEN '\"{name}\": ' || {val} END"
+        )
+    return "md5('{' || concat_ws(', ', " + ", ".join(frags) + ") || '}')"
+
+
+def dedup_by_field_hash(
+    df: DataFrame,
+    fields: Sequence[tuple[str, str]],
+    pos_col: str,
+    id_col: str = "id",
+    keep: str = "first",
+) -> DataFrame:
+    """Field-hash event dedup with keep-first/last/most-datapoints.
+
+    event_deduplication.py:80-173 (remove_duplicate_events): group events
+    by their canonical field hash, keep one per group, report the rest.
+    'first'/'last' = min/max input position (``pos_col`` is the explicit
+    order column — a distributed engine has no implicit list order);
+    'most_datapoints' = max size(datapoints), position tiebreak like the
+    reference's ``max()`` (first maximum wins).
+
+    Output: the input columns + ``event_hash`` + ``n_copies`` (group
+    size), filtered to the kept rows — one groupBy-window shuffle on the
+    uniformly-distributed 32-char digest, no skew. The removed side is
+    the complement (``anti_join`` on the kept (hash, pos) pairs);
+    ``dedup_stats`` renders the reference's dedup_info dict as a 1-row
+    aggregate.
+    """
+    h = event_field_hash(fields)
+    hashed = df.withColumn("event_hash", h)
+    w = Window.partitionBy("event_hash")
+    if keep == "last":
+        order = [F.col(pos_col).desc()]
+    elif keep == "most_datapoints":
+        order = [F.size("datapoints").desc(), F.col(pos_col).asc()]
+    else:
+        order = [F.col(pos_col).asc()]
+    ranked = hashed.withColumn(
+        "__rn", F.row_number().over(w.orderBy(*order))
+    ).withColumn("n_copies", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_stats(kept: DataFrame) -> DataFrame:
+    """The reference's dedup_info (event_deduplication.py:164-171) as a
+    one-row aggregate over :func:`dedup_by_field_hash` output."""
+    return kept.agg(
+        F.sum("n_copies").alias("total_input"),
+        F.count(F.lit(1)).alias("total_output"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(0))
+        .alias("duplicates_found"),
+        F.sum(F.col("n_copies") - 1).alias("duplicates_removed"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .alias("duplicate_groups"),
+    )
+
+
+def validation_rule_tags(
+    required_fields: Sequence[str],
+    dp_json_col: str = "dp_json",
+    dp_count: Column | None = None,
+    min_datapoints: int = 1,
+    invalid_ids: Sequence[int] | None = None,
+    id_col: str = "id",
+) -> tuple[Column, Column]:
+    """(reason, missing_fields) columns for the validation-rule batch.
+
+    event_validation.py:70-126 (validate_event) raises at the FIRST
+    failing rule, so precedence is a CASE cascade in the reference's
+    order: marked_invalid_in_config (config id list, :164-171) →
+    'Missing required fields' → 'Event has no datapoints field' →
+    'Event datapoints is not a list' → 'Event has insufficient
+    datapoints'. NULL reason = valid. ``dp_json_col`` carries the raw
+    datapoints serialization (the refactored curator validates events as
+    downloaded JSON, where datapoints can be absent or a bare count);
+    list-ness is the '[' prefix test.
+    """
+    missing = F.filter(
+        F.array(
+            *[
+                F.when(F.col(f).isNull(), F.lit(f))
+                for f in required_fields
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    dp = F.col(dp_json_col)
+    if dp_count is None:
+        # element count of a well-formed flat JSON list: commas + 1
+        dp_count = F.when(
+            F.regexp_replace(dp, r"[\[\] ]", "") == "", F.lit(0)
+        ).otherwise(
+            F.length(dp) - F.length(F.regexp_replace(dp, ",", "")) + 1
+        )
+    reason = F.when(
+        F.col(id_col).isin([int(i) for i in invalid_ids or []])
+        if invalid_ids
+        else F.lit(False),
+        "marked_invalid_in_config",
+    )
+    reason = (
+        reason.when(F.size(missing) > 0, "Missing required fields")
+        .when(dp.isNull(), "Event has no datapoints field")
+        .when(~dp.startswith("["), "Event datapoints is not a list")
+        .when(dp_count < min_datapoints, "Event has insufficient datapoints")
+    )
+    return reason, missing
+
+
+def validation_report(
+    tagged: DataFrame, reason_col: str = "reason"
+) -> DataFrame:
+    """Per-reason counts + the valid row (event_validation.py:189-196
+    validation_report dict: total_checked / valid / skipped /
+    skip_reasons) as one conditional aggregation."""
+    return (
+        tagged.groupBy(
+            F.coalesce(F.col(reason_col), F.lit("valid")).alias("reason")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Known datetime formats in OSDB data (datetime_normalization.py:18-22),
+# rendered as Spark SimpleDateFormat patterns in cascade order.
+KNOWN_DT_FORMATS = [
+    "dd-MM-yyyy HH:mm:ss",       # old format "02-10-2022 13:44:56"
+    "yyyy-MM-dd'T'HH:mm:ss'Z'",  # ISO 8601 Z
+    "yyyy-MM-dd HH:mm:ss",       # alternative
+]
+
+
+def normalize_datetime_cascade(dt: Column) -> Column:
+    """Parse a datetime string through the known-format cascade
+    (datetime_normalization.py:25-63) and render ISO 8601
+    'yyyy-MM-ddTHH:mm:ssZ'. Unparseable strings stay NULL (the reference
+    falls back to dateutil; the engine treats that residue as a
+    quarantine column rather than a per-row Python call)."""
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(dt, F.lit(fmt)) for fmt in KNOWN_DT_FORMATS]
+    )
+    return F.date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def datetime_format_census(dt: Column) -> Column:
+    """Classify a datetime string like detect_datetime_formats
+    (datetime_normalization.py:160-192): iso_8601 by the length-20 /
+    'T'@10 / trailing-'Z' shape test, old_format by length-19 with '-' at
+    positions 3 and 6 (0-based 2 and 5), else other; NULL/empty →
+    missing."""
+    return (
+        F.when(dt.isNull() | (dt == ""), "missing")
+        .when(
+            (F.length(dt) == 20)
+            & (F.substring(dt, 11, 1) == "T")
+            & (F.substring(dt, 20, 1) == "Z"),
+            "iso_8601",
+        )
+        .when(
+            (F.length(dt) == 19)
+            & (F.substring(dt, 3, 1) == "-")
+            & (F.substring(dt, 6, 1) == "-"),
+            "old_format",
+        )
+        .otherwise("other")
+    )

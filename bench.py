@@ -310,6 +310,12 @@ HEADLINE = [
     "m47_audio_fingerprint",
     "m48_scene_changes",
     "m49_video_near_dup",
+    # round-9 additions (extended tier): the makeOsdDb_refactor curator
+    "d17_merge_grouped",
+    "d18_field_hash_dedup",
+    "e6_validation_report",
+    "e7_datetime_census",
+    "e8_publication_flatten",
 ]
 
 

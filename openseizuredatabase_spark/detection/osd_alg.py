@@ -43,7 +43,11 @@ class OsdSettings:
     sample_freq: float = 25.0
     freq_min: float = 3.0
     freq_max: float = 8.0
-    alarm_thresh: float = 100.0
+    # published defaults: testConfig.json:48-49 alarmThresh 500 /
+    # alarmRatioThresh 57 (round-8 verdict watch item: the old 100.0
+    # default silently under-gated specPower for callers that skipped
+    # explicit settings)
+    alarm_thresh: float = 500.0
     alarm_ratio_thresh: float = 57.0
     sample_period: float = 5.0
     warn_time: float = 5.0

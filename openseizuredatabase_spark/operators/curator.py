@@ -235,6 +235,8 @@ def merge_proximity_groups(
     exclude_types: Sequence[str] | None = None,
     type_col: str | None = None,
     update_desc: bool = True,
+    keep_group_id: bool = False,
+    with_dp_totals: bool = False,
 ) -> DataFrame:
     """Merge-datapoints proximity grouping — the refactored curator's
     apply_sliding_window_grouping (event_grouping.py:223-341) as one
@@ -290,6 +292,12 @@ def merge_proximity_groups(
         F.array_sort(F.flatten(F.collect_list(F.coalesce(
             F.col(dp_col), empty_dps
         )))).alias("__all_dps"),
+        # grouping_info total_datapoints_before at group granularity
+        # (event_grouping.py:263-267) — computed inside the same
+        # aggregate so stats never cost a second scan of the fact table
+        F.sum(F.size(F.coalesce(F.col(dp_col), empty_dps)))
+        .cast("long")
+        .alias("_group_dp_count_before"),
     )
 
     rep = agg.select(
@@ -302,6 +310,7 @@ def merge_proximity_groups(
         "_merged_event_count",
         "__members",
         "__all_dps",
+        "_group_dp_count_before",
         "group_id",
     )
 
@@ -349,7 +358,11 @@ def merge_proximity_groups(
             cur.contains(note), cur
         ).otherwise(F.concat(prefixed, note))
         out = out.withColumn(desc_col, new_desc)
-    out = out.drop("__rep_dps", "__members", "__all_dps", "group_id")
+    out = out.drop("__rep_dps", "__members", "__all_dps")
+    if not keep_group_id:
+        out = out.drop("group_id")
+    if not with_dp_totals:
+        out = out.drop("_group_dp_count_before")
 
     if excluded is not None:
         excluded = (
@@ -360,6 +373,15 @@ def merge_proximity_groups(
             .withColumn("_merged_event_count", F.lit(None).cast("long"))
             .withColumn("_merged_datapoint_count", F.lit(None).cast("int"))
         )
+        if keep_group_id:
+            excluded = excluded.withColumn(
+                "group_id", F.lit(None).cast("long")
+            )
+        if with_dp_totals:
+            excluded = excluded.withColumn(
+                "_group_dp_count_before",
+                F.size(F.coalesce(F.col(dp_col), empty_dps)).cast("long"),
+            )
         out = out.unionByName(excluded)
     return out
 
@@ -469,6 +491,7 @@ def validation_rule_tags(
     dp_count: Column | None = None,
     min_datapoints: int = 1,
     invalid_ids: Sequence[int] | None = None,
+    invalid_flag: Column | None = None,
     id_col: str = "id",
 ) -> tuple[Column, Column]:
     """(reason, missing_fields) columns for the validation-rule batch.
@@ -478,7 +501,10 @@ def validation_rule_tags(
     order: marked_invalid_in_config (config id list, :164-171) →
     'Missing required fields' → 'Event has no datapoints field' →
     'Event datapoints is not a list' → 'Event has insufficient
-    datapoints'. NULL reason = valid. ``dp_json_col`` carries the raw
+    datapoints'. NULL reason = valid. The config list can be passed as
+    literal ids (``invalid_ids``, curator-sized isin) or as a
+    pre-computed ``invalid_flag`` boolean column (the broadcast-join
+    membership flag at scale). ``dp_json_col`` carries the raw
     datapoints serialization (the refactored curator validates events as
     downloaded JSON, where datapoints can be absent or a bare count);
     list-ness is the '[' prefix test.
@@ -500,12 +526,13 @@ def validation_rule_tags(
         ).otherwise(
             F.length(dp) - F.length(F.regexp_replace(dp, ",", "")) + 1
         )
-    reason = F.when(
-        F.col(id_col).isin([int(i) for i in invalid_ids or []])
-        if invalid_ids
-        else F.lit(False),
-        "marked_invalid_in_config",
-    )
+    if invalid_flag is None:
+        invalid_flag = (
+            F.col(id_col).isin([int(i) for i in invalid_ids])
+            if invalid_ids
+            else F.lit(False)
+        )
+    reason = F.when(invalid_flag, "marked_invalid_in_config")
     reason = (
         reason.when(F.size(missing) > 0, "Missing required fields")
         .when(dp.isNull(), "Event has no datapoints field")
@@ -516,17 +543,17 @@ def validation_rule_tags(
 
 
 def validation_report(
-    tagged: DataFrame, reason_col: str = "reason"
+    tagged: DataFrame,
+    reason_col: str = "reason",
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """Per-reason counts + the valid row (event_validation.py:189-196
     validation_report dict: total_checked / valid / skipped /
-    skip_reasons) as one conditional aggregation."""
-    return (
-        tagged.groupBy(
-            F.coalesce(F.col(reason_col), F.lit("valid")).alias("reason")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    skip_reasons) as one conditional aggregation; ``extra_aggs`` ride
+    the same single pass (e.g. id sums for the skip_reason_details)."""
+    return tagged.groupBy(
+        F.coalesce(F.col(reason_col), F.lit("valid")).alias("reason")
+    ).agg(F.count(F.lit(1)).alias("n"), *extra_aggs)
 
 
 # Known datetime formats in OSDB data (datetime_normalization.py:18-22),
@@ -572,3 +599,27 @@ def datetime_format_census(dt: Column) -> Column:
         )
         .otherwise("other")
     )
+
+
+def flatten_for_publication(
+    df: DataFrame,
+    dp_col: str = "datapoints",
+    event_cols: Sequence[str] = (),
+    dp_fields: Sequence[str] = (),
+) -> DataFrame:
+    """Publication flattening: one row per datapoint, events without
+    datapoints kept as a single base row.
+
+    osdb_publication.py:130-196 (publish_parquet flatten_datapoints=True):
+    the per-event base record is repeated per datapoint; an event with an
+    empty/missing datapoint list still emits its base record with the
+    datapoint columns absent. That is exactly ``explode_outer`` — a
+    narrow, partition-local transform (no shuffle); the parquet write
+    stays partition-parallel where the reference buffers every record in
+    one driver list.
+    """
+    dp = F.explode_outer(F.col(dp_col)).alias("__dp")
+    out = df.select(*event_cols, dp)
+    for f in dp_fields:
+        out = out.withColumn(f"datapoint_{f}", F.col(f"__dp.{f}"))
+    return out.drop("__dp")

@@ -2529,3 +2529,527 @@ def d16_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("imbalance_micro"),
         (F.col("max_n") * 5 > F.col("n_rows")).alias("salting_recommended"),
     )
+
+
+# ---------------------------------------------------------------------------
+# makeOsdDb_refactor curator operators (SURVEY §2.12): merge-datapoints
+# proximity grouping, field-hash event dedup, validation-rule batch
+# report, datetime normalization census.
+# ---------------------------------------------------------------------------
+
+_D17_THRESH_MS = 3_600_000  # per-user 1 h chains (see docstring)
+_D17_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_ms(ts)::BIGINT AS t_ms,
+               CASE WHEN value > 150 THEN 2 WHEN value > 120 THEN 1
+                    ELSE 0 END AS alarm_state,
+               (event_id % 5 = 0) AS is_existing,
+               CASE WHEN event_id % 7 = 0 THEN 'seizure noted'
+                    WHEN event_id % 7 = 3 THEN 'checked.'
+                    ELSE '' END AS d0,
+               (2 + event_id % 3)::BIGINT AS n_dp
+        FROM events
+    ), grp AS (
+        SELECT *, (sum(CASE WHEN gap_ms IS NULL
+                             OR gap_ms > {_D17_THRESH_MS} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1)::BIGINT AS group_id
+        FROM (SELECT *, t_ms - lag(t_ms) OVER (
+                  PARTITION BY user_id ORDER BY t_ms, event_id) AS gap_ms
+              FROM ev)
+    ), sel AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, group_id
+                   ORDER BY (CASE WHEN is_existing THEN 0 ELSE 1 END),
+                            -alarm_state,
+                            -(CASE WHEN trim(d0) <> '' THEN 1 ELSE 0 END),
+                            t_ms, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, group_id)::BIGINT
+                   AS n_members
+        FROM grp
+    ), ids AS (
+        SELECT user_id, group_id, list(event_id::VARCHAR) AS id_strs
+        FROM grp GROUP BY 1, 2
+    ), dps AS (
+        SELECT g.user_id, g.group_id,
+               (g.t_ms - (g.t_ms % 300000)) + i.i * 300000
+                   + (g.event_id % 7) * 25 AS dp_t,
+               g.event_id * 10 + i.i AS dp_v
+        FROM grp g, unnest(generate_series(0, g.n_dp - 1)) AS i(i)
+    ), gdp AS (
+        SELECT user_id, group_id,
+               list(struct_pack(t := dp_t, v := dp_v)
+                    ORDER BY dp_t, dp_v) AS dp_list,
+               count(*)::BIGINT AS n_dp_before,
+               sum(dp_t)::BIGINT AS raw_t, sum(dp_v)::BIGINT AS raw_v
+        FROM dps GROUP BY 1, 2
+    ), folded AS (
+        SELECT user_id, group_id, n_dp_before, raw_t, raw_v,
+               list_reduce(
+                   list_transform(dp_list, d -> struct_pack(
+                       last := d.t, n := 1::BIGINT, ts := d.t, vs := d.v)),
+                   (a, b) -> CASE WHEN b.last - a.last < 100 THEN a
+                                  ELSE struct_pack(last := b.last,
+                                                   n := a.n + 1,
+                                                   ts := a.ts + b.last,
+                                                   vs := a.vs + b.vs)
+                             END) AS acc
+        FROM gdp
+    )
+    SELECT s.user_id, s.group_id, s.event_id AS rep_event_id, s.event_type,
+           s.n_members, f.n_dp_before,
+           CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'n')
+                ELSE f.n_dp_before END AS n_dp_after,
+           CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'ts')
+                ELSE f.raw_t END AS dp_t_sum,
+           CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'vs')
+                ELSE f.raw_v END AS dp_v_sum,
+           CASE WHEN s.n_members > 1 THEN array_to_string(list_sort(
+               list_filter(i.id_strs, x -> x <> s.event_id::VARCHAR)), ', ')
+           END AS merged_ids,
+           CASE WHEN s.n_members = 1 THEN s.d0
+                ELSE (CASE WHEN s.d0 = '' THEN ''
+                           WHEN s.d0 LIKE '%.' THEN s.d0 || ' '
+                           ELSE s.d0 || '. ' END)
+                     || 'Includes data from merged event(s): '
+                     || array_to_string(list_sort(list_filter(
+                            i.id_strs, x -> x <> s.event_id::VARCHAR)), ', ')
+           END AS desc_out
+    FROM sel s
+    JOIN folded f ON f.user_id = s.user_id AND f.group_id = s.group_id
+    JOIN ids i ON i.user_id = s.user_id AND i.group_id = s.group_id
+    WHERE s.rn = 1
+"""
+
+
+@query(
+    "d17_merge_grouped",
+    _D17_ORACLE,
+    "makeOsdDb_refactor merge-datapoints proximity grouping "
+    "(event_grouping.py:223-341 apply_sliding_window_grouping): gap-chain "
+    "events per key, pick the alarm_first representative (existing-event "
+    "priority, then -alarmState, -has_desc, time — :177-221), concatenate "
+    "the group's datapoints time-sorted and drop near-dups within 100 ms "
+    "of the last KEPT point (:34-83 — a sequential fold, not a lag "
+    "filter; dp grid+jitter synthesis makes 0/75/150-style runs that "
+    "would break a lag filter), annotate desc with the string-sorted "
+    "merged ids (:101-119) and carry provenance. Engine: ONE shuffle on "
+    "(user, chain) does selection (min_by) + merge (flatten/array_sort/"
+    "F.aggregate fold, all JVM-side); this query parameterizes the "
+    "operator at per-user keying / 1 h threshold so the synthetic lake "
+    "exercises multi-member merges (the reference (userId,type)/3 min "
+    "keying is pinned by tests/test_curator_refactor_parity.py literal "
+    "ports). Oracle: the same chain/precedence/fold in DuckDB window SQL "
+    "+ list_reduce. 100 TB shape: group size bounded by the proximity "
+    "chain, never the table; no driver collect.",
+)
+def d17_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators import curator as cur
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        F.when(F.col("value") > 150, 2)
+        .when(F.col("value") > 120, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm_state"),
+        (F.col("event_id") % 5 == 0).alias("is_existing"),
+        F.when(F.col("event_id") % 7 == 0, "seizure noted")
+        .when(F.col("event_id") % 7 == 3, "checked.")
+        .otherwise("")
+        .alias("desc"),
+        (F.lit(2) + F.col("event_id") % 3).cast("long").alias("n_dp"),
+    )
+    grid = F.col("t_ms") - (F.col("t_ms") % 300000)
+    ev = ev.withColumn(
+        "datapoints",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("n_dp") - 1),
+            lambda i: F.struct(
+                (grid + i * 300000 + (F.col("event_id") % 7) * 25).alias(
+                    "t"
+                ),
+                (F.col("event_id") * 10 + i).alias("v"),
+            ),
+        ),
+    ).drop("n_dp")
+
+    merged = cur.merge_proximity_groups(
+        ev,
+        ["user_id"],
+        ts_col="t_ms",
+        id_col="event_id",
+        alarm_col="alarm_state",
+        desc_col="desc",
+        dp_col="datapoints",
+        dp_time_field="t",
+        threshold_secs=_D17_THRESH_MS,
+        tolerance_ms=100,
+        existing_col="is_existing",
+        keep_group_id=True,
+        with_dp_totals=True,
+    )
+    ids = F.col("_merged_from_event_ids")
+    others = F.array_sort(
+        F.transform(
+            F.filter(ids, lambda i: i != F.col("event_id")),
+            lambda i: i.cast("string"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "user_id",
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("event_id").alias("rep_event_id"),
+        "event_type",
+        F.coalesce("_merged_event_count", F.lit(1))
+        .cast("long")
+        .alias("n_members"),
+        F.col("_group_dp_count_before").alias("n_dp_before"),
+        F.size("datapoints").cast("long").alias("n_dp_after"),
+        F.aggregate(
+            "datapoints", zero, lambda a, x: a + x["t"]
+        ).alias("dp_t_sum"),
+        F.aggregate(
+            "datapoints", zero, lambda a, x: a + x["v"]
+        ).alias("dp_v_sum"),
+        F.when(ids.isNotNull(), F.array_join(others, ", ")).alias(
+            "merged_ids"
+        ),
+        F.col("desc").alias("desc_out"),
+    )
+
+
+_D18_FIELDS = [
+    ("id", "num"),
+    ("userId", "num"),
+    ("dataTime", "str"),
+    ("type", "str"),
+]
+
+
+def _d18_hash_sql() -> str:
+    from openseizuredatabase_spark.operators.curator import (
+        event_field_hash_sql,
+    )
+
+    return event_field_hash_sql(_D18_FIELDS)
+
+
+@query(
+    "d18_field_hash_dedup",
+    f"""
+    WITH base AS (
+        SELECT event_id AS id, user_id AS userId,
+               strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS dataTime,
+               event_type AS type, event_id * 2 AS pos
+        FROM events
+    ), allv AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT id, userId, dataTime, type, id * 2 + 1 AS pos
+        FROM base WHERE id % 13 = 0
+    ), hashed AS (
+        SELECT *, {_d18_hash_sql()} AS event_hash FROM allv
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_hash
+                                     ORDER BY pos) AS rn,
+               count(*) OVER (PARTITION BY event_hash)::BIGINT AS n_copies
+        FROM hashed
+    )
+    SELECT id AS event_id, n_copies, substr(event_hash, 1, 16) AS h16
+    FROM ranked WHERE rn = 1
+    """,
+    "makeOsdDb_refactor field-hash event dedup "
+    "(event_deduplication.py:16-173): md5 over the canonical sorted-key "
+    "JSON of (id, userId, dataTime, type) — the byte string is built "
+    "with explicit concat on BOTH sides (never an engine JSON "
+    "serializer, whose spacing differs), NULL fields dropping out like "
+    "the reference's `if field in event`. Re-downloaded copies "
+    "(id%13==0 re-ingested at a later position) collapse keep-first by "
+    "explicit input position. One shuffle on the uniform 32-hex digest; "
+    "h16 pins cross-engine md5 byte equality per row.",
+)
+def d18_field_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators import curator as cur
+
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("userId"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("dataTime"),
+        F.col("event_type").alias("type"),
+        (F.col("event_id") * 2).alias("pos"),
+    )
+    dups = base.filter(F.col("id") % 13 == 0).withColumn(
+        "pos", F.col("id") * 2 + 1
+    )
+    kept = cur.dedup_by_field_hash(
+        base.unionByName(dups), _D18_FIELDS, pos_col="pos", keep="first"
+    )
+    return kept.select(
+        F.col("id").alias("event_id"),
+        "n_copies",
+        F.substring("event_hash", 1, 16).alias("h16"),
+    )
+
+
+@query(
+    "e6_validation_report",
+    """
+    WITH ev AS (
+        SELECT event_id AS id,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE user_id END AS userId,
+               event_type AS type,
+               CASE WHEN event_id % 23 = 0 THEN NULL
+                    WHEN value > 150 THEN 2 WHEN value > 120 THEN 1
+                    ELSE 0 END AS osdAlarmState,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    WHEN event_id % 17 = 0 THEN '7'
+                    ELSE CASE event_id % 4 WHEN 0 THEN '[]'
+                         WHEN 1 THEN '[1]' WHEN 2 THEN '[1, 2]'
+                         ELSE '[1, 2, 3]' END END AS dp_json,
+               (event_id % 19 = 0) AS cfg_invalid
+        FROM events
+    ), tagged AS (
+        SELECT id, coalesce(
+            CASE WHEN cfg_invalid THEN 'marked_invalid_in_config'
+                 WHEN userId IS NULL OR type IS NULL
+                      OR osdAlarmState IS NULL
+                      THEN 'Missing required fields'
+                 WHEN dp_json IS NULL
+                      THEN 'Event has no datapoints field'
+                 WHEN dp_json NOT LIKE '[%'
+                      THEN 'Event datapoints is not a list'
+                 WHEN (CASE WHEN replace(replace(replace(
+                                dp_json, '[', ''), ']', ''), ' ', '') = ''
+                            THEN 0
+                            ELSE length(dp_json)
+                                 - length(replace(dp_json, ',', '')) + 1
+                       END) < 1
+                      THEN 'Event has insufficient datapoints'
+            END, 'valid') AS reason
+        FROM ev
+    )
+    SELECT reason, count(*)::BIGINT AS n, sum(id)::BIGINT AS id_sum
+    FROM tagged GROUP BY reason
+    """,
+    "makeOsdDb_refactor validation-rule batch "
+    "(event_validation.py:70-199): the validate_event rule cascade in "
+    "reference precedence (config-invalid list → missing required "
+    "fields → no datapoints field → datapoints not a list → "
+    "insufficient datapoints; validate_event raises at the FIRST "
+    "failure) tagged per event, rolled to the per-reason count report "
+    "of validate_events_batch. Defects injected deterministically "
+    "(userId/osdAlarmState NULLed, dp_json missing / bare-count / "
+    "empty); the config list is the broadcast-membership flag. One "
+    "conditional-aggregation pass; reasons pinned byte-exact.",
+)
+def e6_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators import curator as cur
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("userId"),
+        F.col("event_type").alias("type"),
+        F.when(F.col("event_id") % 23 == 0, None)
+        .when(F.col("value") > 150, 2)
+        .when(F.col("value") > 120, 1)
+        .otherwise(0)
+        .alias("osdAlarmState"),
+        F.when(F.col("event_id") % 13 == 0, None)
+        .when(F.col("event_id") % 17 == 0, "7")
+        .otherwise(
+            F.when(F.col("event_id") % 4 == 0, "[]")
+            .when(F.col("event_id") % 4 == 1, "[1]")
+            .when(F.col("event_id") % 4 == 2, "[1, 2]")
+            .otherwise("[1, 2, 3]")
+        )
+        .alias("dp_json"),
+        (F.col("event_id") % 19 == 0).alias("cfg_invalid"),
+    )
+    reason, _missing = cur.validation_rule_tags(
+        ["userId", "type", "osdAlarmState"],
+        dp_json_col="dp_json",
+        min_datapoints=1,
+        invalid_flag=F.col("cfg_invalid"),
+        id_col="id",
+    )
+    tagged = ev.select("id", reason.alias("reason"))
+    return cur.validation_report(
+        tagged, extra_aggs=[F.sum("id").alias("id_sum")]
+    )
+
+
+@query(
+    "e7_datetime_census",
+    """
+    WITH ev AS (
+        SELECT event_id,
+               CASE event_id % 5
+                    WHEN 0 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+                    WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                    WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                    WHEN 3 THEN 'garbage-' || event_id::VARCHAR
+                    ELSE NULL END AS dt,
+               epoch(date_trunc('second', ts))::BIGINT AS es
+        FROM events
+    ), cls AS (
+        SELECT CASE WHEN dt IS NULL OR dt = '' THEN 'missing'
+                    WHEN length(dt) = 20 AND substr(dt, 11, 1) = 'T'
+                         AND substr(dt, 20, 1) = 'Z' THEN 'iso_8601'
+                    WHEN length(dt) = 19 AND substr(dt, 3, 1) = '-'
+                         AND substr(dt, 6, 1) = '-' THEN 'old_format'
+                    ELSE 'other' END AS fmt,
+               (event_id % 5 IN (0, 1, 2)) AS parsed, es
+        FROM ev
+    )
+    SELECT fmt, count(*)::BIGINT AS n,
+           sum(CASE WHEN parsed THEN 1 ELSE 0 END)::BIGINT AS n_norm,
+           sum(CASE WHEN parsed THEN es ELSE 0 END)::BIGINT AS epoch_sum
+    FROM cls GROUP BY fmt
+    """,
+    "makeOsdDb_refactor datetime normalization "
+    "(datetime_normalization.py:25-63 KNOWN_FORMATS cascade + :160-192 "
+    "detect_datetime_formats census): events rendered into the three "
+    "known formats plus garbage/missing; the engine classifies with the "
+    "shape tests (iso_8601 length-20/'T'@10/'Z', old_format "
+    "length-19/'-'@2,5 — note the yyyy-mm-dd-space ALT format "
+    "deliberately lands in 'other' yet still normalizes) and parses via "
+    "the try_to_timestamp cascade. The oracle derives parseability "
+    "STRUCTURALLY (buckets 0-2 round-trip to the source epoch), so the "
+    "engine's parser is genuinely cross-checked: n_norm and epoch_sum "
+    "only match if every known-format string actually parsed to the "
+    "original second-truncated instant.",
+)
+def e7_datetime_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators import curator as cur
+
+    m = F.col("event_id") % 5
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(m == 0, F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
+        .when(m == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m == 2, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(m == 3, F.concat(F.lit("garbage-"), F.col("event_id")))
+        .alias("dt")
+    )
+    out = ev.select(
+        cur.datetime_format_census(F.col("dt")).alias("fmt"),
+        cur.normalize_datetime_cascade(F.col("dt")).alias("norm"),
+    ).withColumn(
+        "norm_epoch",
+        F.unix_timestamp(
+            F.to_timestamp("norm", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ),
+    )
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("norm").alias("n_norm"),
+        F.coalesce(F.sum("norm_epoch"), F.lit(0))
+        .cast("long")
+        .alias("epoch_sum"),
+    )
+
+
+@query(
+    "e8_publication_flatten",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id AS userId, event_type,
+               strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS event_dataTime,
+               CASE WHEN value > 150 THEN 2 WHEN value > 120 THEN 1
+                    ELSE 0 END AS osdAlarmState,
+               epoch_ms(ts)::BIGINT AS t_ms,
+               (event_id % 4)::BIGINT AS n_dp
+        FROM events
+    ), dps AS (
+        SELECT e.event_id,
+               e.t_ms + i.i * 5000 AS datapoint_t,
+               (50 + (e.event_id * 7 + i.i * 13) % 100)::BIGINT
+                   AS datapoint_hr,
+               ((e.event_id + i.i) % 3)::BIGINT AS datapoint_alarmState
+        FROM ev e, unnest(generate_series(0, e.n_dp - 1)) AS i(i)
+    )
+    SELECT e.event_id, e.userId, e.event_type, e.event_dataTime,
+           e.osdAlarmState,
+           d.datapoint_t, d.datapoint_hr, d.datapoint_alarmState
+    FROM ev e LEFT JOIN dps d ON d.event_id = e.event_id
+    """,
+    "makeOsdDb_refactor publication flattening "
+    "(osdb_publication.py:130-196 publish_parquet "
+    "flatten_datapoints=True): one row per datapoint carrying the "
+    "event's base record; an event with NO datapoints still emits its "
+    "base row with NULL datapoint columns — explode_outer, a narrow "
+    "partition-local transform with zero shuffles (the reference "
+    "buffers every record in one driver list before writing). n_dp = "
+    "event_id % 4 exercises the empty-list branch on a quarter of the "
+    "events. Oracle: LEFT JOIN against the unnested datapoint rows.",
+)
+def e8_publication_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators import curator as cur
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("userId"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "event_dataTime"
+        ),
+        F.when(F.col("value") > 150, 2)
+        .when(F.col("value") > 120, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("osdAlarmState"),
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        (F.col("event_id") % 4).cast("long").alias("n_dp"),
+    )
+    ev = ev.withColumn(
+        "datapoints",
+        F.when(
+            F.col("n_dp") > 0,
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("n_dp") - 1),
+                lambda i: F.struct(
+                    (F.col("t_ms") + i * 5000).alias("t"),
+                    (
+                        F.lit(50)
+                        + F.pmod(F.col("event_id") * 7 + i * 13, F.lit(100))
+                    ).cast("long").alias("hr"),
+                    F.pmod(F.col("event_id") + i, F.lit(3))
+                    .cast("long")
+                    .alias("alarmState"),
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast(
+            "array<struct<t:bigint,hr:bigint,alarmState:bigint>>"
+        )),
+    )
+    flat = cur.flatten_for_publication(
+        ev,
+        dp_col="datapoints",
+        event_cols=[
+            "event_id",
+            "userId",
+            "event_type",
+            "event_dataTime",
+            "osdAlarmState",
+        ],
+        dp_fields=["t", "hr", "alarmState"],
+    )
+    return flat.select(
+        "event_id",
+        "userId",
+        "event_type",
+        "event_dataTime",
+        "osdAlarmState",
+        F.col("datapoint_t"),
+        F.col("datapoint_hr"),
+        F.col("datapoint_alarmState"),
+    )

@@ -743,7 +743,6 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 3*CAST(alarm_count AS BIGINT)"),
         ("m46_image_dhash_dedup", "id_a * 1000000 + id_b",
          "hamming + 31*(CASE WHEN is_exact THEN 1 ELSE 0 END)"),
-        ("m47_audio_fingerprint", "id_a * 1000000 + id_b", "n_common"),
         ("w31_dp_gap_repair", "CAST(epoch_s AS BIGINT)",
          f"{sc('kind')} + 31*event_id"),
         ("m48_scene_changes", "media_id * 100 + frame_idx",
@@ -753,6 +752,31 @@ def _sig_members() -> list[tuple[str, str, str]]:
          "n_dps + 31*n_alarm_dps + 1009*n_warn_dps"),
         ("m49_video_near_dup", "id_a * 1000 + id_b",
          "n_frame_matches"),
+        # round-9 rotation: three long-stable session-4 flagships demoted
+        # (direct rows since round 4, hash-matched every round) so the
+        # round-9 curator flagships d17/e6 and the promoted multimodal
+        # near-dup m47 take direct window rows
+        ("j17_hits", f"CAST({sc('role')} AS BIGINT) * 1000000 + node",
+         t("score_micro")),
+        ("m26_knn_label_prop", "p_id",
+         "true_label + 31*pred_label + 1009*n_votes"
+         " + 7*(CASE WHEN correct THEN 1 ELSE 0 END)"),
+        ("t52_llr_collocations", "rank",
+         f"{sc('w1')} + 31*{sc('w2')} + 1009*k11 + 7*{t('llr_micro')}"),
+        # round-9 tail additions (oracled outside the window from day
+        # one; d17/e6 hold the direct slots for the curator family,
+        # these two ride the relational shard)
+        ("d18_field_hash_dedup", "event_id",
+         "n_copies + 31*ascii(substr(h16, 1, 1))"
+         " + 1009*ascii(substr(h16, 16, 1)) + 7*ascii(substr(h16, 8, 1))"),
+        ("e7_datetime_census", sc("fmt"),
+         f"n + 31*n_norm + 1009*{t('epoch_sum')}"),
+        ("e8_publication_flatten",
+         f"event_id * 10 + coalesce({t('datapoint_t')} % 7, 9)",
+         f"userId + 31*{sc('coalesce(event_type, chr(126))')}"
+         f" + 1009*coalesce({t('datapoint_t')}, -1)"
+         " + 7*coalesce(datapoint_hr, -1)"
+         " + 3*coalesce(datapoint_alarmState, -1)"),
     ]
 
 
@@ -871,8 +895,15 @@ _DRIVER_WINDOW = [
     # x_signatures with fresh integer signatures).
     "w5_epoch_oracled", "m34_jpeg_decode", "m36_gif_frames",
     "p6_filter_chain", "s20_streaming_session_window", "s22_stream_upsert",
-    "j17_hits", "t51_line_filters",
-    "m26_knn_label_prop", "t52_llr_collocations",
+    "t51_line_filters",
+    # round-9 rotation (eighth application): the curator-refactor
+    # flagships d17 (merge-datapoints proximity grouping) and e6
+    # (validation-rule report) plus the promoted round-8 multimodal
+    # near-dup m47 take direct rows; the three long-stable session-4
+    # singles they displace (j17/m26/t52, direct since round 4, green
+    # every round) move into their family x_sig shards with fresh
+    # integer signatures.
+    "d17_merge_grouped", "e6_validation_report", "m47_audio_fingerprint",
     # round-4 session-6 rotation (same discipline, third application):
     # the 15 session-6 flagships take direct rows; the 15 long-stable
     # round-1 singles they displace (j3/j2/j5/f1/d2/w3/w12/a5/a6/a11/

@@ -741,3 +741,33 @@ def test_datetime_cascade_matches_port(spark):
         else:
             assert r["norm"] == ref_norm, r["dt"]
         assert r["fmt"] == ref_detect_datetime_format(r["dt"]), r["dt"]
+
+
+def test_publication_flatten_keeps_empty_events(spark):
+    """osdb_publication.py:177-192: an event with no datapoints still
+    emits its base record (datapoint columns absent → NULL here); events
+    with datapoints emit one row per datapoint."""
+    df = spark.createDataFrame(
+        [
+            (1, [(100, 60), (200, 61)]),
+            (2, []),
+            (3, None),
+        ],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("datapoints", T.ArrayType(T.StructType([
+                T.StructField("t", T.LongType()),
+                T.StructField("hr", T.LongType()),
+            ]))),
+        ]),
+    )
+    flat = cur.flatten_for_publication(
+        df, dp_col="datapoints", event_cols=["id"], dp_fields=["t", "hr"]
+    )
+    rows = sorted(
+        ((r["id"], r["datapoint_t"], r["datapoint_hr"]) for r in
+         flat.collect())
+    )
+    assert rows == [
+        (1, 100, 60), (1, 200, 61), (2, None, None), (3, None, None),
+    ]

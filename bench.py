@@ -316,6 +316,7 @@ HEADLINE = [
     "e6_validation_report",
     "e7_datetime_census",
     "e8_publication_flatten",
+    "p13_curator_pipeline",
 ]
 
 

@@ -3053,3 +3053,329 @@ def e8_publication_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datapoint_hr"),
         F.col("datapoint_alarmState"),
     )
+
+
+_P13_HASH_SQL = None  # filled below via event_field_hash_sql
+
+
+def _p13_hash_sql() -> str:
+    from openseizuredatabase_spark.operators.curator import (
+        event_field_hash_sql,
+    )
+
+    return event_field_hash_sql(
+        [("id", "num"), ("userId", "num"), ("dataTime", "str"),
+         ("type", "str")]
+    )
+
+
+_P13_ORACLE_TMPL = """
+    WITH base AS (
+        SELECT event_id AS id,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE user_id END AS userId,
+               event_type AS type,
+               CASE event_id % 3
+                    WHEN 0 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+                    WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                    ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS dataTime,
+               CASE WHEN event_id % 23 = 0 THEN NULL
+                    WHEN value > 150 THEN 2 WHEN value > 120 THEN 1
+                    ELSE 0 END AS osdAlarmState,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    WHEN event_id % 17 = 0 THEN '7'
+                    ELSE CASE event_id % 4 WHEN 0 THEN '[]'
+                         WHEN 1 THEN '[1]' WHEN 2 THEN '[1, 2]'
+                         ELSE '[1, 2, 3]' END END AS dp_json,
+               (event_id % 19 = 0) AS cfg_invalid,
+               epoch(date_trunc('second', ts))::BIGINT * 1000 AS t_ms
+        FROM events
+    ), allv AS (
+        SELECT *, id * 2 + 1 AS pos FROM base
+        UNION ALL
+        SELECT id, userId, type, dataTime,
+               CASE WHEN id % 23 = 0 THEN NULL ELSE 2 END AS osdAlarmState,
+               dp_json, cfg_invalid, t_ms, id * 2 AS pos
+        FROM base WHERE id % 12 = 1
+    ), valid AS (
+        SELECT * FROM allv
+        WHERE NOT cfg_invalid
+          AND userId IS NOT NULL AND type IS NOT NULL
+          AND osdAlarmState IS NOT NULL
+          AND dp_json IS NOT NULL AND dp_json LIKE '[%'
+          AND (CASE WHEN replace(replace(replace(
+                        dp_json, '[', ''), ']', ''), ' ', '') = '' THEN 0
+                    ELSE length(dp_json)
+                         - length(replace(dp_json, ',', '')) + 1
+               END) >= 1
+    ), norm AS (
+        SELECT id, userId, type, osdAlarmState, t_ms, pos,
+               strftime(to_timestamp(t_ms // 1000),
+                        '%Y-%m-%dT%H:%M:%SZ') AS dataTime
+        FROM valid
+    ), hashed AS (
+        SELECT *, {HASH} AS event_hash FROM norm
+    ), kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_hash
+                                         ORDER BY pos) AS rn
+            FROM hashed) WHERE rn = 1
+    ), ev AS (
+        SELECT id AS event_id, userId AS user_id, type, t_ms,
+               osdAlarmState AS alarm_state,
+               (id % 5 = 0) AS is_existing,
+               CASE WHEN id % 7 = 0 THEN 'seizure noted'
+                    WHEN id % 7 = 3 THEN 'checked.'
+                    ELSE '' END AS d0,
+               (2 + id % 3)::BIGINT AS n_dp
+        FROM kept WHERE lower(type) <> 'signup'
+    ), grp AS (
+        SELECT *, (sum(CASE WHEN gap_ms IS NULL
+                             OR gap_ms > 3600000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1)::BIGINT AS group_id
+        FROM (SELECT *, t_ms - lag(t_ms) OVER (
+                  PARTITION BY user_id ORDER BY t_ms, event_id) AS gap_ms
+              FROM ev)
+    ), sel AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, group_id
+                   ORDER BY (CASE WHEN is_existing THEN 0 ELSE 1 END),
+                            -alarm_state,
+                            -(CASE WHEN trim(d0) <> '' THEN 1 ELSE 0 END),
+                            t_ms, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, group_id)::BIGINT
+                   AS n_members
+        FROM grp
+    ), ids AS (
+        SELECT user_id, group_id, list(event_id::VARCHAR) AS id_strs
+        FROM grp GROUP BY 1, 2
+    ), dps AS (
+        SELECT g.user_id, g.group_id,
+               (g.t_ms - (g.t_ms % 300000)) + i.i * 300000
+                   + (g.event_id % 7) * 25 AS dp_t,
+               g.event_id * 10 + i.i AS dp_v
+        FROM grp g, unnest(generate_series(0, g.n_dp - 1)) AS i(i)
+    ), gdp AS (
+        SELECT user_id, group_id,
+               list(struct_pack(t := dp_t, v := dp_v)
+                    ORDER BY dp_t, dp_v) AS dp_list,
+               count(*)::BIGINT AS n_dp_before,
+               sum(dp_t)::BIGINT AS raw_t, sum(dp_v)::BIGINT AS raw_v
+        FROM dps GROUP BY 1, 2
+    ), folded AS (
+        SELECT user_id, group_id, n_dp_before, raw_t, raw_v,
+               list_reduce(
+                   list_transform(dp_list, d -> struct_pack(
+                       last := d.t, n := 1::BIGINT, ts := d.t, vs := d.v)),
+                   (a, b) -> CASE WHEN b.last - a.last < 100 THEN a
+                                  ELSE struct_pack(last := b.last,
+                                                   n := a.n + 1,
+                                                   ts := a.ts + b.last,
+                                                   vs := a.vs + b.vs)
+                             END) AS acc
+        FROM gdp
+    ), grouped_out AS (
+        SELECT s.user_id, s.group_id, s.event_id AS rep_event_id,
+               s.n_members,
+               CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'n')
+                    ELSE f.n_dp_before END AS n_dp_after,
+               CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'ts')
+                    ELSE f.raw_t END AS dp_t_sum,
+               CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'vs')
+                    ELSE f.raw_v END AS dp_v_sum,
+               CASE WHEN s.n_members > 1 THEN array_to_string(list_sort(
+                   list_filter(i.id_strs,
+                               x -> x <> s.event_id::VARCHAR)), ', ')
+               END AS merged_ids
+        FROM sel s
+        JOIN folded f ON f.user_id = s.user_id AND f.group_id = s.group_id
+        JOIN ids i ON i.user_id = s.user_id AND i.group_id = s.group_id
+        WHERE s.rn = 1
+    ), excl AS (
+        -- closed-form sums over i in [0, n): the arithmetic series of
+        -- the grid+jitter datapoint synthesis
+        SELECT userId AS user_id, -1::BIGINT AS group_id,
+               id AS rep_event_id, 1::BIGINT AS n_members,
+               n AS n_dp_after,
+               (n * (t_ms - (t_ms % 300000))
+                + 300000 * (n * (n - 1) // 2)
+                + n * ((id % 7) * 25))::BIGINT AS dp_t_sum,
+               (n * id * 10 + (n * (n - 1) // 2))::BIGINT AS dp_v_sum,
+               NULL AS merged_ids
+        FROM (SELECT *, (2 + id % 3)::BIGINT AS n FROM kept)
+        WHERE lower(type) = 'signup'
+    )
+    SELECT * FROM grouped_out UNION ALL SELECT * FROM excl
+"""
+
+
+@query(
+    "p13_curator_pipeline",
+    _P13_ORACLE_TMPL.replace("{HASH}", _p13_hash_sql()),
+    "The refactored curator's FULL pipeline "
+    "(makeOsdDb_refactored_wrapper.py:507-579 process flow) as ONE lazy "
+    "Spark plan: [1] validate_events_batch rule cascade drops defective "
+    "events (e6 semantics incl. the config-invalid list), [2] "
+    "normalize_events_batch rewrites every dataTime to ISO-Z through "
+    "the known-format cascade (e7), [3+4] remove_duplicate_events "
+    "collapses re-downloaded copies by canonical field hash computed "
+    "over the NORMALIZED dataTime — keep-first by download position, "
+    "and the surviving copy's non-hash fields (a forced alarmState=2 on "
+    "clones) flow into [5] apply_sliding_window_grouping's alarm_first "
+    "selection (d17 semantics; signup events stand in for the NDA "
+    "exclusion and pass through ungrouped as group_id -1). Every phase "
+    "is observable in the output: validation changes the population, "
+    "normalization feeds the hash, dedup decides which alarmState the "
+    "selector sees, grouping/merge produces the rows. One plan: "
+    "validation+normalize are narrow projections, dedup is one shuffle "
+    "on the digest, grouping one shuffle on (user, chain).",
+)
+def p13_curator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.operators import curator as cur
+
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("userId"),
+        F.col("event_type").alias("type"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.date_format("ts", "dd-MM-yyyy HH:mm:ss"),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("dataTime"),
+        F.when(F.col("event_id") % 23 == 0, None)
+        .when(F.col("value") > 150, 2)
+        .when(F.col("value") > 120, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("osdAlarmState"),
+        F.when(F.col("event_id") % 13 == 0, None)
+        .when(F.col("event_id") % 17 == 0, "7")
+        .otherwise(
+            F.when(F.col("event_id") % 4 == 0, "[]")
+            .when(F.col("event_id") % 4 == 1, "[1]")
+            .when(F.col("event_id") % 4 == 2, "[1, 2]")
+            .otherwise("[1, 2, 3]")
+        )
+        .alias("dp_json"),
+        (F.col("event_id") % 19 == 0).alias("cfg_invalid"),
+    )
+    allv = base.withColumn("pos", F.col("id") * 2 + 1).unionByName(
+        base.filter(F.col("id") % 12 == 1)
+        .withColumn(
+            "osdAlarmState",
+            F.when(F.col("id") % 23 == 0, None).otherwise(2).cast("long"),
+        )
+        .withColumn("pos", F.col("id") * 2)
+    )
+
+    # [1] validation: first-failing-rule cascade, keep the valid rows
+    reason, _missing = cur.validation_rule_tags(
+        ["userId", "type", "osdAlarmState"],
+        dp_json_col="dp_json",
+        min_datapoints=1,
+        invalid_flag=F.col("cfg_invalid"),
+        id_col="id",
+    )
+    valid = allv.filter(reason.isNull())
+
+    # [2] normalization: known-format cascade -> ISO-Z; t_ms from the
+    # PARSED string (the oracle derives it structurally — cross-check)
+    norm = valid.withColumn(
+        "dataTime", cur.normalize_datetime_cascade(F.col("dataTime"))
+    ).withColumn(
+        "t_ms",
+        F.unix_timestamp(
+            F.to_timestamp("dataTime", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).cast("long")
+        * 1000,
+    )
+
+    # [3+4] field-hash dedup over the normalized record, keep-first
+    kept = cur.dedup_by_field_hash(
+        norm,
+        [("id", "num"), ("userId", "num"), ("dataTime", "str"),
+         ("type", "str")],
+        pos_col="pos",
+        keep="first",
+    ).drop("event_hash", "n_copies", "rn", "dp_json", "cfg_invalid", "pos")
+
+    # [5] merge-datapoints proximity grouping (d17 parameterization)
+    ev = kept.select(
+        F.col("id").alias("event_id"),
+        F.col("userId").alias("user_id"),
+        "type",
+        "t_ms",
+        F.col("osdAlarmState").alias("alarm_state"),
+        (F.col("id") % 5 == 0).alias("is_existing"),
+        F.when(F.col("id") % 7 == 0, "seizure noted")
+        .when(F.col("id") % 7 == 3, "checked.")
+        .otherwise("")
+        .alias("desc"),
+        (F.lit(2) + F.col("id") % 3).cast("long").alias("n_dp"),
+    )
+    grid = F.col("t_ms") - (F.col("t_ms") % 300000)
+    ev = ev.withColumn(
+        "datapoints",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("n_dp") - 1),
+            lambda i: F.struct(
+                (grid + i * 300000 + (F.col("event_id") % 7) * 25).alias(
+                    "t"
+                ),
+                (F.col("event_id") * 10 + i).alias("v"),
+            ),
+        ),
+    ).drop("n_dp")
+    merged = cur.merge_proximity_groups(
+        ev,
+        ["user_id"],
+        ts_col="t_ms",
+        id_col="event_id",
+        alarm_col="alarm_state",
+        desc_col="desc",
+        dp_col="datapoints",
+        dp_time_field="t",
+        threshold_secs=3_600_000,
+        tolerance_ms=100,
+        existing_col="is_existing",
+        exclude_types=["signup"],
+        type_col="type",
+        keep_group_id=True,
+    )
+    ids = F.col("_merged_from_event_ids")
+    others = F.array_sort(
+        F.transform(
+            F.filter(ids, lambda i: i != F.col("event_id")),
+            lambda i: i.cast("string"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "user_id",
+        F.coalesce(F.col("group_id"), F.lit(-1)).cast("long").alias(
+            "group_id"
+        ),
+        F.col("event_id").alias("rep_event_id"),
+        F.coalesce("_merged_event_count", F.lit(1))
+        .cast("long")
+        .alias("n_members"),
+        F.size("datapoints").cast("long").alias("n_dp_after"),
+        F.aggregate(
+            "datapoints", zero, lambda a, x: a + x["t"]
+        ).alias("dp_t_sum"),
+        F.aggregate(
+            "datapoints", zero, lambda a, x: a + x["v"]
+        ).alias("dp_v_sum"),
+        F.when(ids.isNotNull(), F.array_join(others, ", ")).alias(
+            "merged_ids"
+        ),
+    )

@@ -190,6 +190,55 @@ def alarm_first_precedence(
     )
 
 
+def selection_precedence(
+    strategy: str,
+    alarm_col: str,
+    desc_col: str,
+    ts_col: str,
+    id_col: str,
+    dp_col: str,
+    existing_col: str | None = None,
+) -> Column:
+    """Orderable sort key for every select_best_event_from_group strategy
+    (event_grouping.py:177-220); lowest wins under min_by.
+
+    - 'alarm_first': the full precedence struct (:198-206).
+    - 'most_datapoints': existing events outrank all others (:208-212
+      only considers existing when any exist — equivalent to leading the
+      key with is_existing), then max len(datapoints); Python's max()
+      keeps the FIRST maximum, i.e. earliest (ts, id).
+    - 'last': max dataTime among existing-else-all (:213-216).
+    - anything else: min dataTime among existing-else-all (:217-220).
+    """
+    if strategy == "alarm_first":
+        return alarm_first_precedence(
+            alarm_col, desc_col, ts_col, id_col, existing_col
+        )
+    is_existing = (
+        F.when(F.col(existing_col), 0).otherwise(1)
+        if existing_col is not None
+        else F.lit(1)
+    )
+    if strategy == "most_datapoints":
+        n_dp = F.when(F.col(dp_col).isNull(), 0).otherwise(
+            F.size(F.col(dp_col))
+        )
+        second = (-n_dp).cast("double")
+        third = F.col(ts_col).cast("double")
+    elif strategy == "last":
+        second = -F.col(ts_col).cast("double")
+        third = F.lit(0.0)
+    else:  # 'first' / unknown → earliest (reference else branch)
+        second = F.col(ts_col).cast("double")
+        third = F.lit(0.0)
+    return F.struct(
+        is_existing.alias("p0"),
+        second.alias("p1"),
+        third.alias("p2"),
+        F.col(id_col).alias("p3"),
+    )
+
+
 def tolerance_dedup_fold(
     dps: Column, time_field: str, tolerance_ms: int = 100
 ) -> Column:
@@ -237,6 +286,7 @@ def merge_proximity_groups(
     update_desc: bool = True,
     keep_group_id: bool = False,
     with_dp_totals: bool = False,
+    strategy: str = "alarm_first",
 ) -> DataFrame:
     """Merge-datapoints proximity grouping — the refactored curator's
     apply_sliding_window_grouping (event_grouping.py:223-341) as one
@@ -274,8 +324,8 @@ def merge_proximity_groups(
     grouped = proximity_group_ids(
         df, group_cols, ts_col, id_col, threshold_secs
     )
-    prec = alarm_first_precedence(
-        alarm_col, desc_col, ts_col, id_col, existing_col
+    prec = selection_precedence(
+        strategy, alarm_col, desc_col, ts_col, id_col, dp_col, existing_col
     )
     keys = [*group_cols, "group_id"]
     agg = grouped.groupBy(*keys).agg(

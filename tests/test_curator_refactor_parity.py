@@ -174,12 +174,31 @@ class RefGrouping:
                     key=lambda e: len(e.get("datapoints", [])),
                 )
             return max(group, key=lambda e: len(e.get("datapoints", [])))
-        raise NotImplementedError(strategy)
+        if strategy == "last":
+            # event_grouping.py:213-216
+            if existing_events:
+                return max(
+                    existing_events,
+                    key=lambda e: pd.to_datetime(e["dataTime"], utc=True),
+                )
+            return max(
+                group, key=lambda e: pd.to_datetime(e["dataTime"], utc=True)
+            )
+        # event_grouping.py:217-220 (else: earliest)
+        if existing_events:
+            return min(
+                existing_events,
+                key=lambda e: pd.to_datetime(e["dataTime"], utc=True),
+            )
+        return min(
+            group, key=lambda e: pd.to_datetime(e["dataTime"], utc=True)
+        )
 
     @staticmethod
     def apply_sliding_window_grouping(events, threshold_seconds=180,
                                       exclude_event_types=None,
-                                      update_desc=True):
+                                      update_desc=True,
+                                      selection_strategy="alarm_first"):
         # event_grouping.py:223-341 (stats/validation reporting elided)
         if not events:
             return []
@@ -200,7 +219,9 @@ class RefGrouping:
         )
         unique_events = []
         for group in groups:
-            selected = RefGrouping.select_best_event_from_group(group)
+            selected = RefGrouping.select_best_event_from_group(
+                group, selection_strategy
+            )
             if len(group) > 1:
                 unique_events.append(
                     RefGrouping.merge_grouped_events(
@@ -460,10 +481,12 @@ def _events_df(spark, events):
     return spark.createDataFrame(rows, _SCHEMA)
 
 
-def _run_engine(spark, events, exclude_types=None):
+def _run_engine(spark, events, exclude_types=None,
+                strategy="alarm_first"):
     df = _events_df(spark, events)
     out = cur.merge_proximity_groups(
         df,
+        strategy=strategy,
         group_cols=["userId", "type"],
         ts_col="ts",
         id_col="id",
@@ -771,3 +794,27 @@ def test_publication_flatten_keeps_empty_events(spark):
     assert rows == [
         (1, 100, 60), (1, 200, 61), (2, None, None), (3, None, None),
     ]
+
+
+@pytest.mark.parametrize(
+    "strategy", ["most_datapoints", "last", "first"]
+)
+def test_selection_strategies_match_port(spark, strategy):
+    """The non-default selection strategies
+    (event_grouping.py:208-220): most_datapoints / last / else-earliest,
+    each with the existing-event priority, replayed against the literal
+    port over the same fixture."""
+    events = _fixture_events()
+    ref = RefGrouping.apply_sliding_window_grouping(
+        events, threshold_seconds=180, exclude_event_types=["nda"],
+        selection_strategy=strategy,
+    )
+    got = _run_engine(
+        spark, events, exclude_types=["nda"], strategy=strategy
+    )
+    assert set(got) == {e["id"] for e in ref}
+    for e in ref:
+        g = got[e["id"]]
+        assert [dp["time"] for dp in g["datapoints"]] == [
+            dp["time"] for dp in e.get("datapoints", [])
+        ], (strategy, e["id"])

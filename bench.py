@@ -317,6 +317,7 @@ HEADLINE = [
     "e7_datetime_census",
     "e8_publication_flatten",
     "p13_curator_pipeline",
+    "s25_streaming_merge_grouping",
 ]
 
 

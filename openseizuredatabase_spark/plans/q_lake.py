@@ -1787,7 +1787,7 @@ def _e2_samples_sql() -> str:
                avg(-1.5 + (yc / 63) * 3.0) AS yg,
                avg(-1.5 + (zc / 63) * 3.0) AS zg
         FROM samples GROUP BY 1, 2, 3, 4
-    ), kept AS (
+    ), kept AS MATERIALIZED (
         SELECT * FROM (
             SELECT *, max(bin) OVER (PARTITION BY eid) + 1 AS n_bins
             FROM binned)
@@ -2537,9 +2537,12 @@ def d16_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report, datetime normalization census.
 # ---------------------------------------------------------------------------
 
+from openseizuredatabase_spark.plans.q_shared import tolerance_walk_sql
+
 _D17_THRESH_MS = 3_600_000  # per-user 1 h chains (see docstring)
+WALK = tolerance_walk_sql("user_id, group_id")
 _D17_ORACLE = f"""
-    WITH ev AS (
+    WITH RECURSIVE ev AS (
         SELECT event_id, user_id, event_type,
                epoch_ms(ts)::BIGINT AS t_ms,
                CASE WHEN value > 150 THEN 2 WHEN value > 120 THEN 1
@@ -2550,7 +2553,7 @@ _D17_ORACLE = f"""
                     ELSE '' END AS d0,
                (2 + event_id % 3)::BIGINT AS n_dp
         FROM events
-    ), grp AS (
+    ), grp AS MATERIALIZED (
         SELECT *, (sum(CASE WHEN gap_ms IS NULL
                              OR gap_ms > {_D17_THRESH_MS} THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY t_ms, event_id
@@ -2579,33 +2582,18 @@ _D17_ORACLE = f"""
                g.event_id * 10 + i.i AS dp_v
         FROM grp g, unnest(generate_series(0, g.n_dp - 1)) AS i(i)
     ), gdp AS (
-        SELECT user_id, group_id,
-               list(struct_pack(t := dp_t, v := dp_v)
-                    ORDER BY dp_t, dp_v) AS dp_list,
-               count(*)::BIGINT AS n_dp_before,
+        SELECT user_id, group_id, count(*)::BIGINT AS n_dp_before,
                sum(dp_t)::BIGINT AS raw_t, sum(dp_v)::BIGINT AS raw_v
         FROM dps GROUP BY 1, 2
-    ), folded AS (
-        SELECT user_id, group_id, n_dp_before, raw_t, raw_v,
-               list_reduce(
-                   list_transform(dp_list, d -> struct_pack(
-                       last := d.t, n := 1::BIGINT, ts := d.t, vs := d.v)),
-                   (a, b) -> CASE WHEN b.last - a.last < 100 THEN a
-                                  ELSE struct_pack(last := b.last,
-                                                   n := a.n + 1,
-                                                   ts := a.ts + b.last,
-                                                   vs := a.vs + b.vs)
-                             END) AS acc
-        FROM gdp
-    )
+    ), {WALK}
     SELECT s.user_id, s.group_id, s.event_id AS rep_event_id, s.event_type,
-           s.n_members, f.n_dp_before,
-           CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'n')
-                ELSE f.n_dp_before END AS n_dp_after,
-           CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'ts')
-                ELSE f.raw_t END AS dp_t_sum,
-           CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'vs')
-                ELSE f.raw_v END AS dp_v_sum,
+           s.n_members, g.n_dp_before,
+           CASE WHEN s.n_members > 1 THEN f.n
+                ELSE g.n_dp_before END AS n_dp_after,
+           CASE WHEN s.n_members > 1 THEN f.t_sum
+                ELSE g.raw_t END AS dp_t_sum,
+           CASE WHEN s.n_members > 1 THEN f.v_sum
+                ELSE g.raw_v END AS dp_v_sum,
            CASE WHEN s.n_members > 1 THEN array_to_string(list_sort(
                list_filter(i.id_strs, x -> x <> s.event_id::VARCHAR)), ', ')
            END AS merged_ids,
@@ -2618,6 +2606,7 @@ _D17_ORACLE = f"""
                             i.id_strs, x -> x <> s.event_id::VARCHAR)), ', ')
            END AS desc_out
     FROM sel s
+    JOIN gdp g ON g.user_id = s.user_id AND g.group_id = s.group_id
     JOIN folded f ON f.user_id = s.user_id AND f.group_id = s.group_id
     JOIN ids i ON i.user_id = s.user_id AND i.group_id = s.group_id
     WHERE s.rn = 1
@@ -3070,7 +3059,7 @@ def _p13_hash_sql() -> str:
 
 
 _P13_ORACLE_TMPL = """
-    WITH base AS (
+    WITH RECURSIVE base AS (
         SELECT event_id AS id,
                CASE WHEN event_id % 11 = 0 THEN NULL
                     ELSE user_id END AS userId,
@@ -3115,7 +3104,7 @@ _P13_ORACLE_TMPL = """
         FROM valid
     ), hashed AS (
         SELECT *, {HASH} AS event_hash FROM norm
-    ), kept AS (
+    ), kept AS MATERIALIZED (
         SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY event_hash
                                          ORDER BY pos) AS rn
@@ -3129,7 +3118,7 @@ _P13_ORACLE_TMPL = """
                     ELSE '' END AS d0,
                (2 + id % 3)::BIGINT AS n_dp
         FROM kept WHERE lower(type) <> 'signup'
-    ), grp AS (
+    ), grp AS MATERIALIZED (
         SELECT *, (sum(CASE WHEN gap_ms IS NULL
                              OR gap_ms > 3600000 THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY t_ms, event_id
@@ -3158,38 +3147,24 @@ _P13_ORACLE_TMPL = """
                g.event_id * 10 + i.i AS dp_v
         FROM grp g, unnest(generate_series(0, g.n_dp - 1)) AS i(i)
     ), gdp AS (
-        SELECT user_id, group_id,
-               list(struct_pack(t := dp_t, v := dp_v)
-                    ORDER BY dp_t, dp_v) AS dp_list,
-               count(*)::BIGINT AS n_dp_before,
+        SELECT user_id, group_id, count(*)::BIGINT AS n_dp_before,
                sum(dp_t)::BIGINT AS raw_t, sum(dp_v)::BIGINT AS raw_v
         FROM dps GROUP BY 1, 2
-    ), folded AS (
-        SELECT user_id, group_id, n_dp_before, raw_t, raw_v,
-               list_reduce(
-                   list_transform(dp_list, d -> struct_pack(
-                       last := d.t, n := 1::BIGINT, ts := d.t, vs := d.v)),
-                   (a, b) -> CASE WHEN b.last - a.last < 100 THEN a
-                                  ELSE struct_pack(last := b.last,
-                                                   n := a.n + 1,
-                                                   ts := a.ts + b.last,
-                                                   vs := a.vs + b.vs)
-                             END) AS acc
-        FROM gdp
-    ), grouped_out AS (
+    ), {WALK}, grouped_out AS (
         SELECT s.user_id, s.group_id, s.event_id AS rep_event_id,
                s.n_members,
-               CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'n')
-                    ELSE f.n_dp_before END AS n_dp_after,
-               CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'ts')
-                    ELSE f.raw_t END AS dp_t_sum,
-               CASE WHEN s.n_members > 1 THEN struct_extract(f.acc, 'vs')
-                    ELSE f.raw_v END AS dp_v_sum,
+               CASE WHEN s.n_members > 1 THEN f.n
+                    ELSE g.n_dp_before END AS n_dp_after,
+               CASE WHEN s.n_members > 1 THEN f.t_sum
+                    ELSE g.raw_t END AS dp_t_sum,
+               CASE WHEN s.n_members > 1 THEN f.v_sum
+                    ELSE g.raw_v END AS dp_v_sum,
                CASE WHEN s.n_members > 1 THEN array_to_string(list_sort(
                    list_filter(i.id_strs,
                                x -> x <> s.event_id::VARCHAR)), ', ')
                END AS merged_ids
         FROM sel s
+        JOIN gdp g ON g.user_id = s.user_id AND g.group_id = s.group_id
         JOIN folded f ON f.user_id = s.user_id AND f.group_id = s.group_id
         JOIN ids i ON i.user_id = s.user_id AND i.group_id = s.group_id
         WHERE s.rn = 1
@@ -3213,7 +3188,8 @@ _P13_ORACLE_TMPL = """
 
 @query(
     "p13_curator_pipeline",
-    _P13_ORACLE_TMPL.replace("{HASH}", _p13_hash_sql()),
+    _P13_ORACLE_TMPL.replace("{HASH}", _p13_hash_sql())
+    .replace("{WALK}", WALK),
     "The refactored curator's FULL pipeline "
     "(makeOsdDb_refactored_wrapper.py:507-579 process flow) as ONE lazy "
     "Spark plan: [1] validate_events_batch rule cascade drops defective "

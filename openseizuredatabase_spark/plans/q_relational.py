@@ -4792,3 +4792,169 @@ def a34_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p99_bound_ok"),
     )
     return out
+
+
+from openseizuredatabase_spark.plans.q_shared import tolerance_walk_sql
+
+_S25_WALK = tolerance_walk_sql("user_id, sid")
+
+
+@query(
+    "s25_streaming_merge_grouping",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_id, user_id, ts,
+               epoch_ms(ts)::BIGINT AS t_ms,
+               CASE WHEN value > 150 THEN 2 WHEN value > 120 THEN 1
+                    ELSE 0 END AS alarm_state,
+               (event_id % 5 = 0) AS is_existing,
+               CASE WHEN event_id % 7 = 0 THEN 'seizure noted'
+                    WHEN event_id % 7 = 3 THEN 'checked.'
+                    ELSE '' END AS d0,
+               (2 + event_id % 3)::BIGINT AS n_dp
+        FROM events
+    ), diffs AS (
+        SELECT *, epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        FROM ev
+    ), sess AS MATERIALIZED (
+        SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s >= 3600
+                           THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM diffs
+    ), sel AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, sid
+                   ORDER BY (CASE WHEN is_existing THEN 0 ELSE 1 END),
+                            -alarm_state,
+                            -(CASE WHEN trim(d0) <> '' THEN 1 ELSE 0 END),
+                            t_ms, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, sid)::BIGINT
+                   AS n_members,
+               floor(epoch(min(ts) OVER (PARTITION BY user_id, sid)))
+                   ::BIGINT AS session_start
+        FROM sess
+    ), dps AS (
+        SELECT user_id, sid,
+               (t_ms - (t_ms % 300000)) + i.i * 300000
+                   + (event_id % 7) * 25 AS dp_t,
+               event_id * 10 + i.i AS dp_v
+        FROM sess, unnest(generate_series(0, n_dp - 1)) AS i(i)
+    ), gdp AS (
+        SELECT user_id, sid, count(*)::BIGINT AS n_dp_before,
+               sum(dp_t)::BIGINT AS raw_t, sum(dp_v)::BIGINT AS raw_v
+        FROM dps GROUP BY 1, 2
+    ), {WALK_SID}
+    SELECT s.user_id, s.session_start, s.event_id AS rep_event_id,
+           s.n_members,
+           CASE WHEN s.n_members > 1 THEN f.n
+                ELSE g.n_dp_before END AS n_dp_after,
+           CASE WHEN s.n_members > 1 THEN f.t_sum
+                ELSE g.raw_t END AS dp_t_sum,
+           CASE WHEN s.n_members > 1 THEN f.v_sum
+                ELSE g.raw_v END AS dp_v_sum
+    FROM sel s
+    JOIN gdp g ON g.user_id = s.user_id AND g.sid = s.sid
+    JOIN folded f ON f.user_id = s.user_id AND f.sid = s.sid
+    WHERE s.rn = 1
+    """.replace("{WALK_SID}", _S25_WALK),
+    "Streaming twin of d17's merge-datapoints proximity grouping: the "
+    "gap chain becomes a native engine-managed F.session_window (1 h "
+    "gap; the runtime merges overlapping per-event intervals and "
+    "watermark-evicts closed sessions), and the alarm_first selection "
+    "+ tolerance-dedup merge run INSIDE the streaming aggregation via "
+    "the SAME kernels d17 uses (curator.selection_precedence under "
+    "min_by, curator.tolerance_dedup_fold over the collected "
+    "datapoints) — batch and stream cannot drift. session_window "
+    "closes a session when the gap >= the 1 h window (vs the batch "
+    "chain's strict >) — the oracle replays gap-and-islands with >= "
+    "over fractional epochs. State per key: one open session tuple, "
+    "watermark-bounded; complete mode is only the finite-replay "
+    "harness.",
+)
+def s25_streaming_merge_grouping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    from openseizuredatabase_spark.operators import curator as cur
+
+    stream = _stream_events(spark, sf_dir, "s25_events_")
+    ev = stream.select(
+        "ts",
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        F.when(F.col("value") > 150, 2)
+        .when(F.col("value") > 120, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm_state"),
+        (F.col("event_id") % 5 == 0).alias("is_existing"),
+        F.when(F.col("event_id") % 7 == 0, "seizure noted")
+        .when(F.col("event_id") % 7 == 3, "checked.")
+        .otherwise("")
+        .alias("desc"),
+        (F.lit(2) + F.col("event_id") % 3).cast("long").alias("n_dp"),
+    )
+    grid = F.col("t_ms") - (F.col("t_ms") % 300000)
+    ev = ev.withColumn(
+        "datapoints",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("n_dp") - 1),
+            lambda i: F.struct(
+                (grid + i * 300000 + (F.col("event_id") % 7) * 25).alias(
+                    "t"
+                ),
+                (F.col("event_id") * 10 + i).alias("v"),
+            ),
+        ),
+    )
+    prec = cur.selection_precedence(
+        "alarm_first", "alarm_state", "desc", "t_ms", "event_id",
+        "datapoints", "is_existing",
+    )
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "1 hour"))
+        .agg(
+            F.min_by("event_id", prec).alias("rep_event_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.flatten(F.collect_list("datapoints"))).alias(
+                "all_dps"
+            ),
+        )
+    )
+    name = f"s25_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    merged = F.when(
+        F.col("n_members") > 1,
+        cur.tolerance_dedup_fold(F.col("all_dps"), "t", 100),
+    ).otherwise(F.col("all_dps"))
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "user_id",
+        F.floor(F.col("session_window.start").cast("double"))
+        .cast("long")
+        .alias("session_start"),
+        "rep_event_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.size(merged).cast("long").alias("n_dp_after"),
+        F.aggregate(merged, zero, lambda a, x: a + x["t"]).alias(
+            "dp_t_sum"
+        ),
+        F.aggregate(merged, zero, lambda a, x: a + x["v"]).alias(
+            "dp_v_sum"
+        ),
+    )

@@ -303,3 +303,51 @@ def _reps_sql() -> str:
         SELECT blk, name, min(id) AS id, count(*)::BIGINT AS grp_n
         FROM c GROUP BY blk, name
     """
+
+
+def tolerance_walk_sql(keys: str, src: str = "dps", tol: int = 100) -> str:
+    """Recursive-CTE rendering of the chained tolerance-dedup fold
+    (event_grouping.py:71-83 — keep a datapoint only when it is >= tol
+    past the last KEPT one) for DuckDB oracles.
+
+    Chosen over ``list_reduce``: DuckDB 1.0's lambda fold proved
+    NONDETERMINISTIC inside large multi-CTE window pipelines (the same
+    fold returned n=9 and n=11 for one fixed 12-element list across
+    runs of the s25 oracle — isolated repros are stable, so it is a
+    vectorized-execution interaction, not a semantics question). The
+    recursive CTE walks row-numbered datapoints one step per iteration
+    — the bit-exact w10/c13 discipline; depth = max datapoints per
+    group, fine at oracle scale. Expects a ``{src}`` CTE with columns
+    ``keys, dp_t, dp_v``; appends ndps/walk/folded where ``folded`` has
+    ``keys, n, t_sum, v_sum``. The enclosing WITH must be RECURSIVE.
+    """
+    cols = [c.strip() for c in keys.split(",")]
+    k = ", ".join(cols)
+    wk = ", ".join(f"w.{c}" for c in cols)
+    on = " AND ".join(f"d.{c} = w.{c}" for c in cols)
+    return f"""
+    ndps AS (
+        SELECT {k}, dp_t, dp_v,
+               row_number() OVER (PARTITION BY {k}
+                                  ORDER BY dp_t, dp_v) AS rn,
+               count(*) OVER (PARTITION BY {k})::BIGINT AS m
+        FROM {src}
+    ), walk AS (
+        SELECT {k}, rn, m, dp_t AS last_t, 1::BIGINT AS n,
+               dp_t AS t_sum, dp_v AS v_sum
+        FROM ndps WHERE rn = 1
+        UNION ALL
+        SELECT {wk}, d.rn, w.m,
+               CASE WHEN d.dp_t - w.last_t < {tol}
+                    THEN w.last_t ELSE d.dp_t END,
+               CASE WHEN d.dp_t - w.last_t < {tol}
+                    THEN w.n ELSE w.n + 1 END,
+               CASE WHEN d.dp_t - w.last_t < {tol}
+                    THEN w.t_sum ELSE w.t_sum + d.dp_t END,
+               CASE WHEN d.dp_t - w.last_t < {tol}
+                    THEN w.v_sum ELSE w.v_sum + d.dp_v END
+        FROM walk w JOIN ndps d ON {on} AND d.rn = w.rn + 1
+    ), folded AS (
+        SELECT {k}, n, t_sum, v_sum FROM walk WHERE rn = m
+    )
+    """

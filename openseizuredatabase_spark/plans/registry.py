@@ -771,6 +771,10 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 1009*ascii(substr(h16, 16, 1)) + 7*ascii(substr(h16, 8, 1))"),
         ("e7_datetime_census", sc("fmt"),
          f"n + 31*n_norm + 1009*{t('epoch_sum')}"),
+        ("s25_streaming_merge_grouping",
+         f"rep_event_id * 1000 + {t('session_start')} % 997",
+         f"user_id + 31*n_members + 1009*n_dp_after"
+         f" + 7*{t('dp_t_sum')} + 3*{t('dp_v_sum')}"),
         ("p13_curator_pipeline",
          "rep_event_id * 100 + (CASE WHEN group_id < 0 THEN 99"
          " ELSE group_id % 97 END)",

@@ -318,6 +318,7 @@ HEADLINE = [
     "e8_publication_flatten",
     "p13_curator_pipeline",
     "s25_streaming_merge_grouping",
+    "d19_merge_grouped_mostdp",
 ]
 
 

@@ -2541,6 +2541,16 @@ from openseizuredatabase_spark.plans.q_shared import tolerance_walk_sql
 
 _D17_THRESH_MS = 3_600_000  # per-user 1 h chains (see docstring)
 WALK = tolerance_walk_sql("user_id, group_id")
+_D17_PREC_ALARM = (
+    "(CASE WHEN is_existing THEN 0 ELSE 1 END), -alarm_state, "
+    "-(CASE WHEN trim(d0) <> '' THEN 1 ELSE 0 END), t_ms, event_id"
+)
+# select_best_event_from_group 'most_datapoints' (event_grouping.py:
+# 208-212): existing events outrank, then max datapoint count; Python's
+# max keeps the FIRST maximum = earliest (t_ms, event_id).
+_D17_PREC_MOSTDP = (
+    "(CASE WHEN is_existing THEN 0 ELSE 1 END), -n_dp, t_ms, event_id"
+)
 _D17_ORACLE = f"""
     WITH RECURSIVE ev AS (
         SELECT event_id, user_id, event_type,
@@ -2565,10 +2575,7 @@ _D17_ORACLE = f"""
     ), sel AS (
         SELECT *, row_number() OVER (
                    PARTITION BY user_id, group_id
-                   ORDER BY (CASE WHEN is_existing THEN 0 ELSE 1 END),
-                            -alarm_state,
-                            -(CASE WHEN trim(d0) <> '' THEN 1 ELSE 0 END),
-                            t_ms, event_id) AS rn,
+                   ORDER BY {{PREC}}) AS rn,
                count(*) OVER (PARTITION BY user_id, group_id)::BIGINT
                    AS n_members
         FROM grp
@@ -2615,7 +2622,7 @@ _D17_ORACLE = f"""
 
 @query(
     "d17_merge_grouped",
-    _D17_ORACLE,
+    _D17_ORACLE.replace("{PREC}", _D17_PREC_ALARM),
     "makeOsdDb_refactor merge-datapoints proximity grouping "
     "(event_grouping.py:223-341 apply_sliding_window_grouping): gap-chain "
     "events per key, pick the alarm_first representative (existing-event "
@@ -2635,6 +2642,12 @@ _D17_ORACLE = f"""
     "chain, never the table; no driver collect.",
 )
 def d17_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _merge_grouped_query(spark, sf_dir, "alarm_first")
+
+
+def _merge_grouped_query(
+    spark: SparkSession, sf_dir: str, strategy: str
+) -> DataFrame:
     from openseizuredatabase_spark.operators import curator as cur
 
     ev = _t(spark, sf_dir, "events").select(
@@ -2682,6 +2695,7 @@ def d17_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing_col="is_existing",
         keep_group_id=True,
         with_dp_totals=True,
+        strategy=strategy,
     )
     ids = F.col("_merged_from_event_ids")
     others = F.array_sort(
@@ -3355,3 +3369,22 @@ def p13_curator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_ids"
         ),
     )
+
+
+@query(
+    "d19_merge_grouped_mostdp",
+    _D17_ORACLE.replace("{PREC}", _D17_PREC_MOSTDP),
+    "d17's merge grouping under the 'most_datapoints' selection "
+    "strategy (event_grouping.py:208-212): existing events still "
+    "outrank everything, then the member with the most datapoints "
+    "wins (Python max keeps the FIRST maximum → earliest (t, id) "
+    "tiebreak). Same chain, merge, provenance and desc-annotation "
+    "machinery — only the min_by precedence struct changes, which the "
+    "oracle mirrors as a different ORDER BY. The synthetic n_dp = "
+    "2 + id%3 varies within chains, so the strategy picks genuinely "
+    "different representatives than alarm_first (oracle-visible).",
+)
+def d19_merge_grouped_mostdp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _merge_grouped_query(spark, sf_dir, "most_datapoints")

@@ -771,6 +771,12 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 1009*ascii(substr(h16, 16, 1)) + 7*ascii(substr(h16, 8, 1))"),
         ("e7_datetime_census", sc("fmt"),
          f"n + 31*n_norm + 1009*{t('epoch_sum')}"),
+        ("d19_merge_grouped_mostdp",
+         "rep_event_id * 1000 + group_id % 997",
+         f"user_id + 31*n_members + 1009*n_dp_after"
+         f" + 7*{t('dp_t_sum')} + 3*{t('dp_v_sum')}"
+         " + 127*coalesce(length(merged_ids), -1)"
+         " + 13*" + sc("coalesce(nullif(desc_out, ''), chr(126))")),
         ("s25_streaming_merge_grouping",
          f"rep_event_id * 1000 + {t('session_start')} % 997",
          f"user_id + 31*n_members + 1009*n_dp_after"

@@ -2638,7 +2638,9 @@ _D17_ORACLE = f"""
     "exercises multi-member merges (the reference (userId,type)/3 min "
     "keying is pinned by tests/test_curator_refactor_parity.py literal "
     "ports). Oracle: the same chain/precedence/fold in DuckDB window SQL "
-    "+ list_reduce. 100 TB shape: group size bounded by the proximity "
+    "+ a recursive-CTE fold (q_shared.tolerance_walk_sql; DuckDB 1.0's "
+    "list_reduce proved flaky in big pipelines). 100 TB shape: group "
+    "size bounded by the proximity "
     "chain, never the table; no driver collect.",
 )
 def d17_merge_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:

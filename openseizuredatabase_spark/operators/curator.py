@@ -132,7 +132,7 @@ def proximity_group_ids(
     group_cols: Sequence[str],
     ts_col: str,
     id_col: str,
-    threshold_secs: int = 180,
+    threshold: float = 180,
 ) -> DataFrame:
     """Gap-based proximity chains per group key (adds ``group_id``).
 
@@ -145,6 +145,11 @@ def proximity_group_ids(
     keeps the chain (event_grouping.py:163), so the break predicate is
     strictly ``gap > threshold``. Ties in ``ts`` order deterministically by
     ``id_col`` (the reference relies on pandas stable sort order).
+
+    ``threshold`` is UNIT-AGNOSTIC: it is compared directly against
+    ``ts_col`` deltas, so it must be expressed in whatever unit ``ts_col``
+    carries (seconds for epoch-seconds columns — the reference's 180 s
+    default — milliseconds for epoch-millis columns, etc.).
     """
     w = Window.partitionBy(*group_cols).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
@@ -152,7 +157,7 @@ def proximity_group_ids(
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast(
         "double"
     )
-    brk = F.when(gap.isNull() | (gap > threshold_secs), 1).otherwise(0)
+    brk = F.when(gap.isNull() | (gap > threshold), 1).otherwise(0)
     return df.withColumn(
         "group_id",
         F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
@@ -278,7 +283,7 @@ def merge_proximity_groups(
     desc_col: str,
     dp_col: str,
     dp_time_field: str = "t",
-    threshold_secs: int = 180,
+    threshold: float = 180,
     tolerance_ms: int = 100,
     existing_col: str | None = None,
     exclude_types: Sequence[str] | None = None,
@@ -292,8 +297,11 @@ def merge_proximity_groups(
     apply_sliding_window_grouping (event_grouping.py:223-341) as one
     distributed plan.
 
-    Per (group_cols) key: gap-chain events at ``threshold_secs``
-    (event_grouping.py:127-174), pick the 'alarm_first' representative
+    Per (group_cols) key: gap-chain events at ``threshold`` (same unit as
+    ``ts_col`` — see :func:`proximity_group_ids`; ``tolerance_ms`` however
+    is always milliseconds because datapoint time fields are epoch-millis,
+    event_grouping.py:57-63) (event_grouping.py:127-174), pick the
+    'alarm_first' representative
     (:177-221), and for multi-member groups concatenate every member's
     datapoints, sort by time, drop near-dups within ``tolerance_ms`` of
     the last KEPT point (:34-124), annotate ``desc`` with the merged ids
@@ -322,7 +330,7 @@ def merge_proximity_groups(
         df = df.filter(~is_excl)
 
     grouped = proximity_group_ids(
-        df, group_cols, ts_col, id_col, threshold_secs
+        df, group_cols, ts_col, id_col, threshold
     )
     prec = selection_precedence(
         strategy, alarm_col, desc_col, ts_col, id_col, dp_col, existing_col
@@ -339,9 +347,25 @@ def merge_proximity_groups(
                 )
             )
         ).alias("__members"),
-        F.array_sort(F.flatten(F.collect_list(F.coalesce(
-            F.col(dp_col), empty_dps
-        )))).alias("__all_dps"),
+        # Time-keyed sort: wrap each datapoint in (key, dp), sort, unwrap.
+        # A bare array_sort over the dp structs would order by the struct's
+        # FIELD ORDER (only correct when the time field happens to be
+        # first); keying on dp_time_field honors the parameter for any
+        # struct layout. Ties fall back to the whole dp struct — the same
+        # total order the field-order sort gave time-first layouts.
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.flatten(
+                        F.collect_list(F.coalesce(F.col(dp_col), empty_dps))
+                    ),
+                    lambda d: F.struct(
+                        d[dp_time_field].alias("__k"), d.alias("__dp")
+                    ),
+                )
+            ),
+            lambda s: s["__dp"],
+        ).alias("__all_dps"),
         # grouping_info total_datapoints_before at group granularity
         # (event_grouping.py:263-267) — computed inside the same
         # aggregate so stats never cost a second scan of the fact table
@@ -489,6 +513,7 @@ def dedup_by_field_hash(
     pos_col: str,
     id_col: str = "id",
     keep: str = "first",
+    dp_col: str = "datapoints",
 ) -> DataFrame:
     """Field-hash event dedup with keep-first/last/most-datapoints.
 
@@ -496,8 +521,9 @@ def dedup_by_field_hash(
     by their canonical field hash, keep one per group, report the rest.
     'first'/'last' = min/max input position (``pos_col`` is the explicit
     order column — a distributed engine has no implicit list order);
-    'most_datapoints' = max size(datapoints), position tiebreak like the
-    reference's ``max()`` (first maximum wins).
+    'most_datapoints' = max size of the ``dp_col`` array, position
+    tiebreak like the reference's ``max()`` (first maximum wins;
+    ``dp_col`` is only referenced for that strategy).
 
     Output: the input columns + ``event_hash`` + ``n_copies`` (group
     size), filtered to the kept rows — one groupBy-window shuffle on the
@@ -512,7 +538,7 @@ def dedup_by_field_hash(
     if keep == "last":
         order = [F.col(pos_col).desc()]
     elif keep == "most_datapoints":
-        order = [F.size("datapoints").desc(), F.col(pos_col).asc()]
+        order = [F.size(dp_col).desc(), F.col(pos_col).asc()]
     else:
         order = [F.col(pos_col).asc()]
     ranked = hashed.withColumn(
@@ -558,6 +584,15 @@ def validation_rule_tags(
     datapoints serialization (the refactored curator validates events as
     downloaded JSON, where datapoints can be absent or a bare count);
     list-ness is the '[' prefix test.
+
+    The default ``dp_count`` is the PARSED top-level element count
+    (``json_array_length``) — the reference counts ``len(datapoints)``
+    of the parsed list (event_validation.py:117), and real OSDB
+    datapoints are objects whose internal commas would make any textual
+    comma count overcount. A '['-prefixed string that is not valid JSON
+    yields NULL (Spark json_array_length semantics) and therefore never
+    fires the insufficient-datapoints rule; pass an explicit
+    ``dp_count`` to change that policy.
     """
     missing = F.filter(
         F.array(
@@ -570,12 +605,7 @@ def validation_rule_tags(
     )
     dp = F.col(dp_json_col)
     if dp_count is None:
-        # element count of a well-formed flat JSON list: commas + 1
-        dp_count = F.when(
-            F.regexp_replace(dp, r"[\[\] ]", "") == "", F.lit(0)
-        ).otherwise(
-            F.length(dp) - F.length(F.regexp_replace(dp, ",", "")) + 1
-        )
+        dp_count = F.json_array_length(dp)
     if invalid_flag is None:
         invalid_flag = (
             F.col(id_col).isin([int(i) for i in invalid_ids])
@@ -614,17 +644,75 @@ KNOWN_DT_FORMATS = [
     "yyyy-MM-dd HH:mm:ss",       # alternative
 ]
 
+# The fallback tier: normalize_datetime_string falls through to
+# dateutil_parser.parse(dayfirst=True) for anything outside KNOWN_FORMATS
+# (datetime_normalization.py:58-63). dateutil is open-ended; the formats
+# OSDB data actually contains beyond the known three are the rest of the
+# ingest cascade (flattenData.py:30-74, see sources/ingest.py
+# TIMESTAMP_FORMATS) — microsecond ISO variants, T-without-Z, and the
+# slash layouts. Exotic strings dateutil would accept ("Jan 5 2023") stay
+# unparseable here — a deterministic, documented subset instead of a
+# per-row Python call.
+#
+# FIDELITY: dateutil's dayfirst=True reorders AMBIGUOUS numeric dates in
+# EVERY layout, including y-t2-t3 ones — parse('2024-07-12T05:58:24.123456',
+# dayfirst=True) returns 2024-12-07 (day=07, month=12), falling back to
+# y-m-d only when the last token can't be a month. The reference publishes
+# those swapped instants for fallback-tier strings, so the engine mirrors
+# the quirk: for each layout the day-first reading is tried FIRST and the
+# month-first reading second (the second only wins when the first is an
+# invalid date — exactly dateutil's resolution order).
+FALLBACK_DT_FORMATS = [
+    "yyyy-dd-MM'T'HH:mm:ss.SSSSSS'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    "yyyy-dd-MM'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-dd-MM'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "dd/MM/yyyy HH:mm:ss",
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyy/dd/MM HH:mm:ss",
+    "yyyy/MM/dd HH:mm:ss",
+]
 
-def normalize_datetime_cascade(dt: Column) -> Column:
-    """Parse a datetime string through the known-format cascade
-    (datetime_normalization.py:25-63) and render ISO 8601
-    'yyyy-MM-ddTHH:mm:ssZ'. Unparseable strings stay NULL (the reference
-    falls back to dateutil; the engine treats that residue as a
-    quarantine column rather than a per-row Python call)."""
-    parsed = F.coalesce(
-        *[F.try_to_timestamp(dt, F.lit(fmt)) for fmt in KNOWN_DT_FORMATS]
+
+def _dt_cascade(dt: Column, formats: Sequence[str]) -> Column:
+    return F.coalesce(
+        *[F.try_to_timestamp(dt, F.lit(fmt)) for fmt in formats]
     )
+
+
+def normalize_datetime_cascade(
+    dt: Column, with_fallback: bool = True
+) -> Column:
+    """Parse a datetime string through the known-format cascade, then the
+    deterministic fallback tier (datetime_normalization.py:25-63:
+    KNOWN_FORMATS loop, then dateutil dayfirst — see FALLBACK_DT_FORMATS
+    for the mirrored subset), and render ISO 8601 'yyyy-MM-ddTHH:mm:ssZ'.
+    Sub-second precision is truncated exactly like the reference's
+    ``dt.strftime(TARGET_FORMAT)``. Strings neither tier parses stay NULL
+    (a quarantine column; the reference raises and the caller keeps the
+    original string — use :func:`datetime_parse_source` to census the
+    tiers)."""
+    parsed = _dt_cascade(dt, KNOWN_DT_FORMATS)
+    if with_fallback:
+        parsed = F.coalesce(parsed, _dt_cascade(dt, FALLBACK_DT_FORMATS))
     return F.date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def datetime_parse_source(dt: Column) -> Column:
+    """Which tier of normalize_datetime_string would handle this string:
+    'known_format' (KNOWN_FORMATS loop, datetime_normalization.py:50-55),
+    'fallback' (the dateutil tier, :58-63, mirrored deterministically by
+    FALLBACK_DT_FORMATS), 'unparseable' (the raising branch — the caller
+    keeps the original value and warns), or 'missing' for NULL/empty
+    (the ``if not dt_str`` early return, :40-41)."""
+    return (
+        F.when(dt.isNull() | (dt == ""), "missing")
+        .when(_dt_cascade(dt, KNOWN_DT_FORMATS).isNotNull(), "known_format")
+        .when(_dt_cascade(dt, FALLBACK_DT_FORMATS).isNotNull(), "fallback")
+        .otherwise("unparseable")
+    )
 
 
 def datetime_format_census(dt: Column) -> Column:

@@ -2692,7 +2692,7 @@ def _merge_grouped_query(
         desc_col="desc",
         dp_col="datapoints",
         dp_time_field="t",
-        threshold_secs=_D17_THRESH_MS,
+        threshold=_D17_THRESH_MS,  # unit-agnostic: t_ms is epoch-millis
         tolerance_ms=100,
         existing_col="is_existing",
         keep_group_id=True,
@@ -2817,7 +2817,8 @@ def d18_field_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_id % 13 = 0 THEN NULL
                     WHEN event_id % 17 = 0 THEN '7'
                     ELSE CASE event_id % 4 WHEN 0 THEN '[]'
-                         WHEN 1 THEN '[1]' WHEN 2 THEN '[1, 2]'
+                         WHEN 1 THEN '[{"t": 1, "v": 2}]'
+                         WHEN 2 THEN '[{"t": 1, "v": 2}, {"t": 3, "v": 4}]'
                          ELSE '[1, 2, 3]' END END AS dp_json,
                (event_id % 19 = 0) AS cfg_invalid
         FROM events
@@ -2831,12 +2832,7 @@ def d18_field_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 'Event has no datapoints field'
                  WHEN dp_json NOT LIKE '[%'
                       THEN 'Event datapoints is not a list'
-                 WHEN (CASE WHEN replace(replace(replace(
-                                dp_json, '[', ''), ']', ''), ' ', '') = ''
-                            THEN 0
-                            ELSE length(dp_json)
-                                 - length(replace(dp_json, ',', '')) + 1
-                       END) < 1
+                 WHEN json_array_length(dp_json) < 2
                       THEN 'Event has insufficient datapoints'
             END, 'valid') AS reason
         FROM ev
@@ -2852,7 +2848,12 @@ def d18_field_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "failure) tagged per event, rolled to the per-reason count report "
     "of validate_events_batch. Defects injected deterministically "
     "(userId/osdAlarmState NULLed, dp_json missing / bare-count / "
-    "empty); the config list is the broadcast-membership flag. One "
+    "empty); the config list is the broadcast-membership flag. The "
+    "datapoint count is the PARSED top-level element count (reference "
+    "counts len() of the parsed list, event_validation.py:117): the "
+    "%4==1 branch is ONE object element whose internal comma would make "
+    "any textual comma count read 2 — at min_datapoints=2 it must land "
+    "in 'insufficient', which only a real JSON parse gets right. One "
     "conditional-aggregation pass; reasons pinned byte-exact.",
 )
 def e6_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2873,8 +2874,11 @@ def e6_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 17 == 0, "7")
         .otherwise(
             F.when(F.col("event_id") % 4 == 0, "[]")
-            .when(F.col("event_id") % 4 == 1, "[1]")
-            .when(F.col("event_id") % 4 == 2, "[1, 2]")
+            .when(F.col("event_id") % 4 == 1, '[{"t": 1, "v": 2}]')
+            .when(
+                F.col("event_id") % 4 == 2,
+                '[{"t": 1, "v": 2}, {"t": 3, "v": 4}]',
+            )
             .otherwise("[1, 2, 3]")
         )
         .alias("dp_json"),
@@ -2883,7 +2887,7 @@ def e6_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason, _missing = cur.validation_rule_tags(
         ["userId", "type", "osdAlarmState"],
         dp_json_col="dp_json",
-        min_datapoints=1,
+        min_datapoints=2,
         invalid_flag=F.col("cfg_invalid"),
         id_col="id",
     )
@@ -2898,13 +2902,30 @@ def e6_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ev AS (
         SELECT event_id,
-               CASE event_id % 5
+               CASE event_id % 8
                     WHEN 0 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
                     WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
                     WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
-                    WHEN 3 THEN 'garbage-' || event_id::VARCHAR
+                    WHEN 3 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+                    WHEN 4 THEN strftime(ts, '%d/%m/%Y %H:%M:%S')
+                    WHEN 5 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+                    WHEN 6 THEN 'garbage-' || event_id::VARCHAR
                     ELSE NULL END AS dt,
-               epoch(date_trunc('second', ts))::BIGINT AS es
+               -- dateutil dayfirst=True swaps the day/month tokens of a
+               -- y-t2-t3 layout whenever the LAST token fits a month
+               -- (<=12); the reference publishes that swapped instant
+               -- for fallback-tier strings (buckets 3 and 5), so the
+               -- expected epoch is rebuilt with day/month exchanged.
+               -- The dd/MM bucket (4) reads back to the source instant.
+               CASE WHEN event_id % 8 IN (3, 5) AND day(ts) <= 12
+                    THEN epoch(make_timestamp(
+                             year(ts)::BIGINT, day(ts)::BIGINT,
+                             month(ts)::BIGINT, hour(ts)::BIGINT,
+                             minute(ts)::BIGINT,
+                             date_part('second', ts)::DOUBLE))::BIGINT
+                    ELSE epoch(date_trunc('second', ts))::BIGINT
+               END AS es,
+               event_id % 8 AS m
         FROM events
     ), cls AS (
         SELECT CASE WHEN dt IS NULL OR dt = '' THEN 'missing'
@@ -2913,40 +2934,62 @@ def e6_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN length(dt) = 19 AND substr(dt, 3, 1) = '-'
                          AND substr(dt, 6, 1) = '-' THEN 'old_format'
                     ELSE 'other' END AS fmt,
-               (event_id % 5 IN (0, 1, 2)) AS parsed, es
+               CASE WHEN m = 7 THEN 'missing'
+                    WHEN m IN (0, 1, 2) THEN 'known_format'
+                    WHEN m IN (3, 4, 5) THEN 'fallback'
+                    ELSE 'unparseable' END AS src,
+               (m IN (0, 1, 2, 3, 4, 5)) AS parsed, es
         FROM ev
     )
-    SELECT fmt, count(*)::BIGINT AS n,
+    SELECT fmt, src, count(*)::BIGINT AS n,
            sum(CASE WHEN parsed THEN 1 ELSE 0 END)::BIGINT AS n_norm,
            sum(CASE WHEN parsed THEN es ELSE 0 END)::BIGINT AS epoch_sum
-    FROM cls GROUP BY fmt
+    FROM cls GROUP BY fmt, src
     """,
     "makeOsdDb_refactor datetime normalization "
-    "(datetime_normalization.py:25-63 KNOWN_FORMATS cascade + :160-192 "
-    "detect_datetime_formats census): events rendered into the three "
-    "known formats plus garbage/missing; the engine classifies with the "
-    "shape tests (iso_8601 length-20/'T'@10/'Z', old_format "
-    "length-19/'-'@2,5 — note the yyyy-mm-dd-space ALT format "
-    "deliberately lands in 'other' yet still normalizes) and parses via "
-    "the try_to_timestamp cascade. The oracle derives parseability "
-    "STRUCTURALLY (buckets 0-2 round-trip to the source epoch), so the "
-    "engine's parser is genuinely cross-checked: n_norm and epoch_sum "
-    "only match if every known-format string actually parsed to the "
-    "original second-truncated instant.",
+    "(datetime_normalization.py:25-63 normalize_datetime_string: "
+    "KNOWN_FORMATS loop, THEN dateutil dayfirst fallback :58-63, plus "
+    ":160-192 detect_datetime_formats census): events rendered into the "
+    "three known formats, three fallback-tier formats the real data "
+    "carries (microsecond ISO, dd/MM/yyyy and yyyy/MM/dd slash — the "
+    "ingest cascade's remainder, flattenData.py:30-74; dayfirst=True == "
+    "dd/MM), plus garbage/missing. The engine classifies shape "
+    "(iso_8601 length-20/'T'@10/'Z', old_format length-19/'-'@2,5; the "
+    "slash and microsecond layouts land in 'other' yet still "
+    "normalize), attributes each string to its parse tier "
+    "(known_format/fallback/unparseable/missing — the engine's "
+    "deterministic mirror of the dateutil tier), and parses via the "
+    "two-tier try_to_timestamp cascade — INCLUDING dateutil's dayfirst "
+    "quirk, which swaps day/month in y-m-d layouts whenever the last "
+    "token fits a month (the reference publishes those swapped "
+    "instants; the engine tries the day-first reading of each layout "
+    "before the month-first one, exactly dateutil's resolution order). "
+    "The oracle derives parseability, tier, AND the swap STRUCTURALLY "
+    "(buckets 3/5 with day<=12 must land on the day/month-exchanged "
+    "instant, every other parsed bucket on the source epoch), so the "
+    "parser is cross-checked in both directions: a straight ISO parse "
+    "OR a wrong swap breaks epoch_sum.",
 )
 def e7_datetime_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.operators import curator as cur
 
-    m = F.col("event_id") % 5
+    m = F.col("event_id") % 8
     ev = _t(spark, sf_dir, "events").select(
         F.when(m == 0, F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
         .when(m == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .when(m == 2, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
-        .when(m == 3, F.concat(F.lit("garbage-"), F.col("event_id")))
+        .when(
+            m == 3,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        )
+        .when(m == 4, F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+        .when(m == 5, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+        .when(m == 6, F.concat(F.lit("garbage-"), F.col("event_id")))
         .alias("dt")
     )
     out = ev.select(
         cur.datetime_format_census(F.col("dt")).alias("fmt"),
+        cur.datetime_parse_source(F.col("dt")).alias("src"),
         cur.normalize_datetime_cascade(F.col("dt")).alias("norm"),
     ).withColumn(
         "norm_epoch",
@@ -2954,7 +2997,7 @@ def e7_datetime_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_timestamp("norm", "yyyy-MM-dd'T'HH:mm:ss'Z'")
         ),
     )
-    return out.groupBy("fmt").agg(
+    return out.groupBy("fmt", "src").agg(
         F.count(F.lit(1)).alias("n"),
         F.count("norm").alias("n_norm"),
         F.coalesce(F.sum("norm_epoch"), F.lit(0))
@@ -3060,9 +3103,6 @@ def e8_publication_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_P13_HASH_SQL = None  # filled below via event_field_hash_sql
-
-
 def _p13_hash_sql() -> str:
     from openseizuredatabase_spark.operators.curator import (
         event_field_hash_sql,
@@ -3090,7 +3130,8 @@ _P13_ORACLE_TMPL = """
                CASE WHEN event_id % 13 = 0 THEN NULL
                     WHEN event_id % 17 = 0 THEN '7'
                     ELSE CASE event_id % 4 WHEN 0 THEN '[]'
-                         WHEN 1 THEN '[1]' WHEN 2 THEN '[1, 2]'
+                         WHEN 1 THEN '[{"t": 1, "v": 2}]'
+                         WHEN 2 THEN '[{"t": 1, "v": 2}, {"t": 3, "v": 4}]'
                          ELSE '[1, 2, 3]' END END AS dp_json,
                (event_id % 19 = 0) AS cfg_invalid,
                epoch(date_trunc('second', ts))::BIGINT * 1000 AS t_ms
@@ -3108,11 +3149,7 @@ _P13_ORACLE_TMPL = """
           AND userId IS NOT NULL AND type IS NOT NULL
           AND osdAlarmState IS NOT NULL
           AND dp_json IS NOT NULL AND dp_json LIKE '[%'
-          AND (CASE WHEN replace(replace(replace(
-                        dp_json, '[', ''), ']', ''), ' ', '') = '' THEN 0
-                    ELSE length(dp_json)
-                         - length(replace(dp_json, ',', '')) + 1
-               END) >= 1
+          AND json_array_length(dp_json) >= 2
     ), norm AS (
         SELECT id, userId, type, osdAlarmState, t_ms, pos,
                strftime(to_timestamp(t_ms // 1000),
@@ -3209,7 +3246,11 @@ _P13_ORACLE_TMPL = """
     "The refactored curator's FULL pipeline "
     "(makeOsdDb_refactored_wrapper.py:507-579 process flow) as ONE lazy "
     "Spark plan: [1] validate_events_batch rule cascade drops defective "
-    "events (e6 semantics incl. the config-invalid list), [2] "
+    "events (e6 semantics incl. the config-invalid list; the datapoint "
+    "count is the PARSED json_array_length at min_datapoints=2, so the "
+    "single-object dp_json branch — whose internal comma fools textual "
+    "counts — is dropped, making the downstream population "
+    "parse-count-sensitive), [2] "
     "normalize_events_batch rewrites every dataTime to ISO-Z through "
     "the known-format cascade (e7), [3+4] remove_duplicate_events "
     "collapses re-downloaded copies by canonical field hash computed "
@@ -3253,8 +3294,11 @@ def p13_curator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 17 == 0, "7")
         .otherwise(
             F.when(F.col("event_id") % 4 == 0, "[]")
-            .when(F.col("event_id") % 4 == 1, "[1]")
-            .when(F.col("event_id") % 4 == 2, "[1, 2]")
+            .when(F.col("event_id") % 4 == 1, '[{"t": 1, "v": 2}]')
+            .when(
+                F.col("event_id") % 4 == 2,
+                '[{"t": 1, "v": 2}, {"t": 3, "v": 4}]',
+            )
             .otherwise("[1, 2, 3]")
         )
         .alias("dp_json"),
@@ -3273,7 +3317,7 @@ def p13_curator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason, _missing = cur.validation_rule_tags(
         ["userId", "type", "osdAlarmState"],
         dp_json_col="dp_json",
-        min_datapoints=1,
+        min_datapoints=2,
         invalid_flag=F.col("cfg_invalid"),
         id_col="id",
     )
@@ -3336,7 +3380,7 @@ def p13_curator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         desc_col="desc",
         dp_col="datapoints",
         dp_time_field="t",
-        threshold_secs=3_600_000,
+        threshold=3_600_000,  # unit-agnostic: t_ms is epoch-millis
         tolerance_ms=100,
         existing_col="is_existing",
         exclude_types=["signup"],

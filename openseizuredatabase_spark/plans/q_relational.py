@@ -4922,6 +4922,10 @@ def s25_streaming_merge_grouping(
         .agg(
             F.min_by("event_id", prec).alias("rep_event_id"),
             F.count(F.lit(1)).alias("n_members"),
+            # bare struct sort is time-keyed ONLY because this query
+            # builds its datapoint struct with 't' first (the curator
+            # OPERATOR keys on dp_time_field explicitly; a local plan
+            # with a pinned layout may rely on field order)
             F.array_sort(F.flatten(F.collect_list("datapoints"))).alias(
                 "all_dps"
             ),

@@ -326,8 +326,10 @@ class RefValidation:
 
 
 def ref_normalize_datetime_string(dt_str):
-    # datetime_normalization.py:25-63 (KNOWN_FORMATS cascade; the dateutil
-    # fallback is out of scope — engine quarantines that residue as NULL)
+    # datetime_normalization.py:25-63: target-shape short-circuit,
+    # KNOWN_FORMATS cascade, then the dateutil dayfirst fallback tier
+    # (:58-63). The raising branch maps to None (engine quarantines as
+    # NULL; the reference's caller keeps the original string and warns).
     from datetime import datetime
 
     if not dt_str or not isinstance(dt_str, str):
@@ -346,7 +348,38 @@ def ref_normalize_datetime_string(dt_str):
             )
         except ValueError:
             continue
-    return None
+    try:
+        from dateutil import parser as dateutil_parser
+
+        return dateutil_parser.parse(dt_str, dayfirst=True).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+    except Exception:
+        return None
+
+
+def ref_datetime_parse_source(dt_str):
+    # Which normalize_datetime_string tier handled the string: the
+    # KNOWN_FORMATS loop (:50-55), the dateutil fallback (:58-63), or
+    # the raising branch; empty/None is the :40-41 early return.
+    from datetime import datetime
+
+    if not dt_str:
+        return "missing"
+    for fmt in ["%d-%m-%Y %H:%M:%S", "%Y-%m-%dT%H:%M:%SZ",
+                "%Y-%m-%d %H:%M:%S"]:
+        try:
+            datetime.strptime(dt_str, fmt)
+            return "known_format"
+        except ValueError:
+            continue
+    try:
+        from dateutil import parser as dateutil_parser
+
+        dateutil_parser.parse(dt_str, dayfirst=True)
+        return "fallback"
+    except Exception:
+        return "unparseable"
 
 
 def ref_detect_datetime_format(dt_str):
@@ -494,7 +527,7 @@ def _run_engine(spark, events, exclude_types=None,
         desc_col="desc",
         dp_col="datapoints",
         dp_time_field="time",
-        threshold_secs=180,
+        threshold=180,
         tolerance_ms=100,
         existing_col="_is_existing_event",
         exclude_types=exclude_types,
@@ -506,6 +539,73 @@ def _run_engine(spark, events, exclude_types=None,
 # ---------------------------------------------------------------------------
 # Tests
 # ---------------------------------------------------------------------------
+
+
+def test_merge_sort_honors_time_field_position(spark):
+    """The concatenated-datapoint sort must key on ``dp_time_field``
+    even when that field is NOT the first struct field (a bare struct
+    sort would order by field position — here the leading ``v`` field
+    carries a deliberately time-reversed ranking, so a positional sort
+    scrambles the fold and the tolerance dedup drops the wrong points).
+    concatenate_datapoints sorts by the TIME value (event_grouping.py
+    :46-66) regardless of dict layout."""
+    events = _fixture_events()
+    ref = RefGrouping.apply_sliding_window_grouping(
+        events, threshold_seconds=180, exclude_event_types=["nda"]
+    )
+    # v DESC vs time: v = 10_000_000 - time makes positional order the
+    # exact reverse of time order
+    rows = [
+        (
+            e["id"], e["userId"], e["type"],
+            float(pd.Timestamp(e["dataTime"]).timestamp()),
+            e["dataTime"], e["osdAlarmState"], e["desc"],
+            e["_is_existing_event"],
+            [
+                (10_000_000 - (dp["time"] % 10_000_000), dp["time"])
+                for dp in e["datapoints"]
+            ],
+        )
+        for e in events
+    ]
+    schema = T.StructType(
+        list(_SCHEMA)[:-1]
+        + [
+            T.StructField(
+                "datapoints",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("v", T.LongType()),
+                            T.StructField("time", T.LongType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = cur.merge_proximity_groups(
+        df,
+        group_cols=["userId", "type"],
+        ts_col="ts",
+        id_col="id",
+        alarm_col="osdAlarmState",
+        desc_col="desc",
+        dp_col="datapoints",
+        dp_time_field="time",
+        threshold=180,
+        tolerance_ms=100,
+        existing_col="_is_existing_event",
+        exclude_types=["nda"],
+        type_col="type",
+    )
+    got = {r["id"]: r.asDict(recursive=True) for r in out.collect()}
+    assert set(got) == {e["id"] for e in ref}
+    for e in ref:
+        assert [dp["time"] for dp in got[e["id"]]["datapoints"]] == [
+            dp["time"] for dp in e.get("datapoints", [])
+        ], e["id"]
 
 
 def test_merge_grouping_matches_literal_port(spark):
@@ -740,13 +840,74 @@ def test_validation_rules_match_port(spark):
     assert got_counts == dict(ref_counts)
 
 
+def test_validation_dp_count_is_parsed_not_textual(spark):
+    """The insufficient-datapoints rule counts the PARSED top-level list
+    (event_validation.py:117 ``len(event['datapoints'])``). Real OSDB
+    datapoints are multi-key objects whose serialization carries internal
+    commas — at min_datapoints=2 a single two-key object must fail the
+    rule even though a textual comma count reads it as 2 elements."""
+    base = {
+        "userId": 1, "dataTime": "2022-01-01T00:00:00Z",
+        "type": "Seizure", "osdAlarmState": 1,
+    }
+    events = [
+        # one object element, internal comma → insufficient at min 2
+        {"id": 1, **base, "datapoints": [{"time": 0, "hr": 60}]},
+        # two object elements → valid
+        {"id": 2, **base,
+         "datapoints": [{"time": 0, "hr": 60}, {"time": 5, "hr": 61}]},
+        # two flat elements → valid
+        {"id": 3, **base, "datapoints": [1, 2]},
+        # one flat element → insufficient
+        {"id": 4, **base, "datapoints": [1]},
+        {"id": 5, **base, "datapoints": []},
+    ]
+    ref = RefValidation.validate_events_batch(events, min_datapoints=2)
+
+    rows = [
+        (
+            e["id"], e["userId"], e["dataTime"], e["type"],
+            e["osdAlarmState"], json.dumps(e["datapoints"]),
+        )
+        for e in events
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, userId long, dataTime string, type string,"
+        " osdAlarmState long, dp_json string",
+    )
+    reason, _ = cur.validation_rule_tags(
+        ["id", "userId", "dataTime", "type", "osdAlarmState"],
+        dp_json_col="dp_json",
+        min_datapoints=2,
+        id_col="id",
+    )
+    got = {
+        r["id"]: r["reason"]
+        for r in df.select("id", reason.alias("reason")).collect()
+    }
+    assert got == ref
+
+
 def test_datetime_cascade_matches_port(spark):
     cases = [
+        # known tier (KNOWN_FORMATS, datetime_normalization.py:18-22)
         "02-10-2022 13:44:56",
         "2024-07-12T05:58:24Z",
         "04-05-2022 15:33:56",
         "2022-10-27T03:36:01Z",
         "2024-07-12 05:58:24",
+        # fallback tier: strings the reference hands to
+        # dateutil.parse(dayfirst=True) (:58-63) — the deterministic
+        # subset the engine mirrors (ingest cascade's remainder,
+        # flattenData.py:30-74)
+        "2024-07-12T05:58:24.123456Z",
+        "2024-07-12T05:58:24.123456",
+        "2024-07-12T05:58:24",
+        "12/07/2024 05:58:24",   # dayfirst: 12 July, not Dec 7
+        "03/04/2022 15:33:56",   # ambiguous day<=12: dayfirst = 3 April
+        "2024/07/12 05:58:24",   # 4-digit year leads: y/m/d either way
+        # raising branch → engine NULL quarantine
         "not a date",
         "",
         None,
@@ -756,6 +917,7 @@ def test_datetime_cascade_matches_port(spark):
         "dt",
         cur.normalize_datetime_cascade(F.col("dt")).alias("norm"),
         cur.datetime_format_census(F.col("dt")).alias("fmt"),
+        cur.datetime_parse_source(F.col("dt")).alias("src"),
     ).collect()
     for r in got:
         ref_norm = ref_normalize_datetime_string(r["dt"])
@@ -764,6 +926,7 @@ def test_datetime_cascade_matches_port(spark):
         else:
             assert r["norm"] == ref_norm, r["dt"]
         assert r["fmt"] == ref_detect_datetime_format(r["dt"]), r["dt"]
+        assert r["src"] == ref_datetime_parse_source(r["dt"]), r["dt"]
 
 
 def test_publication_flatten_keeps_empty_events(spark):

@@ -74,9 +74,17 @@ def _decode_values(b: bytes) -> tuple[np.ndarray, int]:
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         samples, _rate = decode_wav(b)
         return samples.ravel().astype(np.int64) + 32768, 65536
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        vals = np.concatenate(
+            [
+                decode_jpeg(fb).ravel().astype(np.int64)
+                for fb in decode_avi_mjpeg(b)
+            ]
+        )
+        return vals, 256
     raise NotImplementedError(
         f"decode_features: unrecognized container (magic {b[:8]!r}); "
-        "supported: PNG, GIF, baseline JPEG, PCM WAV"
+        "supported: PNG, GIF, baseline JPEG, PCM WAV, MJPEG AVI"
     )
 
 
@@ -772,9 +780,10 @@ def frame_sample(
                 b = bytes(c)
                 if b[:6] not in (b"GIF87a", b"GIF89a"):
                     raise NotImplementedError(
-                        "frame_sample: only GIF video containers are "
-                        f"decodable (stdlib LZW); got magic {b[:6]!r} — "
-                        "MP4/AVI need an external demuxer"
+                        "frame_sample: only GIF video containers carry "
+                        f"palette-index stats; got magic {b[:6]!r} — "
+                        "MJPEG AVIs go through mjpeg_frame_stats, "
+                        "MP4 needs an external demuxer"
                     )
                 frames, _pal = decode_gif(b)
                 n = len(frames)
@@ -1524,3 +1533,192 @@ def resample_wav(
             yield pd.DataFrame(rows, columns=[id_col, "content"])
 
     return media.mapInPandas(run, out_schema)
+
+
+# --- AVI (RIFF) MJPEG container: stdlib chunk walk ---------------------------
+# The last real-corpus video container class (round-9 ask #3): an MJPEG AVI
+# is a RIFF file whose 'movi' LIST carries one complete baseline JPEG per
+# '##dc'/'##db' chunk (OpenDML interleaves them inside nested 'rec ' LISTs),
+# so the container tier is a pure chunk walk feeding the existing
+# decode_jpeg, and the frame operators (stats, dHash, near-dup) reuse the
+# JPEG + dHash cores. MP4 (ISO-BMFF) stays fail-fast by design: its mdat
+# payload needs codec-specific bitstream parsing (H.26x), not a chunk walk.
+
+
+def _riff_walk(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_offset, payload_size) for consecutive RIFF
+    chunks in buf[pos:end]; chunk bodies are word-aligned (odd sizes carry
+    one pad byte that is not counted in the size field)."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi_mjpeg(
+    frames_jpeg: "list[bytes]", width: int, height: int, fps: int = 25
+) -> bytes:
+    """Minimal RIFF-AVI writer for MJPEG fixtures/sinks: RIFF('AVI ') →
+    LIST hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER biCompression='MJPG')) → LIST movi (one '00dc'
+    chunk per frame, word-aligned) → idx1 (AVIIF_KEYFRAME entries).
+    Layout per the public AVI RIFF registration (Win32 AVIMAINHEADER /
+    AVISTREAMHEADER / AVIOLDINDEX struct order)."""
+    import struct as _s
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + _s.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    n = len(frames_jpeg)
+    max_bytes = max((len(f) for f in frames_jpeg), default=0)
+    avih = _s.pack(
+        "<10I4I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        max_bytes * fps,           # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags = AVIF_HASINDEX
+        n,                         # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        max_bytes,                 # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,                # dwReserved[4]
+    )
+    strh = b"vids" + b"MJPG" + _s.pack(
+        "<IHHIIIIIIII4H",
+        0,                         # dwFlags
+        0, 0,                      # wPriority, wLanguage
+        0,                         # dwInitialFrames
+        1,                         # dwScale
+        fps,                       # dwRate
+        0,                         # dwStart
+        n,                         # dwLength (frames)
+        max_bytes,                 # dwSuggestedBufferSize
+        0,                         # dwQuality
+        0,                         # dwSampleSize (0: vary per frame)
+        0, 0, width, height,       # rcFrame
+    )
+    strf = _s.pack(
+        "<IiiHHIIiiII",
+        40,                        # biSize
+        width,
+        height,
+        1,                         # biPlanes
+        24,                        # biBitCount
+        int.from_bytes(b"MJPG", "little"),  # biCompression
+        width * height * 3,        # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx_entries = []
+    for f in frames_jpeg:
+        # AVIOLDINDEX offsets point at the chunk fourcc, counted from
+        # the 'movi' fourcc itself
+        idx_entries.append((4 + len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + _s.pack("<III", 0x10, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(content: bytes) -> "list[bytes]":
+    """Demux an MJPEG AVI into its per-frame JPEG byte strings: verify
+    the RIFF/'AVI ' magic, walk the top-level chunks to the 'movi'
+    LIST, collect every '##dc'/'##db' payload (recursing through
+    OpenDML 'rec ' LISTs), and require each to start with the JPEG SOI
+    marker — any other frame codec fails fast (the honest capability
+    guard; the frames then feed decode_jpeg). Container metadata
+    (hdrl/idx1) is deliberately ignored: the movi walk is the ground
+    truth, so truncated or index-less files still demux."""
+    b = content
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            f"decode_avi_mjpeg: not a RIFF-AVI container (magic "
+            f"{b[:4]!r}/{b[8:12]!r}); MP4/ISO-BMFF needs an external "
+            "demuxer"
+        )
+    end = min(len(b), 8 + int.from_bytes(b[4:8], "little"))
+    frames: list[bytes] = []
+
+    def walk_movi(pos: int, stop: int) -> None:
+        for cid, off, size in _riff_walk(b, pos, stop):
+            if cid == b"LIST" and b[off : off + 4] == b"rec ":
+                walk_movi(off + 4, off + size)
+            elif cid[2:4] in (b"dc", b"db"):
+                payload = b[off : off + size]
+                if payload[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        f"decode_avi_mjpeg: stream chunk {cid!r} is not "
+                        f"JPEG (magic {payload[:2]!r}); only MJPEG AVIs "
+                        "are decodable"
+                    )
+                frames.append(payload)
+
+    for cid, off, size in _riff_walk(b, 12, end):
+        if cid == b"LIST" and b[off : off + 4] == b"movi":
+            walk_movi(off + 4, off + size)
+    if not frames:
+        raise ValueError("decode_avi_mjpeg: no '##dc'/'##db' frames")
+    return frames
+
+
+def mjpeg_frame_stats(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Per-frame pixel stats + dHash halves over MJPEG-in-AVI videos:
+    the AVI chunk walk demuxes, the stdlib baseline-JPEG decoder
+    decodes, the shared dHash core fingerprints (RGB averages channels
+    with integer // like image_dhash). One row per frame — the same
+    contract gif_frame_stats gives palette videos, so downstream video
+    tooling is container-agnostic; the (h0, h1) columns feed
+    video_near_dup_pairs directly for MJPEG near-dup parity with m49.
+    One mapInPandas stage; frame bytes never leave the executor."""
+    out_schema = (
+        f"{id_col} long, frame_idx long, n_frames long, width long, "
+        "height long, px_sum long, px_min long, px_max long, "
+        "h0 long, h1 long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if c is None:
+                    continue
+                jpegs = decode_avi_mjpeg(bytes(c))
+                for fi, fb in enumerate(jpegs):
+                    img = decode_jpeg(fb).astype(np.int64)
+                    gray = img.sum(axis=2) // img.shape[2]
+                    h0, h1 = _dhash_halves(gray)
+                    rows.append(
+                        (int(mid), fi, len(jpegs), img.shape[1],
+                         img.shape[0], int(img.sum()), int(img.min()),
+                         int(img.max()), h0, h1)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "n_frames", "width", "height",
+                    "px_sum", "px_min", "px_max", "h0", "h1",
+                ],
+            )
+
+    return media.select(id_col, "content").mapInPandas(run, out_schema)

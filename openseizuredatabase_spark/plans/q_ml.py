@@ -435,9 +435,10 @@ def m11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every 3rd frame up to 3 per video (the cap bites at n_frames ≥ "
     "10), and emits the sampled frames' true palette-index stats — one "
     "row-expanding mapInPandas stage, bytes never on the driver. "
-    "MP4/AVI containers fail fast with NotImplementedError "
-    "(pytest-pinned). LZW is lossless, so the oracle replays the "
-    "sampled-index arithmetic and the exact pixel formula.",
+    "MP4 containers fail fast with NotImplementedError (pytest-pinned; "
+    "MJPEG AVIs have their own frame path since round 10 — m50). LZW "
+    "is lossless, so the oracle replays the sampled-index arithmetic "
+    "and the exact pixel formula.",
 )
 def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -878,6 +879,249 @@ def m49_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup_pairs(
         gif_frame_dhashes(media), max_hamming=6, min_frame_matches=2
     )
+
+
+@query(
+    "m50_mjpeg_avi_frames",
+    """
+    WITH vid AS (
+        SELECT event_id AS media_id,
+               (2 + event_id % 3)::BIGINT AS bw,
+               (2 + event_id % 2)::BIGINT AS bh,
+               (1 + event_id % 5)::BIGINT AS nf
+        FROM events WHERE event_id < 150
+    ), blk AS (
+        SELECT media_id, bw, bh, nf, f.f AS fi, by.by AS by, bx.bx AS bx,
+               (media_id * 31 + f.f * 41 + by.by * 47 + bx.bx * 23) % 256
+                   AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS f(f),
+             unnest(generate_series(0, bh - 1)) AS by(by),
+             unnest(generate_series(0, bw - 1)) AS bx(bx)
+    ), stats AS (
+        SELECT media_id, fi, nf, bw * 8 AS width, bh * 8 AS height,
+               (sum(v) * 64)::BIGINT AS px_sum,
+               min(v)::BIGINT AS px_min, max(v)::BIGINT AS px_max
+        FROM blk GROUP BY media_id, fi, nf, bw, bh
+    ), grid AS (
+        -- 9x8 dHash grid: sampled pixel (gy*h)//8, (gx*w)//9 falls in
+        -- block ((gy*bh*8//8)//8, ((gx*bw*8)//9)//8); JPEG is exact on
+        -- uniform blocks at q=100, so the grid value IS the block value
+        SELECT media_id, f.f AS fi, g.gy AS gy, g2.gx AS gx,
+               (media_id * 31 + f.f * 41
+                + ((g.gy * bh) // 8) * 47
+                + (((g2.gx * bw * 8) // 9) // 8) * 23) % 256 AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS f(f),
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), bits AS (
+        SELECT media_id, fi, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY media_id, fi, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM grid
+    ), halves AS (
+        SELECT media_id, fi,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM bits WHERE gx < 8 GROUP BY media_id, fi
+    )
+    SELECT s.media_id, s.fi::BIGINT AS frame_idx, s.nf AS n_frames,
+           s.width, s.height, s.px_sum, s.px_min, s.px_max, h.h0, h.h1
+    FROM stats s
+    JOIN halves h ON h.media_id = s.media_id AND h.fi = s.fi
+    """,
+    "MJPEG-in-AVI container decode (the last real-corpus video "
+    "container class; MP4/ISO-BMFF stays fail-fast — pytest-pinned): "
+    "videos of 1-5 uniform-8x8-block grayscale JPEG frames (quality "
+    "100, per-video restart intervals) are muxed into real RIFF-AVI "
+    "files (hdrl/avih/strl/strh/strf + movi '00dc' chunks + idx1), "
+    "then mjpeg_frame_stats demuxes via the RIFF chunk walk, decodes "
+    "each frame through the SAME stdlib baseline-JPEG decoder m34 "
+    "pinned, and emits per-frame pixel stats plus the shared-core "
+    "dHash halves. Uniform blocks make the lossy pipeline EXACT (m34's "
+    "trick), so the oracle replays stats AND the 9x8-grid dHash bit "
+    "math straight from the block formula — a chunk-walk, Huffman, "
+    "IDCT, addressing or grid defect breaks the hash. One mapInPandas "
+    "stage; frame bytes never on the driver.",
+)
+def m50_mjpeg_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        mjpeg_frame_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 150).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh, nf = 2 + mid % 3, 2 + mid % 2, 1 + mid % 5
+                jpegs = []
+                for f in range(nf):
+                    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                    for by in range(bh):
+                        for bx in range(bw):
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = (mid * 31 + f * 41 + by * 47 + bx * 23) % 256
+                    jpegs.append(
+                        encode_jpeg(
+                            img, quality=100, restart_interval=1 + mid % 4
+                        )
+                    )
+                rows.append(
+                    (mid, encode_avi_mjpeg(jpegs, bw * 8, bh * 8))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    return mjpeg_frame_stats(media)
+
+
+@query(
+    "m51_mjpeg_video_near_dup",
+    """
+    WITH vid AS (
+        SELECT event_id AS media_id, event_id % 100 AS pid,
+               event_id // 100 AS cp,
+               (6 + (event_id % 100) % 3)::BIGINT AS bw,
+               (3 + (event_id % 100) % 2)::BIGINT AS bh,
+               (4 + (event_id % 100) % 3)::BIGINT AS nf
+        FROM events WHERE event_id < 200
+    ), grid AS (
+        SELECT media_id, f.f AS fi, g.gy AS gy, g2.gx AS gx,
+               (f.f * 41
+                + ((g.gy * bh) // 8) * ((g.gy * bh) // 8)
+                  * (47 + pid % 31)
+                + (((g2.gx * bw * 8) // 9) // 8)
+                  * (((g2.gx * bw * 8) // 9) // 8) * (23 + pid % 29)
+                + (((g2.gx * bw * 8) // 9) // 8)
+                  * (((g.gy * bh) // 8) + 1) * (3 + pid % 53)
+                + CASE WHEN f.f >= 3
+                       THEN cp * (9 * (((g2.gx * bw * 8) // 9) // 8)
+                                  + 5 * ((g.gy * bh) // 8) + 13)
+                       ELSE 0 END) % 256 AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS f(f),
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), bits AS (
+        SELECT media_id, fi, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY media_id, fi, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM grid
+    ), halves AS (
+        SELECT media_id * 1000 + fi AS k, media_id AS vid,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM bits WHERE gx < 8 GROUP BY media_id, fi
+    ), bands AS (
+        SELECT k, vid, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM halves, unnest(generate_series(0, 3)) AS b(band)
+    ), cand AS (
+        SELECT DISTINCT a.k AS ka, c.k AS kb, a.vid AS va, c.vid AS vb,
+               a.h0 AS h0a, a.h1 AS h1a, c.h0 AS h0b, c.h1 AS h1b
+        FROM bands a
+        JOIN bands c ON a.band = c.band AND a.v = c.v AND a.k < c.k
+    ), fp AS (
+        SELECT ka, kb, least(va, vb) AS id_a, greatest(va, vb) AS id_b
+        FROM cand
+        WHERE va <> vb
+          AND bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 6
+    )
+    SELECT id_a, id_b,
+           count(DISTINCT ka * 1000000 + kb) AS n_frame_matches
+    FROM fp GROUP BY id_a, id_b
+    HAVING count(DISTINCT ka * 1000000 + kb) >= 2
+    """,
+    "MJPEG video near-dup — m49's video tier with the AVI container "
+    "in place of GIF, proving the near-dup machinery is "
+    "container-agnostic: mjpeg_frame_stats' (h0, h1) frame hashes "
+    "(RIFF chunk walk + exact uniform-block JPEG decode + shared dHash "
+    "core) feed video_near_dup_pairs unchanged — banded Hamming "
+    "self-join at the frame level, >= 2 DISTINCT frame-pair matches at "
+    "the video level, never all-pairs at either level. Corpus: 100 "
+    "quadratic-block-texture videos (pid-keyed coefficients so "
+    "distinct videos land far in Hamming space — dHash is "
+    "shift-invariant, so pid must multiply SPATIAL terms) x2 where "
+    "the copy spatially perturbs frames >= 3 only, so each copy pair "
+    "shares its first three frames byte-exactly and diverges after — "
+    "video-level near-dup through partial frame overlap, the "
+    "clipped-re-upload shape. Oracle replays grid/bit/band/popcount "
+    "and both aggregation levels from the block formula.",
+)
+def m51_mjpeg_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        mjpeg_frame_stats,
+        video_near_dup_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                pid, cp = mid % 100, mid // 100
+                bw, bh, nf = 6 + pid % 3, 3 + pid % 2, 4 + pid % 3
+                jpegs = []
+                for f in range(nf):
+                    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                    for by in range(bh):
+                        for bx in range(bw):
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = (
+                                f * 41
+                                + by * by * (47 + pid % 31)
+                                + bx * bx * (23 + pid % 29)
+                                + bx * (by + 1) * (3 + pid % 53)
+                                + (
+                                    cp * (9 * bx + 5 * by + 13)
+                                    if f >= 3
+                                    else 0
+                                )
+                            ) % 256
+                    jpegs.append(encode_jpeg(img, quality=100))
+                rows.append(
+                    (mid, encode_avi_mjpeg(jpegs, bw * 8, bh * 8))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    hashes = mjpeg_frame_stats(media).select(
+        "media_id", "frame_idx", "h0", "h1"
+    )
+    return video_near_dup_pairs(hashes, max_hamming=6, min_frame_matches=2)
 
 
 @query(

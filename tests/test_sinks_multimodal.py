@@ -747,3 +747,166 @@ def test_video_near_dup_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 6
     assert not any(3 in k for k in pairs)
+
+
+# --- AVI (RIFF) MJPEG container (round-10: the last video container) --------
+
+
+def test_avi_mjpeg_roundtrip_exact():
+    """Mux uniform-block q100 JPEG frames into a RIFF-AVI, demux via the
+    chunk walk, decode through the baseline JPEG decoder — byte-exact
+    pixels back (the m34 exactness trick lifted to the container tier)."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = []
+    for f in range(4):
+        img = np.zeros((16, 24), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(3):
+                img[by * 8 :][:8, bx * 8 : bx * 8 + 8] = (
+                    f * 41 + by * 47 + bx * 23
+                ) % 256
+        frames.append(img)
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(fr, quality=100) for fr in frames], 24, 16
+    )
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    back = decode_avi_mjpeg(avi)
+    assert len(back) == 4
+    for fb, fr in zip(back, frames):
+        assert np.array_equal(decode_jpeg(fb)[:, :, 0], fr)
+
+
+def test_avi_mjpeg_rec_lists_and_odd_padding():
+    """OpenDML 'rec ' LIST nesting and odd-sized chunk word alignment:
+    hand-build a movi whose frames sit inside a rec LIST and whose first
+    JPEG has odd length (forcing a pad byte) — the walk must recurse and
+    honor the pad."""
+    import struct
+
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    j = encode_jpeg(img, quality=100)
+    j_odd = j + b"\xff\xd9"[:1] if len(j) % 2 == 0 else j  # force odd
+    assert len(j_odd) % 2 == 1
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", j_odd) + chunk(b"00dc", j))
+    movi = chunk(b"LIST", b"movi" + rec + chunk(b"00dc", j))
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    back = decode_avi_mjpeg(avi)
+    assert [len(x) for x in back] == [len(j_odd), len(j), len(j)]
+
+    # and the writer's own idx1 offsets point at the chunk fourccs
+    good = encode_avi_mjpeg([j, j_odd], 8, 8)
+    i = good.index(b"idx1")
+    n_entries = struct.unpack("<I", good[i + 4 : i + 8])[0] // 16
+    assert n_entries == 2
+    movi_fourcc = good.index(b"movi")
+    for e in range(n_entries):
+        off = struct.unpack(
+            "<I", good[i + 8 + e * 16 + 8 : i + 8 + e * 16 + 12]
+        )[0]
+        assert good[movi_fourcc + off : movi_fourcc + off + 4] == b"00dc"
+
+
+def test_avi_mjpeg_guards_fail_fast():
+    """MP4/ISO-BMFF and non-JPEG stream payloads fail fast with
+    NotImplementedError (capability guards, never silent fakes)."""
+    import struct
+
+    import pytest
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+    )
+
+    with pytest.raises(NotImplementedError, match="ISO-BMFF"):
+        decode_avi_mjpeg(b"\x00\x00\x00 ftypmp42" + b"\x00" * 16)
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00\x01notjpeg"))
+    body = b"AVI " + movi
+    with pytest.raises(NotImplementedError, match="not.*JPEG|only MJPEG"):
+        decode_avi_mjpeg(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    with pytest.raises(ValueError, match="no '##dc'"):
+        empty = b"AVI " + chunk(b"LIST", b"movi")
+        decode_avi_mjpeg(b"RIFF" + struct.pack("<I", len(empty)) + empty)
+
+
+def test_mjpeg_frame_stats_and_near_dup(spark):
+    """mjpeg_frame_stats end-to-end on Spark: per-frame stats + dHash
+    halves match a direct decode, and the (h0, h1) columns feed
+    video_near_dup_pairs — videos sharing >= 2 byte-exact frames pair."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        _dhash_halves,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        mjpeg_frame_stats,
+        video_near_dup_pairs,
+    )
+
+    def vid(mid, key):
+        jpegs = []
+        for f in range(4):
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for by in range(2):
+                for bx in range(2):
+                    img[by * 8 :][:8, bx * 8 : bx * 8 + 8] = (
+                        f * 41 + by * 47 + bx * 23
+                        + (key * 13 if f >= 2 else 0)
+                    ) % 256
+            jpegs.append(encode_jpeg(img, quality=100))
+        return (mid, encode_avi_mjpeg(jpegs, 16, 16))
+
+    media = spark.createDataFrame(
+        [vid(1, 0), vid(2, 5), vid(3, 9)],  # share frames 0-1 exactly
+        "media_id long, content binary",
+    )
+    stats = mjpeg_frame_stats(media)
+    rows = {(r.media_id, r.frame_idx): r for r in stats.collect()}
+    assert len(rows) == 12
+    img0 = np.zeros((16, 16), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            img0[by * 8 :][:8, bx * 8 : bx * 8 + 8] = (
+                by * 47 + bx * 23
+            ) % 256
+    r = rows[(1, 0)]
+    assert (r.width, r.height, r.n_frames) == (16, 16, 4)
+    assert (r.px_sum, r.px_min, r.px_max) == (
+        int(img0.sum()), int(img0.min()), int(img0.max())
+    )
+    assert (r.h0, r.h1) == _dhash_halves(img0)
+
+    pairs = video_near_dup_pairs(
+        stats.select("media_id", "frame_idx", "h0", "h1"),
+        max_hamming=6,
+        min_frame_matches=2,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got

@@ -8,12 +8,17 @@ Prints ONE JSON line:
 Two tiers (the 151-query flat sweep outgrew both the 10-minute budget
 for min-of-3 and the driver's 2000-char stdout tail capture):
 
-- CORE (the 50 names in ``CORE``): min of 3 timed passes — the round-1
+- CORE (the 50 names in ``CORE``): min of 5 timed passes (round-10: up
+  from 3 — the box's measured ambient swing is ~19% on identical code,
+  so min-of-3 sub-second timings were unresolvable) — the round-1
   20-query comparison set, the round-3 41-query set, and the slowest /
   most plan-diverse round-4 flagships. These are the cross-round
   regression signal, so they get the full noise discipline, and ONLY
   these appear in the stdout ``queries`` dict (keeps the JSON line
-  within the tail capture).
+  within the tail capture). Per-query ERROR BARS (all 5 raw passes +
+  the (max-min)/min spread) land in ``BENCH_FULL.json``; the stdout
+  line carries the aggregate spread (median/p90 over queries) so
+  mover-flagging has calibration without blowing the 2000-char tail.
 - EXTENDED (everything else in ``HEADLINE``): one timed pass after one
   warm-up pass is too expensive at this count, so a single pass —
   coverage signal, not regression signal. Only their total and count
@@ -319,6 +324,11 @@ HEADLINE = [
     "p13_curator_pipeline",
     "s25_streaming_merge_grouping",
     "d19_merge_grouped_mostdp",
+    # round-10 additions (extended tier): AVI MJPEG container + the
+    # dataVisualiser spectral-panel close
+    "m50_mjpeg_avi_frames",
+    "m51_mjpeg_video_near_dup",
+    "r5_band_energy_panel",
 ]
 
 
@@ -376,12 +386,20 @@ def main() -> int:
             r.unpersist()
 
     core_timings: dict[str, float] = {}
+    core_passes: dict[str, list[float]] = {}
+    core_spread: dict[str, float] = {}
     for name in CORE:
-        # min of 3: the first pass absorbs cold-cache/JIT noise; three
-        # passes on 50 queries stay inside the 10-minute driver budget
-        # and dissolve the machine-noise false alarms that single-run
-        # numbers produced in rounds 2 and 4
-        core_timings[name] = round(min(run_once(name) for _ in range(3)), 3)
+        # min of 5 (round-10 ask #5): the first pass absorbs
+        # cold-cache/JIT noise and five samples give every query an
+        # error bar — the measured ambient swing on this box is ~19%
+        # on identical code (SCALE.md), which min-of-3 could not
+        # resolve for sub-second queries
+        passes = [round(run_once(name), 3) for _ in range(5)]
+        core_passes[name] = passes
+        core_timings[name] = min(passes)
+        core_spread[name] = round(
+            (max(passes) - min(passes)) / max(min(passes), 1e-9), 3
+        )
         drop_persisted()
 
     slow_set = set(SLOW_EXT)
@@ -400,11 +418,16 @@ def main() -> int:
     slow10_total = round(sum(ext_timings[n] for n in SLOW_EXT), 3)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
+    spreads = sorted(core_spread.values())
+    spread_med = round(spreads[len(spreads) // 2], 3)
+    spread_p90 = round(spreads[int(len(spreads) * 0.9)], 3)
     with open(full_path, "w") as fh:
         json.dump(
             {
                 "core": core_timings,
-                "core_passes": 3,
+                "core_passes": 5,
+                "core_raw_passes": core_passes,
+                "core_spread": core_spread,
                 "extended": ext_timings,
                 "extended_passes": 1,
                 "slow10": {n: ext_timings[n] for n in SLOW_EXT},
@@ -421,7 +444,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "core50_min3_total",
+                "metric": "core50_min5_total",
                 "value": core_total,
                 "unit": "sec",
                 "queries": core_timings,
@@ -429,6 +452,8 @@ def main() -> int:
                 "extended_total": ext_total,
                 "extended_n": len(ext_timings),
                 "slow10_min2_total": slow10_total,
+                "core_spread_med": spread_med,
+                "core_spread_p90": spread_p90,
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),

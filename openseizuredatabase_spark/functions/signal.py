@@ -202,6 +202,79 @@ def normalize_spectrum(arr: Column) -> Column:
     return F.transform(arr, lambda x: x / F.array_max(arr))
 
 
+def band_energies(
+    sig: np.ndarray, fs: float, bands: "list[tuple[float, float]]"
+) -> "list[float]":
+    """dataVisualiser frequency-band energy kernel — literal port of
+    user_tools/dataVisualiser/frequency_band_energy_plotter.py:12-36
+    (compute_frequency_bands): full-FFT MAGNITUDE (|X| with the sqrt —
+    unlike the detector's un-rooted re²+im² 'pebble consistency'
+    power), np.fft.fftfreq band masks applied over the WHOLE bin array
+    (negative frequencies never pass the >= 0 lower edge; both band
+    edges INCLUSIVE — the DC bin belongs to the lowest band), energy =
+    plain sum of magnitudes. The reference panel passes fs=125 for
+    125-sample 25 Hz rows (:12 default) — a quirk the caller chooses
+    to keep or fix via ``fs``."""
+    fft = np.fft.fft(np.asarray(sig, dtype=np.float64))
+    mag = np.abs(fft)
+    freqs = np.fft.fftfreq(len(sig), 1.0 / fs)
+    return [
+        float(mag[(freqs >= lo) & (freqs <= hi)].sum()) for lo, hi in bands
+    ]
+
+
+def demeaned_fft_magnitudes(sig: np.ndarray) -> np.ndarray:
+    """dataVisualiser whole-signal FFT kernel — literal port of
+    user_tools/dataVisualiser/fft_plotter.py:28-47 (process_event):
+    subtract the mean (DC removal), full FFT, keep the positive-half
+    magnitudes (bins 0..n//2-1 — the symmetric tail is dropped)."""
+    a = np.asarray(sig, dtype=np.float64)
+    fft = np.fft.fft(a - a.mean())
+    return np.abs(fft[: len(a) // 2])
+
+
+def with_band_energy_panel(
+    df: DataFrame,
+    signal_col: str = "rawData",
+    fs: float = 125.0,
+    bands: "tuple[tuple[float, float], ...]" = ((0, 2), (2, 10), (10, 25)),
+) -> DataFrame:
+    """The dataVisualiser spectral-panel compute as one Arrow-batched
+    stage: per row, the three band energies (band_e0..band_eN, the
+    frequency_band_energy_plotter loop) and the demeaned positive-half
+    magnitude sum (demeaned_mag_sum, the fft_plotter panel reduced to
+    an oracle-checkable scalar). Rendering stays a non-goal; this is
+    the panels' entire numeric content."""
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    band_fields = ", ".join(
+        f"band_e{i} double" for i in range(len(bands))
+    )
+    out_schema = f"{schema_str}, {band_fields}, demeaned_mag_sum double"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                f"band_e{i}": [] for i in range(len(bands))
+            }
+            cols["demeaned_mag_sum"] = []
+            for sig in pdf[signal_col]:
+                if sig is None or len(sig) == 0:
+                    for v in cols.values():
+                        v.append(None)
+                    continue
+                es = band_energies(sig, fs, list(bands))
+                for i, e in enumerate(es):
+                    cols[f"band_e{i}"].append(e)
+                cols["demeaned_mag_sum"].append(
+                    float(demeaned_fft_magnitudes(sig).sum())
+                )
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(compute, out_schema)
+
+
 # --- Spark-level FFT feature stage (the Arrow batch path) ------------------
 
 FFT_RESULT_FIELDS = "specPower double, roiPower double, roiRatio double"

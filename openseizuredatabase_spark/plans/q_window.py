@@ -496,6 +496,75 @@ def c9_fft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r5_band_energy_panel",
+    f"""
+    WITH ex AS (
+        SELECT vec_id, g.i - 1 AS n, embedding[g.i]::DOUBLE AS x
+        FROM embeddings, unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+    ), mu AS (
+        SELECT vec_id, avg(x) AS m FROM ex GROUP BY vec_id
+    ), bins AS (
+        SELECT ex.vec_id, k.k AS k,
+               sqrt(pow(sum(x * cos(2 * pi() * k.k * n / {_EMB_DIM}.0)), 2)
+                    + pow(sum(x * sin(2 * pi() * k.k * n / {_EMB_DIM}.0)),
+                          2)) AS mag,
+               sqrt(pow(sum((x - mu.m)
+                            * cos(2 * pi() * k.k * n / {_EMB_DIM}.0)), 2)
+                    + pow(sum((x - mu.m)
+                              * sin(2 * pi() * k.k * n / {_EMB_DIM}.0)),
+                          2)) AS dmag
+        FROM ex JOIN mu ON ex.vec_id = mu.vec_id,
+             unnest(generate_series(0, {_EMB_DIM // 2 - 1})) AS k(k)
+        GROUP BY ex.vec_id, k.k
+    )
+    SELECT vec_id,
+           round(sum(mag) FILTER (WHERE k * 125.0 / {_EMB_DIM} >= 0
+                                    AND k * 125.0 / {_EMB_DIM} <= 2),
+                 6) AS low_e,
+           round(sum(mag) FILTER (WHERE k * 125.0 / {_EMB_DIM} >= 2
+                                    AND k * 125.0 / {_EMB_DIM} <= 10),
+                 6) AS mid_e,
+           round(sum(mag) FILTER (WHERE k * 125.0 / {_EMB_DIM} >= 10
+                                    AND k * 125.0 / {_EMB_DIM} <= 25),
+                 6) AS high_e,
+           round(sum(dmag), 6) AS demeaned_mag_sum
+    FROM bins GROUP BY vec_id
+    """,
+    "dataVisualiser spectral panels as one oracled stage (round-10 "
+    "blueprint-audit close: every panel's numeric content now maps to "
+    "a checked query): frequency_band_energy_plotter.py:12-36 — "
+    "full-FFT |X| MAGNITUDES (with the sqrt, unlike the detector's "
+    "un-rooted power), fftfreq band masks with INCLUSIVE edges (DC "
+    "lands in the low band) at the panel's fs=125 quirk — and "
+    "fft_plotter.py:28-47 — demean, FFT, positive-half magnitude sum. "
+    "Embeddings arrays stand in for accel rows (the c9 convention). "
+    "Oracle: literal O(N²) DFT per bin with the same freq masks; 6-dp "
+    "rounding absorbs FFT-vs-DFT summation noise. The other panels "
+    "map to existing families (SURVEY §2.13): raw projections (S1/C5/"
+    "C6), skew/kurt (A10/W5), per-chunk std+max (A9/W5), STFT+mel "
+    "(C12/C9 epochs + m25's filterbank).",
+)
+def r5_band_energy_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.signal import (
+        with_band_energy_panel,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("rawData")
+    )
+    out = with_band_energy_panel(
+        emb, "rawData", fs=125.0, bands=((0, 2), (2, 10), (10, 25))
+    )
+    return out.select(
+        "vec_id",
+        F.round("band_e0", 6).alias("low_e"),
+        F.round("band_e1", 6).alias("mid_e"),
+        F.round("band_e2", 6).alias("high_e"),
+        F.round("demeaned_mag_sum", 6).alias("demeaned_mag_sum"),
+    )
+
+
+@query(
     "c3_relative_time",
     """
     SELECT event_id, user_id,

@@ -763,36 +763,35 @@ def _sig_members() -> list[tuple[str, str, str]]:
          " + 7*(CASE WHEN correct THEN 1 ELSE 0 END)"),
         ("t52_llr_collocations", "rank",
          f"{sc('w1')} + 31*{sc('w2')} + 1009*k11 + 7*{t('llr_micro')}"),
-        # round-9 tail additions (oracled outside the window from day
-        # one; d17/e6 hold the direct slots for the curator family,
-        # these two ride the relational shard)
-        ("d18_field_hash_dedup", "event_id",
-         "n_copies + 31*ascii(substr(h16, 1, 1))"
-         " + 1009*ascii(substr(h16, 16, 1)) + 7*ascii(substr(h16, 8, 1))"),
-        ("e7_datetime_census", sc("fmt"),
-         f"n + 31*n_norm + 1009*{t('epoch_sum')}"),
-        ("d19_merge_grouped_mostdp",
-         "rep_event_id * 1000 + group_id % 997",
-         f"user_id + 31*n_members + 1009*n_dp_after"
-         f" + 7*{t('dp_t_sum')} + 3*{t('dp_v_sum')}"
-         " + 127*coalesce(length(merged_ids), -1)"
-         " + 13*" + sc("coalesce(nullif(desc_out, ''), chr(126))")),
-        ("s25_streaming_merge_grouping",
-         f"rep_event_id * 1000 + {t('session_start')} % 997",
-         f"user_id + 31*n_members + 1009*n_dp_after"
-         f" + 7*{t('dp_t_sum')} + 3*{t('dp_v_sum')}"),
-        ("p13_curator_pipeline",
-         "rep_event_id * 100 + (CASE WHEN group_id < 0 THEN 99"
-         " ELSE group_id % 97 END)",
-         f"user_id + 31*n_members + 1009*n_dp_after"
-         f" + 7*{t('dp_t_sum')} + 3*{t('dp_v_sum')}"
-         " + 127*coalesce(length(merged_ids), -1)"),
-        ("e8_publication_flatten",
-         f"event_id * 10 + coalesce({t('datapoint_t')} % 7, 9)",
-         f"userId + 31*{sc('coalesce(event_type, chr(126))')}"
-         f" + 1009*coalesce({t('datapoint_t')}, -1)"
-         " + 7*coalesce(datapoint_hr, -1)"
-         " + 3*coalesce(datapoint_alarmState, -1)"),
+        # round-10 rotation: the round-9 curator-family tail (d18, e7,
+        # e8, d19, s25, p13) promoted to direct window rows; the seven
+        # long-stable round-4 singles they displace (with the new m50
+        # flagship) ride their family shards with fresh signatures.
+        ("n16_anova_f", "n_groups",
+         f"n_total + 31*{t(q6('ss_between'))} + 1009*{t(q6('ss_within'))}"
+         f" + 7*{t(q6('f_stat'))}"),
+        ("n17_spearman_rho", "n", q6("rho")),
+        ("n18_fdr_bh", sc("event_type"),
+         f"n_a + 31*n_b + 1009*n_ge + 7*{t(q6('p_value'))}"
+         f" + 3*p_rank + 127*{t(q6('bh_crit'))}"
+         " + 13*(CASE WHEN rejected THEN 1 ELSE 0 END)"
+         f" + 17*{q6('obs_diff')}"),
+        ("m32_batch_perceptron", "a0",
+         "a1 + 31*a2 + 1009*n_mis + 7*n_total"),
+        ("m33_als_rank1", sc("event_type"),
+         f"v_micro + 31*n_users + 1009*{t('sse_micro')}"),
+        ("m25_mfcc", "media_id * 1000 + epoch",
+         f"{t('c0_micro')} + 31*{t('c1_micro')} + 1009*{t('c2_micro')}"
+         f" + 7*{t('c3_micro')}"),
+        ("j13_bfs_hops", "node", "hop"),
+        # round-10 tail additions: MJPEG near-dup parity twin of the m50
+        # flagship (container-agnostic video tier) and the dataVisualiser
+        # spectral-panel close (blueprint-audit §2.13)
+        ("m51_mjpeg_video_near_dup", "id_a * 100000 + id_b",
+         "id_b + 31*n_frame_matches"),
+        ("r5_band_energy_panel", "vec_id",
+         f"{t(q6('low_e'))} + 31*{t(q6('mid_e'))} + 1009*{t(q6('high_e'))}"
+         f" + 7*{t(q6('demeaned_mag_sum'))}"),
     ]
 
 
@@ -920,15 +919,25 @@ _DRIVER_WINDOW = [
     # every round) move into their family x_sig shards with fresh
     # integer signatures.
     "d17_merge_grouped", "e6_validation_report", "m47_audio_fingerprint",
+    # round-10 rotation (ninth application): the round-9 curator-family
+    # tail — d18 field-hash dedup, e7 datetime census (widened this
+    # round with the dateutil-tier fallback), e8 publication flatten,
+    # d19 most-datapoints strategy, s25 streaming merge-grouping twin,
+    # p13 full curator pipeline — plus the new MJPEG-in-AVI decode
+    # flagship m50 take direct rows; the seven long-stable round-4
+    # session-6 singles they displace (n16/n17/n18/m32/m33/m25/j13,
+    # direct since round 4, green every round) move into their family
+    # x_sig shards with fresh integer signatures.
+    "d18_field_hash_dedup", "e7_datetime_census", "e8_publication_flatten",
+    "d19_merge_grouped_mostdp", "s25_streaming_merge_grouping",
+    "p13_curator_pipeline", "m50_mjpeg_avi_frames",
     # round-4 session-6 rotation (same discipline, third application):
     # the 15 session-6 flagships take direct rows; the 15 long-stable
     # round-1 singles they displace (j3/j2/j5/f1/d2/w3/w12/a5/a6/a11/
     # m1/m5/m6/t1/t6) move into x_signatures with fresh integer
     # signatures — zero coverage loss, newest work checked directly.
     "v15_dbscan_grid", "n15_permutation_test", "m31_target_encoding",
-    "t47_rake_keywords", "v16_jl_projection", "n16_anova_f",
-    "n17_spearman_rho", "n18_fdr_bh", "m32_batch_perceptron",
-    "m33_als_rank1", "m25_mfcc", "j13_bfs_hops",
+    "t47_rake_keywords", "v16_jl_projection",
     "a21_markov_stationary", "a29_rfm_segmentation", "w24_stl_anomaly",
     # round-5: the ~210-member x_signatures bundle sharded into four
     # table-family slots (one broken member reddens only its shard);

@@ -251,3 +251,61 @@ def test_run_state_machine_survives_arrow_batch_splits(spark):
     assert out["alarmCount"].tolist() == [5.0 * (i + 1) for i in range(n)]
     assert out["alarmState"].tolist()[:3] == [0, 1, 2]
     assert set(out["alarmState"].tolist()[3:]) == {2}
+
+
+# --- dataVisualiser spectral-panel kernels (round-10, SURVEY §2.13) ---------
+
+
+def test_band_energies_matches_panel_loop():
+    """Literal replay of frequency_band_energy_plotter.py:12-36 over a
+    deterministic signal: full-FFT |X| magnitudes, fftfreq masks with
+    INCLUSIVE edges applied to the whole bin array (negative freqs never
+    pass >= 0; DC lands in the low band), fs=125 quirk preserved."""
+    rng = np.arange(64, dtype=np.float64)
+    s = np.sin(rng * 0.7) * 40 + (rng % 5) * 3 + 100
+
+    # the reference panel's own lines
+    fft_values = np.fft.fft(s)
+    fft_freqs = np.fft.fftfreq(len(s), 1 / 125)
+    fft_magnitude = np.abs(fft_values)
+    want = [
+        float(fft_magnitude[(fft_freqs >= lo) & (fft_freqs <= hi)].sum())
+        for lo, hi in [(0, 2), (2, 10), (10, 25)]
+    ]
+    got = sig.band_energies(s, 125.0, [(0, 2), (2, 10), (10, 25)])
+    assert got == want
+    # DC belongs to the low band (inclusive >= 0): zeroing the mean moves
+    # low_e by exactly |sum(s)| plus the k=1 change — cheap structural
+    # check that bin 0 participates
+    assert got[0] > sig.band_energies(s - s.mean(), 125.0, [(0, 2)])[0]
+
+
+def test_demeaned_fft_magnitudes_matches_panel_loop():
+    """fft_plotter.py:28-47: demean, FFT, positive-half magnitudes."""
+    rng = np.arange(50, dtype=np.float64)
+    s = np.cos(rng * 0.3) * 7 + 55
+    raw = s - np.mean(s)
+    want = np.abs(np.fft.fft(raw))[: len(raw) // 2]
+    got = sig.demeaned_fft_magnitudes(s)
+    assert np.array_equal(got, want)
+    assert got[0] < 1e-9  # DC removed
+
+
+def test_with_band_energy_panel_stage(spark):
+    """The Spark stage carries every input column plus band_e*/
+    demeaned_mag_sum, NULL-preserving on empty signals."""
+    rows = [
+        (1, [float(i % 7) * 3 + 10 for i in range(64)]),
+        (2, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, rawData array<double>")
+    out = sig.with_band_energy_panel(df, "rawData", fs=125.0).toPandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    want = sig.band_energies(
+        np.asarray(rows[0][1]), 125.0, [(0, 2), (2, 10), (10, 25)]
+    )
+    assert [out.band_e0[0], out.band_e1[0], out.band_e2[0]] == want
+    assert out.demeaned_mag_sum[0] == float(
+        sig.demeaned_fft_magnitudes(np.asarray(rows[0][1])).sum()
+    )
+    assert out.band_e0[1] is None or np.isnan(out.band_e0[1])

@@ -676,10 +676,51 @@ FALLBACK_DT_FORMATS = [
 ]
 
 
+# Cheap NECESSARY shape conditions per pattern: (min_len, max_len,
+# ((pos, char), ...)) with 1-based F.substring indexing.
+# try_to_timestamp swallows parser exceptions internally, and at lake
+# scale paying a JVM exception per (row x non-matching format)
+# dominates the cascade — the gate lets codegen skip the parser for
+# all but the plausible pattern(s). A gate is only ever a necessary
+# condition, so gated and ungated cascades return identical results.
+# Spark's date/time FIELDS parse strictly two-digit (a 1-digit month
+# or hour fails), so non-fraction layouts pin an exact length; the
+# FRACTION is lenient (SSSSSS accepts 1-6 digits — verified), so the
+# micro layouts gate a length RANGE around the fixed prefix.
+_DT_SHAPE_GATES: dict[
+    str, "tuple[int, int, tuple[tuple[int, str], ...]]"
+] = {
+    "dd-MM-yyyy HH:mm:ss": (19, 19, ((3, "-"), (6, "-"))),
+    "yyyy-MM-dd'T'HH:mm:ss'Z'": (20, 20, ((11, "T"), (20, "Z"))),
+    "yyyy-MM-dd HH:mm:ss": (19, 19, ((5, "-"), (8, "-"), (11, " "))),
+    # fraction 1-6 digits (+ 'Z'): 19-char prefix + '.' + 1..6 [+ 'Z']
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'": (22, 27, ((11, "T"), (20, "."))),
+    "yyyy-dd-MM'T'HH:mm:ss.SSSSSS'Z'": (22, 27, ((11, "T"), (20, "."))),
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS": (21, 26, ((11, "T"), (20, "."))),
+    "yyyy-dd-MM'T'HH:mm:ss.SSSSSS": (21, 26, ((11, "T"), (20, "."))),
+    "yyyy-MM-dd'T'HH:mm:ss": (19, 19, ((11, "T"),)),
+    "yyyy-dd-MM'T'HH:mm:ss": (19, 19, ((11, "T"),)),
+    "dd/MM/yyyy HH:mm:ss": (19, 19, ((3, "/"), (6, "/"))),
+    "MM/dd/yyyy HH:mm:ss": (19, 19, ((3, "/"), (6, "/"))),
+    "yyyy/MM/dd HH:mm:ss": (19, 19, ((5, "/"), (8, "/"))),
+    "yyyy/dd/MM HH:mm:ss": (19, 19, ((5, "/"), (8, "/"))),
+}
+
+
 def _dt_cascade(dt: Column, formats: Sequence[str]) -> Column:
-    return F.coalesce(
-        *[F.try_to_timestamp(dt, F.lit(fmt)) for fmt in formats]
-    )
+    attempts = []
+    for fmt in formats:
+        parsed = F.try_to_timestamp(dt, F.lit(fmt))
+        gate = _DT_SHAPE_GATES.get(fmt)
+        if gate is not None:
+            lo, hi, chars = gate
+            n = F.length(dt)
+            cond = (n == lo) if lo == hi else (n >= lo) & (n <= hi)
+            for pos, ch in chars:
+                cond = cond & (F.substring(dt, pos, 1) == ch)
+            parsed = F.when(cond, parsed)
+        attempts.append(parsed)
+    return F.coalesce(*attempts)
 
 
 def normalize_datetime_cascade(

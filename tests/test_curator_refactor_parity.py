@@ -981,3 +981,45 @@ def test_selection_strategies_match_port(spark, strategy):
         assert [dp["time"] for dp in g["datapoints"]] == [
             dp["time"] for dp in e.get("datapoints", [])
         ], (strategy, e["id"])
+
+
+def test_shape_gates_never_change_cascade_results(spark):
+    """The _DT_SHAPE_GATES length/separator tests are NECESSARY
+    conditions only: the gated cascade must equal the raw ungated
+    coalesce(try_to_timestamp...) on every shape — including Spark's
+    LENIENT fraction parsing (SSSSSS accepts 1-6 digits, so the micro
+    layouts gate a length range, not an exact length)."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "02-10-2022 13:44:56",
+        "2024-07-12T05:58:24Z",
+        "2024-07-12 05:58:24",
+        "2024-07-12T05:58:24.123456Z",
+        "2024-07-12T05:58:24.1Z",       # 1-digit fraction + Z
+        "2024-07-12T05:58:24.12",       # 2-digit fraction, no Z
+        "2024-07-12T05:58:24.123",
+        "2024-07-12T05:58:24.123456",
+        "2024-07-12T05:58:24.123456789",  # 9 digits: both reject
+        "2024-07-12T05:58:24",
+        "12/07/2024 05:58:24",
+        "07/25/2024 05:58:24",
+        "2024/07/12 05:58:24",
+        "2024-7-12T05:58:24",           # 1-digit month: both reject
+        "2024-07-12T5:58:24",           # 1-digit hour: both reject
+        "garbage", "", None,
+        "2024-07-12X05:58:24",          # wrong separator
+        "02-10-2022 13:44:5",           # truncated seconds
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "dt string")
+    for tier in (cur.KNOWN_DT_FORMATS, cur.FALLBACK_DT_FORMATS):
+        raw = F.coalesce(
+            *[F.try_to_timestamp(F.col("dt"), F.lit(f)) for f in tier]
+        )
+        got = df.select(
+            "dt",
+            cur._dt_cascade(F.col("dt"), tier).alias("gated"),
+            raw.alias("ungated"),
+        ).collect()
+        for r in got:
+            assert r["gated"] == r["ungated"], (r["dt"], tier)

@@ -910,3 +910,39 @@ def test_mjpeg_frame_stats_and_near_dup(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= got
+
+
+def test_decode_features_handles_mjpeg_avi(spark):
+    """The magic-byte dispatch routes RIFF+'AVI ' through the MJPEG
+    demux: decode_features' histogram covers every frame's pixels."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        decode_features,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = []
+    for f in range(3):
+        img = np.zeros((8, 16), dtype=np.uint8)
+        img[:, :8] = (f * 50 + 10) % 256
+        img[:, 8:] = (f * 50 + 200) % 256
+        frames.append(img)
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(fr, quality=100) for fr in frames], 16, 8
+    )
+    media = spark.createDataFrame(
+        [(7, avi)], "media_id long, content binary"
+    )
+    (row,) = decode_features(media, n_features=8).collect()
+    assert row.media_id == 7
+    assert row.n_px == 3 * 8 * 16  # all frames decoded
+    hist = np.array(row.features)
+    assert abs(hist.sum() - 1.0) < 1e-9
+    # two uniform half-frames per frame -> mass concentrated in the
+    # bins of the six distinct pixel values
+    vals = sorted({(f * 50 + 10) % 256 for f in range(3)}
+                  | {(f * 50 + 200) % 256 for f in range(3)})
+    bins = {v * 8 // 256 for v in vals}
+    assert hist[list(bins)].sum() > 0.999

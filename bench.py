@@ -324,11 +324,12 @@ HEADLINE = [
     "p13_curator_pipeline",
     "s25_streaming_merge_grouping",
     "d19_merge_grouped_mostdp",
-    # round-10 additions (extended tier): AVI MJPEG container + the
-    # dataVisualiser spectral-panel close
+    # round-10 additions (extended tier): AVI MJPEG container, the
+    # dataVisualiser spectral-panel close, cross-modal provenance
     "m50_mjpeg_avi_frames",
     "m51_mjpeg_video_near_dup",
     "r5_band_energy_panel",
+    "m52_image_video_provenance",
 ]
 
 

@@ -1722,3 +1722,101 @@ def mjpeg_frame_stats(
             )
 
     return media.select(id_col, "content").mapInPandas(run, out_schema)
+
+
+def _dhash_band_rows(hashes: DataFrame, keep: "list[str]") -> DataFrame:
+    """Explode a (h0, h1) fingerprint frame into its four 16-bit band
+    rows (the LSH key shared by the self-join and the probe join)."""
+    return hashes.select(
+        *keep,
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("h0").bitwiseAND(F.lit(65535)).alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("h0"), 16).alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.col("h1").bitwiseAND(F.lit(65535)).alias("v"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.shiftright(F.col("h1"), 16).alias("v"),
+                ),
+            )
+        ).alias("bd"),
+    ).select(*keep, "h0", "h1", "bd.band", "bd.v")
+
+
+def dhash_probe_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 2,
+    probe_id: str = "media_id",
+    corpus_id: str = "media_id",
+    corpus_extra: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Two-sided banded Hamming lookup: for every probe fingerprint,
+    the corpus fingerprints within ``max_hamming`` (cross-modal
+    provenance — e.g. which videos contain this still image as a
+    frame: probe = image dHashes, corpus = per-frame video dHashes,
+    the codecs differing freely because the fingerprint is pixel-level).
+
+    Same 4x16-bit band LSH as :func:`dhash_near_dup_pairs` but
+    probe-vs-corpus instead of self: candidates collide on a band
+    equi-join (complete for max_hamming <= 3 by pigeonhole), verify by
+    exact popcount. 100-TB shape: both sides shuffle on the (band, v)
+    key — and when the probe side is query-sized, AQE downgrades its
+    exchange to a broadcast, making the lookup one corpus scan. Output:
+    (probe_id_a, corpus_id_b, *corpus_extra, hamming).
+    """
+    p = _dhash_band_rows(
+        probe.select(F.col(probe_id).alias("__pid"), "h0", "h1"),
+        ["__pid"],
+    ).select(
+        F.col("__pid"),
+        F.col("h0").alias("h0_a"),
+        F.col("h1").alias("h1_a"),
+        "band",
+        "v",
+    )
+    c = _dhash_band_rows(
+        corpus.select(
+            F.col(corpus_id).alias("__cid"), *corpus_extra, "h0", "h1"
+        ),
+        ["__cid", *corpus_extra],
+    ).select(
+        F.col("__cid"),
+        *corpus_extra,
+        F.col("h0").alias("h0_b"),
+        F.col("h1").alias("h1_b"),
+        "band",
+        "v",
+    )
+    cand = (
+        p.join(c, ["band", "v"])
+        .select(
+            "__pid", "__cid", *corpus_extra,
+            "h0_a", "h1_a", "h0_b", "h1_b",
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("h0_a").bitwiseXOR(F.col("h0_b"))
+    ) + F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__pid").alias("probe_id"),
+            F.col("__cid").alias("corpus_id"),
+            *corpus_extra,
+            "hamming",
+        )
+    )

@@ -1125,6 +1125,180 @@ def m51_mjpeg_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m52_image_video_provenance",
+    """
+    WITH vid AS (
+        SELECT event_id AS pid,
+               (6 + event_id % 3)::BIGINT AS bw,
+               (3 + event_id % 2)::BIGINT AS bh,
+               (4 + event_id % 3)::BIGINT AS nf
+        FROM events WHERE event_id < 100
+    ), vgrid AS (
+        SELECT pid, f.f AS fi, g.gy AS gy, g2.gx AS gx,
+               (f.f * 41
+                + ((g.gy * bh) // 8) * ((g.gy * bh) // 8)
+                  * (47 + pid % 31)
+                + (((g2.gx * bw * 8) // 9) // 8)
+                  * (((g2.gx * bw * 8) // 9) // 8) * (23 + pid % 29)
+                + (((g2.gx * bw * 8) // 9) // 8)
+                  * (((g.gy * bh) // 8) + 1) * (3 + pid % 53)) % 256 AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS f(f),
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), igrid AS (
+        -- image i is the exact pixel plane of video i's frame i%4,
+        -- re-encoded through a DIFFERENT codec (PNG)
+        SELECT pid + 100 AS iid, pid, pid % 4 AS fi, gy, gx, v
+        FROM vgrid WHERE fi = pid % 4
+    ), vbits AS (
+        SELECT pid, fi, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY pid, fi, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM vgrid
+    ), ibits AS (
+        SELECT iid, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY iid, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM igrid
+    ), vh AS (
+        SELECT pid, fi,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM vbits WHERE gx < 8 GROUP BY pid, fi
+    ), ih AS (
+        SELECT iid,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM ibits WHERE gx < 8 GROUP BY iid
+    ), ibands AS (
+        SELECT iid, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM ih, unnest(generate_series(0, 3)) AS b(band)
+    ), vbands AS (
+        SELECT pid, fi, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM vh, unnest(generate_series(0, 3)) AS b(band)
+    ), cand AS (
+        SELECT DISTINCT i.iid, c.pid, c.fi,
+               i.h0 AS h0a, i.h1 AS h1a, c.h0 AS h0b, c.h1 AS h1b
+        FROM ibands i JOIN vbands c ON i.band = c.band AND i.v = c.v
+    )
+    SELECT iid AS image_id, pid AS video_id, fi::BIGINT AS frame_idx,
+           (bit_count(xor(h0a, h0b))
+            + bit_count(xor(h1a, h1b)))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 2
+    """,
+    "Cross-modal provenance lookup — which videos contain this still "
+    "image as a frame (the thumbnail-to-clip / training-data "
+    "contamination question for media corpora): probe = still-image "
+    "dHashes decoded through the PNG codec, corpus = per-frame MJPEG "
+    "AVI dHashes through the RIFF+JPEG path, matched by the two-sided "
+    "banded Hamming join (dhash_probe_pairs) at <= 2 bits — complete "
+    "by pigeonhole over the 4x16 bands, never probe x corpus. The "
+    "fingerprint is pixel-level, so the probe and corpus codecs "
+    "differ freely (PNG round-trips losslessly; the uniform-block "
+    "q100 JPEG frames decode exactly) — each image matches its source "
+    "frame at Hamming 0 plus any deterministic texture collisions, "
+    "all replayed by the oracle from the block formula through both "
+    "hash paths and the band join. At 100 TB the probe side is "
+    "query-sized, so AQE downgrades its exchange to a broadcast: one "
+    "corpus scan per lookup batch.",
+)
+def m52_image_video_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        dhash_probe_pairs,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_png,
+        image_dhash,
+        mjpeg_frame_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def frame_pixels(pid: int, f: int) -> "np.ndarray":
+        bw, bh = 6 + pid % 3, 3 + pid % 2
+        img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    f * 41
+                    + by * by * (47 + pid % 31)
+                    + bx * bx * (23 + pid % 29)
+                    + bx * (by + 1) * (3 + pid % 53)
+                ) % 256
+        return img
+
+    def gen(batches):
+        for pdf in batches:
+            vids, imgs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid < 100:
+                    nf = 4 + mid % 3
+                    jpegs = [
+                        encode_jpeg(frame_pixels(mid, f), quality=100)
+                        for f in range(nf)
+                    ]
+                    bw, bh = 6 + mid % 3, 3 + mid % 2
+                    vids.append(
+                        (mid, "video",
+                         encode_avi_mjpeg(jpegs, bw * 8, bh * 8))
+                    )
+                else:
+                    pid = mid - 100
+                    imgs.append(
+                        (mid, "image",
+                         encode_png(frame_pixels(pid, pid % 4)))
+                    )
+            yield pd.DataFrame(
+                vids + imgs,
+                columns=["media_id", "media_type", "content"],
+            )
+
+    media = ev.mapInPandas(
+        gen, "media_id long, media_type string, content binary"
+    )
+    frames = mjpeg_frame_stats(
+        media.filter(F.col("media_type") == "video")
+    ).select("media_id", "frame_idx", "h0", "h1")
+    probes = image_dhash(
+        media.filter(F.col("media_type") == "image")
+    ).select("media_id", "h0", "h1")
+    out = dhash_probe_pairs(
+        probes, frames, max_hamming=2, corpus_extra=("frame_idx",)
+    )
+    return out.select(
+        F.col("probe_id").alias("image_id"),
+        F.col("corpus_id").alias("video_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "hamming",
+    )
+
+
+@query(
     "m20_png_decode",
     """
     WITH px AS (

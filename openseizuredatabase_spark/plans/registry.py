@@ -792,6 +792,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("r5_band_energy_panel", "vec_id",
          f"{t(q6('low_e'))} + 31*{t(q6('mid_e'))} + 1009*{t(q6('high_e'))}"
          f" + 7*{t(q6('demeaned_mag_sum'))}"),
+        ("m52_image_video_provenance",
+         "image_id * 1000000 + video_id * 100 + frame_idx",
+         "hamming"),
     ]
 
 

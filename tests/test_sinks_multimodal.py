@@ -946,3 +946,49 @@ def test_decode_features_handles_mjpeg_avi(spark):
                   | {(f * 50 + 200) % 256 for f in range(3)})
     bins = {v * 8 // 256 for v in vals}
     assert hist[list(bins)].sum() > 0.999
+
+
+def test_dhash_probe_pairs_cross_codec(spark):
+    """Two-sided banded Hamming lookup: a PNG-decoded probe image finds
+    its pixel-identical MJPEG-AVI frame (Hamming 0) across codecs, and
+    within-radius corpus entries rank by exact popcount."""
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        dhash_probe_pairs,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_png,
+        image_dhash,
+        mjpeg_frame_stats,
+    )
+
+    def pix(key):
+        img = np.zeros((16, 48), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(6):
+                img[by * 8 :][:8, bx * 8 : bx * 8 + 8] = (
+                    by * 47 + bx * bx * 23 + bx * key
+                ) % 256
+        return img
+
+    frames = [pix(3), pix(90), pix(200)]
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(fr, quality=100) for fr in frames], 48, 16
+    )
+    corpus = mjpeg_frame_stats(
+        spark.createDataFrame([(1, avi)], "media_id long, content binary")
+    ).select("media_id", "frame_idx", "h0", "h1")
+    probes = image_dhash(
+        spark.createDataFrame(
+            [(77, encode_png(pix(3)))], "media_id long, content binary"
+        )
+    ).select("media_id", "h0", "h1")
+    got = {
+        (r.probe_id, r.corpus_id, r.frame_idx): r.hamming
+        for r in dhash_probe_pairs(
+            probes, corpus, max_hamming=2, corpus_extra=("frame_idx",)
+        ).collect()
+    }
+    assert got[(77, 1, 0)] == 0  # cross-codec exact frame hit
+    assert all(h <= 2 for h in got.values())

@@ -330,6 +330,7 @@ HEADLINE = [
     "m51_mjpeg_video_near_dup",
     "r5_band_energy_panel",
     "m52_image_video_provenance",
+    "m53_clip_offset_consensus",
 ]
 
 

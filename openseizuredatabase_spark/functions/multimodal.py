@@ -1761,6 +1761,7 @@ def dhash_probe_pairs(
     probe_id: str = "media_id",
     corpus_id: str = "media_id",
     corpus_extra: "tuple[str, ...]" = (),
+    probe_extra: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Two-sided banded Hamming lookup: for every probe fingerprint,
     the corpus fingerprints within ``max_hamming`` (cross-modal
@@ -1774,13 +1775,18 @@ def dhash_probe_pairs(
     exact popcount. 100-TB shape: both sides shuffle on the (band, v)
     key — and when the probe side is query-sized, AQE downgrades its
     exchange to a broadcast, making the lookup one corpus scan. Output:
-    (probe_id_a, corpus_id_b, *corpus_extra, hamming).
+    (probe_id, *probe_extra, corpus_id, *corpus_extra, hamming);
+    probe_extra and corpus_extra column names must not collide
+    (pre-alias, e.g. clip frame_idx -> p_frame_idx).
     """
     p = _dhash_band_rows(
-        probe.select(F.col(probe_id).alias("__pid"), "h0", "h1"),
-        ["__pid"],
+        probe.select(
+            F.col(probe_id).alias("__pid"), *probe_extra, "h0", "h1"
+        ),
+        ["__pid", *probe_extra],
     ).select(
         F.col("__pid"),
+        *probe_extra,
         F.col("h0").alias("h0_a"),
         F.col("h1").alias("h1_a"),
         "band",
@@ -1802,7 +1808,7 @@ def dhash_probe_pairs(
     cand = (
         p.join(c, ["band", "v"])
         .select(
-            "__pid", "__cid", *corpus_extra,
+            "__pid", *probe_extra, "__cid", *corpus_extra,
             "h0_a", "h1_a", "h0_b", "h1_b",
         )
         .distinct()
@@ -1815,8 +1821,39 @@ def dhash_probe_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("__pid").alias("probe_id"),
+            *probe_extra,
             F.col("__cid").alias("corpus_id"),
             *corpus_extra,
             "hamming",
         )
+    )
+
+
+def offset_consensus_matches(
+    pairs: DataFrame,
+    probe_time: str,
+    corpus_time: str,
+    min_votes: int = 2,
+    probe_id: str = "probe_id",
+    corpus_id: str = "corpus_id",
+) -> DataFrame:
+    """Temporal-alignment consensus over element-level matches — the
+    production clip/track matcher (Shazam's offset histogram applied to
+    any fingerprint stream): a probe genuinely appears inside a corpus
+    item only when its element matches AGREE on one time offset, so
+    group the matched pairs by (probe, corpus, corpus_time −
+    probe_time) and count DISTINCT probe elements voting for that
+    offset. Beats bare shared-element counting (m47/m51's rule): a bag
+    of coincidental hash hits is scattered across offsets and never
+    reaches ``min_votes`` on one diagonal. One shuffle on the
+    (probe, corpus, offset) key over the ALREADY-matched pairs — the
+    candidate generation stays the bucketed fingerprint join. Output:
+    (probe_id, corpus_id, offset, votes).
+    """
+    off = (F.col(corpus_time) - F.col(probe_time)).cast("long")
+    return (
+        pairs.withColumn("offset", off)
+        .groupBy(probe_id, corpus_id, "offset")
+        .agg(F.countDistinct(probe_time).alias("votes"))
+        .filter(F.col("votes") >= min_votes)
     )

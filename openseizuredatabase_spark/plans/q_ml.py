@@ -1299,6 +1299,173 @@ def m52_image_video_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m53_clip_offset_consensus",
+    """
+    WITH vid AS (
+        SELECT event_id AS pid,
+               (6 + event_id % 3)::BIGINT AS bw,
+               (3 + event_id % 2)::BIGINT AS bh,
+               (5 + event_id % 2)::BIGINT AS nf
+        FROM events WHERE event_id < 100
+    ), vgrid AS (
+        SELECT pid, f.f AS fi, g.gy AS gy, g2.gx AS gx,
+               (f.f * 41
+                + ((g.gy * bh) // 8) * ((g.gy * bh) // 8)
+                  * (47 + pid % 31)
+                + (((g2.gx * bw * 8) // 9) // 8)
+                  * (((g2.gx * bw * 8) // 9) // 8) * (23 + pid % 29)
+                + (((g2.gx * bw * 8) // 9) // 8)
+                  * (((g.gy * bh) // 8) + 1) * (3 + pid % 53)) % 256 AS v
+        FROM vid,
+             unnest(generate_series(0, nf - 1)) AS f(f),
+             unnest(generate_series(0, 7)) AS g(gy),
+             unnest(generate_series(0, 8)) AS g2(gx)
+    ), vbits AS (
+        SELECT pid, fi, gy, gx,
+               CASE WHEN lead(v) OVER (PARTITION BY pid, fi, gy
+                                       ORDER BY gx) > v
+                    THEN 1 ELSE 0 END AS bit
+        FROM vgrid
+    ), vh AS (
+        SELECT pid, fi,
+               sum(CASE WHEN gy < 4
+                        THEN bit::BIGINT << (gy * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h0,
+               sum(CASE WHEN gy >= 4
+                        THEN bit::BIGINT << ((gy - 4) * 8 + gx) ELSE 0 END
+                  )::BIGINT AS h1
+        FROM vbits WHERE gx < 8 GROUP BY pid, fi
+    ), ch AS (
+        -- clip i = frames s..s+2 of video i (s = i%3), re-encoded;
+        -- deterministic q100 uniform-block JPEG -> byte-identical
+        -- frames, so clip hashes ARE the source-frame hashes
+        SELECT pid + 100 AS cid, fi - (pid % 3) AS pfi, h0, h1
+        FROM vh WHERE fi BETWEEN pid % 3 AND pid % 3 + 2
+    ), cbands AS (
+        SELECT cid, pfi, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM ch, unnest(generate_series(0, 3)) AS b(band)
+    ), vbands AS (
+        SELECT pid, fi, h0, h1, b.band AS band,
+               CASE b.band WHEN 0 THEN h0 % 65536
+                           WHEN 1 THEN h0 // 65536
+                           WHEN 2 THEN h1 % 65536
+                           ELSE h1 // 65536 END AS v
+        FROM vh, unnest(generate_series(0, 3)) AS b(band)
+    ), cand AS (
+        SELECT DISTINCT c.cid, c.pfi, w.pid, w.fi,
+               c.h0 AS h0a, c.h1 AS h1a, w.h0 AS h0b, w.h1 AS h1b
+        FROM cbands c JOIN vbands w ON c.band = w.band AND c.v = w.v
+    ), hits AS (
+        SELECT cid, pfi, pid, fi
+        FROM cand
+        WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 2
+    )
+    SELECT cid AS clip_id, pid AS video_id,
+           (fi - pfi)::BIGINT AS frame_offset,
+           count(DISTINCT pfi)::BIGINT AS votes
+    FROM hits GROUP BY cid, pid, fi - pfi
+    HAVING count(DISTINCT pfi) >= 2
+    """,
+    "Video clip matching with temporal-offset consensus — the "
+    "production subsequence matcher (which source video does this "
+    "clip come from, and at what position): per-frame dHashes through "
+    "the MJPEG AVI path for both sides, frame-level candidates via "
+    "the two-sided banded Hamming join, then Shazam's offset "
+    "histogram (offset_consensus_matches): a clip matches only where "
+    "its frames AGREE on one (corpus_time - probe_time) diagonal, "
+    "votes = distinct probe frames on it. Strictly stronger than bare "
+    "shared-frame counting (m51): coincidental hash hits scatter "
+    "across offsets and never assemble a diagonal. Corpus: 100 "
+    "quadratic-texture videos of 5-6 frames; clips = 3-frame "
+    "extractions at start offsets 0-2, re-encoded (deterministic "
+    "q100 -> byte-identical frames), so every clip matches its source "
+    "with 3 votes at its extraction offset. Oracle derives clip "
+    "hashes by SELECTION from the source-frame hashes (the "
+    "byte-identity claim is itself checked: a re-encode divergence "
+    "would break the hash) and replays band join + diagonal "
+    "histogram. Consensus adds ONE shuffle over already-matched "
+    "pairs.",
+)
+def m53_clip_offset_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        dhash_probe_pairs,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        mjpeg_frame_stats,
+        offset_consensus_matches,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def frame_pixels(pid: int, f: int) -> "np.ndarray":
+        bw, bh = 6 + pid % 3, 3 + pid % 2
+        img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    f * 41
+                    + by * by * (47 + pid % 31)
+                    + bx * bx * (23 + pid % 29)
+                    + bx * (by + 1) * (3 + pid % 53)
+                ) % 256
+        return img
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                pid = mid if mid < 100 else mid - 100
+                bw, bh = 6 + pid % 3, 3 + pid % 2
+                if mid < 100:
+                    fs = range(5 + pid % 2)
+                else:
+                    s = pid % 3
+                    fs = range(s, s + 3)
+                jpegs = [
+                    encode_jpeg(frame_pixels(pid, f), quality=100)
+                    for f in fs
+                ]
+                rows.append(
+                    (mid, encode_avi_mjpeg(jpegs, bw * 8, bh * 8))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    frames = mjpeg_frame_stats(media).select(
+        "media_id", "frame_idx", "h0", "h1"
+    )
+    corpus = frames.filter(F.col("media_id") < 100)
+    probes = frames.filter(F.col("media_id") >= 100).select(
+        "media_id", F.col("frame_idx").alias("p_frame_idx"), "h0", "h1"
+    )
+    pairs = dhash_probe_pairs(
+        probes,
+        corpus,
+        max_hamming=2,
+        probe_extra=("p_frame_idx",),
+        corpus_extra=("frame_idx",),
+    )
+    out = offset_consensus_matches(
+        pairs, "p_frame_idx", "frame_idx", min_votes=2
+    )
+    return out.select(
+        F.col("probe_id").alias("clip_id"),
+        F.col("corpus_id").alias("video_id"),
+        F.col("offset").alias("frame_offset"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
+@query(
     "m20_png_decode",
     """
     WITH px AS (

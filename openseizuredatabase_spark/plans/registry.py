@@ -795,6 +795,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m52_image_video_provenance",
          "image_id * 1000000 + video_id * 100 + frame_idx",
          "hamming"),
+        ("m53_clip_offset_consensus",
+         "clip_id * 100000 + video_id * 10 + (frame_offset + 3)",
+         "votes"),
     ]
 
 

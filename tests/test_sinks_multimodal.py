@@ -992,3 +992,32 @@ def test_dhash_probe_pairs_cross_codec(spark):
     }
     assert got[(77, 1, 0)] == 0  # cross-codec exact frame hit
     assert all(h <= 2 for h in got.values())
+
+
+def test_offset_consensus_rejects_scattered_hits(spark):
+    """The temporal-consensus reducer: hits agreeing on one time delta
+    assemble votes; the same number of hits scattered across offsets
+    never reach min_votes."""
+    from openseizuredatabase_spark.functions.multimodal import (
+        offset_consensus_matches,
+    )
+
+    rows = [
+        # clip 1 vs video 10: 3 frames aligned at offset 2
+        (1, 0, 10, 2, 0), (1, 1, 10, 3, 0), (1, 2, 10, 4, 0),
+        # clip 1 vs video 11: 3 hits but every one at a different delta
+        (1, 0, 11, 0, 1), (1, 1, 11, 3, 1), (1, 2, 11, 1, 2),
+        # clip 2 vs video 10: two frames on one diagonal, one off it
+        (2, 0, 10, 1, 0), (2, 1, 10, 2, 0), (2, 2, 10, 5, 1),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "probe_id long, p_t long, corpus_id long, c_t long, hamming long",
+    )
+    got = {
+        (r.probe_id, r.corpus_id, r.offset): r.votes
+        for r in offset_consensus_matches(
+            pairs, "p_t", "c_t", min_votes=2
+        ).collect()
+    }
+    assert got == {(1, 10, 2): 3, (2, 10, 1): 2}

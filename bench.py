@@ -331,6 +331,7 @@ HEADLINE = [
     "r5_band_energy_panel",
     "m52_image_video_provenance",
     "m53_clip_offset_consensus",
+    "m54_audio_clip_consensus",
 ]
 
 

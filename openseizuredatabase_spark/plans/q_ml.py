@@ -660,6 +660,114 @@ def m47_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m54_audio_clip_consensus",
+    """
+    WITH peaks AS (
+        SELECT event_id AS pid, g.k AS k,
+               1 + (event_id * 7 + g.k * 13
+                    + ((event_id * event_id * 3) % 31) * (g.k + 1)) % 30
+                   AS b
+        FROM events, unnest(generate_series(0, 7)) AS g(k)
+        WHERE event_id < 100
+    ), tcodes AS (
+        SELECT pid, k,
+               b * 64 + lead(b) OVER (PARTITION BY pid ORDER BY k)
+                   AS code
+        FROM peaks
+    ), tfp AS (
+        SELECT pid, k, code FROM tcodes WHERE code IS NOT NULL
+    ), cfp AS (
+        -- clip i = segments s..s+3 of track i (s = i%4): identical
+        -- int16 samples, so its landmarks ARE track landmarks
+        -- k = s..s+2 re-keyed to clip positions 0..2
+        SELECT pid + 100 AS cid, k - (pid % 4) AS pk, code
+        FROM tfp WHERE k BETWEEN pid % 4 AND pid % 4 + 2
+    ), hits AS (
+        SELECT c.cid, c.pk, t.pid, t.k
+        FROM cfp c JOIN tfp t ON c.code = t.code
+    )
+    SELECT cid AS clip_id, pid AS track_id,
+           (k - pk)::BIGINT AS seg_offset,
+           count(DISTINCT pk)::BIGINT AS votes
+    FROM hits GROUP BY cid, pid, k - pk
+    HAVING count(DISTINCT pk) >= 2
+    """,
+    "Audio clip matching with temporal-offset consensus — m53's "
+    "diagonal-histogram discipline on the constellation tier (the "
+    "full Shazam shape m47's bare >= 2-code rule approximates): which "
+    "track does this clip come from, and at what segment position. "
+    "Corpus: 100 8-segment tone tracks; probes: 4-segment clip "
+    "extractions at offsets 0-3, re-encoded PCM (bit-identical "
+    "samples -> identical spectral peaks). Landmark codes match by "
+    "equi-join (bucketed, never all-pairs), then "
+    "offset_consensus_matches keeps only (clip, track, track_k - "
+    "clip_k) diagonals with >= 2 distinct clip landmarks — true "
+    "matches assemble 3 votes at the extraction offset, coincidental "
+    "shared codes scatter. Oracle derives the peak bins analytically "
+    "from the tone program and clip landmarks by SELECTION from track "
+    "landmarks (a decode/DFT/argmax/windowing defect breaks the "
+    "match), then replays join + histogram.",
+)
+def m54_audio_clip_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openseizuredatabase_spark.functions.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        offset_consensus_matches,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            i = np.arange(64)
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                pid = mid % 100
+                if mid < 100:
+                    ks = range(8)
+                else:
+                    s = pid % 4
+                    ks = range(s, s + 4)
+                segs = []
+                for k in ks:
+                    b = 1 + (pid * 7 + k * 13
+                             + ((pid * pid * 3) % 31) * (k + 1)) % 30
+                    segs.append(
+                        np.round(8000.0 * np.sin(2 * np.pi * b * i / 64.0))
+                    )
+                rows.append(
+                    (mid, encode_wav(np.concatenate(segs), rate=8000))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ev.mapInPandas(gen, "media_id long, content binary")
+    fps = audio_fingerprint(media, window=64)
+    corpus = fps.filter(F.col("media_id") < 100).select(
+        F.col("media_id").alias("corpus_id"),
+        F.col("k").alias("c_k"),
+        "code",
+    )
+    probes = fps.filter(F.col("media_id") >= 100).select(
+        F.col("media_id").alias("probe_id"),
+        F.col("k").alias("p_k"),
+        "code",
+    )
+    pairs = probes.join(corpus, "code")
+    out = offset_consensus_matches(pairs, "p_k", "c_k", min_votes=2)
+    return out.select(
+        F.col("probe_id").alias("clip_id"),
+        F.col("corpus_id").alias("track_id"),
+        F.col("offset").alias("seg_offset"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
+@query(
     "m48_scene_changes",
     """
     WITH img AS (

@@ -798,6 +798,9 @@ def _sig_members() -> list[tuple[str, str, str]]:
         ("m53_clip_offset_consensus",
          "clip_id * 100000 + video_id * 10 + (frame_offset + 3)",
          "votes"),
+        ("m54_audio_clip_consensus",
+         "clip_id * 100000 + track_id * 10 + (seg_offset + 3)",
+         "votes"),
     ]
 
 

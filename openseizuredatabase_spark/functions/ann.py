@@ -110,6 +110,10 @@ def kmeans_exact(
             )
         ).alias("dim", "v"),
     )
+    # q feeds both aggregations of every Lloyd round; pin it once so
+    # round N doesn't re-expand the scan+posexplode lineage (the
+    # pq_train_encode discipline — was only applied there)
+    q = q.localCheckpoint(eager=False)
     cents = q.filter(
         (F.col(id_col) >= 1) & (F.col(id_col) <= k)
     ).select(F.col(id_col).alias("cid"), "dim", F.col("v").alias("c"))
@@ -138,6 +142,19 @@ def kmeans_exact(
             "dim",
             ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
         )
+        # kilobytes per round — truncate so round N+1 (and every
+        # downstream consumer) doesn't replay rounds 1..N; without this
+        # a caller referencing (assign, cents) twice pays the whole
+        # unrolled Lloyd chain once PER REFERENCE (no common-subplan
+        # dedup in Catalyst; ReuseExchange only collapses identical
+        # exchanges within one executed plan)
+        cents = cents.localCheckpoint(eager=False)
+    # assign is one (id, cid) row per vector — the narrow proxy frame —
+    # and every caller (IVF probe filter, PQ candidate join, SemDeDup
+    # bucketing) consumes it at least twice; pinning it trades a
+    # vector-count-sized persist for re-running the distance
+    # aggregation + row_number window per consumer
+    assign = assign.localCheckpoint(eager=False)
     return assign, cents
 
 
@@ -338,6 +355,10 @@ def pq_train_encode(
         .filter(F.col("__rn") == 1)
         .select(id_col, "sub", "cid")
     )
+    # the codes frame is consumed by the ADC scorer AND by candidate
+    # filters (v8/v10 reference it more than once); pin the narrow
+    # (id, sub, cid) result so the encode window never replays
+    assign = assign.localCheckpoint(eager=False)
     return assign, cents
 
 
@@ -456,6 +477,9 @@ def ivf_pq_topk(
         assign.join(F.broadcast(probe), "cid")
         .filter(F.col(id_col) != 0)
         .withColumnRenamed("cid", "coarse_cid")
+        # cand gates the codes scan AND re-attaches coarse_cid to the
+        # final top-k: two consumers, one narrow frame — pin it
+        .localCheckpoint(eager=False)
     )
     qdims = emb.filter(F.col(id_col) == 0).select(
         F.posexplode(

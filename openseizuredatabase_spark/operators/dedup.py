@@ -485,22 +485,45 @@ def connected_components(
     generation — near-dup groups collapse to one canonical id, the min
     of the component).
 
-    Min-label propagation: every vertex starts as its own label; each
-    round takes the min over itself and its neighbors; converges in
-    O(min-label eccentricity) rounds — dup clusters are near-cliques,
-    so 2-3 rounds in practice. Each round is one join + one
-    aggregation on uniformly distributed id keys; the driver sees only
-    the per-round convergence COUNT (a scalar), never data. localCheckpoint
-    truncates the iterative lineage so round N's plan doesn't replay
-    rounds 1..N-1.
+    Two interchangeable algorithms, both returning the identical
+    (id, comp = component min) frame:
 
-    ``path_halving=True`` adds a pointer-jump per round (each vertex
-    also adopts its label's label): one extra self-join, but rounds
-    drop from O(diameter) to O(log diameter). Off for near-clique dup
-    graphs where 2-3 neighbor rounds win; ON for geometric graphs with
-    long chains (DBSCAN density components — v15's 500-point run fell
-    from ~15 rounds to 4 with it).
+    * ``path_halving=False`` — min-label propagation (hook rounds):
+      every vertex starts as its own label; each round takes the min
+      over itself and its neighbors; converges in O(min-label
+      eccentricity) rounds — dup clusters are near-cliques, so 2-3
+      rounds in practice. Round-11 shape: the hook is ONE aggregation
+      (labels ∪ neighbor-messages, groupBy(src), with the self row's
+      previous comp pulled from the same buffer via a flag — was
+      join + groupBy + second join), the materialization is a lazy
+      lineage pin whose first action IS the convergence count (one job
+      per round, was an eager-checkpoint job plus a count job), and the
+      loop exits on hook-stability (stable ⇒ for every edge u–v
+      comp[u] <= comp[v] and vice versa ⇒ comp constant per component).
+
+    * ``path_halving=True`` — two-phase star contraction (the
+      large-star/small-star MapReduce algorithm, Kiveris et al. 2014):
+      alternate "attach strictly-larger neighbors to the neighborhood
+      min" and "attach not-larger neighbors + self to the neighborhood
+      min" edge rewrites until the edge set is a fixpoint, at which
+      point the edges form stars rooted at each component's minimum.
+      O(log n) rounds on ANY shape — the long-chain regime (geometric
+      eps-graphs: v15's DBSCAN components) where hook rounds need
+      O(spatial diameter / eps) hops. Measured on v15's sf0.1 graph
+      (1.8k nodes, 13k edges): 6 rounds vs 16 hook rounds, and the old
+      16-round schedule cost 12-17 s of almost pure per-job latency.
+
+    Every per-round frame is pinned with :func:`lineage.pin` (NOT a
+    plain localCheckpoint): preserved origin statistics SQUARE through
+    each round's join and compound across checkpoints into
+    million-digit BigIntegers whose Toom-Cook multiplications dominate
+    driver planning (59 s/round by round 9, found via driver thread
+    dumps). The driver sees only scalar convergence counts, never data.
     """
+    from openseizuredatabase_spark.lineage import pin
+
+    if path_halving:
+        return _cc_star_contraction(pairs, id_a, id_b, max_iter)
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -517,53 +540,121 @@ def connected_components(
         edges.select("src").distinct().withColumn("comp", F.col("src"))
     )
     for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("src").alias("dst"), F.col("comp").alias("nc")
-                ),
-                "dst",
-            )
+        # hook: min over {self comp} ∪ {neighbor comps} in ONE groupBy;
+        # the self row rides the union with a flag so the same buffer
+        # yields the previous comp (for the convergence test) for free
+        msgs = edges.join(
+            labels.select(
+                F.col("src").alias("dst"), F.col("comp").alias("nc")
+            ),
+            "dst",
+        ).select("src", F.col("nc").alias("comp"), F.lit(False).alias("s"))
+        hooked = (
+            labels.select("src", "comp", F.lit(True).alias("s"))
+            .unionByName(msgs)
             .groupBy("src")
-            .agg(F.min("nc").alias("nbr_comp"))
-        )
-        stepped = labels.join(nbr, "src", "left").select(
-            "src",
-            F.least(
-                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-            ).alias("comp"),
-        )
-        if path_halving:
-            # pointer jump: comp <- min(comp, comp's own comp)
-            stepped = (
-                stepped.join(
-                    stepped.select(
-                        F.col("src").alias("comp"),
-                        F.col("comp").alias("gc"),
-                    ),
-                    "comp",
-                    "left",
-                )
-                .select(
-                    "src",
-                    F.least(
-                        F.col("comp"), F.coalesce("gc", F.col("comp"))
-                    ).alias("comp"),
-                )
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("s"), F.col("comp"))).alias("old"),
             )
-        new_labels = stepped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(
-                labels.select("src", F.col("comp").alias("old")), "src"
-            )
-            .filter(F.col("comp") < F.col("old"))
-            .count()
         )
-        labels = new_labels
+        cur = pin(hooked)
+        changed = cur.filter(F.col("comp") < F.col("old")).count()
+        labels = cur.select("src", "comp")
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(F.col("src").alias("id"), "comp")
+
+
+def _cc_star_contraction(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star contraction (see connected_components).
+
+    Scale notes: both phases are one aggregation + one equi-join on the
+    node key; large-star's per-node emission is bounded by the node's
+    degree and orients every new edge toward the neighborhood min, so
+    hub skew shrinks geometrically (the paper's Lemma 4 bounds total
+    work) — AQE skew-join covers the transient hot keys. Convergence is
+    edge-set stability; the cheap necessary test (edge COUNT unchanged)
+    gates the exact multiset compare, so early rounds pay one scalar
+    count, not an exceptAll.
+    """
+    from openseizuredatabase_spark.lineage import pin
+
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    nodes = pin(
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    # canonical undirected form (larger, smaller); self-loops carry no
+    # connectivity (their nodes still appear via `nodes`)
+    e = pin(
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    n_prev = e.count()
+    for _ in range(max_iter):
+        # large-star: symmetric neighborhoods; every strictly-larger
+        # neighbor of u attaches to min(N(u) ∪ {u})
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e1 = pin(ls)
+        e1.count()
+        # small-star: orient (larger, smaller); all not-larger
+        # neighbors and u itself attach to the neighborhood min
+        sym2 = e1.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = sym2.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            sym2.join(m2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.u", "s.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e2 = pin(ss)
+        n_now = e2.count()
+        if n_now == n_prev:
+            # counts equal is necessary, not sufficient — confirm exact
+            # edge-set equality (both already canonical (larger, smaller))
+            if e2.exceptAll(e).count() == 0:
+                e = e2
+                break
+        e = e2
+        n_prev = n_now
+    roots = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    return nodes.join(roots, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
 
 def boilerplate_scrub(

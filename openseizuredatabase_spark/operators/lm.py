@@ -505,6 +505,10 @@ def hashed_classifier_scores(
     nt = bb.groupBy(id_col, "__t", *keep_cols).agg(
         F.sum("n").alias("nb")
     )
+    # nt is consumed three times (the xt feature join, the label frame,
+    # and the final output's n_bigrams column); pin the one-row-per-doc
+    # aggregate so the bigram explode+count subtree runs once
+    nt = nt.localCheckpoint(eager=False)
     # feature frame: per-doc bucket micro-ratios + a bias feature b=-1;
     # reused by every GD step and the final scoring pass
     xt = (
@@ -553,10 +557,18 @@ def hashed_classifier_scores(
         ).cast("long")
         g_n = g_df.crossJoin(F.broadcast(ncount))
         if w_df is None:
-            return g_n.select("b", (-delta).alias("w"))
-        return g_n.join(F.broadcast(w_df), "b").select(
-            "b", (F.col("w") - delta).alias("w")
-        )
+            out = g_n.select("b", (-delta).alias("w"))
+        else:
+            out = g_n.join(F.broadcast(w_df), "b").select(
+                "b", (F.col("w") - delta).alias("w")
+            )
+        # pin each step's (n_buckets+1)-row weight table: step k+1
+        # references w_k TWICE (inside grad∘p∘z and in the update
+        # join), so an unpinned chain duplicates the corpus-sized
+        # gradient aggregation 2^iters times in the final plan —
+        # Catalyst has no common-subplan dedup. A pinned w_k is one
+        # shared 65-row RDD; every training pass over xt runs once.
+        return out.localCheckpoint(eager=False)
 
     def z_frame(w_df: DataFrame) -> DataFrame:
         return (

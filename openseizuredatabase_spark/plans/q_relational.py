@@ -3160,6 +3160,12 @@ def j12_lev_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = c.groupBy("blk", "name").agg(F.min("id").alias("id"))
     k = _pigeonhole_keys(reps.select("id", "name", "blk"))
+    # spread the CPU-dense pair-verify join across cores (see
+    # q_shared._ham_candidates — byte-based AQE coalescing otherwise
+    # runs the whole levenshtein verify stage on one task)
+    k = k.repartition(
+        spark.sparkContext.defaultParallelism, "blk", "cls", "val"
+    )
     ka, kb = k.alias("ka"), k.alias("kb")
     cand = (
         ka.join(

@@ -268,8 +268,23 @@ def _pigeonhole_keys(c: DataFrame) -> DataFrame:
 
 def _ham_candidates(c: DataFrame, max_dist: int) -> DataFrame:
     """Distinct (id_a, id_b, dist) pairs with hamming <= max_dist via
-    pigeonhole blocking — never the O(block²) nation join."""
+    pigeonhole blocking — never the O(block²) nation join.
+
+    The key frame is hash-repartitioned on the blocking key to the
+    session's parallelism BEFORE the self-join: the frame is tiny by
+    BYTES (AQE's size-based coalescing collapses it to 1-3 partitions)
+    but the join stage is CPU-dense — it enumerates every same-block
+    pair and runs the 18-position Hamming verifier on each — so
+    byte-based coalescing starves every core but one (observed: one
+    task owning the whole verify stage). Both join sides are the same
+    repartitioned frame, so the exchange is shared (ReusedExchange),
+    not doubled; at lake scale a blocked self-join hash-shuffles on the
+    block key anyway, so the plan shape is unchanged — only the
+    partition COUNT is pinned to parallelism instead of bytes."""
     k = _pigeonhole_keys(c)
+    k = k.repartition(
+        c.sparkSession.sparkContext.defaultParallelism, "blk", "cls", "val"
+    )
     ka, kb = k.alias("ka"), k.alias("kb")
     cand = (
         ka.join(

@@ -2170,7 +2170,12 @@ def t32_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh.localCheckpoint(eager=False)  # sigs + sizes + common reuse it
     sigs = dedup_ops.minhash_signatures(sh, "doc_id", 8)
     sigs = sigs.localCheckpoint(eager=False)
-    pairs = dedup_ops.lsh_band_pairs(sigs, "doc_id", 8, 2)
+    # the candidate-pair frame feeds BOTH the estimate join and the
+    # true-Jaccard verification join; pin it so the band self-join +
+    # distinct runs once (same reuse rule as sh/sigs above)
+    pairs = dedup_ops.lsh_band_pairs(sigs, "doc_id", 8, 2).localCheckpoint(
+        eager=False
+    )
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh_{j}").alias(f"a{j}") for j in range(8)],
@@ -3386,16 +3391,19 @@ def t41_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("c3"),
         )
     )
+    # one explode pass instead of a 3-branch unionAll: the union form
+    # evaluates the two-join wedge-close THREE times (one per branch —
+    # Catalyst has no common-subplan dedup); exploding array(a, b, c3)
+    # emits the identical id multiset from a single evaluation of tri
     pern = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c3").alias("id")))
+        tri.select(
+            F.explode(F.array("a", "b", "c3")).alias("id")
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     deg = (
-        e.select(F.col("a").alias("id"))
-        .unionAll(e.select(F.col("b").alias("id")))
+        e.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

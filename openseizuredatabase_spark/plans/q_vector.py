@@ -1481,12 +1481,23 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["kx", "ky"])
         .filter(dx * dx + dy * dy <= F.lit(e2))
         .select("ia", "ib")
+        # the eps-graph feeds FOUR consumers (core census, core-core
+        # edges, border adoption, and the core anti-joins); pin the
+        # 2-column pair frame once instead of re-running the 9-offset
+        # blocked join per consumer — DBSCAN's neighbor graph is the
+        # intrinsic product here, recomputing it is pure waste at any
+        # scale (persist-vs-recompute: the pairs are a bounded multiple
+        # of input rows by the grid-density argument)
+        .localCheckpoint(eager=False)
     )
     core = (
         nbr.groupBy("ia")
         .agg(F.count(F.lit(1)).alias("n_nbr"))
         .filter(F.col("n_nbr") >= _V15_MINPTS)
         .select(F.col("ia").alias("vec_id"))
+        # one row per core point; consumed by eg (twice), singles, and
+        # the border anti-join
+        .localCheckpoint(eager=False)
     )
     eg = (
         nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia")
@@ -1502,7 +1513,10 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles = core.join(
         cc.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
     ).select(F.col("vec_id").alias("id"), F.col("vec_id").alias("comp"))
-    comps = cc.unionByName(singles)
+    # comps feeds border adoption, the per-cluster census, and the
+    # noise anti-join; cc is already a checkpointed label frame but the
+    # union re-runs the singles anti-join per consumer — pin the union
+    comps = cc.unionByName(singles).localCheckpoint(eager=False)
     border = (
         nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia", "left_anti")
         .join(
@@ -1513,6 +1527,8 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ia")
         .agg(F.min("comp").cast("long").alias("comp"))
+        # consumed by the border census and the noise anti-join
+        .localCheckpoint(eager=False)
     )
     core_per = comps.groupBy(F.col("comp").alias("cluster")).agg(
         F.count(F.lit(1)).cast("long").alias("n_core")

@@ -70,6 +70,50 @@ def ivf_search(
     )
 
 
+def _np_argmin_cid(mat, book):
+    """Vectorized nearest-codeword assignment for a batch of quantized
+    vectors — the numpy replica of the historical join-on-dim +
+    row_number shape.
+
+    ``mat`` is an (m, L) int64 matrix (all rows the same length L > 0);
+    ``book`` a list of (cid, int64 codeword array) sorted cid-ascending.
+
+    - distance = Σ (v_p - c_p)² over positions present in BOTH arrays
+      (the join-on-dim inner-join semantics): each codeword contributes
+      only its first min(L, len(c)) positions. Sound positionally
+      because vector dim lists are dense prefixes 0..len-1 (they come
+      from an array) and centroid dim sets — unions of member prefixes
+      — are dense prefixes too.
+    - int64 arithmetic throughout: exact (coordinates are quant-scaled
+      integers; dim * (2·max)² is far inside the int64 range).
+    - ties keep the LOWEST cid: ``np.argmin`` returns the first minimum
+      over the cid-ascending axis == row_number(orderBy(dist, cid))==1.
+
+    Returns the index array into ``book`` (one winner per row).
+    """
+    m = mat.shape[0]
+    L = mat.shape[1]
+    dists = np.empty((m, len(book)), dtype=np.int64)
+    for j, (_, cw) in enumerate(book):
+        lj = min(L, cw.shape[0])
+        d = mat[:, :lj] - cw[:lj]
+        dists[:, j] = (d * d).sum(axis=1)
+    return np.argmin(dists, axis=1)
+
+
+def _np_length_groups(pdf, vec_field):
+    """Yield (length, int64 matrix, positional index array) per distinct
+    vector length in an Arrow/pandas batch (rows are ragged lists)."""
+    vs = pdf[vec_field].to_numpy()
+    lens = np.fromiter((len(v) for v in vs), dtype=np.int64, count=len(vs))
+    for L in np.unique(lens):
+        if L == 0:
+            continue
+        idx = np.nonzero(lens == L)[0]
+        mat = np.vstack([np.asarray(vs[i], dtype=np.int64) for i in idx])
+        yield int(L), mat, idx
+
+
 def kmeans_exact(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -90,71 +134,140 @@ def kmeans_exact(
     `div`-vs-`//` truncate/floor divergence on negatives. Bit-equal
     assignments on any engine, any partition layout.
 
-    Scale shape per iteration: centroids are k×dim rows (kilobytes) and
-    BROADCAST; assignment is one map-side join + one (vec, cid)
-    aggregation; the update is one (cid, dim) aggregation — the classic
-    distributed Lloyd step, nothing driver-side. The driver loop only
-    BUILDS the plan (iters is small and fixed); for many iterations,
-    checkpoint between rounds exactly as connected_components does.
+    Scale shape per iteration (round-11, guide §2.4 "remove shuffles" +
+    §4.2 "vectorized native code inside the Python boundary"): the
+    codebook is k·dim integers — metadata-sized — and lives on the
+    DRIVER between rounds (the same bounded-collect class as the
+    centroid-probe lookups; never data-sized). Assignment is ONE
+    vectorized numpy pass (mapInPandas) against the closure-shipped
+    codebook — zero shuffles, no ×k candidate explosion, no row_number
+    sort (the historical shape shuffled n·k distance rows into a window
+    sort per round) — which emits per-batch partial (cid, dim) sums, so
+    the centroid update is one tiny aggregation whose shuffle carries
+    ≤ k·dim rows per input partition. One Spark job per Lloyd round.
+    Exact equivalence with the historical join-on-dim + row_number
+    shape is argued in :func:`_np_argmin_cid` (int64 arithmetic,
+    inner-join dim overlap, lowest-cid ties) plus portable Python floor
+    division for the update (s // n == (s - (((s%n)+n)%n)) / n for the
+    positive counts n); pinned by tests/test_ann.py and the v5/v7/v10
+    oracle twins.
 
     Returns (assignments (id, cid), centroids (cid, dim, c)).
     """
-    from pyspark.sql import Window
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    q = emb.select(
+    spark = emb.sparkSession
+    id_type = emb.schema[id_col].dataType
+    vecs = emb.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col).cast("array<double>"),
-                lambda x: F.round(x * quant, 0).cast("long"),
-            )
-        ).alias("dim", "v"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * quant, 0).cast("long"),
+        ).alias("__v"),
+    ).filter(F.size("__v") > 0)
+    # vecs feeds the seed collect, every Lloyd round and the final
+    # assignment; pin it so each pass reuses one materialized scan
+    vecs = vecs.localCheckpoint(eager=False)
+    # seed codebook: the vectors with ids 1..k (bounded: ≤ k rows)
+    book = sorted(
+        (r[0], np.asarray(r[1], dtype=np.int64))
+        for r in vecs.filter(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= k)
+        ).collect()
     )
-    # q feeds both aggregations of every Lloyd round; pin it once so
-    # round N doesn't re-expand the scan+posexplode lineage (the
-    # pq_train_encode discipline — was only applied there)
-    q = q.localCheckpoint(eager=False)
-    cents = q.filter(
-        (F.col(id_col) >= 1) & (F.col(id_col) <= k)
-    ).select(F.col(id_col).alias("cid"), "dim", F.col("v").alias("c"))
-    assign = None
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", id_type),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    abook = book
     for _ in range(iters):
-        diff = F.col("v") - F.col("c")
-        dists = (
-            q.join(F.broadcast(cents), "dim")
-            .groupBy(id_col, "cid")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        w = Window.partitionBy(id_col).orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "cid")
-        )
-        sums = (
-            q.join(assign, id_col)
+        bk = abook = book
+
+        def partial_sums(it):
+            for pdf in it:
+                out_cid, out_dim, out_s, out_n = [], [], [], []
+                for L, mat, _ in _np_length_groups(pdf, "__v"):
+                    if not bk:
+                        continue
+                    win = _np_argmin_cid(mat, bk)
+                    for j, (cid, _cw) in enumerate(bk):
+                        sel = win == j
+                        m = int(sel.sum())
+                        if not m:
+                            continue
+                        sums = mat[sel].sum(axis=0)
+                        out_cid.extend([cid] * L)
+                        out_dim.extend(range(L))
+                        out_s.extend(sums.tolist())
+                        out_n.extend([m] * L)
+                yield pd.DataFrame(
+                    {"cid": out_cid, "dim": out_dim, "s": out_s, "n": out_n}
+                )
+
+        upd = (
+            vecs.mapInPandas(partial_sums, schema=part_schema)
             .groupBy("cid", "dim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
-        s, n = F.col("s"), F.col("n")
-        cents = sums.select(
-            "cid",
-            "dim",
-            ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
-        )
-        # kilobytes per round — truncate so round N+1 (and every
-        # downstream consumer) doesn't replay rounds 1..N; without this
-        # a caller referencing (assign, cents) twice pays the whole
-        # unrolled Lloyd chain once PER REFERENCE (no common-subplan
-        # dedup in Catalyst; ReuseExchange only collapses identical
-        # exchanges within one executed plan)
-        cents = cents.localCheckpoint(eager=False)
+        # rebuild the driver codebook; Python // is floor division ==
+        # the portable (s - (((s%n)+n)%n)) / n, and Python ints are
+        # exact at any magnitude
+        by_cid: dict = {}
+        for r in upd:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["s"] // r["n"]
+        book = []
+        for cid in sorted(by_cid):
+            dims = by_cid[cid]
+            arr = np.empty(len(dims), dtype=np.int64)
+            for d, c in dims.items():
+                arr[d] = c
+            book.append((cid, arr))
+    # the returned assignment is the LAST TRAINING assignment — argmin
+    # against the book that ENTERED the final round (pre-update), the
+    # historical loop's exact semantics; the returned centroids are the
+    # post-update book
+    fbook = abook
+
+    def assign_codes(it):
+        for pdf in it:
+            ids, cids = [], []
+            for _L, mat, idx in _np_length_groups(pdf, "__v"):
+                if not fbook:
+                    continue
+                win = _np_argmin_cid(mat, fbook)
+                ids.extend(pdf[id_col].to_numpy()[idx].tolist())
+                cids.extend(fbook[j][0] for j in win)
+            yield pd.DataFrame({id_col: ids, "cid": cids})
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("cid", id_type)]
+    )
     # assign is one (id, cid) row per vector — the narrow proxy frame —
-    # and every caller (IVF probe filter, PQ candidate join, SemDeDup
-    # bucketing) consumes it at least twice; pinning it trades a
-    # vector-count-sized persist for re-running the distance
-    # aggregation + row_number window per consumer
-    assign = assign.localCheckpoint(eager=False)
+    # and every caller (IVF probe filter, SemDeDup bucketing) consumes
+    # it at least twice; pin so the numpy pass runs once
+    assign = vecs.mapInPandas(assign_codes, schema=out_schema).localCheckpoint(
+        eager=False
+    )
+    cents = spark.createDataFrame(
+        [
+            (cid, d, int(cw[d]))
+            for cid, cw in book
+            for d in range(cw.shape[0])
+        ],
+        T.StructType(
+            [
+                T.StructField("cid", id_type),
+                T.StructField("dim", T.IntegerType()),
+                T.StructField("c", T.LongType()),
+            ]
+        ),
+    )
     return assign, cents
 
 
@@ -264,78 +377,141 @@ def pq_train_encode(
     Training is the kmeans_exact recipe run per-subspace in ONE set of
     relational ops (the subspace id rides along as a group key): integer
     coordinates, integer distances, lowest-cid tie-breaks, portable
-    floor-division centroid updates — bit-equal on any engine. Per
-    iteration: codebooks are n_sub·k_sub·sub_dim rows (kilobytes) and
-    BROADCAST; assignment and update are each one aggregation.
+    floor-division centroid updates — bit-equal on any engine.
+
+    Scale shape per iteration (round-11, guide §2.4 + §4.2 — the
+    kmeans_exact move, per subspace): the n_sub·k_sub·sub_dim-integer
+    codebooks live on the DRIVER between rounds (metadata-sized bounded
+    collect), assignment of all subspaces of a vector is ONE vectorized
+    numpy pass (mapInPandas) against the closure-shipped codebooks —
+    zero shuffles, no ×k_sub candidate explosion through a hash agg, no
+    row_number sort (the historical shape shuffled n·n_sub·k_sub
+    distance rows into a window per round) — emitting per-batch partial
+    (cid, sub, dim) sums so the update is one tiny aggregation. One
+    Spark job per Lloyd round plus the lazy final encode.
+    Subspace alignment soundness: every vector covering sub s at all
+    covers it from dim s·sub_dim (vector dim lists are dense prefixes),
+    so a sub-s codeword's dim set is a dense range starting at
+    s·sub_dim and the trimmed-overlap distance in
+    :func:`_np_argmin_cid` reproduces the historical join-on-dim
+    contribution semantics exactly (pinned by tests/test_ann.py and the
+    v8/v18 oracle twins, which replay the historical shape in SQL).
 
     Returns (codes (id, sub, cid), codebooks (cid, sub, dim, c)).
     """
-    from pyspark.sql import Window
+    import math
 
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    id_type = emb.schema[id_col].dataType
     sub_dim = dim // n_sub
-    q = emb.select(
-        F.col(id_col),
-        F.posexplode(
+
+    def to_vecs(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
             F.transform(
                 F.col(vec_col).cast("array<double>"),
                 lambda x: F.round(x * quant, 0).cast("long"),
-            )
-        ).alias("dim", "v"),
-    ).withColumn("sub", F.expr(f"dim div {sub_dim}"))
-    # q feeds every iteration plus the encode — pin it once so Lloyd
-    # round N doesn't re-expand the scan+posexplode lineage N times
-    q = q.localCheckpoint(eager=False)
+            ).alias("__v"),
+        ).filter(F.size("__v") > 0)
+
+    # vecs feeds the final encode (and, default path, every Lloyd
+    # round); pin it so each pass reuses one materialized scan
+    vecs = to_vecs(emb).localCheckpoint(eager=False)
     if train_df is None:
-        qt = q
+        vt = vecs
     else:
         # production scale path (the t24 sampled-train discipline):
         # codebook training is the n·k_sub·d term — bound it to a
         # sample; the full corpus pays only the single encode pass below
-        qt = (
-            train_df.select(
-                F.col(id_col),
-                F.posexplode(
-                    F.transform(
-                        F.col(vec_col).cast("array<double>"),
-                        lambda x: F.round(x * quant, 0).cast("long"),
-                    )
-                ).alias("dim", "v"),
-            )
-            .withColumn("sub", F.expr(f"dim div {sub_dim}"))
-            .localCheckpoint(eager=False)
-        )
-    cents = qt.filter(
+        vt = to_vecs(train_df).localCheckpoint(eager=False)
+
+    def split_subs(v: np.ndarray):
+        # dense subspace slices of a quantized vector; ragged tails
+        # slice short, absent subs don't appear — exactly the
+        # posexplode + `dim div sub_dim` dim grouping
+        for s in range(math.ceil(v.shape[0] / sub_dim)):
+            yield s, v[s * sub_dim : (s + 1) * sub_dim]
+
+    # seed codebooks: subspace slices of the vectors with ids 1..k_sub
+    books: dict[int, list] = {}
+    for r in vt.filter(
         (F.col(id_col) >= 1) & (F.col(id_col) <= k_sub)
-    ).select(F.col(id_col).alias("cid"), "sub", "dim", F.col("v").alias("c"))
-    assign = None
+    ).collect():
+        v = np.asarray(r[1], dtype=np.int64)
+        for s, sl in split_subs(v):
+            books.setdefault(s, []).append((r[0], sl))
+    for s in books:
+        books[s].sort(key=lambda t: t[0])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", id_type),
+            T.StructField("sub", T.LongType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
     for _ in range(iters):
-        diff = F.col("v") - F.col("c")
-        dists = (
-            qt.join(F.broadcast(cents.drop("sub")), "dim")
-            .groupBy(id_col, "sub", "cid")
-            .agg(F.sum(diff * diff).alias("dist"))
+        bks = books
+
+        def partial_sums(it):
+            for pdf in it:
+                cid_o, sub_o, dim_o, s_o, n_o = [], [], [], [], []
+                for L, mat, _ in _np_length_groups(pdf, "__v"):
+                    for s in range(math.ceil(L / sub_dim)):
+                        bk = bks.get(s)
+                        if not bk:
+                            continue
+                        smat = mat[:, s * sub_dim : (s + 1) * sub_dim]
+                        win = _np_argmin_cid(smat, bk)
+                        w = smat.shape[1]
+                        for j, (cid, _cw) in enumerate(bk):
+                            sel = win == j
+                            m = int(sel.sum())
+                            if not m:
+                                continue
+                            sums = smat[sel].sum(axis=0)
+                            cid_o.extend([cid] * w)
+                            sub_o.extend([s] * w)
+                            dim_o.extend(
+                                range(s * sub_dim, s * sub_dim + w)
+                            )
+                            s_o.extend(sums.tolist())
+                            n_o.extend([m] * w)
+                yield pd.DataFrame(
+                    {
+                        "cid": cid_o,
+                        "sub": sub_o,
+                        "dim": dim_o,
+                        "s": s_o,
+                        "n": n_o,
+                    }
+                )
+
+        upd = (
+            vt.mapInPandas(partial_sums, schema=part_schema)
+            .groupBy("cid", "sub", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
-        w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
-        assign = (
-            dists.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "sub", "cid")
-        )
-        sums = (
-            qt.join(assign, [id_col, "sub"])
-            .groupBy("cid", "dim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        s, n = F.col("s"), F.col("n")
-        cents = sums.select(
-            "cid",
-            F.expr(f"dim div {sub_dim}").alias("sub"),
-            "dim",
-            ((s - (((s % n) + n) % n)) / n).cast("long").alias("c"),
-        )
-        # kilobytes per round — truncate so iteration N+1's plan doesn't
-        # replay iterations 1..N (the connected_components discipline)
-        cents = cents.localCheckpoint(eager=False)
+        by_key: dict = {}
+        for r in upd:
+            by_key.setdefault((r["sub"], r["cid"]), {})[r["dim"]] = (
+                r["s"] // r["n"]
+            )
+        books = {}
+        for (s, cid), dims in sorted(by_key.items()):
+            arr = np.empty(len(dims), dtype=np.int64)
+            for d, c in dims.items():
+                arr[d - s * sub_dim] = c
+            books.setdefault(s, []).append((cid, arr))
+
+    fbooks = books
+
     # single encode pass for BOTH paths: assign EVERY corpus vector to
     # the POST-update codebooks (same argmin semantics as the training
     # assignment). Without this the default path would return the last
@@ -343,22 +519,51 @@ def pq_train_encode(
     # codebooks — leaving codes inconsistent with the returned books,
     # and pq_train_encode(train_df=emb) would disagree with
     # pq_train_encode() on identical data.
-    diff = F.col("v") - F.col("c")
-    dists = (
-        q.join(F.broadcast(cents.drop("sub")), "dim")
-        .groupBy(id_col, "sub", "cid")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
-    w = Window.partitionBy(id_col, "sub").orderBy("dist", "cid")
-    assign = (
-        dists.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "sub", "cid")
+    def encode(it):
+        for pdf in it:
+            ids, subs, cids = [], [], []
+            for L, mat, idx in _np_length_groups(pdf, "__v"):
+                bids = pdf[id_col].to_numpy()[idx]
+                for s in range(math.ceil(L / sub_dim)):
+                    bk = fbooks.get(s)
+                    if not bk:
+                        continue
+                    smat = mat[:, s * sub_dim : (s + 1) * sub_dim]
+                    win = _np_argmin_cid(smat, bk)
+                    ids.extend(bids.tolist())
+                    subs.extend([s] * len(bids))
+                    cids.extend(bk[j][0] for j in win)
+            yield pd.DataFrame({id_col: ids, "sub": subs, "cid": cids})
+
+    codes_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("sub", T.LongType()),
+            T.StructField("cid", id_type),
+        ]
     )
     # the codes frame is consumed by the ADC scorer AND by candidate
     # filters (v8/v10 reference it more than once); pin the narrow
-    # (id, sub, cid) result so the encode window never replays
-    assign = assign.localCheckpoint(eager=False)
+    # (id, sub, cid) result so the encode pass runs once
+    assign = vecs.mapInPandas(encode, schema=codes_schema).localCheckpoint(
+        eager=False
+    )
+    cents = spark.createDataFrame(
+        [
+            (cid, s, s * sub_dim + p, int(cw[p]))
+            for s in sorted(fbooks)
+            for cid, cw in fbooks[s]
+            for p in range(cw.shape[0])
+        ],
+        T.StructType(
+            [
+                T.StructField("cid", id_type),
+                T.StructField("sub", T.LongType()),
+                T.StructField("dim", T.IntegerType()),
+                T.StructField("c", T.LongType()),
+            ]
+        ),
+    )
     return assign, cents
 
 

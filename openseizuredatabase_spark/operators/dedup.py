@@ -572,16 +572,23 @@ def _cc_star_contraction(
 ) -> DataFrame:
     """Large-star/small-star contraction (see connected_components).
 
-    Scale notes: both phases are one aggregation + one equi-join on the
-    node key; large-star's per-node emission is bounded by the node's
-    degree and orients every new edge toward the neighborhood min, so
-    hub skew shrinks geometrically (the paper's Lemma 4 bounds total
-    work) — AQE skew-join covers the transient hot keys. Convergence is
-    edge-set stability; the cheap necessary test (edge COUNT unchanged)
-    gates the exact multiset compare, so early rounds pay one scalar
-    count, not an exceptAll.
+    Scale notes: each phase is ONE windowed pass keyed on the node —
+    the neighborhood min rides ``min(v) over (partition by u)`` so the
+    phase's input is referenced exactly once (round-11; the previous
+    groupBy + re-join referenced it twice, which forced an extra pin +
+    materialization job per phase — guide §2.4 "two operations keyed
+    the same way share one exchange"). The window ships the same bytes
+    the join side already shipped (all edges hashed by u); hub skew
+    still shrinks geometrically per the paper's Lemma 4. One pin + one
+    count job per ROUND. Convergence is edge-set stability; the cheap
+    necessary test (edge COUNT unchanged) gates the exact multiset
+    compare, so early rounds pay one scalar count, not an exceptAll.
     """
+    from pyspark.sql import Window
+
     from openseizuredatabase_spark.lineage import pin
+
+    wl = Window.partitionBy("u")
 
     raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     nodes = pin(
@@ -598,33 +605,47 @@ def _cc_star_contraction(
         )
         .distinct()
     )
-    n_prev = e.count()
+    def census(df: DataFrame):
+        # one job yields both convergence signals: the edge count and
+        # an order-free set checksum (sum of a 64-bit hash) — equal
+        # (n, chk) is a near-certain stability signal that gates the
+        # exact exceptAll confirmation
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps each term < 2^31 so the long sum cannot
+            # overflow below ~4e9 edges (ANSI mode raises on overflow)
+            F.sum(
+                F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))
+            ).alias("chk"),
+        ).collect()[0]
+        return r["n"], r["chk"]
+
+    n_prev, chk_prev = census(e)
     for _ in range(max_iter):
         # large-star: symmetric neighborhoods; every strictly-larger
         # neighbor of u attaches to min(N(u) ∪ {u})
         sym = e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        # no intermediate distinct: sym has exactly one v>u row per
+        # canonical edge, so ls is an |e|-row multiset — bounded — and
+        # small-star's window min plus the final distinct are
+        # multiset-insensitive; skipping it removes one exchange/round
         ls = (
-            sym.join(m, "u")
+            sym.withColumn(
+                "m", F.least(F.min("v").over(wl), F.col("u"))
+            )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        e1 = pin(ls)
-        e1.count()
         # small-star: orient (larger, smaller); all not-larger
         # neighbors and u itself attach to the neighborhood min
-        sym2 = e1.select(
+        sym2 = ls.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        m2 = sym2.groupBy("u").agg(F.min("v").alias("m"))
         ss = (
-            sym2.join(m2, "u")
+            sym2.withColumn("m", F.min("v").over(wl))
             .select(
                 F.explode(
                     F.array(
@@ -642,15 +663,16 @@ def _cc_star_contraction(
             .distinct()
         )
         e2 = pin(ss)
-        n_now = e2.count()
-        if n_now == n_prev:
-            # counts equal is necessary, not sufficient — confirm exact
-            # edge-set equality (both already canonical (larger, smaller))
+        n_now, chk_now = census(e2)
+        if n_now == n_prev and chk_now == chk_prev:
+            # count+checksum equal is necessary, not sufficient —
+            # confirm exact edge-set equality (both already canonical
+            # (larger, smaller))
             if e2.exceptAll(e).count() == 0:
                 e = e2
                 break
         e = e2
-        n_prev = n_now
+        n_prev, chk_prev = n_now, chk_now
     roots = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     return nodes.join(roots, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("comp")

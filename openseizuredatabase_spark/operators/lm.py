@@ -413,6 +413,19 @@ def dsir_importance(
     )
 
 
+def _dense_w(wd: dict, nb1: int):
+    """Driver weight dict {bucket: w} → dense int64 vector indexed by
+    bucket+1 (bias bucket -1 at index 0) for the vectorized GD pass.
+    Buckets never seen in the data stay 0 and are never read (the pass
+    indexes only buckets present in its batch)."""
+    import numpy as np
+
+    arr = np.zeros(nb1, dtype=np.int64)
+    for b, w in wd.items():
+        arr[b + 1] = w
+    return arr
+
+
 def hashed_classifier_scores(
     docs: DataFrame,
     text_col: str,
@@ -442,12 +455,15 @@ def hashed_classifier_scores(
     as ``iters`` unrolled CTE blocks (the v5 Lloyd-unroll pattern) —
     a TRAINED model with a value-hash oracle.
 
-    Scale shape: ONE corpus shuffle builds the (doc, bucket) feature
-    frame (lazily checkpointed — it feeds every step); each step is a
-    broadcast of the (n_buckets+1)-row weight table, a doc-key
-    aggregation for z, and a bucket-key aggregation for the gradient —
-    the classic distributed full-batch GD step, nothing driver-side
-    (the doc count rides a broadcast 1-row frame).
+    Scale shape (round-11): ONE corpus shuffle builds the (doc, bucket)
+    feature frame and a second groups it to one row per doc (both
+    lazily checkpointed); the (n_buckets+1)-int64 model itself is
+    metadata-sized and lives on the DRIVER between steps, so each GD
+    step is a single shuffle-free vectorized numpy pass that fuses
+    z → σ → per-bucket partial gradients and ships ≤ n_buckets+1
+    partial rows per input partition into one tiny aggregation —
+    never a data-sized collect. Final scoring stays in-plan (broadcast
+    weight join), identical to before.
 
     Returns ``(id, *keep_cols, n_bigrams, score, pred)`` where score is
     the final 6-dp sigmoid and pred the exact integer test z >= 0.
@@ -529,46 +545,145 @@ def hashed_classifier_scores(
         )
         .localCheckpoint(eager=False)
     )
+    # -- training (round-11 shape, guide §2.4 + §4.2): the model is only
+    # n_buckets+1 int64 weights — metadata-sized — so it lives on the
+    # DRIVER between steps (the kmeans_exact codebook pattern). Each GD
+    # step is ONE vectorized numpy pass (mapInPandas) over a pre-grouped
+    # per-doc feature frame: z, the quantized sigmoid p, and per-bucket
+    # partial gradients all happen inside the pass, so a step ships only
+    # ≤ (n_buckets+1) partial rows per input partition instead of the
+    # historical two corpus shuffles (a doc-key agg for z plus a
+    # bucket-key agg for the gradient, with two id-joins between them).
+    # Every quantity stays in the SAME integer micro-units with the SAME
+    # single rounding point per step, so the fit is byte-identical to
+    # the historical relational loop (pinned by tests/test_lm.py and the
+    # t34 oracle): z is an exact order-free int64 dot product whether
+    # summed by np.add.reduceat or a hash aggregate; p replicates
+    # Spark's HALF_UP round(double, 0) via the exact floor/frac
+    # comparison (k+0.5 is representable, so the binary value and the
+    # shortest-decimal BigDecimal.valueOf see the same side of every
+    # tie boundary); the weight update runs the identical IEEE-754
+    # double expression lr·g/(ndocs·1e6) on the driver. The only
+    # engine change is TRAINING-p's exp() moving JVM→libm, which can
+    # differ on a measure-zero boundary the docstring already carves
+    # out (and libm is what the DuckDB oracle twin uses). Final SCORES
+    # are still computed in-plan by the JVM exactly as before.
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
     ydoc = nt.select(
         id_col,
         F.when(F.col("__t"), F.lit(1000000))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("ym"),
-    ).localCheckpoint(eager=False)
-    ncount = ydoc.agg(F.count(F.lit(1)).alias("ndocs"))
+    )
+    # one row per doc: flattened feature arrays + label; ONE shuffle,
+    # pinned — every GD pass re-reads this frame shuffle-free
+    docfeat = (
+        xt.groupBy(id_col)
+        .agg(
+            F.collect_list("b").alias("bs"),
+            F.collect_list("x").alias("xs"),
+        )
+        .join(ydoc, id_col)
+        .select("bs", "xs", "ym")
+        .localCheckpoint(eager=False)
+    )
+    nb1 = n_buckets + 1  # bucket b maps to index b+1 (bias b=-1 → 0)
+    part_schema = T.StructType(
+        [
+            T.StructField("b", T.LongType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("nd", T.LongType()),
+        ]
+    )
 
-    def grad(p_df: DataFrame) -> DataFrame:
-        """bucket gradient Σ (p - y)·x from a per-doc p_micro frame."""
+    def gd_pass(warr):
+        """One corpus pass: per-batch partial bucket gradients Σ(p−ym)·x.
+
+        ``warr`` is the dense driver weight vector (index b+1) or None
+        for the zero-init step where p = 5e5 exactly. Emits one row per
+        bucket PRESENT in the batch (g may be 0 — presence defines the
+        weight-table key set, matching the historical groupBy("b")), and
+        carries the batch doc count on the always-present bias row.
+        """
+
+        def run(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                lens = np.fromiter(
+                    (len(v) for v in pdf["bs"]), dtype=np.int64,
+                    count=len(pdf),
+                )
+                idx = (
+                    np.concatenate(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["bs"]]
+                    )
+                    + 1
+                )
+                xs = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["xs"]]
+                )
+                ym = pdf["ym"].to_numpy(dtype=np.int64)
+                if warr is None:
+                    p = np.full(len(pdf), 500000, dtype=np.int64)
+                else:
+                    starts = np.zeros(len(pdf), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    z = np.add.reduceat(warr[idx] * xs, starts)
+                    v = 1000000.0 / (
+                        1.0 + np.exp(-(z.astype(np.float64) / 1.0e12))
+                    )
+                    fl = np.floor(v)
+                    p = (fl + (v - fl >= 0.5)).astype(np.int64)
+                acc = np.zeros(nb1, dtype=np.int64)
+                np.add.at(acc, idx, np.repeat(p - ym, lens) * xs)
+                seen = np.unique(idx)
+                yield pd.DataFrame(
+                    {
+                        "b": seen - 1,
+                        "g": acc[seen],
+                        "nd": np.where(seen == 0, len(pdf), 0),
+                    }
+                )
+
         return (
-            xt.join(p_df, id_col)
-            .join(ydoc, id_col)
+            docfeat.mapInPandas(run, schema=part_schema)
             .groupBy("b")
-            .agg(
-                F.sum(
-                    (F.col("p") - F.col("ym")) * F.col("x")
-                ).alias("g")
-            )
+            .agg(F.sum("g").alias("g"), F.sum("nd").alias("nd"))
+            .collect()
         )
 
-    def step(g_df: DataFrame, w_df: DataFrame | None) -> DataFrame:
-        delta = F.round(
-            lr * F.col("g") / (F.col("ndocs") * 1000000.0), 0
-        ).cast("long")
-        g_n = g_df.crossJoin(F.broadcast(ncount))
-        if w_df is None:
-            out = g_n.select("b", (-delta).alias("w"))
-        else:
-            out = g_n.join(F.broadcast(w_df), "b").select(
-                "b", (F.col("w") - delta).alias("w")
+    def _round_half_up(v: float) -> int:
+        """BigDecimal HALF_UP at scale 0 (ties away from zero) on the
+        double's exact value — matches Spark round(double, 0) for every
+        |v| < 2^52 (see the tie-boundary argument above)."""
+        a = abs(v)
+        fl = math.floor(a)
+        r = fl + (1 if a - fl >= 0.5 else 0)
+        return -r if v < 0.0 else r
+
+    wd: dict[int, int] = {}
+    ndocs = 0
+    for it in range(iters):
+        rows = gd_pass(None if it == 0 else _dense_w(wd, nb1))
+        if it == 0:
+            ndocs = sum(r["nd"] for r in rows)
+            if ndocs == 0:
+                break
+        for r in rows:
+            delta = _round_half_up(
+                lr * float(r["g"]) / (float(ndocs) * 1000000.0)
             )
-        # pin each step's (n_buckets+1)-row weight table: step k+1
-        # references w_k TWICE (inside grad∘p∘z and in the update
-        # join), so an unpinned chain duplicates the corpus-sized
-        # gradient aggregation 2^iters times in the final plan —
-        # Catalyst has no common-subplan dedup. A pinned w_k is one
-        # shared 65-row RDD; every training pass over xt runs once.
-        return out.localCheckpoint(eager=False)
+            wd[r["b"]] = wd.get(r["b"], 0) - delta
+    w = spark.createDataFrame(
+        sorted(wd.items()), "b bigint, w bigint"
+    )
 
     def z_frame(w_df: DataFrame) -> DataFrame:
         return (
@@ -577,19 +692,6 @@ def hashed_classifier_scores(
             .agg(F.sum(F.col("w") * F.col("x")).alias("zr"))
         )
 
-    def p_frame(z_df: DataFrame) -> DataFrame:
-        sig = 1000000.0 / (
-            1.0 + F.exp(-(F.col("zr").cast("double") / 1000000000000.0))
-        )
-        return z_df.select(
-            id_col, F.round(sig, 0).cast("long").alias("p")
-        )
-
-    # zero init ⇒ σ(0) = 0.5 exactly: the first gradient uses p = 5e5
-    p0 = ydoc.select(id_col, F.lit(500000).cast("long").alias("p"))
-    w = step(grad(p0), None)
-    for _ in range(iters - 1):
-        w = step(grad(p_frame(z_frame(w))), w)
     zf = z_frame(w)
     score = F.round(
         1.0 / (1.0 + F.exp(-(F.col("zr").cast("double") / 1000000000000.0))),

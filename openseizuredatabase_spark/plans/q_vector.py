@@ -1454,12 +1454,18 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = p.select(
         "vec_id", "x", "y", cell("x").alias("cx"), cell("y").alias("cy")
     )
-    offs = (
-        spark.range(9)
-        .select(
-            (F.col("id") % 3 - 1).cast("long").alias("dx"),
-            (F.floor(F.col("id") / 3) - 1).cast("long").alias("dy"),
-        )
+    # forward-half sweep (round-11, guide §2.2 "shuffle fewer bytes"):
+    # the historical shape replicated every point to all 9 neighbor
+    # cells, so each unordered candidate pair was shuffled and
+    # distance-tested TWICE. Each unordered cell pair {C, C+δ} is now
+    # covered exactly once — δ ranges over the 4 lexicographically
+    # FORWARD offsets (one of ±δ each) — and same-cell pairs once via
+    # ia < ib; mirroring the survivors rebuilds the identical directed
+    # pair multiset (each ordered pair appeared exactly once before:
+    # a-replica meets b in b's home cell only). 5n rows into the join
+    # instead of 9n, half the distance tests, same nbr frame.
+    offs = spark.createDataFrame(
+        [(0, 1), (1, -1), (1, 0), (1, 1)], "dx long, dy long"
     )
     a = pc.crossJoin(F.broadcast(offs)).select(
         F.col("vec_id").alias("ia"),
@@ -1467,6 +1473,13 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("ya"),
         (F.col("cx") + F.col("dx")).alias("kx"),
         (F.col("cy") + F.col("dy")).alias("ky"),
+    )
+    same = pc.select(
+        F.col("vec_id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
     )
     b = pc.select(
         F.col("vec_id").alias("ib"),
@@ -1477,10 +1490,23 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
-    nbr = (
+    half = (
         a.join(b, ["kx", "ky"])
+        .unionByName(
+            same.join(b, ["kx", "ky"]).filter(F.col("ia") < F.col("ib"))
+        )
         .filter(dx * dx + dy * dy <= F.lit(e2))
         .select("ia", "ib")
+    )
+    nbr = (
+        half.unionByName(
+            half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+        )
+        .unionByName(
+            p.select(
+                F.col("vec_id").alias("ia"), F.col("vec_id").alias("ib")
+            )
+        )
         # the eps-graph feeds FOUR consumers (core census, core-core
         # edges, border adoption, and the core anti-joins); pin the
         # 2-column pair frame once instead of re-running the 9-offset

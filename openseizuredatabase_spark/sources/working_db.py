@@ -41,7 +41,7 @@ import json
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 #: reference normalize_datetime's strptime cascade (osdb_sqlite.py:72-80),
@@ -148,7 +148,22 @@ class OsdWorkingLake:
     def _dir(self, version: int, table: str) -> str:
         return os.path.join(self.root, f"v{version}", table)
 
-    def _commit(self, events: DataFrame, dps: DataFrame | None) -> int:
+    def _commit(
+        self,
+        events: DataFrame,
+        dps: DataFrame | None,
+        dps_reuse_from: int | None = None,
+    ) -> int:
+        """Write version ``v+1`` and swap the pointer.
+
+        ``dps_reuse_from``: the mutation did not touch the datapoints
+        table — link the named committed version's parquet files into
+        the new snapshot instead of shuffling + rewriting identical
+        bytes (round-11, guide §6: a real lakehouse commit references
+        unchanged files, it never rewrites them; hardlinks are this
+        sandbox's file-reference, with copy as the cross-device
+        fallback). The reader sees the exact same files either way.
+        """
         v = self.current_version() + 1
         (
             events.repartition(F.col("type"))
@@ -157,7 +172,11 @@ class OsdWorkingLake:
             .mode("overwrite")
             .parquet(self._dir(v, "events"))
         )
-        if dps is not None:
+        if dps_reuse_from is not None:
+            src = self._dir(dps_reuse_from, "datapoints")
+            if os.path.exists(src):
+                self._link_tree(src, self._dir(v, "datapoints"))
+        elif dps is not None:
             (
                 dps.repartition("event_id")
                 .sortWithinPartitions("event_id", "dataTime")
@@ -166,6 +185,21 @@ class OsdWorkingLake:
             )
         self._publish(v)
         return v
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        import shutil
+
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
     # -- snapshot readers ------------------------------------------------
     def events(self, version: int | None = None) -> DataFrame:
@@ -226,10 +260,17 @@ class OsdWorkingLake:
         osdb_sqlite.py:266-379): incoming ids replace existing events AND
         their datapoints.  One anti-join each — no driver loop."""
         new_ev, new_dp = self._split(doc)
+        # the returned count rides the commit's events-write job as an
+        # Observation metric (round-11, guide §1.2: the old standalone
+        # new_ev.count() re-ran the whole JSON read + normalization)
+        obs = Observation()
         if self.current_version() < 0 or _replace_all:
-            self._commit(new_ev, new_dp)
-            return new_ev.count()
+            self._commit(
+                new_ev.observe(obs, F.count(F.lit(1)).alias("n")), new_dp
+            )
+            return obs.get["n"]
         ids = new_ev.select("id").distinct()
+        new_ev = new_ev.observe(obs, F.count(F.lit(1)).alias("n"))
         ev = (
             self.events()
             .join(F.broadcast(ids), "id", "left_anti")
@@ -245,17 +286,28 @@ class OsdWorkingLake:
         else:
             dp = new_dp if old_dp is None else old_dp
         self._commit(ev, dp)
-        return new_ev.count()
+        return obs.get["n"]
 
     def apply_edits(self, edits: DataFrame) -> int:
         """Batch form of update_event (osdb_sqlite.py:763-820): ``edits``
         carries ``id`` plus any of EDITABLE; matched events take the
         edit row's values verbatim (including explicit NULLs, as the
         reference UPDATE does), unmatched rows pass through.  This is
-        the scale path: one broadcast left join, copy-on-write commit."""
+        the scale path: one broadcast left join, copy-on-write commit;
+        the matched count rides the commit write as an Observation
+        metric and the untouched datapoints table is file-linked into
+        the new snapshot, never rewritten (edit ids are unique by the
+        store's own upsert discipline — a duplicated edit id would
+        duplicate its event row here exactly as it always has)."""
         ev = self.events()
         upd = F.broadcast(edits.withColumn("_hit", F.lit(True)))
-        joined = ev.alias("e").join(upd.alias("u"), "id", "left")
+        obs = Observation()
+        joined = ev.alias("e").join(upd.alias("u"), "id", "left").observe(
+            obs,
+            F.sum(
+                F.when(F.col("_hit"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n"),
+        )
         out_cols = [F.col("id")]
         for c in ev.columns:
             if c == "id":
@@ -268,9 +320,12 @@ class OsdWorkingLake:
                 )
             else:
                 out_cols.append(F.col(f"e.{c}").alias(c))
-        n = ev.join(F.broadcast(edits.select("id")), "id", "left_semi").count()
-        self._commit(joined.select(*out_cols), self.datapoints())
-        return n
+        self._commit(
+            joined.select(*out_cols),
+            None,
+            dps_reuse_from=self.current_version(),
+        )
+        return int(obs.get["n"] or 0)
 
     def update_event(
         self,
@@ -300,16 +355,22 @@ class OsdWorkingLake:
 
     def remove_events(self, event_ids: list) -> int:
         """Delete by id with datapoint cascade (osdb_sqlite.py:572-587,
-        FK ON DELETE CASCADE)."""
+        FK ON DELETE CASCADE).  The removed count = (rows scanned −
+        rows kept) rides the commit write as two Observation metrics
+        on the same plan — zero standalone count jobs (round-11)."""
         ids = [str(i) for i in event_ids]
-        ev = self.events()
-        before = ev.count()
-        kept = ev.filter(~F.col("id").isin(ids))
+        o_in, o_out = Observation(), Observation()
+        kept = (
+            self.events()
+            .observe(o_in, F.count(F.lit(1)).alias("n"))
+            .filter(~F.col("id").isin(ids))
+            .observe(o_out, F.count(F.lit(1)).alias("n"))
+        )
         dp = self.datapoints()
         if dp is not None:
             dp = dp.filter(~F.col("event_id").isin(ids))
         self._commit(kept, dp)
-        return before - kept.count()
+        return o_in.get["n"] - o_out.get["n"]
 
     # -- queries -----------------------------------------------------------
     def get_events(
@@ -399,7 +460,11 @@ class OsdWorkingLake:
             user_id=user_id, event_type=event_type,
             include_datapoints=True,
         ).withColumnRenamed("descr", "desc")
-        n = out.count()
+        # exported-row count rides the sink job (round-11: the
+        # standalone count() re-executed the whole nested-datapoints
+        # join subtree once more)
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         ordered = out.repartitionByRange(
             max(out.sparkSession.sparkContext.defaultParallelism // 2, 1),
             F.col("dataTime"),
@@ -408,25 +473,38 @@ class OsdWorkingLake:
             export_small_json(ordered, output_path, pretty=True)
         else:
             write_events_json(ordered, output_path)
-        return n
+        return obs.get["n"]
 
     def get_statistics(self) -> dict:
-        """Reference get_statistics (osdb_sqlite.py:535-570) in two
-        aggregation jobs (metadata-sized collects)."""
+        """Reference get_statistics (osdb_sqlite.py:535-570) in one
+        events aggregation job: ``cube("type")`` emits the per-type
+        counts AND the grand-total row (flagged by ``grouping``) from a
+        single scan — round-11 merge of the former two jobs; the
+        collect stays metadata-sized (one row per type + 1)."""
         ev = self.events()
-        agg = ev.agg(
-            F.count(F.lit(1)).alias("total_events"),
-            F.countDistinct("userId").alias("unique_users"),
-            F.countDistinct("type").alias("unique_types"),
-            F.min("dataTime").alias("t0"),
-            F.max("dataTime").alias("t1"),
-        ).first()
-        by_type = {
-            r["type"]: r["n"]
-            for r in ev.groupBy("type")
-            .agg(F.count(F.lit(1)).alias("n"))
+        rows = (
+            ev.cube("type")
+            .agg(
+                F.grouping("type").alias("_g"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("userId").alias("unique_users"),
+                F.countDistinct("type").alias("unique_types"),
+                F.min("dataTime").alias("t0"),
+                F.max("dataTime").alias("t1"),
+            )
             .collect()
+        )
+        tot = next((r for r in rows if r["_g"] == 1), None)
+        # empty table: a keyed aggregate emits zero rows where the old
+        # global agg emitted one — reproduce its (0, 0, 0, None, None)
+        agg = {
+            "total_events": tot["n"] if tot else 0,
+            "unique_users": tot["unique_users"] if tot else 0,
+            "unique_types": tot["unique_types"] if tot else 0,
+            "t0": tot["t0"] if tot else None,
+            "t1": tot["t1"] if tot else None,
         }
+        by_type = {r["type"]: r["n"] for r in rows if r["_g"] == 0}
         dp = self.datapoints()
         n_dp = dp.count() if dp is not None else 0
         return {

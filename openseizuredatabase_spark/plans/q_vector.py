@@ -1306,54 +1306,112 @@ def _v14_oracle(rounds: int = 3) -> str:
     "vector.",
 )
 def v14_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-11 shape (guide §2.4 + §4.2, the kmeans_exact codebook
+    # pattern): the iterated vector v is dim-sized — metadata — so it
+    # lives on the DRIVER between rounds, and each power-iteration round
+    # is ONE shuffle-free vectorized numpy pass over the pinned
+    # quantized-array frame fusing d = Xv and the per-dim partials of
+    # s = Xᵀd (the historical shape ran a broadcast join + vec_id
+    # aggregation, then a shuffle-hash join + dim aggregation — two
+    # corpus shuffles per round). Arithmetic is identical: dots and
+    # back-projections are exact order-free int64 sums whether reduced
+    # by numpy or a hash aggregate; the floor-division, the exact
+    # int64 norm, and the one IEEE multiply-divide-HALF_UP-round per
+    # dim run on the driver with the same operation sequence the JVM
+    # expressions used (k+0.5 is representable, so the floor/frac tie
+    # test reproduces BigDecimal HALF_UP bit-for-bit).
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from openseizuredatabase_spark.functions.ann import _np_length_groups
+
     emb = _ts(spark, sf_dir, "embeddings")
-
-    def fdiv(x, dd):
-        return ((x - (x % dd)) / dd).cast("long")
-
-    q = emb.select(
+    qa = emb.select(
         "vec_id",
-        F.posexplode(
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.round(x * 1000, 0).cast("long"),
-            )
-        ).alias("dim", "xv"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000, 0).cast("long"),
+        ).alias("__v"),
     ).localCheckpoint(eager=False)
-    v = q.select("dim").distinct().select(
-        "dim", F.lit(1000).cast("long").alias("vm")
+    part_schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
     )
-    for _ in range(3):
-        dt = (
-            q.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("xv") * F.col("vm")).cast("long").alias("dp"))
-        )
-        s = (
-            q.join(dt.hint("shuffle_hash"), "vec_id")
+
+    def xtxv_pass(warr):
+        """One corpus pass: per-batch partial Σ dp·xv per dim, where
+        dp = Σ xv·vm over the vector's own dims (dims are dense array
+        prefixes, so a length-L vector dots against warr[:L]).
+        ``warr`` None means the all-1000 initial vector."""
+
+        def run(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                max_l = 0
+                acc = None
+                for L, mat, _ in _np_length_groups(pdf, "__v"):
+                    w = (
+                        np.full(L, 1000, dtype=np.int64)
+                        if warr is None
+                        else warr[:L]
+                    )
+                    dp = mat @ w
+                    back = (mat * dp[:, None]).sum(axis=0)
+                    if acc is None or L > max_l:
+                        grown = np.zeros(L, dtype=np.int64)
+                        if acc is not None:
+                            grown[: max_l] += acc
+                        acc, max_l = grown, L
+                    acc[:L] += back
+                if acc is not None:
+                    # dims are dense prefixes, so every dim < max_l is
+                    # present in this batch — emit all of them (zeros
+                    # included: presence defines the output dim set)
+                    yield pd.DataFrame(
+                        {
+                            "dim": np.arange(max_l, dtype=np.int32),
+                            "s": acc,
+                        }
+                    )
+
+        return (
+            qa.mapInPandas(run, schema=part_schema)
             .groupBy("dim")
-            .agg(
-                fdiv(
-                    F.sum(F.col("dp") * F.col("xv")), F.lit(100_000_000)
-                ).alias("sq")
-            )
+            .agg(F.sum("s").alias("s"))
+            .collect()
         )
-        nrm = s.agg(
-            F.sqrt(F.sum(F.col("sq") * F.col("sq")).cast("double")).alias(
-                "nrm"
-            )
-        )
-        v = (
-            s.crossJoin(F.broadcast(nrm))
-            .select(
-                "dim",
-                F.round(F.col("sq") * 8000 / F.col("nrm"), 0)
-                .cast("long")
-                .alias("vm"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return v
+
+    def _round_half_up(v: float) -> int:
+        a = abs(v)
+        fl = math.floor(a)
+        r = fl + (1 if a - fl >= 0.5 else 0)
+        return -r if v < 0.0 else r
+
+    def _truncdiv(x: int, dd: int) -> int:
+        # Spark/DuckDB (x - x % dd) / dd with C-style remainder ==
+        # integer division truncating toward zero
+        return -((-x) // dd) if x < 0 else x // dd
+
+    warr = None
+    vm_rows: list = []
+    for _ in range(3):
+        totals = xtxv_pass(warr)
+        sq = {r["dim"]: _truncdiv(r["s"], 100_000_000) for r in totals}
+        nrm = math.sqrt(float(sum(v * v for v in sq.values())))
+        vm_rows = [
+            (d, _round_half_up(float(v * 8000) / nrm))
+            for d, v in sorted(sq.items())
+        ]
+        warr = np.zeros(len(vm_rows), dtype=np.int64)
+        for d, vm in vm_rows:
+            warr[d] = vm
+    return spark.createDataFrame(vm_rows, "dim int, vm bigint")
 
 
 _V15_EPS6 = 20000  # eps = 0.02 in micro-units
@@ -1681,114 +1739,86 @@ def _v16_oracle() -> str:
     "division rounded to 6 dp.",
 )
 def v16_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-11 shape (guide §2.4 + §4.1 higher-order functions): the
+    # historical plan exploded every vector to 64 rows, joined the
+    # 512-row sign table (x8 fan-out), aggregated back by vec_id, then
+    # joined the exploded frame TWICE more for d64 and the y frame
+    # twice for d8 — five shuffles of corpus-sized exploded rows. All
+    # of that is per-row arithmetic: quantization is a `transform`,
+    # each projection y_j an exact-int `zip_with`+`aggregate` against
+    # a LITERAL sign array, and the bucket-successor pair is `lead()`
+    # over the one window the query fundamentally needs. ONE Exchange
+    # (the bucket window), zero joins, all WholeStageCodegen. Sums are
+    # exact int64 and order-free, so results are byte-identical.
     from openseizuredatabase_spark.functions.hashing import md5_long
 
-    signs = spark.createDataFrame(
-        _v16_signs(), "j int, i int, sgn int"
-    )
-    emb = _ts(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "xv")
-    ).select(
-        "vec_id",
-        "i",
-        F.round(F.col("xv").cast("double") * 1000000, 0)
-        .cast("long")
-        .alias("xq"),
-    )
-    y = (
-        x.join(F.broadcast(signs), "i")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.col("j") == j, F.col("sgn") * F.col("xq")
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"y{j}")
-                for j in range(8)
-            ]
+    sgn: list[list[int]] = [[0] * 64 for _ in range(8)]
+    for j, i, s in _v16_signs():
+        sgn[j][i] = s
+
+    def _isum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    # one SQL string per projection row, ONE py4j call for the whole
+    # 8-array (a per-element F.lit build is ~1000 py4j round trips —
+    # measured 1.6 s of pure plan-construction latency)
+    y_sql = "array({})".format(
+        ", ".join(
+            "aggregate(zip_with(xq, array({}), (x, s) -> x * s), "
+            "0L, (acc, v) -> acc + v)".format(
+                ", ".join(f"{s}L" for s in sgn[j])
+            )
+            for j in range(8)
         )
     )
-    bkt = emb.select(
+    emb = _ts(spark, sf_dir, "embeddings")
+    base = emb.select(
         "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda xv: F.round(xv.cast("double") * 1000000, 0).cast(
+                "long"
+            ),
+        ).alias("xq"),
         (
             md5_long(F.concat(F.lit("v16:"), F.col("vec_id").cast("string")))
             % 64
         ).alias("b"),
-    )
+    ).withColumn("y", F.expr(y_sql))
     wb = Window.partitionBy("b").orderBy("vec_id")
-    ranked = bkt.select(
-        "vec_id", "b", F.row_number().over(wb).alias("rn")
-    )
-    pairs = (
-        ranked.alias("pa")
-        .join(
-            ranked.alias("pb"),
-            (F.col("pb.b") == F.col("pa.b"))
-            & (F.col("pb.rn") == F.col("pa.rn") + 1),
-        )
-        .select(
-            F.col("pa.vec_id").alias("id_a"),
-            F.col("pb.vec_id").alias("id_b"),
-        )
-    )
-    xa = x.select(
-        F.col("vec_id").alias("id_a"), "i", F.col("xq").alias("xqa")
-    )
-    xb = x.select(
-        F.col("vec_id").alias("id_b2"),
-        F.col("i").alias("ib"),
-        F.col("xq").alias("xqb"),
-    )
-    d64 = (
-        pairs.join(xa, "id_a")
-        .join(
-            xb,
-            (F.col("ib") == F.col("i"))
-            & (F.col("id_b") == F.col("id_b2")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(
-                (F.col("xqa") - F.col("xqb"))
-                * (F.col("xqa") - F.col("xqb"))
-            )
-            .cast("long")
-            .alias("d64_sq")
-        )
-        .filter(F.col("d64_sq") > 0)
-    )
-    ya = y.select(
+    led = base.select(
         F.col("vec_id").alias("id_a"),
-        *[F.col(f"y{j}").alias(f"ya{j}") for j in range(8)],
-    )
-    yb = y.select(
-        F.col("vec_id").alias("id_b"),
-        *[F.col(f"y{j}").alias(f"yb{j}") for j in range(8)],
-    )
-    d8 = None
-    for j in range(8):
-        term = (F.col(f"ya{j}") - F.col(f"yb{j}")) * (
-            F.col(f"ya{j}") - F.col(f"yb{j}")
+        "xq",
+        "y",
+        F.lead("vec_id").over(wb).alias("id_b"),
+        F.lead("xq").over(wb).alias("xqb"),
+        F.lead("y").over(wb).alias("yb"),
+    ).filter(F.col("id_b").isNotNull())
+    d64 = _isum(
+        F.zip_with(
+            F.col("xq"), F.col("xqb"), lambda p, q: (p - q) * (p - q)
         )
-        d8 = term if d8 is None else d8 + term
+    ).cast("long")
+    d8 = _isum(
+        F.zip_with(
+            F.col("y"), F.col("yb"), lambda p, q: (p - q) * (p - q)
+        )
+    ).cast("long")
     return (
-        d64.join(ya, "id_a")
-        .join(yb, "id_b")
-        .select(
+        led.select(
             "id_a",
             "id_b",
-            "d64_sq",
-            d8.cast("long").alias("d8_sq"),
+            d64.alias("d64_sq"),
+            d8.alias("d8_sq"),
             F.round(
                 (d8.cast("double") / 8.0)
-                / (F.col("d64_sq").cast("double") / 64.0),
+                / (d64.cast("double") / 64.0),
                 6,
             ).alias("ratio"),
         )
+        .filter(F.col("d64_sq") > 0)
     )
 
 

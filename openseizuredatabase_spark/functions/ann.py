@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector
 
+from openseizuredatabase_spark.functions.literal import literal_df
 from openseizuredatabase_spark.functions.vectors import cosine
 
 
@@ -250,23 +251,23 @@ def kmeans_exact(
     )
     # assign is one (id, cid) row per vector — the narrow proxy frame —
     # and every caller (IVF probe filter, SemDeDup bucketing) consumes
-    # it at least twice; pin so the numpy pass runs once
+    # it at least twice; pin EAGERLY so the numpy pass runs once — a
+    # lazy pin lets AQE's concurrent stage jobs race each other for
+    # the uncomputed cache blocks (measured on v15: tasks blocked on
+    # another stage's locks, 10x run-time vs CPU)
     assign = vecs.mapInPandas(assign_codes, schema=out_schema).localCheckpoint(
-        eager=False
+        eager=True
     )
-    cents = spark.createDataFrame(
+    # the codebook is driver-held k·dim rows — render it as a VALUES
+    # LocalRelation (no RDD job, folds/broadcasts as a literal)
+    cents = literal_df(
+        spark,
         [
             (cid, d, int(cw[d]))
             for cid, cw in book
             for d in range(cw.shape[0])
         ],
-        T.StructType(
-            [
-                T.StructField("cid", id_type),
-                T.StructField("dim", T.IntegerType()),
-                T.StructField("c", T.LongType()),
-            ]
-        ),
+        f"cid {id_type.simpleString()}, dim int, c long",
     )
     return assign, cents
 
@@ -544,25 +545,21 @@ def pq_train_encode(
     )
     # the codes frame is consumed by the ADC scorer AND by candidate
     # filters (v8/v10 reference it more than once); pin the narrow
-    # (id, sub, cid) result so the encode pass runs once
+    # (id, sub, cid) result EAGERLY so the encode pass runs once and
+    # concurrent AQE stage jobs never race for its blocks
     assign = vecs.mapInPandas(encode, schema=codes_schema).localCheckpoint(
-        eager=False
+        eager=True
     )
-    cents = spark.createDataFrame(
+    # driver-held codebooks: a VALUES LocalRelation, not an RDD
+    cents = literal_df(
+        spark,
         [
             (cid, s, s * sub_dim + p, int(cw[p]))
             for s in sorted(fbooks)
             for cid, cw in fbooks[s]
             for p in range(cw.shape[0])
         ],
-        T.StructType(
-            [
-                T.StructField("cid", id_type),
-                T.StructField("sub", T.LongType()),
-                T.StructField("dim", T.IntegerType()),
-                T.StructField("c", T.LongType()),
-            ]
-        ),
+        f"cid {id_type.simpleString()}, sub long, dim int, c long",
     )
     return assign, cents
 
@@ -684,7 +681,8 @@ def ivf_pq_topk(
         .withColumnRenamed("cid", "coarse_cid")
         # cand gates the codes scan AND re-attaches coarse_cid to the
         # final top-k: two consumers, one narrow frame — pin it
-        .localCheckpoint(eager=False)
+        # (eager: no cache-lock races between concurrent consumers)
+        .localCheckpoint(eager=True)
     )
     qdims = emb.filter(F.col(id_col) == 0).select(
         F.posexplode(
@@ -865,7 +863,9 @@ def hierarchical_assign(
             )
         ).alias("dim", "v"),
     )
-    cents = cents.localCheckpoint(eager=False)  # reused 4x below
+    # cents is a VALUES LocalRelation from kmeans_exact — already a
+    # driver literal, so the 4 consumers below share it for free (a
+    # checkpoint here would demote it to an RDD scan)
     seeds = cents.filter(F.col("cid") <= g).select(
         F.col("cid").alias("gid"), "dim", F.col("c").alias("cg")
     )

@@ -246,8 +246,12 @@ def subtype_weights(
 ) -> DataFrame:
     """M10: per-subtype sample weights via broadcast map join."""
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(k, float(v)) for k, v in weights.items()], [subtype_col, out_col]
+    from openseizuredatabase_spark.functions.literal import literal_df
+
+    wdf = literal_df(
+        spark,
+        [(k, float(v)) for k, v in weights.items()],
+        f"{subtype_col} string, {out_col} double",
     )
     return df.join(F.broadcast(wdf), subtype_col, "left").fillna(
         {out_col: default}

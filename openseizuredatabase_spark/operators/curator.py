@@ -76,7 +76,11 @@ def delete_events(
     """
     if not isinstance(ids, DataFrame):
         spark = df.sparkSession
-        ids = spark.createDataFrame([(int(i),) for i in ids], [id_col])
+        from openseizuredatabase_spark.functions.literal import literal_df
+
+        ids = literal_df(
+            spark, [(int(i),) for i in ids], f"{id_col} long"
+        )
     return df.join(
         F.broadcast(ids.select(F.col(id_col).alias(id_col))), id_col, "left_anti"
     )
@@ -109,7 +113,11 @@ def mark_events(
     a one-column edit expressed through the same broadcast-edit path."""
     if not isinstance(ids, DataFrame):
         spark = df.sparkSession
-        ids = spark.createDataFrame([(int(i),) for i in ids], [id_col])
+        from openseizuredatabase_spark.functions.literal import literal_df
+
+        ids = literal_df(
+            spark, [(int(i),) for i in ids], f"{id_col} long"
+        )
     edits = ids.select(id_col, F.lit(new_value).alias(type_col))
     return apply_event_edits(df, edits, id_col=id_col)
 

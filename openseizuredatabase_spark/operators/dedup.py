@@ -621,6 +621,17 @@ def _cc_star_contraction(
         return r["n"], r["chk"]
 
     n_prev, chk_prev = census(e)
+    # scale-adaptive loop width (the integer_pagerank pattern): the
+    # census already measured the edge count, so derive how many
+    # partitions the per-round window/distinct passes deserve — a tiny
+    # graph runs each round in one task instead of a session-wide
+    # shuffle, a lake-scale graph keeps full parallelism. coalesce on
+    # a pinned frame is narrow (no shuffle).
+    sess_w = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    loop_w = lambda n: max(1, min(sess_w, n // 50_000))
+    e = e.coalesce(loop_w(n_prev))
     for _ in range(max_iter):
         # large-star: symmetric neighborhoods; every strictly-larger
         # neighbor of u attaches to min(N(u) ∪ {u})
@@ -664,6 +675,7 @@ def _cc_star_contraction(
         )
         e2 = pin(ss)
         n_now, chk_now = census(e2)
+        e2 = e2.coalesce(loop_w(n_now))
         if n_now == n_prev and chk_now == chk_prev:
             # count+checksum equal is necessary, not sufficient —
             # confirm exact edge-set equality (both already canonical

@@ -681,9 +681,9 @@ def hashed_classifier_scores(
                 lr * float(r["g"]) / (float(ndocs) * 1000000.0)
             )
             wd[r["b"]] = wd.get(r["b"], 0) - delta
-    w = spark.createDataFrame(
-        sorted(wd.items()), "b bigint, w bigint"
-    )
+    from openseizuredatabase_spark.functions.literal import literal_df
+
+    w = literal_df(spark, sorted(wd.items()), "b bigint, w bigint")
 
     def z_frame(w_df: DataFrame) -> DataFrame:
         return (

@@ -146,7 +146,10 @@ def stratified_sample(
     from openseizuredatabase_spark.functions.hashing import seeded_md5_long
 
     spark = df.sparkSession
-    fr = spark.createDataFrame(
+    from openseizuredatabase_spark.functions.literal import literal_df
+
+    fr = literal_df(
+        spark,
         [(k, float(v)) for k, v in fractions.items()],
         f"{strata_col} string, __frac double",
     )

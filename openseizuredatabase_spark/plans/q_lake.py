@@ -2234,7 +2234,10 @@ def e5_working_db_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = db.get_events(event_ids=["e1", "e777"], include_datapoints=True)
     st = db.get_statistics()
-    stats = spark.createDataFrame(
+    from openseizuredatabase_spark.functions.literal import literal_df
+
+    stats = literal_df(
+        spark,
         [(
             "stats", "~", "~", "~", False,
             st["total_events"], st["unique_users"],

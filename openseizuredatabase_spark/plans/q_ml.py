@@ -18,6 +18,7 @@ from openseizuredatabase_spark.operators import filters as filter_ops
 from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
+from openseizuredatabase_spark.functions.literal import literal_df
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.text import bpe_token_count_sql
 from openseizuredatabase_spark.functions.hashing import (
@@ -3637,7 +3638,7 @@ def m25_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round(F.col("power") * 1000000, 0).cast("long").alias("pm"),
     )
-    fb = spark.createDataFrame(_m25_filters(), "f int, k long, w long")
+    fb = literal_df(spark, _m25_filters(), "f int, k long, w long")
     e = (
         p.join(F.broadcast(fb), "k")
         .groupBy("media_id", "epoch", "f")
@@ -3646,7 +3647,7 @@ def m25_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     le = e.select(
         "media_id", "epoch", "f", F.expr(_M25_LE).alias("lem")
     )
-    dct = spark.createDataFrame(_m25_dct(), "c int, f int, d long")
+    dct = literal_df(spark, _m25_dct(), "c int, f int, d long")
     m = (
         le.join(F.broadcast(dct), "f")
         .groupBy("media_id", "epoch", "c")
@@ -4249,7 +4250,7 @@ def _m44_pred_dfs(spark: SparkSession, sf_dir: str):
             "bucket"
         ),
     )
-    fr = spark.createDataFrame([(s,) for s in _M44_FRACS], "s long")
+    fr = literal_df(spark, [(s,) for s in _M44_FRACS], "s long")
     cent_sums = [
         F.sum(
             F.round(F.element_at("emb", d).cast("double") * 1000000, 0).cast(

@@ -18,6 +18,7 @@ from openseizuredatabase_spark.operators import filters as filter_ops
 from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
+from openseizuredatabase_spark.functions.literal import literal_df
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.text import bpe_token_count_sql
 from openseizuredatabase_spark.functions.hashing import (
@@ -2821,7 +2822,7 @@ def _n22_oracle() -> str:
     "degenerate distribution can't silently shrink the test.",
 )
 def n22_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = spark.createDataFrame(_n22_benford(), "digit long, p_micro long")
+    b = literal_df(spark, _n22_benford(), "digit long, p_micro long")
     obs = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") >= 1)

@@ -18,6 +18,7 @@ from openseizuredatabase_spark.operators import filters as filter_ops
 from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
+from openseizuredatabase_spark.functions.literal import literal_df
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.text import bpe_token_count_sql
 from openseizuredatabase_spark.functions.hashing import (
@@ -1411,7 +1412,7 @@ def v14_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         warr = np.zeros(len(vm_rows), dtype=np.int64)
         for d, vm in vm_rows:
             warr[d] = vm
-    return spark.createDataFrame(vm_rows, "dim int, vm bigint")
+    return literal_df(spark, vm_rows, "dim int, vm bigint")
 
 
 _V15_EPS6 = 20000  # eps = 0.02 in micro-units
@@ -1522,8 +1523,25 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair multiset (each ordered pair appeared exactly once before:
     # a-replica meets b in b's home cell only). 5n rows into the join
     # instead of 9n, half the distance tests, same nbr frame.
-    offs = spark.createDataFrame(
-        [(0, 1), (1, -1), (1, 0), (1, 1)], "dx long, dy long"
+    # the point table is consumed by FIVE plan branches (three join
+    # sides, the self-edge branch, and the noise anti-join); at any
+    # scale re-deriving it means five parquet scans, and locally the
+    # lazily-shared subtree makes AQE's CONCURRENT stage jobs race on
+    # the same uncomputed blocks. One eager materialization, then the
+    # measured count drives a scale-adaptive layout (the
+    # integer_pagerank pattern: tiny inputs collapse to one partition,
+    # lake-scale inputs keep the cluster-wide width).
+    pc = pc.localCheckpoint(eager=True)
+    n_pts = pc.count()
+    sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    w_pts = max(1, min(sess_w, n_pts // 50_000))
+    pc = pc.coalesce(w_pts)
+    # a 4-row constant: a LocalRelation literal, NOT createDataFrame —
+    # the RDD path schedules one Python-worker task per core to ship
+    # four integers (measured 0.6 s of pure scheduling at sf0.1)
+    offs = spark.sql(
+        "SELECT * FROM VALUES (CAST(0 AS LONG), CAST(1 AS LONG)), "
+        "(1, -1), (1, 0), (1, 1) AS t(dx, dy)"
     )
     a = pc.crossJoin(F.broadcast(offs)).select(
         F.col("vec_id").alias("ia"),
@@ -1555,24 +1573,27 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(dx * dx + dy * dy <= F.lit(e2))
         .select("ia", "ib")
+        # the forward-half pair set is referenced TWICE (itself and its
+        # mirror) and the eps-graph built from it feeds four consumers;
+        # materialize the expensive blocked join exactly once, EAGERLY.
+        # Lazy checkpoints here let AQE's concurrent stage jobs race on
+        # the uncomputed blocks: measured at sf0.1, the 160-partition
+        # blocked-join stage ran FOUR times with 95 s of summed task
+        # time against 8.7 s of CPU — every extra run was tasks
+        # blocking on another stage's cache locks (guide §1.1: the
+        # stage was "slow" on wait, not compute)
+        .localCheckpoint(eager=True)
     )
-    nbr = (
-        half.unionByName(
-            half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    w_half = max(1, min(sess_w, half.count() // 50_000))
+    half = half.coalesce(w_half)
+    # nbr is now a cheap narrow union over the cached half + pc — no
+    # checkpoint needed: each consumer re-reads cache, not the join
+    nbr = half.unionByName(
+        half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    ).unionByName(
+        pc.select(
+            F.col("vec_id").alias("ia"), F.col("vec_id").alias("ib")
         )
-        .unionByName(
-            p.select(
-                F.col("vec_id").alias("ia"), F.col("vec_id").alias("ib")
-            )
-        )
-        # the eps-graph feeds FOUR consumers (core census, core-core
-        # edges, border adoption, and the core anti-joins); pin the
-        # 2-column pair frame once instead of re-running the 9-offset
-        # blocked join per consumer — DBSCAN's neighbor graph is the
-        # intrinsic product here, recomputing it is pure waste at any
-        # scale (persist-vs-recompute: the pairs are a bounded multiple
-        # of input rows by the grid-density argument)
-        .localCheckpoint(eager=False)
     )
     core = (
         nbr.groupBy("ia")
@@ -1580,8 +1601,8 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_nbr") >= _V15_MINPTS)
         .select(F.col("ia").alias("vec_id"))
         # one row per core point; consumed by eg (twice), singles, and
-        # the border anti-join
-        .localCheckpoint(eager=False)
+        # the border anti-join — eager for the same no-race reason
+        .localCheckpoint(eager=True)
     )
     eg = (
         nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia")
@@ -1600,7 +1621,8 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comps feeds border adoption, the per-cluster census, and the
     # noise anti-join; cc is already a checkpointed label frame but the
     # union re-runs the singles anti-join per consumer — pin the union
-    comps = cc.unionByName(singles).localCheckpoint(eager=False)
+    # (eager: concurrent consumers must find computed blocks, see half)
+    comps = cc.unionByName(singles).localCheckpoint(eager=True)
     border = (
         nbr.join(core.withColumnRenamed("vec_id", "ia"), "ia", "left_anti")
         .join(
@@ -1612,7 +1634,7 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ia")
         .agg(F.min("comp").cast("long").alias("comp"))
         # consumed by the border census and the noise anti-join
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     core_per = comps.groupBy(F.col("comp").alias("cluster")).agg(
         F.count(F.lit(1)).cast("long").alias("n_core")
@@ -1621,8 +1643,9 @@ def v15_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_border")
     )
     noise = (
-        p.join(comps.select(F.col("id").alias("vec_id")), "vec_id",
-               "left_anti")
+        pc.select("vec_id")
+        .join(comps.select(F.col("id").alias("vec_id")), "vec_id",
+              "left_anti")
         .join(border.select(F.col("ia").alias("vec_id")), "vec_id",
               "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
@@ -1910,7 +1933,7 @@ def _v17_oracle() -> str:
     "semantics, every tie broken by doc_id in both engines.",
 )
 def v17_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = spark.createDataFrame(_v17_query_vec(), "i int, s long")
+    qv = literal_df(spark, _v17_query_vec(), "i int, s long")
     lex_expr = None
     for w in _V17_TERMS:
         term = F.size(
@@ -2346,9 +2369,7 @@ def v23_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("qid", F.col("vec_id").alias("evid"))
     )
-    probes = spark.createDataFrame(
-        [(p,) for p in _V23_PROBES], "np long"
-    )
+    probes = literal_df(spark, [(p,) for p in _V23_PROBES], "np long")
     cand = (
         probes.crossJoin(qcell)
         .filter(F.col("crank") <= F.col("np"))

@@ -18,6 +18,7 @@ from openseizuredatabase_spark.operators import filters as filter_ops
 from openseizuredatabase_spark.operators import joins as join_ops
 from openseizuredatabase_spark.operators import splits as split_ops
 from openseizuredatabase_spark.operators import windows as window_ops
+from openseizuredatabase_spark.functions.literal import literal_df
 from openseizuredatabase_spark.functions import text as text_fns
 from openseizuredatabase_spark.functions.text import bpe_token_count_sql
 from openseizuredatabase_spark.functions.hashing import (
@@ -2835,7 +2836,7 @@ def w22_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nv"),
     )
-    lags = spark.createDataFrame([(i,) for i in range(7)], "l int")
+    lags = literal_df(spark, [(i,) for i in range(7)], "l int")
     a = s.select(F.col("h").alias("ha"), F.col("nc").alias("x"))
     b = s.select(F.col("h").alias("hb"), F.col("nv").alias("y"))
     j = (

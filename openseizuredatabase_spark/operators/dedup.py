@@ -536,6 +536,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # materialize the cache once up front (concurrent AQE stage jobs
+    # otherwise race on the uncomputed blocks) and size the loop from
+    # the measured edge count — the integer_pagerank width rule
+    sess_w = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n_edges = edges.count()
+    loop_w = max(1, min(sess_w, n_edges // 50_000))
+    edges = edges.coalesce(loop_w)
     labels = (
         edges.select("src").distinct().withColumn("comp", F.col("src"))
     )
@@ -560,7 +569,7 @@ def connected_components(
         )
         cur = pin(hooked)
         changed = cur.filter(F.col("comp") < F.col("old")).count()
-        labels = cur.select("src", "comp")
+        labels = cur.select("src", "comp").coalesce(loop_w)
         if changed == 0:
             break
     edges.unpersist()

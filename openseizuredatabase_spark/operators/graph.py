@@ -123,6 +123,13 @@ def hits_scores(
     default micro scale; drop ``scale`` to 1e4 for hotter graphs (the
     lm.py gradient-bound discipline)."""
     edges = edges.localCheckpoint(eager=True)
+    # integer_pagerank's width rule: loop parallelism from the measured
+    # edge count, so small graphs run each half-step in one task and
+    # big graphs keep the session-wide layout
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = max(1, min(width, edges.count() // 50_000))
+    edges = edges.coalesce(n_part)
 
     def renorm(raw: DataFrame, col: str) -> DataFrame:
         m = raw.agg(F.max(col).alias("m"))

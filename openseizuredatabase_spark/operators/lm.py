@@ -184,6 +184,64 @@ def doc_bigrams(
     )
 
 
+def bigram_doc_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc add-1 bigram log-probability scores — the fused form of
+    ``bigram_model`` + ``score_docs_bigram`` (t18/p5/p10's shape).
+
+    Round-11 restructure (guide §2.3 "aggregate before you shuffle"):
+    the corpus is tokenized+exploded into bigrams ONCE, immediately
+    aggregated to per-doc distinct-bigram counts (dbc: id, a, b, n) and
+    materialized; the model's corpus counts come from dbc by a second,
+    much smaller aggregation, and scoring joins dbc — so the model
+    join handles one row per DISTINCT (doc, bigram) instead of one row
+    per occurrence, and the historical plan's second tokenize+explode
+    pass disappears. The per-doc average is the weighted identity
+    avg(lp over occurrences) = Σ n·lp / Σ n — same values, fewer rows
+    (the oracle twin applies the identical rewrite).
+
+    Unigram counts still need their own tokenize pass: c(a) counts all
+    token occurrences including each doc's final token, which bigram
+    first-positions miss.
+    """
+    dbc = (
+        doc_bigrams(docs, id_col, text_col)
+        .groupBy(id_col, "a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # consumed by the model aggregation AND the scoring join; lazy
+        # (not eager) measured 1.8 s faster at sf0.1 — the defensive
+        # per-row copy of an eager materialization costs more than the
+        # shared recompute it saves on this string-heavy frame
+        .localCheckpoint(eager=False)
+    )
+    bigram_counts = dbc.groupBy("a", "b").agg(
+        F.sum("n").alias("c_ab")
+    )
+    toks = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    lp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    joined = (
+        dbc.join(bigram_counts, ["a", "b"], "left")
+        .join(uni.withColumnRenamed("t", "a"), ["a"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(id_col, "n", (F.col("n") * lp).alias("nlp"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum("nlp") / F.sum("n"), 6).alias("avg_logprob"),
+    )
+
+
 def bigram_model(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

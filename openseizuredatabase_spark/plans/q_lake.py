@@ -2380,16 +2380,24 @@ def d15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
     )
     base = tempfile.mkdtemp(prefix="d15_lake_")
+    # write width from footer metadata (a local read, no job): the
+    # one-file-per-leaf invariant only needs each partition VALUE to
+    # land in one task, which any hash width preserves — so a small
+    # input writes through a few tasks instead of a session-wide
+    # exchange, and a lake-scale input keeps the cluster width
+    n_rows, _ = tables.table_meta(sf_dir, "events")
+    sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = max(1, min(sess_w, n_rows // 50_000))
     (
         ev.filter(F.col("event_id") % 2 == 0)
-        .repartition(F.col("d"))
+        .repartition(w, F.col("d"))
         .write.partitionBy("d")
         .mode("overwrite")
         .parquet(f"{base}/spec1")
     )
     (
         ev.filter(F.col("event_id") % 2 == 1)
-        .repartition(F.col("d"), F.col("event_type"))
+        .repartition(w, F.col("d"), F.col("event_type"))
         .write.partitionBy("d", "event_type")
         .mode("overwrite")
         .parquet(f"{base}/spec2")

@@ -6,6 +6,7 @@ Split out of plans/registry.py (round 6); statements moved verbatim.
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 
@@ -735,6 +736,47 @@ def a5_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_ann.py.
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_width(spark: SparkSession, sf_dir: str, table: str = "events"):
+    """Scale the streaming state-store partition count to the stream's
+    measured input size for the duration of one availableNow run.
+
+    A stateful streaming operator keeps one state store per shuffle
+    partition and commits every store every micro-batch; with the
+    session's cluster-wide width, a small replay pays 32 state commits
+    x N operators per batch of almost pure file latency (measured on
+    s23: 58-95 s of summed commit time per batch against ~66k state
+    rows). The width is derived from the input's parquet row-count
+    metadata — the same measured-size rule as integer_pagerank — so a
+    lake-scale stream keeps the session width (conf-driven on a real
+    cluster) and a small replay collapses to a handful of stores. The
+    session conf is restored on exit; state partition count affects
+    layout only, never result membership (the oracle re-verifies).
+    """
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        files = [
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [src]
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    sess = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    w = max(1, min(int(sess), n // 50_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(w))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """readStream over the events parquet with ``ts`` normalized to
     TimestampType, whatever the writer's physical encoding.
@@ -843,15 +885,16 @@ def s10_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir, "s10_events_")
     out = session_clusters(stream, "ts", ["user_id"], gap="30 minutes")
     name = f"s10_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1102,15 +1145,16 @@ def s11_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir, "s11_events_")
     out = windowed_counts(stream, "ts", ["event_type"], window_duration="1 day")
     name = f"s11_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         F.date_format("bucket_start", "yyyyMMdd").cast("long").alias("day_num"),
         "event_type",
@@ -1141,15 +1185,16 @@ def s13_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir, "s13_events_")
     out = streaming_distinct(stream, "ts", ["user_id", "event_type"])
     name = f"s13_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select("user_id", "event_type")
 
 
@@ -1287,15 +1332,16 @@ def s12_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="30 minutes",
     )
     name = f"s12_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     # expected: on-time 02:00 window (n=30) + transient late 00:00 window
     # (n=10); the still-open 03:00 window is withheld by the watermark.
     # bucket as epoch seconds so the oracle compares integers.
@@ -1488,15 +1534,16 @@ def s15_streaming_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         OsdSettings(sample_period=5, warn_time=5, alarm_time=10),
     )
     name = f"s15_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1737,15 +1784,16 @@ def s16_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("err_ts") - F.unix_micros("clk_ts")).alias("gap_us"),
     )
     name = f"s16_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -2207,15 +2255,16 @@ def s17_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", ["event_type"], window_duration="2 days", slide="1 day"
     )
     name = f"s17_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         F.date_format("bucket_start", "yyyyMMdd").cast("long").alias(
             "win_start"
@@ -2279,15 +2328,16 @@ def s20_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"s20_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         "user_id",
         F.col("session_window.start").cast("long").alias("session_start"),
@@ -2371,17 +2421,18 @@ def s22_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land)
     )
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"s22_ckpt_{uuid.uuid4().hex[:6]}_"),
+    with _stream_width(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"s22_ckpt_{uuid.uuid4().hex[:6]}_"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+        q.processAllAvailable()
+        q.stop()
     final = spark.read.parquet(versions[-1])
     return final.select(
         "user_id",
@@ -2548,15 +2599,16 @@ def s18_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, dim, "ts", "user_id", ["segment"], window_duration="1 day"
     )
     name = f"s18_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         F.date_format("bucket_start", "yyyyMMdd").cast("long").alias(
             "win_start"
@@ -2882,15 +2934,16 @@ def s19_streaming_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
     name = f"s19_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            joined.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         F.date_format(F.col("window.start"), "yyyyMMdd")
         .cast("long")
@@ -3445,8 +3498,12 @@ def _copart_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") != F.col("v")))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager: the consumers are iterative loops whose concurrent AQE
+        # stage jobs would otherwise race on the uncomputed blocks
+        .localCheckpoint(eager=True)
     )
+    sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = edges.coalesce(max(1, min(sess_w, edges.count() // 50_000)))
     return ps, edges
 
 
@@ -4386,15 +4443,16 @@ def s23_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="leftOuter",
     )
     name = f"s23_{uuid.uuid4().hex[:8]}"
-    q = (
-        j.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            j.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .groupBy("lid")
@@ -4446,7 +4504,12 @@ def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # four consumers (degree census, both wedge-join sides, the
+        # totals row): materialize the distinct edge set once, eagerly
+        .localCheckpoint(eager=True)
     )
+    sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.coalesce(max(1, min(sess_w, e.count() // 50_000)))
     deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
@@ -4938,15 +5001,16 @@ def s25_streaming_merge_grouping(
         )
     )
     name = f"s25_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_width(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     out = spark.table(name)
     merged = F.when(
         F.col("n_members") > 1,

@@ -604,15 +604,18 @@ def s24_streaming_osd_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         OsdSettings(sample_period=5.0, warn_time=5.0, alarm_time=10.0),
     )
     name = f"s24_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    from openseizuredatabase_spark.plans.q_relational import _stream_width
+
+    with _stream_width(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .groupBy("event_id")

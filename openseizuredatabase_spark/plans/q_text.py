@@ -895,8 +895,15 @@ _T18_SQL = f"""
         SELECT doc_id, t[i+1] AS a, t[i+2] AS b
         FROM toks, unnest(generate_series(0, len(t) - 2)) AS g(i)
         WHERE len(t) >= 2
+    ), dbc AS (
+        -- per-doc distinct-bigram counts FIRST (the Spark twin's
+        -- aggregate-before-shuffle shape); the model and the scoring
+        -- join both ride this pre-aggregated frame, and the per-doc
+        -- average is the weighted identity sum(n*lp)/sum(n)
+        SELECT doc_id, a, b, count(*)::BIGINT AS n
+        FROM bg GROUP BY doc_id, a, b
     ), model AS (
-        SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+        SELECT a, b, sum(n)::BIGINT AS c_ab FROM dbc GROUP BY a, b
     ), uni AS (
         SELECT unnest(t) AS tok FROM toks
     ), unic AS (
@@ -904,15 +911,16 @@ _T18_SQL = f"""
     ), vsize AS (
         SELECT count(*) AS v FROM unic
     )
-    SELECT bg.doc_id,
-           count(*) AS n_bigrams,
-           round(avg(ln((m.c_ab + 1)::DOUBLE)
-                     - ln((u.c_a + vsize.v)::DOUBLE)), 6) AS avg_logprob
-    FROM bg
-    JOIN model m ON bg.a = m.a AND bg.b = m.b
-    JOIN unic u ON bg.a = u.tok
+    SELECT dbc.doc_id,
+           sum(dbc.n)::BIGINT AS n_bigrams,
+           round(sum(dbc.n * (ln((m.c_ab + 1)::DOUBLE)
+                              - ln((u.c_a + vsize.v)::DOUBLE)))
+                 / sum(dbc.n), 6) AS avg_logprob
+    FROM dbc
+    JOIN model m ON dbc.a = m.a AND dbc.b = m.b
+    JOIN unic u ON dbc.a = u.tok
     CROSS JOIN vsize
-    GROUP BY bg.doc_id
+    GROUP BY dbc.doc_id
     """
 
 
@@ -929,14 +937,10 @@ _T18_SQL = f"""
     "and the 6-dp rounded average absorbs summation-order ulps.",
 )
 def t18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.operators.lm import (
-        bigram_model,
-        score_docs_bigram,
-    )
+    from openseizuredatabase_spark.operators.lm import bigram_doc_scores
 
     docs = _ts(spark, sf_dir, "documents")
-    bigram_counts, uni, vsize = bigram_model(docs)
-    return score_docs_bigram(docs, bigram_counts, uni, vsize)
+    return bigram_doc_scores(docs)
 
 
 _PII_AUG_SQL = (
@@ -2265,14 +2269,10 @@ def t32_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score with doc-id tie-break is deterministic cross-engine.",
 )
 def p5_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.operators.lm import (
-        bigram_model,
-        score_docs_bigram,
-    )
+    from openseizuredatabase_spark.operators.lm import bigram_doc_scores
 
     docs = _ts(spark, sf_dir, "documents")
-    bigram_counts, uni, vsize = bigram_model(docs)
-    scored = score_docs_bigram(docs, bigram_counts, uni, vsize)
+    scored = bigram_doc_scores(docs)
     ss = scored.join(docs.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy(
         F.col("avg_logprob"), F.col("doc_id")
@@ -3738,14 +3738,10 @@ def _p10_oracle(iters: int = 3) -> str:
     "should spend its shuffles.",
 )
 def p10_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openseizuredatabase_spark.operators.lm import (
-        bigram_model,
-        score_docs_bigram,
-    )
+    from openseizuredatabase_spark.operators.lm import bigram_doc_scores
 
     docs = _ts(spark, sf_dir, "documents")
-    bigram_counts, uni, vsize = bigram_model(docs)
-    scored = score_docs_bigram(docs, bigram_counts, uni, vsize)
+    scored = bigram_doc_scores(docs)
     perdoc = scored.join(docs.select("doc_id", "source"), "doc_id").select(
         "source",
         F.round(F.col("avg_logprob") * 1_000_000, 0)

@@ -3738,6 +3738,7 @@ def _p10_oracle(iters: int = 3) -> str:
     "should spend its shuffles.",
 )
 def p10_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openseizuredatabase_spark.functions.literal import literal_df
     from openseizuredatabase_spark.operators.lm import bigram_doc_scores
 
     docs = _ts(spark, sf_dir, "documents")
@@ -3752,61 +3753,62 @@ def p10_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (-F.sum("al")).cast("long").alias("nll"),
     )
-
-    def fdiv(x, d):
-        return ((x - (x % d)) / d).cast("long")
-
-    # src carries the full corpus-scoring lineage and every MW round
-    # references it (directly and through the weight chain) — pin the
-    # source-cardinality frame ONCE so the t18 scoring pass runs once
-    # (the integer_pagerank discipline: truncate when the replay is
-    # cross-referenced, not when Catalyst can reuse one exchange).
-    src = src.localCheckpoint(eager=False)
-    tot = src.agg(F.sum("n_docs").cast("long").alias("nd"))
-    dom = src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        fdiv(F.col("n_docs") * 1000, F.col("nd")).alias("s_pm"),
-        fdiv(F.col("nll"), F.col("n_docs") * 1000).alias("loss_milli"),
+    # The MW fixed-point iterates a SOURCE-cardinality state — the
+    # DoReMi domain table, metadata-sized by construction (a mixture
+    # tuner has tens of domains at any corpus size). Round 11 (guide
+    # §1.2 "don't compute things you throw away" + §3.3 plan-size):
+    # the former in-plan unroll referenced the weight chain twice per
+    # round, DOUBLING the logical plan every iteration — 298 Exchanges
+    # / 3561 plan lines for 3 rounds. The state now lives on the
+    # DRIVER between rounds (the v14 power-iteration / t34 GD-weights
+    # pattern): ONE corpus-scale scoring pass feeds one bounded
+    # collect, the rounds are exact Python-int arithmetic, and the
+    # result returns as a VALUES literal. fdiv on Spark was
+    # (x - x % d)/d with C-style remainder == truncation toward zero
+    # (every numerator here is < 2^53, so the double division was
+    # exact); _tdiv reproduces it exactly for either sign of x.
+    rows = src.collect()
+    ddl = (
+        "source string, n_docs bigint, s_pm bigint, loss_milli bigint, "
+        "weight_micro bigint"
     )
-    w = dom.select("source", F.lit(1000).cast("long").alias("w"))
+    if not rows:  # empty corpus: the old plan produced zero rows
+        return spark.createDataFrame([], ddl)
+
+    def _tdiv(x: int, d: int) -> int:
+        return -((-x) // d) if x < 0 else x // d
+
+    nd = sum(r["n_docs"] for r in rows)
+    dom = [
+        (
+            r["source"],
+            int(r["n_docs"]),
+            _tdiv(r["n_docs"] * 1000, nd),
+            _tdiv(r["nll"], r["n_docs"] * 1000),
+        )
+        for r in rows
+    ]
+    w = {s: 1000 for s, _n, _pm, _lm in dom}
     for _ in range(3):
-        wd = w.join(dom.select("source", "s_pm", "loss_milli"), "source")
-        ref = wd.agg(
-            fdiv(
-                F.sum(F.col("w") * F.col("s_pm") * F.col("loss_milli")),
-                F.sum(F.col("w") * F.col("s_pm")),
-            ).alias("ref")
+        ref = _tdiv(
+            sum(w[s] * pm * lm for s, _n, pm, lm in dom),
+            sum(w[s] * pm for s, _n, pm, _lm in dom),
         )
-        w = wd.crossJoin(F.broadcast(ref)).select(
-            "source",
-            fdiv(
-                F.col("w")
-                * (
-                    F.lit(1_000_000)
-                    + fdiv(
-                        F.greatest(
-                            F.col("loss_milli") - F.col("ref"), F.lit(0)
-                        ),
-                        F.lit(20),
-                    )
-                ),
-                F.lit(1_000_000),
-            ).alias("w"),
-        )
-    norm = w.agg(F.sum("w").cast("long").alias("sw"))
-    return (
-        dom.join(w, "source")
-        .crossJoin(F.broadcast(norm))
-        .select(
-            "source",
-            "n_docs",
-            "s_pm",
-            "loss_milli",
-            fdiv(F.col("w") * 1_000_000, F.col("sw")).alias(
-                "weight_micro"
-            ),
-        )
+        w = {
+            s: _tdiv(
+                w[s] * (1_000_000 + _tdiv(max(lm - ref, 0), 20)),
+                1_000_000,
+            )
+            for s, _n, _pm, lm in dom
+        }
+    sw = sum(w.values())
+    return literal_df(
+        spark,
+        [
+            (s, n, pm, lm, _tdiv(w[s] * 1_000_000, sw))
+            for s, n, pm, lm in dom
+        ],
+        ddl,
     )
 
 

@@ -34,6 +34,15 @@ for min-of-3 and the driver's 2000-char stdout tail capture):
 Each query runs as a full job with a no-op sink (results are materialized
 on executors, never collected to the driver) — measuring engine time, not
 driver serialization.
+
+Round-11 addition: a fixed-work host-speed CANARY (one pure-CPU probe +
+one shuffle probe over spark.range) runs before the core tier, between
+the tiers and after the extended tier. Raw per-query numbers are
+unchanged; the canary rides along (``canary_cpu_s`` /
+``canary_shuffle_s`` = min over the three runs, all runs in
+BENCH_FULL.json) so cross-round movers can be normalized against the
+box's speed in the SAME window — the measured ambient swing here is
+~31% run-to-run with in-run steal spikes to 4x on identical code.
 """
 
 from __future__ import annotations
@@ -378,6 +387,36 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def canary() -> dict[str, float]:
+        """Fixed-work host-speed probe (round-11; the measured ambient
+        swing on this box is ~31% on identical code, with steal spikes
+        to 4x inside one run — raw cross-round per-query deltas are
+        uninterpretable without a same-window speed reference). Two
+        probes bracket the two cost regimes: pure codegen CPU and the
+        shuffle machinery. Data-independent (spark.range), so the
+        number means the same thing in every round and at every sf."""
+        spark.sparkContext.setJobDescription("canary: cpu probe")
+        t0 = time.time()
+        (
+            spark.range(0, 64_000_000, 1, int(os.environ.get(
+                "SPARK_GRAFT_CPUS", "32")))
+            .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS h")
+            .write.format("noop").mode("overwrite").save()
+        )
+        cpu_s = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription("canary: shuffle probe")
+        t0 = time.time()
+        (
+            spark.range(0, 4_000_000, 1, int(os.environ.get(
+                "SPARK_GRAFT_CPUS", "32")))
+            .selectExpr("id % 100000 AS k")
+            .groupBy("k").count()
+            .write.format("noop").mode("overwrite").save()
+        )
+        shuf_s = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        return {"cpu_s": cpu_s, "shuffle_s": shuf_s}
+
     def drop_persisted() -> None:
         # per-QUERY hygiene, BLOCKING and outside every timed window:
         # dead localCheckpoint blocks otherwise wait for an async GC
@@ -388,6 +427,7 @@ def main() -> int:
         for r in spark.sparkContext._jsc.getPersistentRDDs().values():
             r.unpersist()
 
+    canaries = [canary()]  # before the core tier
     core_timings: dict[str, float] = {}
     core_passes: dict[str, list[float]] = {}
     core_spread: dict[str, float] = {}
@@ -405,6 +445,7 @@ def main() -> int:
         )
         drop_persisted()
 
+    canaries.append(canary())  # between the tiers
     slow_set = set(SLOW_EXT)
     assert slow_set <= set(HEADLINE) and not (slow_set & core_set)
     ext_timings: dict[str, float] = {}
@@ -416,6 +457,9 @@ def main() -> int:
             )
             drop_persisted()
 
+    canaries.append(canary())  # after the extended tier
+    can_cpu = round(min(c["cpu_s"] for c in canaries), 3)
+    can_shuf = round(min(c["shuffle_s"] for c in canaries), 3)
     core_total = round(sum(core_timings.values()), 3)
     ext_total = round(sum(ext_timings.values()), 3)
     slow10_total = round(sum(ext_timings[n] for n in SLOW_EXT), 3)
@@ -435,6 +479,9 @@ def main() -> int:
                 "extended_passes": 1,
                 "slow10": {n: ext_timings[n] for n in SLOW_EXT},
                 "slow10_passes": 2,
+                "canary_runs": canaries,
+                "canary_cpu_s": can_cpu,
+                "canary_shuffle_s": can_shuf,
                 "sf": sf,
             },
             fh,
@@ -457,6 +504,8 @@ def main() -> int:
                 "slow10_min2_total": slow10_total,
                 "core_spread_med": spread_med,
                 "core_spread_p90": spread_p90,
+                "canary_cpu_s": can_cpu,
+                "canary_shuffle_s": can_shuf,
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),

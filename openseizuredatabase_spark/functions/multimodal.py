@@ -629,6 +629,13 @@ def dhash_near_dup_pairs(
     bands; the conventional recall/cost trade above that). Candidates
     verify with exact popcount Hamming. Never an all-pairs scan: the
     join key is the 16-bit band value."""
+    # Both self-join sides replay the input lineage — for the media
+    # callers (m46/m49/m51) that lineage is the full container decode
+    # (pure-Python JPEG/PNG/GIF inside mapInPandas), so the corpus was
+    # decoded TWICE per query. Materialize the narrow fingerprint frame
+    # once (guide §8: decide with small rows — (id, h0, h1) is the
+    # lightweight proxy; the heavy pixel work must run exactly once).
+    hashes = hashes.select(id_col, "h0", "h1").localCheckpoint(eager=True)
     b = hashes.select(
         F.col(id_col),
         "h0",
@@ -736,12 +743,17 @@ def fingerprint_match_pairs(
     pairs with at least ``min_common`` — the standard
     multiple-landmark-agreement rule that keeps single-code
     coincidences out."""
-    left = fps.select(
+    # One distinct landmark set, materialized once: the two self-join
+    # sides used to each run their own distinct over the full decode
+    # lineage (WAV decode + per-segment FFT), decoding the corpus twice
+    # (guide §8 — the landmark codes are the lightweight proxy).
+    d = fps.select(id_col, "code").distinct().localCheckpoint(eager=True)
+    left = d.select(
         F.col(id_col).alias("id_a"), F.col("code").alias("code")
-    ).distinct()
-    right = fps.select(
+    )
+    right = d.select(
         F.col(id_col).alias("id_b"), F.col("code").alias("code")
-    ).distinct()
+    )
     return (
         left.join(right, "code")
         .filter(F.col("id_a") < F.col("id_b"))

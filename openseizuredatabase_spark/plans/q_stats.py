@@ -906,8 +906,11 @@ def _n7_oracle() -> str:
     "pins every replica boundary via the order statistics.",
 )
 def n7_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    reps = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    # _ts, not _t: the replica fan-out amplifies the portable-md5 work
+    # 32x before the first shuffle, and the local single-file scan
+    # otherwise runs that whole map side on one core (guide §2.5 input
+    # skew; measured 3.2 s single-task vs 0.3 s spread at sf0.1)
+    ev = _ts(spark, sf_dir, "events")
     h = md5_long(
         F.concat_ws(
             ":",
@@ -915,14 +918,26 @@ def n7_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("string"),
         )
     )
+    # replica fan-out as a Generate (explode of a literal sequence)
+    # instead of crossJoin(broadcast(range)): the BroadcastNestedLoopJoin
+    # emitted the same 32x rows OUTSIDE whole-stage codegen, so every
+    # md5 ran through the interpreted row path (guide §2.4 — same rows,
+    # one fused scan stage; the per-event cent value is also computed
+    # once per event, not once per replica)
     sub = (
-        ev.crossJoin(F.broadcast(reps))
-        .filter(h % 100 < 63)
-        .select(
+        ev.select(
+            "event_id",
             "event_type",
-            "b",
             F.round(F.col("value") * 100, 0).cast("long").alias("c"),
         )
+        .select(
+            "event_id",
+            "event_type",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .filter(h % 100 < 63)
+        .select("event_type", "b", "c")
     )
     means = sub.groupBy("event_type", "b").agg(
         F.round(

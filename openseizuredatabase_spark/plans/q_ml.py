@@ -49,6 +49,19 @@ from openseizuredatabase_spark.plans.q_shared import (  # noqa: F401
 )
 
 
+def _gen_spread(ids: DataFrame) -> DataFrame:
+    """Round-robin the metadata-sized media-id frame across the
+    session's cores before a synthesize+decode mapInPandas chain
+    (guide §2.5 input parallelism): the local single-split events scan
+    otherwise runs the whole fixture codec path — JPEG/PNG/GIF/WAV
+    encode, container mux, decode, per-frame hashing — in ONE task.
+    The exchange ships a few hundred id rows (free at any scale); on a
+    cluster the width is defaultParallelism, not a local constant."""
+    return ids.repartition(
+        ids.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Splits & sampling (M1-M3)
@@ -474,7 +487,7 @@ def m12_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "media_type", "content"]
             )
 
-    media = ev.mapInPandas(gen, "media_id long, media_type string, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, media_type string, content binary")
     return frame_sample(media, every_n=3, max_frames=3)
 
 
@@ -582,7 +595,7 @@ def m46_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_png(pix.astype(np.uint8))))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return dhash_near_dup_pairs(image_dhash(media), max_hamming=6)
 
 
@@ -656,7 +669,7 @@ def m47_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return fingerprint_match_pairs(audio_fingerprint(media, window=64))
 
 
@@ -746,8 +759,10 @@ def m54_audio_clip_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
-    fps = audio_fingerprint(media, window=64)
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    # corpus and probe branches both replay this frame: pin the narrow
+    # landmark table so WAV synth + FFT fingerprinting runs once
+    fps = audio_fingerprint(media, window=64).localCheckpoint(eager=True)
     corpus = fps.filter(F.col("media_id") < 100).select(
         F.col("media_id").alias("corpus_id"),
         F.col("k").alias("c_k"),
@@ -867,7 +882,7 @@ def m48_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_gif(frames, palette)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return gif_scene_changes(media, threshold=12)
 
 
@@ -984,7 +999,7 @@ def m49_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_gif(frames, palette)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return video_near_dup_pairs(
         gif_frame_dhashes(media), max_hamming=6, min_frame_matches=2
     )
@@ -1096,7 +1111,7 @@ def m50_mjpeg_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return mjpeg_frame_stats(media)
 
 
@@ -1226,7 +1241,7 @@ def m51_mjpeg_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     hashes = mjpeg_frame_stats(media).select(
         "media_id", "frame_idx", "h0", "h1"
     )
@@ -1387,9 +1402,13 @@ def m52_image_video_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id", "media_type", "content"],
             )
 
-    media = ev.mapInPandas(
+    media = _gen_spread(ev).mapInPandas(
         gen, "media_id long, media_type string, content binary"
-    )
+        # the video branch and the image branch each replay their
+        # filter over this frame — without a pin the whole corpus is
+        # SYNTHESIZED twice (encode is the expensive half of the
+        # fixture codec path); the bytes are a bounded fixture corpus
+    ).localCheckpoint(eager=True)
     frames = mjpeg_frame_stats(
         media.filter(F.col("media_type") == "video")
     ).select("media_id", "frame_idx", "h0", "h1")
@@ -1548,10 +1567,13 @@ def m53_clip_offset_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    # corpus and probe branches both replay this frame: pin the narrow
+    # per-frame fingerprints so synth+decode runs once (guide §8 —
+    # decide with small rows)
     frames = mjpeg_frame_stats(media).select(
         "media_id", "frame_idx", "h0", "h1"
-    )
+    ).localCheckpoint(eager=True)
     corpus = frames.filter(F.col("media_id") < 100)
     probes = frames.filter(F.col("media_id") >= 100).select(
         "media_id", F.col("frame_idx").alias("p_frame_idx"), "h0", "h1"
@@ -1635,7 +1657,7 @@ def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_png(pix, filters=[0, 1, 2, 3, 4])))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    return ev.mapInPandas(gen, "media_id long, content binary")
+    return _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
 
 
 @query(
@@ -1725,7 +1747,7 @@ def m22_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_wav(v, 8000)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return wav_sample_stats(media)
 
 
@@ -1795,7 +1817,7 @@ def m34_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return jpeg_pixel_stats(media)
 
 
@@ -1867,7 +1889,7 @@ def m36_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_gif(frames, palette)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return gif_frame_stats(media)
 
 
@@ -2379,7 +2401,7 @@ def m23_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["media_id", "epoch", "k", "power"]
             )
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return media.mapInPandas(
         spectro, "media_id long, epoch long, k long, power double"
     )
@@ -3946,7 +3968,7 @@ def m41_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_wav(v, 8000)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = ev.mapInPandas(gen, "media_id long, content binary")
+    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
     return wav_sample_stats(resample_wav(media, 6000))
 
 

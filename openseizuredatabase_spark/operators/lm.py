@@ -316,7 +316,17 @@ def kneser_ney_model(
     its own key and algebraic (map-side combine applies).
     """
     bg = doc_bigrams(docs, id_col, text_col)
-    bigram_counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # four consumers (follow, precede, the type total, and the scoring
+    # join) each replayed the corpus tokenize+explode+count through this
+    # frame — the model build ran the corpus pass four times. Pin the
+    # aggregated (a, b, c_ab) table (vocabulary-pair-bounded, far
+    # smaller than the bigram stream) so the pass runs once; guide §5
+    # persist-when-reused-and-expensive.
+    bigram_counts = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
     follow = bigram_counts.groupBy("a").agg(
         F.sum("c_ab").alias("c_a"),
         F.count(F.lit(1)).alias("n1f_a"),

@@ -1843,6 +1843,11 @@ def _source_shingle_pairs(ss: DataFrame) -> DataFrame:
 )
 def t29_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents")
+    # ss feeds the pair builder AND the per-source totals, and tot both
+    # join sides — but the duplicated subtrees end in BYTE-IDENTICAL
+    # exchanges (same keys, same projections), which ReuseExchange
+    # already collapses inside the executed plan; pinning them was
+    # measured SLOWER at sf0.1 (materialization cost, no saved pass)
     ss = dedup_ops.shingles(docs, "text", "source", k=5, distinct=True)
     pairs = _source_shingle_pairs(ss)
     tot = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -2600,6 +2605,9 @@ def t36_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _ts(spark, sf_dir, "documents")
     ss = dedup_ops.shingles(docs, "text", "source", k=5, distinct=True)
+    # the symmetrize union references the pair frame twice, but both
+    # directions replay into BYTE-IDENTICAL exchanges that
+    # ReuseExchange collapses — pinning was measured slower at sf0.1
     pairs = _source_shingle_pairs(ss)
     edges = pairs.selectExpr(
         "src_a AS u", "src_b AS v", "n_shared AS w"
@@ -3497,6 +3505,11 @@ def t42_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        # four consumers (the df census, the prefix ranking, and both
+        # sides of the verification join) each replayed the corpus
+        # tokenize+shingle explode+distinct; pin the distinct shingle
+        # stream so it materializes once (guide §5)
+        .localCheckpoint(eager=False)
     )
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wr = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -3512,7 +3525,8 @@ def t42_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n_sh")
         - F.ceil(F.col("n_sh") / 2.0).cast("long")
         + 1
-    )
+        # both self-join sides replay the df join + window otherwise
+    ).localCheckpoint(eager=False)
     pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
         pa.join(

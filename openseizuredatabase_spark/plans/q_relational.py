@@ -4508,8 +4508,9 @@ def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # totals row): materialize the distinct edge set once, eagerly
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()  # also drives the scale-adaptive width below
     sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = e.coalesce(max(1, min(sess_w, e.count() // 50_000)))
+    e = e.coalesce(max(1, min(sess_w, n_edges // 50_000)))
     deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
@@ -4517,13 +4518,21 @@ def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # totals, round-11 (guide §1.2): the old 3-way aggregation ran two
+    # count-distincts through an Expand (3x the edge rows) plus its own
+    # scan of e. n_parts is the degree table's row count (distinct p BY
+    # CONSTRUCTION) and rides the SAME aggregation as the wedge total;
+    # n_edges is the count the width rule above already measured on the
+    # materialized frame (a literal, not a recompute); only the distinct
+    # supplier census still needs its own pass over e.
     tot_e = e.agg(
-        F.countDistinct("p").alias("n_parts"),
         F.countDistinct("s").alias("n_suppliers"),
-        F.count(F.lit(1)).alias("n_edges"),
+    ).select(
+        F.lit(n_edges).cast("long").alias("n_edges"), "n_suppliers"
     )
     tot_w = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
     tot_b = pairs.agg(
         F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0))

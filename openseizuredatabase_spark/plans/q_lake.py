@@ -1240,10 +1240,11 @@ def _d9_oracle() -> str:
     "hashing.",
 )
 def d9_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _ts: both diff sides run a portable-md5 row hash before their
-    # first shuffle; on the local single-split scan that map work was
-    # single-task (measured 1.7 -> 1.3 s at sf0.1 with a spread scan)
-    ev = _ts(spark, sf_dir, "events")
+    # _t, not _ts: a spread scan parallelizes the pre-shuffle md5 row
+    # hash but ships the FULL event rows through an extra exchange —
+    # measured a net loss in the final-window A/B (1.8 -> 2.8 s), so
+    # the plain scan stays
+    ev = _t(spark, sf_dir, "events")
     vmic = F.round(F.col("value") * 1_000_000, 0).cast("long")
     vmic_b = F.round(
         (

@@ -56,7 +56,14 @@ def _gen_spread(ids: DataFrame) -> DataFrame:
     otherwise runs the whole fixture codec path — JPEG/PNG/GIF/WAV
     encode, container mux, decode, per-frame hashing — in ONE task.
     The exchange ships a few hundred id rows (free at any scale); on a
-    cluster the width is defaultParallelism, not a local constant."""
+    cluster the width is defaultParallelism, not a local constant.
+
+    Boundary (measured in the round-11 final-window A/B): only worth it
+    where the per-item codec chain is heavy (the JPEG/video family —
+    m49/m51/m52/m53 won 1-4 s each). For cheap single-consumer synth
+    (WAV / single-image decode: m23/m34/m36/m41/m47) the extra exchange
+    plus 32-way Python-worker fan-out COST 0.4-1.3 s — those call sites
+    stay on the plain 1-task chain."""
     return ids.repartition(
         ids.sparkSession.sparkContext.defaultParallelism
     )
@@ -669,7 +676,7 @@ def m47_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    media = ev.mapInPandas(gen, "media_id long, content binary")
     return fingerprint_match_pairs(audio_fingerprint(media, window=64))
 
 
@@ -1817,7 +1824,7 @@ def m34_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    media = ev.mapInPandas(gen, "media_id long, content binary")
     return jpeg_pixel_stats(media)
 
 
@@ -1889,7 +1896,7 @@ def m36_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_gif(frames, palette)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    media = ev.mapInPandas(gen, "media_id long, content binary")
     return gif_frame_stats(media)
 
 
@@ -2401,7 +2408,7 @@ def m23_wav_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["media_id", "epoch", "k", "power"]
             )
 
-    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    media = ev.mapInPandas(gen, "media_id long, content binary")
     return media.mapInPandas(
         spectro, "media_id long, epoch long, k long, power double"
     )
@@ -3968,7 +3975,7 @@ def m41_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((mid, encode_wav(v, 8000)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = _gen_spread(ev).mapInPandas(gen, "media_id long, content binary")
+    media = ev.mapInPandas(gen, "media_id long, content binary")
     return wav_sample_stats(resample_wav(media, 6000))
 
 

@@ -460,6 +460,22 @@ def main() -> int:
     canaries.append(canary())  # after the extended tier
     can_cpu = round(min(c["cpu_s"] for c in canaries), 3)
     can_shuf = round(min(c["shuffle_s"] for c in canaries), 3)
+    # Round-12 (additive): host-speed normalization. The floor values
+    # are the measured IDLE-box canary minima (round-11 sessions:
+    # cpu 0.16-0.19 s, shuffle 0.49-0.70 s — SCALE.md / OPTIMIZATION_r11);
+    # host_factor > 1 means this window ran that much slower than an
+    # idle box on pure fixed work, so cross-round per-query deltas
+    # should be read against raw/host_factor (per-query normalized
+    # numbers land in BENCH_FULL.json as core_norm; the stdout line
+    # carries only the scalar to stay inside the 2000-char tail).
+    _FLOOR_CPU_S, _FLOOR_SHUF_S = 0.16, 0.49
+    host_factor = round(
+        (can_cpu + can_shuf) / (_FLOOR_CPU_S + _FLOOR_SHUF_S), 3
+    )
+    core_norm = {
+        n: round(t / max(host_factor, 1.0), 3)
+        for n, t in core_timings.items()
+    }
     core_total = round(sum(core_timings.values()), 3)
     ext_total = round(sum(ext_timings.values()), 3)
     slow10_total = round(sum(ext_timings[n] for n in SLOW_EXT), 3)
@@ -482,6 +498,10 @@ def main() -> int:
                 "canary_runs": canaries,
                 "canary_cpu_s": can_cpu,
                 "canary_shuffle_s": can_shuf,
+                "canary_floor_cpu_s": _FLOOR_CPU_S,
+                "canary_floor_shuffle_s": _FLOOR_SHUF_S,
+                "host_factor": host_factor,
+                "core_norm": core_norm,
                 "sf": sf,
             },
             fh,
@@ -506,6 +526,7 @@ def main() -> int:
                 "core_spread_p90": spread_p90,
                 "canary_cpu_s": can_cpu,
                 "canary_shuffle_s": can_shuf,
+                "host_factor": host_factor,
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),

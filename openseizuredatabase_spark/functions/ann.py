@@ -122,6 +122,7 @@ def kmeans_exact(
     k: int = 8,
     iters: int = 2,
     quant: int = 1000,
+    eager_assign: bool = True,
 ):
     """Deterministic distributed Lloyd iterations in pure relational ops
     — the IVF coarse quantizer (build_ivf's role) with CROSS-ENGINE
@@ -249,14 +250,19 @@ def kmeans_exact(
     out_schema = T.StructType(
         [T.StructField(id_col, id_type), T.StructField("cid", id_type)]
     )
-    # assign is one (id, cid) row per vector — the narrow proxy frame —
-    # and every caller (IVF probe filter, SemDeDup bucketing) consumes
-    # it at least twice; pin EAGERLY so the numpy pass runs once — a
-    # lazy pin lets AQE's concurrent stage jobs race each other for
-    # the uncomputed cache blocks (measured on v15: tasks blocked on
-    # another stage's locks, 10x run-time vs CPU)
+    # assign is one (id, cid) row per vector — the narrow proxy frame.
+    # The PQ/IVF callers reference it from CONCURRENT consumer subtrees
+    # in one plan, and a lazy pin lets AQE's concurrent stage jobs race
+    # each other for the uncomputed cache blocks (measured on v15:
+    # tasks blocked on another stage's locks, 10x run-time vs CPU) —
+    # they keep the eager default. A single-consumer caller
+    # (semantic_dedup: one join feeds one applyInPandas chain) passes
+    # eager_assign=False and skips the standalone materialization job —
+    # the round-11 eager default cost t24 a driver-confirmed ~0.8 s for
+    # a pin only the multi-consumer plans need (round-12, guide §5
+    # persist-only-when-reused).
     assign = vecs.mapInPandas(assign_codes, schema=out_schema).localCheckpoint(
-        eager=True
+        eager=eager_assign
     )
     # the codebook is driver-held k·dim rows — render it as a VALUES
     # LocalRelation (no RDD job, folds/broadcasts as a literal)
@@ -757,6 +763,9 @@ def semantic_dedup(
     import pandas as pd
 
     if assign is None:
+        # lazy assign pin: this is the single-consumer path (one join
+        # below), so the eager materialization job the concurrent
+        # PQ/IVF consumers need would be a pure extra job here
         assign, _ = kmeans_exact(
             emb,
             vec_col=vec_col,
@@ -764,6 +773,7 @@ def semantic_dedup(
             k=k,
             iters=iters,
             quant=quant,
+            eager_assign=False,
         )
     qv = F.transform(
         F.col(vec_col).cast("array<double>"),
@@ -846,6 +856,10 @@ def hierarchical_assign(
     """
     from pyspark.sql import Window
 
+    # the flat assignment is DISCARDED (only the trained centroids are
+    # used); eager_assign=False means the never-consumed assign pin
+    # never materializes — the eager default ran a full numpy
+    # assignment pass over the training frame for nothing (round-12)
     _, cents = kmeans_exact(
         train_df if train_df is not None else emb,
         vec_col=vec_col,
@@ -853,6 +867,7 @@ def hierarchical_assign(
         k=k,
         iters=iters,
         quant=quant,
+        eager_assign=False,
     )
     q = emb.select(
         F.col(id_col),

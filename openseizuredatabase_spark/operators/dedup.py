@@ -473,6 +473,77 @@ def winnow_fingerprints(
     )
 
 
+# Fixed cap for the driver-side component FINISHER: when a measured
+# edge count is at or below this bound the remaining rounds collapse to
+# one bounded collect + an exact union-find on the driver. Two longs
+# per row -> <= ~16 MB at the cap — the same metadata-bounded-collect
+# class as the driver-held k-means codebooks (functions/ann.py): the
+# collect can never exceed the constant cap, REGARDLESS of input scale,
+# because the gate reads a count that was already measured for the
+# width rule. On a lake-scale raw graph the gate simply never fires and
+# the distributed loop runs; in the star-contraction loop the edge set
+# shrinks geometrically per round (Kiveris et al. 2014, Lemma 4), so
+# the finisher replaces only the last O(log n) latency-bound rounds.
+_CC_DRIVER_EDGE_CAP = 1_000_000
+
+
+def _driver_cc_labels(edge_rows) -> dict:
+    """Exact connected-component labels (id -> component MIN) from a
+    bounded edge list via union-find with path compression.
+
+    The minimum is taken under Python's native ordering, which matches
+    Spark's for the id types the operators use (integers exactly;
+    strings compare code-point-wise = UTF8 binary collation). Both
+    distributed variants converge to the identical component-min
+    labeling, so the finisher is a pure latency optimization
+    (equivalence pinned by tests/test_operators.py and the
+    t10/t54/p2/p7/v15 oracles).
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def _labels_frame(spark, labels: dict, id_ddl: str) -> DataFrame:
+    """(id, comp) frame from a driver-held label dict. Small label sets
+    render as a VALUES LocalRelation (functions/literal.py — no RDD
+    job, broadcasts as a literal); larger ones (only reachable near the
+    collect cap, e.g. replica stress runs) take the regular
+    createDataFrame path, whose one parallelize job is noise at that
+    size."""
+    from openseizuredatabase_spark.functions.literal import literal_df
+
+    rows = sorted(labels.items())
+    ddl = f"id {id_ddl}, comp {id_ddl}"
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    if len(rows) <= 20_000:
+        return literal_df(spark, rows, ddl)
+    return spark.createDataFrame(rows, ddl)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -519,6 +590,16 @@ def connected_components(
     million-digit BigIntegers whose Toom-Cook multiplications dominate
     driver planning (59 s/round by round 9, found via driver thread
     dumps). The driver sees only scalar convergence counts, never data.
+
+    Round-12 finisher (guide §1.2 — the round cost IS the cost on
+    small graphs): once the measured edge count is at or below the
+    FIXED cap ``_CC_DRIVER_EDGE_CAP``, the labels come from a bounded
+    driver-side union-find over the collected edge list instead of
+    0.3-0.65 s of per-round shuffle+count job latency per remaining
+    round. The gate reads counts the loops already measure for their
+    width rules, so it costs no extra job; at lake scale it never
+    fires for the raw graph and (in the star variant) replaces only
+    the last contraction rounds.
     """
     from openseizuredatabase_spark.lineage import pin
 
@@ -543,6 +624,17 @@ def connected_components(
         pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_EDGE_CAP:
+        # the symmetrized distinct edge list mentions every node on the
+        # src side, so the union-find labels cover exactly the node set
+        # the distributed loop would label (edges.select("src").distinct())
+        labels = _driver_cc_labels((r[0], r[1]) for r in edges.collect())
+        edges.unpersist()
+        return _labels_frame(
+            pairs.sparkSession,
+            labels,
+            pairs.schema[id_a].dataType.simpleString(),
+        )
     loop_w = max(1, min(sess_w, n_edges // 50_000))
     edges = edges.coalesce(loop_w)
     labels = (
@@ -629,7 +721,26 @@ def _cc_star_contraction(
         ).collect()[0]
         return r["n"], r["chk"]
 
+    id_ddl = pairs.schema[id_a].dataType.simpleString()
+
+    def driver_finish(ef: DataFrame) -> DataFrame:
+        # round-12 finisher (see connected_components): the census just
+        # measured the edge count at or under the fixed cap, so the
+        # remaining O(log n) latency-bound rounds collapse to one
+        # bounded collect + exact union-find; isolated nodes (self-loop
+        # only) keep their own id via the left join, exactly as the
+        # distributed exit path below
+        labels = _driver_cc_labels((r[0], r[1]) for r in ef.collect())
+        if not labels:
+            return nodes.select("id", F.col("id").alias("comp"))
+        lf = _labels_frame(pairs.sparkSession, labels, id_ddl)
+        return nodes.join(lf, "id", "left").select(
+            "id", F.coalesce("comp", F.col("id")).alias("comp")
+        )
+
     n_prev, chk_prev = census(e)
+    if n_prev <= _CC_DRIVER_EDGE_CAP:
+        return driver_finish(e)
     # scale-adaptive loop width (the integer_pagerank pattern): the
     # census already measured the edge count, so derive how many
     # partitions the per-round window/distinct passes deserve — a tiny
@@ -684,6 +795,10 @@ def _cc_star_contraction(
         )
         e2 = pin(ss)
         n_now, chk_now = census(e2)
+        if n_now <= _CC_DRIVER_EDGE_CAP:
+            # contraction brought the edge set under the cap: finish on
+            # the driver instead of paying the remaining rounds
+            return driver_finish(e2)
         e2 = e2.coalesce(loop_w(n_now))
         if n_now == n_prev and chk_now == chk_prev:
             # count+checksum equal is necessary, not sufficient —

@@ -70,5 +70,5 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load + spread-for-map-work, sized from parquet footer metadata (a
     local read, no Spark job — see ``tables.table_meta``)."""
-    _, nbytes = table_meta(sf_dir, name)
+    _, nbytes = table_meta(sf_dir, name, spark)
     return spread_small_scan(load_table(spark, sf_dir, name), spark, nbytes)

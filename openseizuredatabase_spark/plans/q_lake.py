@@ -2389,7 +2389,7 @@ def d15_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # land in one task, which any hash width preserves — so a small
     # input writes through a few tasks instead of a session-wide
     # exchange, and a lake-scale input keeps the cluster width
-    n_rows, _ = tables.table_meta(sf_dir, "events")
+    n_rows, _ = tables.table_meta(sf_dir, "events", spark)
     sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     w = max(1, min(sess_w, n_rows // 50_000))
     (

@@ -758,16 +758,30 @@ def _stream_width(spark: SparkSession, sf_dir: str, table: str = "events"):
     """
     import pyarrow.parquet as pq
 
+    from openseizuredatabase_spark.sources.tables import local_parquet_files
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(src):
-        files = [
-            os.path.join(src, f)
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        ]
+    files = local_parquet_files(src)
+    if files is None:
+        # non-local URI (object store / HDFS): no local footer to read,
+        # and serial driver-side remote footer reads would be their own
+        # bottleneck — keep the session width, which on a real cluster
+        # is the conf-driven production value (round-12, guide §6)
+        yield
+        return
+    # bounded footer sample: the width decision only needs the row
+    # count's magnitude, so cap the serial driver-side reads and
+    # extrapolate by file count (width-only — never feeds semantics)
+    cap = 64
+    if len(files) > cap:
+        step = len(files) / cap
+        sample = [files[int(i * step)] for i in range(cap)]
+        n = int(
+            sum(pq.ParquetFile(f).metadata.num_rows for f in sample)
+            * (len(files) / cap)
+        )
     else:
-        files = [src]
-    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     sess = spark.conf.get("spark.sql.shuffle.partitions", "32")
     w = max(1, min(int(sess), n // 50_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(w))

@@ -1448,7 +1448,7 @@ def t24_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_rows, _ = table_meta(sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings", spark)
     k = max(8, n_rows // 625)
     g = max(3, int(k**0.5))
     # deterministic training sample: the k seed ids plus a portable

@@ -253,7 +253,7 @@ def v3_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet FOOTER metadata (local file read via table_meta) — no Spark
     # job runs for sizing; at lake scale the same number comes from table
     # catalog statistics.
-    n_rows, _ = table_meta(sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings", spark)
     modulus = max(16, n_rows // 128)
     emb0 = _ts(spark, sf_dir, "embeddings")
     emb = emb0.select(
@@ -471,7 +471,7 @@ def v18_pq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.ann import pq_train_encode
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_rows, _ = table_meta(sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings", spark)
     frac_pm = max(1, (2000 * 1000) // n_rows)  # per-mille keep rate
     samp = emb.filter(
         (F.col("vec_id") <= 8)  # k_sub seed ids must be in the sample
@@ -516,7 +516,7 @@ def v19_hier_assign_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openseizuredatabase_spark.functions.ann import hierarchical_assign
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_rows, _ = table_meta(sf_dir, "embeddings")
+    n_rows, _ = table_meta(sf_dir, "embeddings", spark)
     k = max(8, n_rows // 625)
     g = max(3, int(k**0.5))
     frac_pm = max(1, (5000 * 1000) // n_rows)

@@ -62,28 +62,75 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     _CONF_DONE.add(app_id)
 
 
-def table_meta(sf_dir: str, name: str) -> tuple[int, int]:
-    """(row_count, total_bytes) for a lake table from parquet FOOTER
-    metadata — a local file-footer read, never a Spark job.
+def local_parquet_files(path: str) -> list[str] | None:
+    """Resolve a parquet table path to its local part files for a
+    driver-side footer probe, or ``None`` when the path is NOT a local
+    POSIX path (``s3://``, ``hdfs://``, ``abfss://`` ... — any
+    scheme-qualified URI other than ``file:``). On a real lake the
+    ``os.path`` calls below would silently mis-probe (``isdir`` False
+    for every URI), so callers must detect None and fall back to
+    session-width behavior or a distributed probe (round-12, guide §6:
+    listing/metadata work belongs to the catalog or the cluster, not
+    serial driver-side file reads)."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    if os.path.isdir(p):
+        return [
+            os.path.join(p, f)
+            for f in sorted(os.listdir(p))
+            if f.endswith(".parquet")
+        ]
+    # single file (or a missing path — let the pyarrow open raise the
+    # same loud error the previous implementation raised)
+    return [p]
 
-    This is what sizes v3's near-dup bucket modulus and the small-scan
-    spread decision; at lake scale the same numbers come from the table
-    catalog / file-listing statistics, still without running a job.
+
+def table_meta(
+    sf_dir: str, name: str, spark: SparkSession | None = None
+) -> tuple[int, int]:
+    """(row_count, total_bytes) for a lake table.
+
+    Local paths: parquet FOOTER metadata — a local file read, never a
+    Spark job. The count is EXACT because callers derive
+    result-affecting parameters from it (v3's bucket modulus, the
+    scaled-ANN k/sample rates) whose oracles replay the same numbers
+    via ``count(*)``.
+
+    Non-local paths (object store / HDFS): there is no local footer to
+    read, so when a ``spark`` handle is supplied the count comes from
+    one distributed ``count()`` over the parquet scan (no columns
+    materialize; exact, cluster-parallel — the bounded alternative to
+    serial driver-side footer reads over many remote files) and the
+    byte size from the Hadoop FileSystem's content summary. Without a
+    session this raises instead of mis-probing.
     """
     key = (sf_dir, name)
     cached = _META_CACHE.get(key)
     if cached is not None:
         return cached
-    import pyarrow.parquet as pq
-
     path = os.path.join(sf_dir, f"{name}.parquet")
-    paths = [path]
-    if os.path.isdir(path):
-        paths = [
-            os.path.join(path, p) for p in os.listdir(path) if p.endswith(".parquet")
-        ]
-    rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-    size = sum(os.path.getsize(p) for p in paths)
+    paths = local_parquet_files(path)
+    if paths is None:
+        if spark is None:
+            raise ValueError(
+                f"table_meta({path!r}): non-local path needs a spark "
+                "session for the distributed metadata probe"
+            )
+        rows = spark.read.parquet(path).count()
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = int(fs.getContentSummary(hpath).getLength())
+    else:
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        size = sum(os.path.getsize(p) for p in paths)
     _META_CACHE[key] = (rows, size)
     return rows, size
 

@@ -351,6 +351,58 @@ def test_connected_components_path_halving_matches(spark):
     assert {halved[i] for i in (1, 2, 3)} == {1}
 
 
+def test_connected_components_driver_finisher_matches_distributed(spark):
+    """The round-12 driver-side union-find finisher (fires whenever the
+    measured edge count is at or below _CC_DRIVER_EDGE_CAP) must return
+    exactly the labels the distributed loops produce — both variants,
+    on a shape mix that stresses them: a long chain, a clique,
+    self-loops, duplicate/reversed edges, and an isolated pair."""
+    from openseizuredatabase_spark.operators import dedup
+
+    edges = (
+        [(i, i + 1) for i in range(200, 217)]  # 18-node path
+        + [(1, 2), (2, 3), (1, 3), (3, 1)]  # triangle + reversed dup
+        + [(50, 51), (51, 50)]  # pair, both orientations
+        + [(77, 77)]  # self-loop only: isolated node
+        + [(216, 200)]  # cycle-closing edge
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def labels(**kw):
+        return {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(
+                pairs, max_iter=30, **kw
+            ).collect()
+        }
+
+    cap = dedup._CC_DRIVER_EDGE_CAP
+    try:
+        via_driver_hook = labels()
+        via_driver_star = labels(path_halving=True)
+        dedup._CC_DRIVER_EDGE_CAP = -1  # force the distributed loops
+        via_dist_hook = labels()
+        via_dist_star = labels(path_halving=True)
+    finally:
+        dedup._CC_DRIVER_EDGE_CAP = cap
+    assert via_driver_hook == via_dist_hook
+    assert via_driver_star == via_dist_star
+    assert via_driver_hook == via_driver_star
+    assert {via_driver_hook[i] for i in range(200, 217)} == {200}
+    assert via_driver_hook[77] == 77
+    assert {via_driver_hook[i] for i in (50, 51)} == {50}
+
+
+def test_driver_cc_labels_string_ids_and_empty():
+    """Union-find min-labeling under Python ordering == Spark's UTF8
+    binary ordering for strings; empty edge list yields empty labels."""
+    from openseizuredatabase_spark.operators.dedup import _driver_cc_labels
+
+    got = _driver_cc_labels([("b", "c"), ("a", "b"), ("x", "x")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x"}
+    assert _driver_cc_labels([]) == {}
+
+
 def test_stratified_sample_portable_and_layout_stable(spark):
     from openseizuredatabase_spark.operators.splits import stratified_sample
 

@@ -51,7 +51,12 @@ def integer_pagerank(
     # done inside a single job): tiny graphs run the per-iteration
     # joins in one task instead of a full-width shuffle per round, big
     # graphs keep the cluster-wide layout.
-    edges = edges.localCheckpoint(eager=True)
+    from openseizuredatabase_spark.lineage import pin
+
+    # lazy pin whose first action IS the width census (one
+    # materialization job instead of eager-checkpoint + count = two —
+    # round-12, the CC census pattern)
+    edges = pin(edges)
     spark = edges.sparkSession
     n_edges = edges.count()
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -122,10 +127,15 @@ def hits_scores(
     i.e. max node degree · scale² < 9.2e18 → degree < 9e6 at the
     default micro scale; drop ``scale`` to 1e4 for hotter graphs (the
     lm.py gradient-bound discipline)."""
-    edges = edges.localCheckpoint(eager=True)
-    # integer_pagerank's width rule: loop parallelism from the measured
-    # edge count, so small graphs run each half-step in one task and
-    # big graphs keep the session-wide layout
+    from openseizuredatabase_spark.lineage import pin
+
+    # lazy pin whose first action IS the width census (one
+    # materialization job instead of eager-checkpoint + count = two —
+    # round-12, the CC census pattern); integer_pagerank's width rule:
+    # loop parallelism from the measured edge count, so small graphs
+    # run each half-step in one task and big graphs keep the
+    # session-wide layout
+    edges = pin(edges)
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_part = max(1, min(width, edges.count() // 50_000))

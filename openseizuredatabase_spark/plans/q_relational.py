@@ -3491,34 +3491,47 @@ _COPART_EDGES_SQL = """ps AS (
 
 
 def _copart_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(ps, edges) frames mirroring :data:`_COPART_EDGES_SQL`; edges come
-    localCheckpoint'd for reuse across iteration rounds."""
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    """(li, edges): the projected lineitem frame and the co-part edge
+    set mirroring :data:`_COPART_EDGES_SQL`; edges come pinned for
+    reuse across iteration rounds.
+
+    Round-12 shape (guide §2.4 remove shuffles / §2.3 aggregate before
+    you shuffle): the per-part supplier set is ONE map-side-combining
+    ``groupBy(p).collect_set(s)`` (which dedups (p, s) in the same
+    pass, so the separate distinct exchange AND the row_number window
+    exchange are gone), the 8-cap is ``slice(sort_array(...), 1, 8)``
+    — identical to the old ascending row_number cap, s is unique per
+    set — and the pair fan-out happens IN-ROW over the ≤8-element
+    array before one final distinct. The old shape paid distinct +
+    window + self-join + distinct (4 data exchanges) and ran the pair
+    join over a count-coalesced frame (1 partition at sf0.1 — the j10
+    CPU-dense-starvation disease); this is 2 exchanges with the
+    fan-out running at scan width. Skew note: a hot part's distinct
+    suppliers land in one aggregation buffer — the same single-reducer
+    placement the old window had, so no regression; the documented
+    salt/degree-cap refinement for degree-1e8 keys applies to both.
+    The pin is LAZY with the width census as its first action (one
+    materialization job, not eager-checkpoint + count = two)."""
+    from openseizuredatabase_spark.lineage import pin
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     )
-    cap = (
-        ps.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("p").orderBy("s")),
-        )
-        .filter(F.col("rn") <= 8)
-        .drop("rn")
+    capped = li.groupBy("p").agg(
+        F.slice(F.sort_array(F.collect_set("s")), 1, 8).alias("c")
     )
-    a = cap.select(F.col("p").alias("pa"), F.col("s").alias("u"))
-    b = cap.select(F.col("p").alias("pb"), F.col("s").alias("v"))
-    edges = (
-        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") != F.col("v")))
-        .select("u", "v")
+    pairs = F.expr(
+        "flatten(transform(c, x -> transform(filter(c, y -> y != x),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    edges = pin(
+        capped.select(F.explode(pairs).alias("e"))
+        .select("e.u", "e.v")
         .distinct()
-        # eager: the consumers are iterative loops whose concurrent AQE
-        # stage jobs would otherwise race on the uncomputed blocks
-        .localCheckpoint(eager=True)
     )
     sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = edges.coalesce(max(1, min(sess_w, edges.count() // 50_000)))
-    return ps, edges
+    return li, edges
 
 
 def _j13_oracle() -> str:
@@ -3565,11 +3578,17 @@ def _j13_oracle() -> str:
     "unrolls the same 4 rounds.",
 )
 def j13_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps, edges = _copart_edges(spark, sf_dir)
-    seeds = (
-        ps.agg(F.min("s").alias("node"))
-        .unionByName(ps.agg(F.max("s").alias("node")))
-        .distinct()
+    li, edges = _copart_edges(spark, sf_dir)
+    # min/max of s over distinct (p, s) == min/max of s over lineitem
+    # directly (distinct cannot change extrema), so the seed pass skips
+    # the old distinct exchange + two-branch union that aggregated the
+    # deduped frame twice (round-12, guide §1.2 "don't compute things
+    # you throw away"); array_distinct keeps UNION semantics if ever
+    # min == max
+    seeds = li.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    ).select(
+        F.explode(F.array_distinct(F.array("lo", "hi"))).alias("node")
     )
     d = seeds.select("node", F.lit(0).cast("long").alias("hop"))
     for _ in range(_J13_ROUNDS):
@@ -4514,17 +4533,29 @@ def s23_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-checks the pair table (sum c == n_wedges).",
 )
 def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
+    from openseizuredatabase_spark.lineage import pin
+
+    # Round-12: (a) the edge materialization is a lazy pin whose first
+    # action is the width census (one job, not eager-checkpoint +
+    # count = two); (b) the CPU-dense wedge self-join no longer runs
+    # over a count-coalesced frame — at sf0.1 that width rule put the
+    # WHOLE wedge stage (join + pair aggregation, the query's entire
+    # compute) in ONE task. Hash-repartitioning on the join key to the
+    # session width is the j10/j12 fix (guide §2.5 — skew/starvation
+    # by CPU, not bytes); both self-join sides share the exchange, and
+    # at lake scale a p-keyed shuffle precedes this join anyway.
+    # (An in-row array wedge expansion — groupBy(p).collect_set +
+    # nested transform/slice — was tried first and measured SLOWER,
+    # 2.0 -> 3.6 s: higher-order-function lambdas evaluate interpreted
+    # per element while the equi-join runs in whole-stage codegen.)
+    e = pin(
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
-        # four consumers (degree census, both wedge-join sides, the
-        # totals row): materialize the distinct edge set once, eagerly
-        .localCheckpoint(eager=True)
     )
-    n_edges = e.count()  # also drives the scale-adaptive width below
+    n_edges = e.count()  # the pin's materialization action
     sess_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = e.coalesce(max(1, min(sess_w, n_edges // 50_000)))
+    e = e.repartition(sess_w, "p")
     deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
@@ -4532,13 +4563,12 @@ def j19_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # totals, round-11 (guide §1.2): the old 3-way aggregation ran two
-    # count-distincts through an Expand (3x the edge rows) plus its own
-    # scan of e. n_parts is the degree table's row count (distinct p BY
-    # CONSTRUCTION) and rides the SAME aggregation as the wedge total;
-    # n_edges is the count the width rule above already measured on the
-    # materialized frame (a literal, not a recompute); only the distinct
-    # supplier census still needs its own pass over e.
+    # totals, round-11 (guide §1.2): n_parts is the degree table's row
+    # count (distinct p BY CONSTRUCTION) and rides the SAME aggregation
+    # as the wedge total; n_edges is the count the width rule above
+    # already measured on the pinned frame (a literal, not a
+    # recompute); only the distinct supplier census still needs its own
+    # pass over e.
     tot_e = e.agg(
         F.countDistinct("s").alias("n_suppliers"),
     ).select(

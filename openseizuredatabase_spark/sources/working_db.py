@@ -163,26 +163,48 @@ class OsdWorkingLake:
         unchanged files, it never rewrites them; hardlinks are this
         sandbox's file-reference, with copy as the cross-device
         fallback). The reader sees the exact same files either way.
+        The events and datapoints writes are INDEPENDENT jobs (neither
+        reads the other's output; the version publishes only after both
+        finish), so they run overlapped from a 2-thread pool (round-12,
+        guide §2.6 "overlap independent jobs": the second job's tasks
+        back-fill executors freed by the first job's tail instead of
+        waiting on a serial driver loop). Commit semantics are
+        unchanged — ``_publish`` still happens strictly after both
+        writes complete, so a crash mid-commit leaves ``_LATEST`` on
+        the previous intact version exactly as before.
         """
         v = self.current_version() + 1
-        (
-            events.repartition(F.col("type"))
-            .sortWithinPartitions("userId", "dataTime")
-            .write.partitionBy("type")
-            .mode("overwrite")
-            .parquet(self._dir(v, "events"))
-        )
-        if dps_reuse_from is not None:
-            src = self._dir(dps_reuse_from, "datapoints")
-            if os.path.exists(src):
-                self._link_tree(src, self._dir(v, "datapoints"))
-        elif dps is not None:
+
+        def w_events() -> None:
+            (
+                events.repartition(F.col("type"))
+                .sortWithinPartitions("userId", "dataTime")
+                .write.partitionBy("type")
+                .mode("overwrite")
+                .parquet(self._dir(v, "events"))
+            )
+
+        def w_dps() -> None:
             (
                 dps.repartition("event_id")
                 .sortWithinPartitions("event_id", "dataTime")
                 .write.mode("overwrite")
                 .parquet(self._dir(v, "datapoints"))
             )
+
+        if dps is not None and dps_reuse_from is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fe, fd = pool.submit(w_events), pool.submit(w_dps)
+                fe.result()
+                fd.result()
+        else:
+            w_events()
+            if dps_reuse_from is not None:
+                src = self._dir(dps_reuse_from, "datapoints")
+                if os.path.exists(src):
+                    self._link_tree(src, self._dir(v, "datapoints"))
         self._publish(v)
         return v
 

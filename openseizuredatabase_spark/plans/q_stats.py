@@ -1426,6 +1426,48 @@ def n10_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = duels.groupBy("win_t", "lose_t").agg(
         F.count(F.lit(1)).alias("n")
     ).localCheckpoint(eager=False)
+    # Round-12 (guide §1.2, the p10/v14/t34 driver-iterate pattern):
+    # everything downstream of wl — opp/winsum/games and the 3 MM
+    # rounds — is arithmetic over the k²-bounded duel-count matrix
+    # (k = event-type vocabulary; "broadcast-sized for any realistic
+    # item vocabulary" is this query's own scale contract). The pin's
+    # first action materializes the ONE data-scale stage (window pass +
+    # combine-heavy groupBy), the k² rows collect under a fixed cap,
+    # and the MM fixed point runs in exact Python integers (the same
+    # floor-division identity: (x - x%d)/d == x // d for positive
+    # operands, and Python ints are exact at any magnitude), returning
+    # a VALUES literal. Beyond the cap — or on an empty duel set — the
+    # unrolled relational plan below is unchanged.
+    n_cells = wl.count()
+    if 0 < n_cells <= 100_000:
+        from openseizuredatabase_spark.functions.literal import literal_df
+
+        wlc = [(r["win_t"], r["lose_t"], r["n"]) for r in wl.collect()]
+        opp_d: dict = {}
+        wins_d: dict = {}
+        for w_t, l_t, n in wlc:
+            opp_d[(w_t, l_t)] = opp_d.get((w_t, l_t), 0) + n
+            opp_d[(l_t, w_t)] = opp_d.get((l_t, w_t), 0) + n
+            wins_d[w_t] = wins_d.get(w_t, 0) + n
+        nodes = sorted({i for i, _ in opp_d})
+        n_wins = {i: wins_d.get(i, 0) for i in nodes}
+        n_games: dict = {i: 0 for i in nodes}
+        for (i, _j), g in opp_d.items():
+            n_games[i] += g
+        p_d = {i: 1_000_000 for i in nodes}
+        for _ in range(3):
+            sm_d = {i: 0 for i in nodes}
+            for (i, j), g in opp_d.items():
+                sm_d[i] += (g * s) // (p_d[i] + p_d[j])
+            p_d = {
+                i: max((n_wins[i] * s) // sm_d[i], 1) for i in nodes
+            }
+        return literal_df(
+            spark,
+            [(i, n_wins[i], n_games[i], p_d[i]) for i in nodes],
+            "event_type string, n_wins long, n_games long, "
+            "strength_micro long",
+        )
     opp = (
         wl.selectExpr("win_t AS i", "lose_t AS j", "n")
         .unionByName(wl.selectExpr("lose_t AS i", "win_t AS j", "n"))
